@@ -1,0 +1,60 @@
+"""Benchmark harness (driver contract).
+
+Runs the registered headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of all benched queries (each executed
+to completion with a count-collapsing action, so the full plan runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from wikistream_event_data_pipeline_aws_spark import registry
+    from wikistream_event_data_pipeline_aws_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM/IO path once with the flagship query
+    qs["hourly_stats"](spark, sf_dir).count()
+
+    for name in sorted(qs):
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        if n < 0:  # pragma: no cover - count() is always >= 0
+            raise RuntimeError(name)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "total_query_wallclock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

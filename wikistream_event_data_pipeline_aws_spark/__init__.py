@@ -1,0 +1,20 @@
+"""PySpark-native analytics engine with the query/data-processing
+capabilities of the reference wikistream event pipeline
+(mdshihabullah/wikistream-event-data-pipeline-aws), re-expressed
+Spark-first: DataFrame/SQL logical plans optimized by Catalyst, with
+Structured Streaming for ingest and library-level operators
+(merge, dedup, similarity, text analysis, data quality) built from
+built-in functions wherever semantics allow.
+
+Layout
+------
+- ``session``    SparkSession factory (AQE, UTC, local tuning)
+- ``catalog``    testdata table loading + temp-view registration
+- ``plans``      named batch query plans (wiki pipeline semantics, TPC-H surface)
+- ``operators``  merge/dedup/similarity/text/profiling operators
+- ``dq``         data-quality constraint compiler + audit
+- ``streaming``  Structured Streaming ingest (file/rate/kafka), watermark dedup
+- ``registry``   name -> (query fn, oracle SQL) used by __spark_entry__
+"""
+
+__version__ = "0.1.0"

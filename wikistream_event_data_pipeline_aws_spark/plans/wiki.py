@@ -1,0 +1,352 @@
+"""Wiki-pipeline gold-layer semantics re-expressed over the synthetic
+``events`` table (FIXTURES.md maps events -> silver.cleaned_events).
+
+Reference parity (citations into /root/reference):
+- ``hourly_stats``       <- gold hourly aggregation, ``spark/jobs/gold_batch_job.py:68-121`` (A1)
+- ``user_daily_metrics`` <- per-user daily metrics + HAVING,
+                            ``gold_batch_job.py:137-164`` (A2)
+- ``risk_scores``        <- piecewise CASE risk ladder -> 0-100 score/band/alert,
+                            ``gold_batch_job.py:169-247`` (A3)
+- ``daily_summary``      <- 2-CTE rollup + analytic peak-hour window + left join,
+                            ``gold_batch_job.py:252-402`` (A4, W1, J1)
+- ``top_risk_alerts``    <- ORDER BY risk DESC LIMIT k report query,
+                            ``gold_batch_job.py:728-735`` (O1)
+
+All plans are pure DataFrame compositions — Catalyst handles pushdown,
+partial aggregation and (for the tiny per-day join) broadcast; at 100 TB
+the groupBy keys (event_date, event_hour) give bounded cardinality so
+the shuffle reduces to near-nothing after map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# -- shared projection ------------------------------------------------------
+
+
+def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + derived partition-style columns (reference P7,
+    ``bronze_streaming_job.py:220-221``)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd")).withColumn(
+        "event_hour", F.hour("ts")
+    )
+
+
+_EVENTS_TIME_SQL = """
+    SELECT *, strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(hour(ts) AS INTEGER) AS event_hour
+    FROM events
+"""
+
+# -- A1: hourly stats (flagship) --------------------------------------------
+
+
+def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_with_time(spark, sf_dir)
+    dec_value = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
+
+    def n_type(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+
+    return (
+        e.groupBy("event_date", "event_hour")
+        .agg(
+            n.alias("total_events"),
+            F.countDistinct("user_id").alias("unique_users"),
+            n_type("click"),
+            n_type("view"),
+            n_type("purchase"),
+            n_type("signup"),
+            n_type("error"),
+            F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("high_value_events"),
+            F.sum(dec_value).cast("double").alias("sum_value"),
+            (F.sum(dec_value).cast("double") / n).alias("avg_value"),
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+                / n
+            ).alias("error_pct"),
+        )
+    )
+
+
+HOURLY_STATS_SQL = f"""
+SELECT event_date, event_hour,
+       COUNT(*) AS total_events,
+       COUNT(DISTINCT user_id) AS unique_users,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS high_value_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       CAST(100.0 AS DOUBLE) * SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           / COUNT(*) AS error_pct
+FROM ({_EVENTS_TIME_SQL})
+GROUP BY event_date, event_hour
+"""
+
+# -- A2: per-user daily metrics ----------------------------------------------
+
+
+def user_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_with_time(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    dec_value = F.col("value").cast("decimal(18,2)")
+    out = (
+        e.groupBy("event_date", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_actions"),
+            (F.count(F.lit(1)) / F.lit(24.0)).alias("actions_per_hour"),
+            F.countDistinct("event_hour").alias("active_hours"),
+            (F.max("event_hour") - F.min("event_hour") + F.lit(1)).alias("hour_span"),
+            F.countDistinct("event_type").alias("distinct_event_types"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+            F.sum(dec_value).cast("double").alias("sum_value"),
+            F.min("event_hour").alias("first_seen_hour"),
+        )
+        .filter(F.col("total_actions") >= 5)
+    )
+    return out
+
+
+USER_DAILY_METRICS_SQL = f"""
+SELECT event_date, user_id,
+       COUNT(*) AS total_actions,
+       COUNT(*) / CAST(24.0 AS DOUBLE) AS actions_per_hour,
+       COUNT(DISTINCT event_hour) AS active_hours,
+       CAST(MAX(event_hour) - MIN(event_hour) + 1 AS INTEGER) AS hour_span,
+       COUNT(DISTINCT event_type) AS distinct_event_types,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(MIN(event_hour) AS INTEGER) AS first_seen_hour
+FROM ({_EVENTS_TIME_SQL})
+WHERE user_id IS NOT NULL
+GROUP BY event_date, user_id
+HAVING COUNT(*) >= 5
+"""
+
+# -- A3: risk scoring ladder --------------------------------------------------
+
+# Threshold constants mirror the reference's RISK_THRESHOLDS block
+# (gold_batch_job.py:33-38, config/settings.py:136-150), adapted to the
+# synthetic events domain.
+VELOCITY_T = (4.0, 2.0, 1.0)
+ERROR_T = (5, 2)
+
+
+def _risk_projection(um: DataFrame) -> DataFrame:
+    velocity = (
+        F.when(F.col("actions_per_hour") > VELOCITY_T[0], 40)
+        .when(F.col("actions_per_hour") > VELOCITY_T[1], 25)
+        .when(F.col("actions_per_hour") > VELOCITY_T[2], 10)
+        .otherwise(0)
+    )
+    err = (
+        F.when(F.col("errors") >= ERROR_T[0], 30)
+        .when(F.col("errors") >= ERROR_T[1], 15)
+        .otherwise(0)
+    )
+    spread = F.when(F.col("distinct_event_types") >= 4, 15).otherwise(0)
+    spend = F.when(F.col("sum_value") > F.lit(1000.0), 15).otherwise(0)
+    score = F.least(F.lit(100), F.greatest(F.lit(0), velocity + err + spread + spend))
+    return (
+        um.withColumn("velocity_score", velocity)
+        .withColumn("error_score", err)
+        .withColumn("spread_score", spread)
+        .withColumn("spend_score", spend)
+        .withColumn("risk_score", score)
+        .withColumn(
+            "risk_level",
+            F.when(score >= 70, "HIGH").when(score >= 40, "MEDIUM").otherwise("LOW"),
+        )
+        .withColumn("alert", score >= 70)
+        .select(
+            "event_date",
+            "user_id",
+            "total_actions",
+            "velocity_score",
+            "error_score",
+            "spread_score",
+            "spend_score",
+            "risk_score",
+            "risk_level",
+            "alert",
+        )
+    )
+
+
+def risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _risk_projection(user_daily_metrics(spark, sf_dir))
+
+
+_RISK_CORE_SQL = f"""
+WITH um AS ({USER_DAILY_METRICS_SQL}),
+scored AS (
+  SELECT event_date, user_id, total_actions,
+         CASE WHEN actions_per_hour > 4.0 THEN 40
+              WHEN actions_per_hour > 2.0 THEN 25
+              WHEN actions_per_hour > 1.0 THEN 10
+              ELSE 0 END AS velocity_score,
+         CASE WHEN errors >= 5 THEN 30
+              WHEN errors >= 2 THEN 15
+              ELSE 0 END AS error_score,
+         CASE WHEN distinct_event_types >= 4 THEN 15 ELSE 0 END AS spread_score,
+         CASE WHEN sum_value > CAST(1000.0 AS DOUBLE) THEN 15 ELSE 0 END AS spend_score
+  FROM um
+)
+SELECT event_date, user_id, total_actions,
+       velocity_score, error_score, spread_score, spend_score,
+       LEAST(100, GREATEST(0, velocity_score + error_score + spread_score + spend_score)) AS risk_score,
+       CASE WHEN LEAST(100, GREATEST(0, velocity_score + error_score + spread_score + spend_score)) >= 70 THEN 'HIGH'
+            WHEN LEAST(100, GREATEST(0, velocity_score + error_score + spread_score + spend_score)) >= 40 THEN 'MEDIUM'
+            ELSE 'LOW' END AS risk_level,
+       LEAST(100, GREATEST(0, velocity_score + error_score + spread_score + spend_score)) >= 70 AS alert
+FROM scored
+"""
+
+RISK_SCORES_SQL = _RISK_CORE_SQL
+
+# -- A4: daily summary (2-CTE rollup + W1 window + J1 left join) -------------
+
+
+def daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_with_time(spark, sf_dir)
+    # W1: analytic count per (date, hour) then MAX per date = peak-hour volume
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_date", "event_hour")
+    hour_counts = e.withColumn("hour_events", F.count(F.lit(1)).over(w))
+    dec_value = F.col("value").cast("decimal(18,2)")
+    daily_base = hour_counts.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+        F.sum(dec_value).cast("double").alias("sum_value"),
+        F.max("hour_events").alias("peak_hour_events"),
+    )
+    risk = risk_scores(spark, sf_dir)
+    risk_summary = risk.groupBy("event_date").agg(
+        F.sum(F.when(F.col("risk_level") == "HIGH", 1).otherwise(0)).alias("high_risk_users"),
+        F.sum(F.when(F.col("risk_level") == "MEDIUM", 1).otherwise(0)).alias("medium_risk_users"),
+        F.max("risk_score").alias("max_risk_score"),
+    )
+    joined = daily_base.alias("d").join(
+        F.broadcast(risk_summary.alias("r")), on="event_date", how="left"
+    )
+    error_rate = (
+        F.lit(100.0) * F.col("errors") / F.nullif(F.col("total_events"), F.lit(0))
+    )
+    health = F.least(
+        F.lit(100.0),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(100.0)
+            - error_rate * F.lit(2.0)
+            - F.coalesce(F.col("high_risk_users"), F.lit(0)) * F.lit(5.0),
+        ),
+    )
+    return joined.select(
+        "event_date",
+        "total_events",
+        "unique_users",
+        "errors",
+        "purchases",
+        "sum_value",
+        "peak_hour_events",
+        F.coalesce(F.col("high_risk_users"), F.lit(0)).alias("high_risk_users"),
+        F.coalesce(F.col("medium_risk_users"), F.lit(0)).alias("medium_risk_users"),
+        F.coalesce(F.col("max_risk_score"), F.lit(0)).alias("max_risk_score"),
+        error_rate.alias("error_rate_pct"),
+        health.alias("platform_health_score"),
+    )
+
+
+DAILY_SUMMARY_SQL = f"""
+WITH base AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY event_date, event_hour) AS hour_events
+  FROM ({_EVENTS_TIME_SQL})
+),
+daily_base AS (
+  SELECT event_date,
+         COUNT(*) AS total_events,
+         COUNT(DISTINCT user_id) AS unique_users,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         MAX(hour_events) AS peak_hour_events
+  FROM base GROUP BY event_date
+),
+risk AS ({_RISK_CORE_SQL}),
+risk_summary AS (
+  SELECT event_date,
+         CAST(SUM(CASE WHEN risk_level = 'HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_risk_users,
+         CAST(SUM(CASE WHEN risk_level = 'MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium_risk_users,
+         MAX(risk_score) AS max_risk_score
+  FROM risk GROUP BY event_date
+)
+SELECT d.event_date, d.total_events, d.unique_users, d.errors, d.purchases,
+       d.sum_value, d.peak_hour_events,
+       COALESCE(r.high_risk_users, 0) AS high_risk_users,
+       COALESCE(r.medium_risk_users, 0) AS medium_risk_users,
+       COALESCE(r.max_risk_score, 0) AS max_risk_score,
+       CAST(100.0 AS DOUBLE) * d.errors / NULLIF(d.total_events, 0) AS error_rate_pct,
+       LEAST(CAST(100.0 AS DOUBLE),
+             GREATEST(CAST(0.0 AS DOUBLE),
+                      CAST(100.0 AS DOUBLE)
+                      - (CAST(100.0 AS DOUBLE) * d.errors / NULLIF(d.total_events, 0)) * CAST(2.0 AS DOUBLE)
+                      - COALESCE(r.high_risk_users, 0) * CAST(5.0 AS DOUBLE))) AS platform_health_score
+FROM daily_base d LEFT JOIN risk_summary r ON d.event_date = r.event_date
+"""
+
+# -- O1: top-k alerts ---------------------------------------------------------
+
+
+def top_risk_alerts(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    r = risk_scores(spark, sf_dir)
+    # deterministic tiebreak so LIMIT k is well-defined across engines
+    return (
+        r.filter(F.col("risk_score") >= 40)
+        .orderBy(
+            F.col("risk_score").desc(),
+            F.col("total_actions").desc(),
+            F.col("event_date").asc(),
+            F.col("user_id").asc(),
+        )
+        .limit(k)
+    )
+
+
+TOP_RISK_ALERTS_SQL = f"""
+SELECT * FROM ({_RISK_CORE_SQL})
+WHERE risk_score >= 40
+ORDER BY risk_score DESC, total_actions DESC, event_date ASC, user_id ASC
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "hourly_stats": hourly_stats,
+    "user_daily_metrics": user_daily_metrics,
+    "risk_scores": risk_scores,
+    "daily_summary": daily_summary,
+    "top_risk_alerts": top_risk_alerts,
+}
+
+ORACLES = {
+    "hourly_stats": HOURLY_STATS_SQL,
+    "user_daily_metrics": USER_DAILY_METRICS_SQL,
+    "risk_scores": RISK_SCORES_SQL,
+    "daily_summary": DAILY_SUMMARY_SQL,
+    "top_risk_alerts": TOP_RISK_ALERTS_SQL,
+}
