@@ -1,0 +1,211 @@
+"""Window-function surface (SURVEY §2.5, §2.6, §2.8).
+
+- ``dedup_keep_first``      <- deterministic row_number keep-first dedup, the
+  engine's replacement for the reference's arbitrary ``dropDuplicates`` (D2,
+  ``silver_batch_job.py:142-144``) and the repair dedup (W2,
+  ``dq/deduplicate_bronze.py:80-88``) — SURVEY §7.3 documents the
+  reference's NOT-IN delete bug; row_number semantics fix it.
+- ``daily_lag_trend``       <- the declared-but-unimplemented trend columns
+  (``gold_schema.py:67-69,110-112``): lag day-over-day pct + 7-day moving avg.
+- ``running_total_per_user`` <- cumulative frame (rowsBetween) over exact
+  decimal sums.
+- ``rank_customers_by_balance`` <- rank/dense_rank with real ties.
+- ``top3_orders_per_customer``  <- per-group top-k via row_number filter.
+- ``user_sessionization``   <- lag-gap sessionization (gap > 30 min), the
+  batch equivalent of streaming session windows.
+
+Scale: every window partitions by a high-cardinality key (user_id,
+c_custkey) so state is distributed; no global unpartitioned ordering
+except the bounded per-day trend frame (≤ days-in-range rows after
+pre-aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .wiki import events_with_time
+
+_EVENTS_TIME_SQL = """
+    SELECT *, strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(hour(ts) AS INTEGER) AS event_hour
+    FROM events
+"""
+
+
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_with_time(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_date", "event_type", "value")
+    )
+
+
+DEDUP_KEEP_FIRST_SQL = f"""
+SELECT event_id, user_id, event_date, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM ({_EVENTS_TIME_SQL})
+)
+WHERE rn = 1
+"""
+
+
+def daily_lag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_with_time(spark, sf_dir)
+    daily = e.groupBy("event_date").agg(F.count(F.lit(1)).alias("total_events"))
+    w = Window.orderBy("event_date")
+    prev = F.lag("total_events", 1).over(w)
+    mov = Window.orderBy("event_date").rowsBetween(-6, 0)
+    return daily.select(
+        "event_date",
+        "total_events",
+        prev.alias("prev_day_events"),
+        (F.lit(100.0) * (F.col("total_events") - prev) / prev).alias("day_over_day_pct"),
+        F.avg("total_events").over(mov).alias("events_7d_avg"),
+    )
+
+
+DAILY_LAG_TREND_SQL = f"""
+WITH daily AS (
+  SELECT event_date, COUNT(*) AS total_events
+  FROM ({_EVENTS_TIME_SQL}) GROUP BY event_date
+)
+SELECT event_date, total_events,
+       LAG(total_events, 1) OVER (ORDER BY event_date) AS prev_day_events,
+       CAST(100.0 AS DOUBLE) * (total_events - LAG(total_events, 1) OVER (ORDER BY event_date))
+           / LAG(total_events, 1) OVER (ORDER BY event_date) AS day_over_day_pct,
+       AVG(total_events) OVER (ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS events_7d_avg
+FROM daily
+"""
+
+
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_events"),
+    )
+
+
+RUNNING_TOTAL_PER_USER_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+       COUNT(*) OVER w AS running_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def rank_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+RANK_CUSTOMERS_BY_BALANCE_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_rank,
+       DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_dense_rank
+FROM customer
+"""
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rn").alias("price_rank"),
+        )
+    )
+
+
+TOP3_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS price_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_us = F.lag(F.unix_micros("ts"), 1).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((F.unix_micros("ts") - prev_us) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    flagged = e.withColumn("new_session", new_session)
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)) / F.sum("new_session")).alias("avg_events_per_session"),
+    )
+
+
+USER_SESSIONIZATION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events,
+       COUNT(*) / CAST(SUM(new_session) AS DOUBLE) AS avg_events_per_session
+FROM flagged GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "dedup_keep_first": dedup_keep_first,
+    "daily_lag_trend": daily_lag_trend,
+    "running_total_per_user": running_total_per_user,
+    "rank_customers_by_balance": rank_customers_by_balance,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "user_sessionization": user_sessionization,
+}
+
+ORACLES = {
+    "dedup_keep_first": DEDUP_KEEP_FIRST_SQL,
+    "daily_lag_trend": DAILY_LAG_TREND_SQL,
+    "running_total_per_user": RUNNING_TOTAL_PER_USER_SQL,
+    "rank_customers_by_balance": RANK_CUSTOMERS_BY_BALANCE_SQL,
+    "top3_orders_per_customer": TOP3_ORDERS_PER_CUSTOMER_SQL,
+    "user_sessionization": USER_SESSIONIZATION_SQL,
+}
