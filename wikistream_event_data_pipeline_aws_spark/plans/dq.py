@@ -1,0 +1,371 @@
+"""DQ checks as oracle-verifiable queries (SURVEY §2.11 Q1-Q14).
+
+Each query computes the same metric the DQ engine's compiled checks do
+(``..dq.checks``), expressed so a DuckDB oracle reproduces it exactly.
+The engine library uses sketch-based profiling (approx distinct /
+approx percentiles) for the 100 TB path; these parity queries use exact
+formulations (manual discrete percentiles via row_number, integer-cents
+moments) because the oracle gate demands bit-exact floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .wiki import events_with_time
+
+ALLOWED_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+# -- Q1/Q2 completeness -------------------------------------------------------
+
+
+def dq_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def nulls(c):
+        return F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+
+    def rate(c):
+        return (
+            F.avg(F.when(F.col(c).isNull(), 0.0).otherwise(1.0)).alias(f"{c}_non_null_rate")
+        )
+
+    return e.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        nulls("event_id"),
+        rate("event_id"),
+        nulls("ts"),
+        rate("ts"),
+        nulls("user_id"),
+        rate("user_id"),
+        nulls("event_type"),
+        rate("event_type"),
+        nulls("value"),
+        rate("value"),
+    )
+
+
+DQ_COMPLETENESS_SQL = """
+SELECT COUNT(*) AS total_rows,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
+       AVG(CASE WHEN event_id IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) AS event_id_non_null_rate,
+       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_nulls,
+       AVG(CASE WHEN ts IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) AS ts_non_null_rate,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+       AVG(CASE WHEN user_id IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) AS user_id_non_null_rate,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+       AVG(CASE WHEN event_type IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) AS event_type_non_null_rate,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+       AVG(CASE WHEN value IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) AS value_non_null_rate
+FROM events
+"""
+
+# -- Q3 containment -----------------------------------------------------------
+
+
+def dq_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    in_set = F.col("event_type").isin(list(ALLOWED_EVENT_TYPES))
+    return e.agg(
+        F.avg(in_set.cast("double")).alias("in_set_rate"),
+        F.sum((~in_set).cast("long")).alias("out_of_set_rows"),
+        F.countDistinct(F.when(~in_set, F.col("event_type"))).alias("unexpected_values"),
+    )
+
+
+DQ_CONTAINMENT_SQL = f"""
+SELECT AVG(CAST(event_type IN {ALLOWED_EVENT_TYPES} AS DOUBLE)) AS in_set_rate,
+       CAST(SUM(CASE WHEN event_type NOT IN {ALLOWED_EVENT_TYPES} THEN 1 ELSE 0 END) AS BIGINT) AS out_of_set_rows,
+       COUNT(DISTINCT CASE WHEN event_type NOT IN {ALLOWED_EVENT_TYPES} THEN event_type END) AS unexpected_values
+FROM events
+"""
+
+# -- Q5 uniqueness ------------------------------------------------------------
+
+
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("event_id").alias("distinct_event_ids"),
+        (F.countDistinct("event_id") / F.count(F.lit(1))).alias("event_id_uniqueness"),
+        F.countDistinct("user_id", "ts").alias("distinct_user_ts"),
+    )
+
+
+DQ_UNIQUENESS_SQL = """
+SELECT COUNT(*) AS total_rows,
+       COUNT(DISTINCT event_id) AS distinct_event_ids,
+       COUNT(DISTINCT event_id) / CAST(COUNT(*) AS DOUBLE) AS event_id_uniqueness,
+       COUNT(DISTINCT (user_id, ts)) AS distinct_user_ts
+FROM events
+"""
+
+# -- Q4 range -----------------------------------------------------------------
+
+
+def dq_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_with_time(spark, sf_dir)
+    return e.agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum((F.col("value") < 0).cast("long")).alias("negative_value_rows"),
+        F.min("event_hour").alias("min_hour"),
+        F.max("event_hour").alias("max_hour"),
+        F.sum(((F.col("event_hour") < 0) | (F.col("event_hour") > 23)).cast("long")).alias(
+            "hour_violations"
+        ),
+    )
+
+
+DQ_RANGE_SQL = """
+SELECT MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_value_rows,
+       CAST(MIN(hour(ts)) AS INTEGER) AS min_hour,
+       CAST(MAX(hour(ts)) AS INTEGER) AS max_hour,
+       CAST(SUM(CASE WHEN hour(ts) < 0 OR hour(ts) > 23 THEN 1 ELSE 0 END) AS BIGINT) AS hour_violations
+FROM events
+"""
+
+# -- Q7 accuracy by recomputation --------------------------------------------
+
+
+def dq_accuracy_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    match = F.col("n_chars") == F.length("text")
+    return d.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.avg(match.cast("double")).alias("recompute_match_rate"),
+        F.sum((~match).cast("long")).alias("mismatch_rows"),
+    )
+
+
+DQ_ACCURACY_RECOMPUTE_SQL = """
+SELECT COUNT(*) AS total_rows,
+       AVG(CAST(n_chars = length(text) AS DOUBLE)) AS recompute_match_rate,
+       CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT) AS mismatch_rows
+FROM documents
+"""
+
+# -- Q11 cross-column consistency ---------------------------------------------
+
+
+def dq_cross_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_with_time(spark, sf_dir)
+    hourly = e.groupBy("event_date", "event_hour").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+    )
+    return hourly.agg(
+        F.count(F.lit(1)).alias("hourly_rows"),
+        F.sum((F.col("total_events") < F.col("unique_users")).cast("long")).alias(
+            "violations"
+        ),
+    )
+
+
+DQ_CROSS_COLUMN_SQL = """
+WITH hourly AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date, hour(ts) AS event_hour,
+         COUNT(*) AS total_events, COUNT(DISTINCT user_id) AS unique_users
+  FROM events GROUP BY 1, 2
+)
+SELECT COUNT(*) AS hourly_rows,
+       CAST(SUM(CASE WHEN total_events < unique_users THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM hourly
+"""
+
+# -- Q13 profile: exact moments + discrete percentiles ------------------------
+
+
+def dq_profile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w_all = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        e.select(cents.alias("cents"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("cents")))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+
+    def pct(q: float, name: str):
+        pos = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("int"))
+        return F.max(F.when(F.col("rn") == pos, F.col("cents"))).alias(name)
+
+    sum_c = F.sum("cents")
+    sumsq = F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+    n = F.count(F.lit(1))
+    mean = sum_c.cast("double") / n
+    var = (sumsq.cast("double") - sum_c.cast("double") * sum_c.cast("double") / n) / (
+        n - F.lit(1)
+    )
+    return ranked.agg(
+        n.alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        mean.alias("mean_cents"),
+        F.sqrt(var).alias("stddev_cents"),
+        pct(0.25, "p25_cents"),
+        pct(0.50, "p50_cents"),
+        pct(0.75, "p75_cents"),
+        pct(0.95, "p95_cents"),
+    )
+
+
+DQ_PROFILE_VALUE_SQL = """
+WITH cents_t AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
+),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+         COUNT(*) OVER () AS n
+  FROM cents_t
+)
+SELECT COUNT(*) AS n,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents,
+       CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_cents,
+       sqrt((CAST(SUM(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE)
+             - CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1)) AS stddev_cents,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(CAST(0.25 AS DOUBLE) * n) AS INTEGER)) THEN cents END) AS p25_cents,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(CAST(0.50 AS DOUBLE) * n) AS INTEGER)) THEN cents END) AS p50_cents,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(CAST(0.75 AS DOUBLE) * n) AS INTEGER)) THEN cents END) AS p75_cents,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS INTEGER)) THEN cents END) AS p95_cents
+FROM ranked
+"""
+
+# -- Q14 drift: first half of window as baseline vs second half ---------------
+
+
+def dq_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    half = F.when(F.dayofmonth("ts") <= 15, "baseline").otherwise("current")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_half = (
+        e.withColumn("half", half)
+        .withColumn("cents", cents)
+        .groupBy("half")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mean_cents"),
+            F.avg(F.col("event_type").isin("error").cast("double")).alias("error_rate"),
+        )
+    )
+    b = per_half.filter(F.col("half") == "baseline").alias("b")
+    c = per_half.filter(F.col("half") == "current").alias("c")
+    joined = b.crossJoin(c)
+    mean_change = F.abs(F.col("c.mean_cents") - F.col("b.mean_cents")) / F.abs(
+        F.col("b.mean_cents")
+    )
+    err_change = F.abs(F.col("c.error_rate") - F.col("b.error_rate"))
+    return joined.select(
+        F.col("b.rows").alias("baseline_rows"),
+        F.col("c.rows").alias("current_rows"),
+        F.col("b.mean_cents").alias("baseline_mean_cents"),
+        F.col("c.mean_cents").alias("current_mean_cents"),
+        mean_change.alias("mean_rel_change"),
+        F.col("b.error_rate").alias("baseline_error_rate"),
+        F.col("c.error_rate").alias("current_error_rate"),
+        err_change.alias("error_rate_abs_change"),
+        F.when(err_change > 0.20, "ALERT")
+        .when(err_change > 0.10, "WARNING")
+        .otherwise("OK")
+        .alias("drift_status"),
+    )
+
+
+DQ_DRIFT_HALVES_SQL = """
+WITH per_half AS (
+  SELECT CASE WHEN dayofmonth(ts) <= 15 THEN 'baseline' ELSE 'current' END AS half,
+         COUNT(*) AS rows_,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_cents,
+         AVG(CAST(event_type IN ('error') AS DOUBLE)) AS error_rate
+  FROM events GROUP BY 1
+)
+SELECT b.rows_ AS baseline_rows,
+       c.rows_ AS current_rows,
+       b.mean_cents AS baseline_mean_cents,
+       c.mean_cents AS current_mean_cents,
+       abs(c.mean_cents - b.mean_cents) / abs(b.mean_cents) AS mean_rel_change,
+       b.error_rate AS baseline_error_rate,
+       c.error_rate AS current_error_rate,
+       abs(c.error_rate - b.error_rate) AS error_rate_abs_change,
+       CASE WHEN abs(c.error_rate - b.error_rate) > CAST(0.20 AS DOUBLE) THEN 'ALERT'
+            WHEN abs(c.error_rate - b.error_rate) > CAST(0.10 AS DOUBLE) THEN 'WARNING'
+            ELSE 'OK' END AS drift_status
+FROM (SELECT * FROM per_half WHERE half = 'baseline') b,
+     (SELECT * FROM per_half WHERE half = 'current') c
+"""
+
+# -- Q6 freshness / timeliness -------------------------------------------------
+
+
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    global_max = e.agg(F.max(F.unix_micros("ts")).alias("gmax"))
+    per_type = e.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("type_max_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    joined = per_type.crossJoin(F.broadcast(global_max))
+    lag_sec = ((F.col("gmax") - F.col("type_max_us")) / F.lit(1_000_000.0)).alias(
+        "staleness_sec"
+    )
+    return joined.select(
+        "event_type",
+        "n_events",
+        lag_sec,
+        F.when(
+            (F.col("gmax") - F.col("type_max_us")) / F.lit(1_000_000.0) > 3600.0,
+            "WARNING",
+        )
+        .otherwise("PASSED")
+        .alias("freshness_status"),
+    )
+
+
+DQ_FRESHNESS_SQL = """
+WITH g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events),
+per_type AS (
+  SELECT event_type, MAX(epoch_us(ts)) AS type_max_us, COUNT(*) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_events,
+       (gmax - type_max_us) / CAST(1000000.0 AS DOUBLE) AS staleness_sec,
+       CASE WHEN (gmax - type_max_us) / CAST(1000000.0 AS DOUBLE) > CAST(3600.0 AS DOUBLE)
+            THEN 'WARNING' ELSE 'PASSED' END AS freshness_status
+FROM per_type, g
+"""
+
+
+QUERIES = {
+    "dq_completeness": dq_completeness,
+    "dq_containment": dq_containment,
+    "dq_uniqueness": dq_uniqueness,
+    "dq_range": dq_range,
+    "dq_accuracy_recompute": dq_accuracy_recompute,
+    "dq_cross_column": dq_cross_column,
+    "dq_profile_value": dq_profile_value,
+    "dq_drift_halves": dq_drift_halves,
+    "dq_freshness": dq_freshness,
+}
+
+ORACLES = {
+    "dq_completeness": DQ_COMPLETENESS_SQL,
+    "dq_containment": DQ_CONTAINMENT_SQL,
+    "dq_uniqueness": DQ_UNIQUENESS_SQL,
+    "dq_range": DQ_RANGE_SQL,
+    "dq_accuracy_recompute": DQ_ACCURACY_RECOMPUTE_SQL,
+    "dq_cross_column": DQ_CROSS_COLUMN_SQL,
+    "dq_profile_value": DQ_PROFILE_VALUE_SQL,
+    "dq_drift_halves": DQ_DRIFT_HALVES_SQL,
+    "dq_freshness": DQ_FRESHNESS_SQL,
+}
