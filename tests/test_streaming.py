@@ -1,0 +1,136 @@
+"""Streaming semantics: watermarked stateful dedup across micro-batches
+and exactly-once-equivalent merge sink (SURVEY §5 item 4, D1/D3/T1-T5).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_batch(spark, directory, rows, name):
+    """Write one micro-batch as a single flat parquet FILE (the file
+    stream source lists plain files, not nested dataset dirs)."""
+    import glob
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "ds")
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        os.makedirs(directory, exist_ok=True)
+        shutil.copy(part, os.path.join(directory, name))
+
+
+def _rows(ids_and_ts):
+    return [
+        (i, ts, i % 5, "click", float(i))
+        for i, ts in ids_and_ts
+    ]
+
+
+@pytest.fixture()
+def batches_dir(tmp_path):
+    return str(tmp_path / "batches")
+
+
+def test_watermark_dedup_across_microbatches(spark, tmp_path, batches_dir):
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        watermark_dedup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    # batch1: ids 1-3; batch2 replays id 2 (within watermark) + new id 4
+
+    _write_batch(spark, batches_dir, _rows([(1, t0), (2, t0 + sec), (3, t0 + 2 * sec)]), "b1.parquet")
+    _write_batch(spark, batches_dir, _rows([(2, t0 + sec), (4, t0 + 3 * sec)]), "b2.parquet")
+
+    stream = file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=1)
+    deduped = watermark_dedup(stream, ["event_id"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert got == {1, 2, 3, 4}
+    n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
+    assert n == 4  # replayed id=2 dropped by stateful dedup
+
+
+def test_merge_sink_exactly_once_equivalent(spark, tmp_path, batches_dir):
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        start_merge_sink,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+
+    _write_batch(spark, batches_dir, _rows([(1, t0), (2, t0 + sec)]), "b1.parquet")
+    # batch 2 replays id 2 entirely (duplicate across batches, no watermark
+    # dedup in this pipeline -> the MERGE must no-op it)
+    _write_batch(spark, batches_dir, _rows([(2, t0 + sec), (3, t0 + 2 * sec)]), "b2.parquet")
+
+    target = str(tmp_path / "bronze")
+    stream = file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=1)
+    q = start_merge_sink(stream, target, ["event_id"], str(tmp_path / "ckpt2"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(target)
+    assert sorted(r.event_id for r in final.collect()) == [1, 2, 3]
+
+
+def test_tumbling_counts_streaming_matches_batch(spark, tmp_path, batches_dir):
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        tumbling_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 30, 0)
+    rows = _rows(
+        [(i, t0 + dt.timedelta(minutes=20 * i)) for i in range(12)]
+    )  # spans 4 hours
+
+    _write_batch(spark, batches_dir, rows[:6], "b1.parquet")
+    _write_batch(spark, batches_dir, rows[6:], "b2.parquet")
+
+    stream = file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=1)
+    agg = tumbling_counts(stream, width="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumble_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.window_start, r.total_events)
+        for r in spark.sql("SELECT * FROM tumble_out").collect()
+    }
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+    batched = {
+        (r.window_start, r.total_events)
+        for r in tumbling_counts(batch_df, width="1 hour").collect()
+    }
+    assert streamed == batched

@@ -1,0 +1,106 @@
+"""MERGE semantics as pure DataFrame compositions (SURVEY S7/S8/S10).
+
+The reference uses Iceberg ``MERGE INTO`` for idempotent streaming
+appends (insert-only, /root/reference ``spark/jobs/bronze_streaming_job.py:241-270``)
+and batch upserts (``silver_batch_job.py:294-326``,
+``gold_batch_job.py:598-710``). Without a table format that supports
+MERGE, the same semantics decompose into anti-joins + unions:
+
+- insert-only:  target ∪ (source ⟕anti target)          — duplicate
+  replays no-op, which is the exactly-once contract (D3).
+- upsert:       dedup(source) ∪ (target ⟕anti source)    — matched keys
+  take the source row (UPDATE SET *), unmatched target rows survive.
+
+Determinism: the reference's ``dropDuplicates`` keeps an arbitrary row
+when a batch carries intra-batch duplicate keys (D2,
+``silver_batch_job.py:142-144``); here source dedup is a row_number
+keep-first/keep-latest over an explicit ordering — SURVEY §7.3 hard
+part (2).
+
+Scale: both shapes are a single shuffle on the merge keys (the anti
+join and the union reuse the same hash partitioning); with AQE the
+small side broadcasts. Writing through :func:`upsert_parquet` rewrites
+only for the local parquet backend — an Iceberg/Delta backend would
+issue a real MERGE with file-level pruning instead (documented
+fallback, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_one(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    keep: str = "first",
+) -> DataFrame:
+    """Deterministic one-row-per-key (reference W2 pattern,
+    ``dq/deduplicate_bronze.py:80-88``, minus its NOT-IN bug)."""
+    cols = [F.col(c) for c in order_by]
+    if keep == "last":
+        cols = [c.desc() for c in cols]
+    w = Window.partitionBy(*keys).orderBy(*cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_insert_only(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """WHEN NOT MATCHED THEN INSERT * (idempotent append, S7)."""
+    new_rows = source.join(target.select(*keys).distinct(), list(keys), "left_anti")
+    return target.unionByName(new_rows)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Full upsert: matched UPDATE SET * + unmatched INSERT * (S8).
+
+    ``order_by`` deduplicates intra-batch duplicate keys in the source
+    (keep latest) before merging; without it the source is assumed
+    key-unique.
+    """
+    if order_by:
+        source = dedup_keep_one(source, keys, order_by, keep="last")
+    kept_target = target.join(source.select(*keys).distinct(), list(keys), "left_anti")
+    return kept_target.unionByName(source)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Upsert ``source`` into a parquet table at ``path`` (copy-on-write
+    overwrite — the parquet fallback for Iceberg merge-on-read)."""
+    try:
+        target = spark.read.parquet(path)
+        merged = merge_upsert(target, source, keys, order_by)
+    except Exception:
+        merged = (
+            dedup_keep_one(source, keys, order_by, keep="last") if order_by else source
+        )
+    # break lineage before overwriting the path we read from (cache alone
+    # can be evicted and recompute against the clobbered files)
+    merged_rows = merged.localCheckpoint(eager=True)
+    n = merged_rows.count()
+    writer = merged_rows.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return n

@@ -34,7 +34,18 @@ def _load() -> None:
     from .plans import wiki
 
     _register(wiki.QUERIES, wiki.ORACLES)
-    for modname in ("tpch", "windows", "setops", "json_ops", "dedup", "text", "similarity", "dq", "merge"):
+    for modname in (
+        "tpch",
+        "windows",
+        "setops",
+        "json_ops",
+        "dedup",
+        "text",
+        "similarity",
+        "dq",
+        "merge",
+        "streaming_batch",
+    ):
         try:
             mod = __import__(f"{__package__}.plans.{modname}", fromlist=["QUERIES", "ORACLES"])
         except ImportError:

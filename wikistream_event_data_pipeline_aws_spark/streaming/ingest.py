@@ -1,0 +1,181 @@
+"""Streaming ingest: source abstraction, watermarked stateful dedup,
+exactly-once-equivalent foreachBatch merge sink.
+
+Reference parity (citations into /root/reference):
+- Kafka source w/ options      ``spark/jobs/bronze_streaming_job.py:381-395`` (S1/T6)
+- watermark 10 min             ``bronze_streaming_job.py:55,152`` (T1)
+- dropDuplicatesWithinWatermark ``bronze_streaming_job.py:237`` (D1/T2)
+- processingTime trigger       ``bronze_streaming_job.py:54,405`` (T3)
+- checkpoint + idempotent MERGE per micro-batch
+                               ``bronze_streaming_job.py:241-270,398-407`` (T4/D3)
+
+Locally the Kafka feed is replaced by a file (parquet-directory) or
+rate source behind the same interface; on a cluster ``kafka_stream``
+plugs in unchanged. The sink keeps the reference's exactly-once
+contract: checkpointed offsets + an insert-only merge that makes
+replayed micro-batches no-ops.
+
+The tumbling/session window aggregations are genuine streaming
+``window()`` operators (the reference approximates them in batch via
+HOUR() group keys — SURVEY §2.10 notes this engine offers the idiomatic
+form); the same functions run in batch mode for oracle checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..operators.merge import merge_insert_only
+
+
+# -- sources ------------------------------------------------------------------
+
+
+def file_stream(
+    spark: SparkSession,
+    directory: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source replay: each file = one micro-batch (test harness for
+    the Kafka path)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(directory)
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    extra_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Kafka source (needs the spark-sql-kafka package on the cluster
+    classpath; not present in the local test image — S1)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+# -- transforms ---------------------------------------------------------------
+
+
+def watermark_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T1+T2: late events beyond the watermark age out of dedup state;
+    duplicates within it are dropped across micro-batches."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    extra_keys: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window hourly stats — streaming or batch DataFrame."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), width)
+    # exact distinct is unsupported on streams; HLL sketch there, exact in batch
+    uniq = (
+        F.approx_count_distinct("user_id") if df.isStreaming else F.countDistinct("user_id")
+    )
+    return (
+        df.groupBy(win, *extra_keys)
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            uniq.alias("unique_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            *extra_keys,
+            "total_events",
+            "unique_users",
+            "sum_value",
+        )
+    )
+
+
+def session_window_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows per key; in batch this must agree with the
+    lag-gap sessionization in plans/windows.py."""
+    win = F.session_window(F.col(ts_col), gap)
+    per_session = df.groupBy(win, key).agg(F.count(F.lit(1)).alias("session_events"))
+    return per_session.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("session_events").alias("n_events"),
+    )
+
+
+# -- sink ---------------------------------------------------------------------
+
+
+def start_merge_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """T4/D3: foreachBatch insert-only merge -> replayed batches no-op.
+
+    Local backend is parquet copy-on-write; with Iceberg/Delta the body
+    becomes a catalog MERGE INTO and nothing else changes.
+    """
+    spark = stream_df.sparkSession
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:
+            batch_df.write.mode("overwrite").parquet(target_path)
+            return
+        merged = merge_insert_only(target, batch_df, keys).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
