@@ -1,0 +1,117 @@
+"""Multimodal column plumbing (north-star scope).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct. The Spark-side plumbing — schema, partition-preserving
+``mapInPandas``, Arrow batch shapes, UDF signatures — is real and
+tested; the actual codec work is STUBBED (the image/audio libraries are
+not in this container): ``decode_image_batch`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder derives metadata from the bytes so pipelines
+are testable end-to-end.
+
+At 100 TB: binary payloads stay columnar (parquet keeps them dictionary-
+free), ``mapInPandas`` streams Arrow batches without collecting, and
+the decode stage is embarrassingly parallel — partition by storage
+locality, never shuffle the blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("declared_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, media_type string, byte_len long, content_sha string, "
+    "width int, height int, n_frames int"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real codec: dimensions derived from
+    content bytes."""
+    if not payload:
+        return 0, 0, 0
+    width = 16 + payload[0] % 64
+    height = 16 + payload[1 % len(payload)] % 64
+    n_frames = 1 + payload[2 % len(payload)] % 8
+    return width, height, n_frames
+
+
+def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow-batched; no
+    per-row Python). Real decode is NotImplemented in this container."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode needs PIL/av/librosa — not in this "
+                    "container; pass fake=True for the deterministic stub"
+                )
+            payloads = pdf["payload"]
+            dims = payloads.map(lambda b: _fake_decode(bytes(b) if b is not None else b""))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "content_sha": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()[:16]
+                    ),
+                    "width": dims.map(lambda t: t[0]),
+                    "height": dims.map(lambda t: t[1]),
+                    "n_frames": dims.map(lambda t: t[2]),
+                }
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def sample_frames(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame-sampling plan shape: explode virtual frame indexes, keep
+    every nth — pure column ops downstream of the decode stub."""
+    frames = decoded.withColumn(
+        "frame_idx", F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1))
+    )
+    return frames.filter(F.col("frame_idx") % every_nth == 0).select(
+        "media_id", "frame_idx", "width", "height"
+    )
+
+
+def synthetic_media(docs: DataFrame) -> DataFrame:
+    """Manufacture a binary corpus from the documents table (testdata has
+    no real media): payload = md5 bytes of the text."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5("text")).alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.struct(
+            F.col("source").alias("source"), F.col("n_chars").alias("declared_bytes")
+        ).alias("meta"),
+    )

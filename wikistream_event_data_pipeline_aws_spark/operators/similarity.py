@@ -1,0 +1,185 @@
+"""Vector similarity search over ``array<float>`` embedding columns
+(north-star LLM-data-pipeline operators).
+
+- :func:`cosine` — pure column expression (left-fold dot product in
+  double precision; bit-exact against a DuckDB
+  ``list_sum(list_transform(list_zip(...)))`` oracle).
+- :func:`brute_force_topk` — exact baseline: queries × corpus cross
+  join. Correct at any k; cost O(|Q|·|C|) — the yardstick the ANN path
+  is judged against.
+- :func:`lsh_bucket_topk` — scale path: random-hyperplane LSH.
+  Hyperplane coefficients are derived from md5 (deterministic, no RNG
+  state), each vector maps to an n-bit bucket; candidates share the
+  bucket, then exact cosine re-ranks. At 100 TB the bucket join
+  replaces the cross join; recall tunes with n_planes/n_tables.
+
+No UDFs anywhere — everything is Catalyst-visible array expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector (self-match excluded).
+
+    Norms are projected once per vector before the join, so each pair
+    costs one dot product; the corpus side is repartitioned so the
+    nested-loop join parallelizes across all cores/executors."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("__qn"),
+    )
+    npart = queries.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(npart).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("__cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_sim")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random coefficient in [-1, 1) from md5 —
+    reproducible across engines and runs with no RNG state."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{plane}:d{dim}".encode()).hexdigest()[:4], 16)
+    return h / 32768.0 - 1.0
+
+
+def lsh_bucket_key(
+    vec: Column, dim: int, n_planes: int = 12, table: int = 0
+) -> Column:
+    """n-bit random-hyperplane signature as a bucket id."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        coeffs = F.array(
+            *[F.lit(_hyperplane(table * 1000 + p, d)) for d in range(dim)]
+        )
+        proj = _dot(vec, coeffs)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket, exact cosine
+    re-ranks within it. Misses are possible (that's the ANN trade)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket_key(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket_key(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_sim")
+    )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold (brute force;
+    LSH-bucket variant composes from lsh_bucket_key for scale).
+
+    Norms projected once per vector; left side repartitioned so the
+    nested-loop pair scan parallelizes."""
+    npart = vectors.sparkSession.sparkContext.defaultParallelism
+    a = vectors.repartition(npart).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("__na"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("__nb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,273 @@
+"""Document deduplication queries (north-star LLM-data ops).
+
+The synthetic documents are all distinct, so near-dup queries augment
+the corpus inside the query with cloned/perturbed copies (doc_id +
+100000) — the dedup operators must then find exactly those planted
+pairs plus any organic ones, all DuckDB-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.textops import (
+    fingerprint,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash16,
+    tokenize,
+)
+
+CLONE_OFFSET = 100_000
+
+_DOCS_AUG_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CLONE_OFFSET} AS doc_id,
+         concat(text, ' cloned tail token') AS text
+  FROM documents WHERE doc_id < 20
+"""
+
+
+def _docs_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (
+        d.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" cloned tail token")).alias("text"),
+        )
+    )
+    return d.unionByName(clones)
+
+
+# -- exact dedup ---------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash-groupBy dedup over the canonical token fingerprint:
+    per group keep min doc_id, count members."""
+    d = _docs_augmented(spark, sf_dir)
+    fp = fingerprint(tokenize(F.col("text")))
+    return (
+        d.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = rf"""
+WITH docs_aug AS ({_DOCS_AUG_SQL}),
+fps AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+  FROM docs_aug
+)
+SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+FROM fps GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+# -- minhash signatures ---------------------------------------------------------
+
+N_HASHES = 8
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_signature(d, "doc_id", "text", n_hashes=N_HASHES)
+
+
+_MH_COLS = ",\n       ".join(
+    f"MIN(md5(concat('s{j}:', shingle))) AS m{j}" for j in range(N_HASHES)
+)
+
+# per-doc list expressions (the map-only formulation the Spark side uses)
+_MH_LIST_COLS = ",\n       ".join(
+    f"list_aggregate(list_transform(sh, s -> md5(concat('s{j}:', s))), 'min') AS m{j}"
+    for j in range(N_HASHES)
+)
+
+_SHINGLES_LIST_SQL = r"""
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM {src})
+"""
+
+DEDUP_MINHASH_SIGNATURES_SQL = rf"""
+WITH shl AS ({_SHINGLES_LIST_SQL.format(src="documents")})
+SELECT doc_id, {_MH_LIST_COLS}
+FROM shl
+"""
+
+# -- minhash LSH near-dup pairs -------------------------------------------------
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LSH pipeline: shingle -> minhash -> band -> bucket join ->
+    exact Jaccard verify. Planted clones must surface."""
+    d = _docs_augmented(spark, sf_dir)
+    sigs = minhash_signature(d, "doc_id", "text", n_hashes=N_HASHES)
+    cands = lsh_candidate_pairs(sigs, "doc_id", n_hashes=N_HASHES, rows_per_band=2)
+    # materialize the (tiny) candidate set once: the verify stage references
+    # it three times and would otherwise recompute the banding join each time
+    cands = cands.localCheckpoint(eager=True)
+    pairs = jaccard_pairs(d, "doc_id", "text", k=3, candidates=cands)
+    return pairs.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard"
+    )
+
+
+DEDUP_MINHASH_PAIRS_SQL = rf"""
+WITH docs_aug AS ({_DOCS_AUG_SQL}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs_aug
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN list_transform(range(1, len(t) - 1),
+                                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                     ELSE [] END) AS shingle
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id, {_MH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, concat_ws('|', m0, m1) AS bucket FROM sigs
+  UNION ALL SELECT doc_id, 1, concat_ws('|', m2, m3) FROM sigs
+  UNION ALL SELECT doc_id, 2, concat_ws('|', m4, m5) FROM sigs
+  UNION ALL SELECT doc_id, 3, concat_ws('|', m6, m7) FROM sigs
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+verified AS (
+  SELECT s.id_a, s.id_b, s.n_shared,
+         sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+         s.n_shared / CAST(sa.n_shingles + sb.n_shingles - s.n_shared AS DOUBLE) AS jaccard
+  FROM shared s
+  JOIN cands c ON s.id_a = c.id_a AND s.id_b = c.id_b
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+)
+SELECT id_a, id_b, n_shared, n_a, n_b, jaccard
+FROM verified WHERE jaccard >= CAST(0.5 AS DOUBLE)
+"""
+
+# -- n-gram Jaccard (no LSH pre-filter) -----------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-co-shingled-pairs Jaccard — the quadratic baseline the
+    LSH path is measured against. Bounded to a deterministic 2000-doc
+    slice: the unbounded form is exactly what minhash+LSH exists to
+    avoid at scale."""
+    d = _docs_augmented(spark, sf_dir).filter(
+        (F.col("doc_id") % CLONE_OFFSET) < 2000
+    )
+    return (
+        jaccard_pairs(d, "doc_id", "text", k=3)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = rf"""
+WITH docs_aug AS ({_DOCS_AUG_SQL}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs_aug
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN list_transform(range(1, len(t) - 1),
+                                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                     ELSE [] END) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       n_shared / CAST(sa.n_shingles + sb.n_shingles - n_shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_shared / CAST(sa.n_shingles + sb.n_shingles - n_shared AS DOUBLE) >= CAST(0.6 AS DOUBLE)
+"""
+
+# -- simhash --------------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash16(d, "doc_id", "text")
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+)
+_SIMHASH_SUMS_SQL = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{b}"
+    for b in range(16)
+)
+
+DEDUP_SIMHASH_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 4)) AS INTEGER) AS h
+  FROM tok
+),
+bit_sums AS (
+  SELECT doc_id,
+       {_SIMHASH_SUMS_SQL}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash
+FROM bit_sums
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
+    "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+}

@@ -1,0 +1,103 @@
+"""Similarity-search queries over the embeddings table (north-star:
+brute-force cosine top-k baseline + LSH-bucketed ANN scale path +
+embedding near-dup detection).
+
+The cosine expression is a left-fold in double precision on both
+engines — bit-exact parity (DuckDB's builtin list_cosine_similarity
+computes in float32 and is deliberately NOT used).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucket_topk,
+)
+
+_COS_SQL = """
+  list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), t -> t[1] * t[2]))
+  / (sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x * x)))
+     * sqrt(list_sum(list_transform({b}::DOUBLE[], x -> x * x))))
+"""
+
+N_QUERIES = 5
+TOP_K = 10
+CLONE_OFFSET = 100_000
+
+
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(queries, e, k=TOP_K)
+
+
+SIMILARITY_COSINE_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS cosine_sim
+  FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q, embeddings c
+  WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate embeddings: clones planted at +{offset} must pair
+    with their originals at cosine ~1.0."""
+    e = load_table(spark, sf_dir, "embeddings")
+    clones = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + CLONE_OFFSET).alias("vec_id"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+    aug = e.unionByName(clones)
+    return embedding_near_duplicates(aug, threshold=0.95)
+
+
+SIMILARITY_EMBEDDING_NEARDUP_SQL = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {CLONE_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id < 10
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine_sim
+FROM aug a, aug b
+WHERE a.vec_id < b.vec_id
+  AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= CAST(0.95 AS DOUBLE)
+"""
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only check: approximate by
+    design, no exact SQL twin — the brute-force query above is the
+    correctness yardstick)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_bucket_topk(queries, e, dim=64, k=TOP_K, n_planes=6)
+
+
+QUERIES = {
+    "similarity_cosine_topk": similarity_cosine_topk,
+    "similarity_embedding_neardup": similarity_embedding_neardup,
+    "similarity_ann_lsh": similarity_ann_lsh,
+}
+
+ORACLES = {
+    "similarity_cosine_topk": SIMILARITY_COSINE_TOPK_SQL,
+    "similarity_embedding_neardup": SIMILARITY_EMBEDDING_NEARDUP_SQL,
+    # similarity_ann_lsh: rows-only (approximate operator)
+}

@@ -1,0 +1,181 @@
+"""Text-analysis queries over the documents table (north-star ops:
+language-ID heuristic, quality scoring, token counting, fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.textops import STOPWORDS, bpe_piece_count, fingerprint, tokenize
+
+_TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        bpe_piece_count(F.col("text")).alias("n_bpe_pieces"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_chars_nospace"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = rf"""
+SELECT doc_id, lang,
+       CAST(len({_TOKS_SQL}) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct({_TOKS_SQL})) AS INTEGER) AS n_distinct_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_pieces,
+       CAST(length(regexp_replace(text, '\s', '', 'g')) AS INTEGER) AS n_chars_nospace
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristic: length saturation x lexical
+    diversity, penalized by stopword density."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = n_stop / n_tokens
+    diversity = n_distinct / n_tokens
+    length_sat = F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+    score = length_sat * (F.lit(0.5) + F.lit(0.5) * diversity) * (
+        F.lit(1.0) - F.lit(0.5) * stop_ratio
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        diversity.alias("lexical_diversity"),
+        score.alias("quality_score"),
+    )
+
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+TEXT_QUALITY_SCORE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS n_stop,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       n_stop / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       n_distinct / CAST(n_tokens AS DOUBLE) AS lexical_diversity,
+       LEAST(CAST(1.0 AS DOUBLE), n_tokens / CAST(50.0 AS DOUBLE))
+         * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * (n_distinct / CAST(n_tokens AS DOUBLE)))
+         * (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) * (n_stop / CAST(n_tokens AS DOUBLE))) AS quality_score
+FROM m
+"""
+
+# language marker words (n-gram/stopword heuristic language ID)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "value"),
+    "es": ("el", "la", "los", "de", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    scored = d.select("doc_id", F.col("lang").alias("labeled_lang"), toks.alias("toks"))
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scored = scored.withColumn(
+            f"c_{lang}", F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t)))
+        )
+    best = F.lit("unknown")
+    best_count = F.lit(0)
+    # deterministic argmax: strictly-greater wins, ties keep earlier lang
+    for lang in LANG_MARKERS:
+        cond = F.col(f"c_{lang}") > best_count
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_count = F.when(cond, F.col(f"c_{lang}")).otherwise(best_count)
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        *[F.col(f"c_{lang}").cast("int").alias(f"c_{lang}") for lang in LANG_MARKERS],
+        best.alias("detected_lang"),
+    )
+
+
+def _langid_sql() -> str:
+    counts = ",\n         ".join(
+        "CAST(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], x))) AS INTEGER) AS c_{lang}"
+        for lang in LANG_MARKERS
+    )
+    langs = list(LANG_MARKERS)
+    detect = "CASE"
+    # mirror the Spark fold exactly: later langs win only on strictly greater
+    expr_best = "'unknown'"
+    expr_cnt = "0"
+    for lang in langs:
+        expr_best = f"CASE WHEN c_{lang} > ({expr_cnt}) THEN '{lang}' ELSE ({expr_best}) END"
+        expr_cnt = f"CASE WHEN c_{lang} > ({expr_cnt}) THEN c_{lang} ELSE ({expr_cnt}) END"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang AS labeled_lang, {_TOKS_SQL} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, labeled_lang,
+         {counts}
+  FROM t
+)
+SELECT doc_id, labeled_lang, {", ".join("c_" + lang for lang in langs)},
+       {expr_best} AS detected_lang
+FROM m
+"""
+
+
+TEXT_LANGID_SQL = _langid_sql()
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint(tokenize(F.col("text"))).alias("content_fingerprint"),
+        F.md5("text").alias("raw_md5"),
+    )
+
+
+TEXT_FINGERPRINT_SQL = rf"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')) AS content_fingerprint,
+       md5(text) AS raw_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality_score": TEXT_QUALITY_SCORE_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}
