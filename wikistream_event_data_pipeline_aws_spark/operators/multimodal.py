@@ -78,8 +78,10 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": payloads.map(lambda b: len(b) if b is not None else 0),
+                    # hash the HEX encoding of the blob (not raw bytes) so
+                    # a SQL oracle lacking sha256(BLOB) reproduces it
                     "content_sha": payloads.map(
-                        lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()[:16]
+                        lambda b: hashlib.sha256(bytes(b or b"").hex().encode()).hexdigest()[:16]
                     ),
                     "width": dims.map(lambda t: t[0]),
                     "height": dims.map(lambda t: t[1]),

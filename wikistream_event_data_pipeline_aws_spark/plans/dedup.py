@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.textops import (
+    MINHASH_PRIME,
+    MINHASH_SEEDS,
     fingerprint,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -84,29 +86,38 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(d, "doc_id", "text", n_hashes=N_HASHES)
 
 
+# one md5 per shingle -> 60-bit int -> affine permutations mod p
+# (mirrors textops.hex_hash + MINHASH_SEEDS exactly)
+_MH_HASH_SQL = (
+    "CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)"
+    f" % {MINHASH_PRIME}"
+)
 _MH_COLS = ",\n       ".join(
-    f"MIN(md5(concat('s{j}:', shingle))) AS m{j}" for j in range(N_HASHES)
+    f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS m{j}"
+    for j, (a, b) in enumerate(MINHASH_SEEDS[:N_HASHES])
 )
 
-# per-doc list expressions (the map-only formulation the Spark side uses)
-_MH_LIST_COLS = ",\n       ".join(
-    f"list_aggregate(list_transform(sh, s -> md5(concat('s{j}:', s))), 'min') AS m{j}"
-    for j in range(N_HASHES)
-)
-
-_SHINGLES_LIST_SQL = r"""
+_SHINGLES_SQL = r"""
   SELECT doc_id,
-         CASE WHEN len(t) >= 3
-              THEN list_transform(range(1, len(t) - 1),
-                                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-              ELSE [] END AS sh
+         unnest(CASE WHEN len(t) >= 3
+                     THEN list_transform(range(1, len(t) - 1),
+                                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                     ELSE [] END) AS shingle
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM {src})
 """
 
+_SIGS_SQL = rf"""
+  SELECT doc_id, {_MH_COLS}
+  FROM (SELECT doc_id, {_MH_HASH_SQL} AS h FROM ({{shingles}}))
+  GROUP BY doc_id
+"""
+
 DEDUP_MINHASH_SIGNATURES_SQL = rf"""
-WITH shl AS ({_SHINGLES_LIST_SQL.format(src="documents")})
-SELECT doc_id, {_MH_LIST_COLS}
-FROM shl
+WITH sh AS ({_SHINGLES_SQL.format(src="documents")}),
+sigs AS ({_SIGS_SQL.format(shingles="SELECT * FROM sh")})
+SELECT d.doc_id, {", ".join(f"m{j}" for j in range(N_HASHES))}
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN sigs USING (doc_id)
 """
 
 # -- minhash LSH near-dup pairs -------------------------------------------------
@@ -129,21 +140,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_MINHASH_PAIRS_SQL = rf"""
 WITH docs_aug AS ({_DOCS_AUG_SQL}),
-toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs_aug
-),
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(CASE WHEN len(t) >= 3
-                     THEN list_transform(range(1, len(t) - 1),
-                                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-                     ELSE [] END) AS shingle
-  FROM toks
-),
-sigs AS (
-  SELECT doc_id, {_MH_COLS}
-  FROM sh GROUP BY doc_id
-),
+sh_all AS ({_SHINGLES_SQL.format(src="docs_aug")}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+sigs AS ({_SIGS_SQL.format(shingles="SELECT * FROM sh_all")}),
 banded AS (
   SELECT doc_id, 0 AS band, concat_ws('|', m0, m1) AS bucket FROM sigs
   UNION ALL SELECT doc_id, 1, concat_ws('|', m2, m3) FROM sigs

@@ -42,6 +42,7 @@ def _load() -> None:
         "dedup",
         "text",
         "similarity",
+        "multimodal",
         "dq",
         "merge",
         "streaming_batch",

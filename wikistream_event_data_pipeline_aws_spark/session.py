@@ -74,4 +74,8 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Right-size task count for this host if the session still carries
+    # Spark's stock default; an explicitly tuned session is left alone.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
     return spark
