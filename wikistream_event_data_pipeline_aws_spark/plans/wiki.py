@@ -28,13 +28,16 @@ from ..catalog import load_table
 # -- shared projection ------------------------------------------------------
 
 
-def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events + derived partition-style columns (reference P7,
+def with_time_cols(e: DataFrame) -> DataFrame:
+    """Derived partition-style columns (reference P7,
     ``bronze_streaming_job.py:220-221``)."""
-    e = load_table(spark, sf_dir, "events")
     return e.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd")).withColumn(
         "event_hour", F.hour("ts")
     )
+
+
+def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_time_cols(load_table(spark, sf_dir, "events"))
 
 
 _EVENTS_TIME_SQL = """
@@ -46,8 +49,8 @@ _EVENTS_TIME_SQL = """
 # -- A1: hourly stats (flagship) --------------------------------------------
 
 
-def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = events_with_time(spark, sf_dir)
+def hourly_stats_df(e: DataFrame) -> DataFrame:
+    """A1 aggregation over any events-shaped frame with time columns."""
     dec_value = F.col("value").cast("decimal(18,2)")
     n = F.count(F.lit(1))
 
@@ -76,6 +79,10 @@ def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_stats_df(events_with_time(spark, sf_dir))
+
+
 HOURLY_STATS_SQL = f"""
 SELECT event_date, event_hour,
        COUNT(*) AS total_events,
@@ -97,8 +104,9 @@ GROUP BY event_date, event_hour
 # -- A2: per-user daily metrics ----------------------------------------------
 
 
-def user_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = events_with_time(spark, sf_dir).filter(F.col("user_id").isNotNull())
+def user_daily_metrics_df(e: DataFrame) -> DataFrame:
+    """A2 aggregation over any events-shaped frame with time columns."""
+    e = e.filter(F.col("user_id").isNotNull())
     dec_value = F.col("value").cast("decimal(18,2)")
     out = (
         e.groupBy("event_date", "user_id")
@@ -116,6 +124,10 @@ def user_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_actions") >= 5)
     )
     return out
+
+
+def user_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_daily_metrics_df(events_with_time(spark, sf_dir))
 
 
 USER_DAILY_METRICS_SQL = f"""
@@ -219,8 +231,8 @@ RISK_SCORES_SQL = _RISK_CORE_SQL
 # -- A4: daily summary (2-CTE rollup + W1 window + J1 left join) -------------
 
 
-def daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = events_with_time(spark, sf_dir)
+def daily_summary_df(e: DataFrame, risk: DataFrame) -> DataFrame:
+    """A4/W1/J1 over any events-shaped frame + a risk_scores frame."""
     # W1: analytic count per (date, hour) then MAX per date = peak-hour volume
     from pyspark.sql import Window
 
@@ -235,7 +247,6 @@ def daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec_value).cast("double").alias("sum_value"),
         F.max("hour_events").alias("peak_hour_events"),
     )
-    risk = risk_scores(spark, sf_dir)
     risk_summary = risk.groupBy("event_date").agg(
         F.sum(F.when(F.col("risk_level") == "HIGH", 1).otherwise(0)).alias("high_risk_users"),
         F.sum(F.when(F.col("risk_level") == "MEDIUM", 1).otherwise(0)).alias("medium_risk_users"),
@@ -269,6 +280,12 @@ def daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("max_risk_score"), F.lit(0)).alias("max_risk_score"),
         error_rate.alias("error_rate_pct"),
         health.alias("platform_health_score"),
+    )
+
+
+def daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_summary_df(
+        events_with_time(spark, sf_dir), risk_scores(spark, sf_dir)
     )
 
 

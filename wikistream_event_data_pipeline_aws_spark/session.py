@@ -54,6 +54,8 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # partition dirs like event_date=2024-01-19 stay strings on read
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     )
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
@@ -74,6 +76,7 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     # Right-size task count for this host if the session still carries
     # Spark's stock default; an explicitly tuned session is left alone.
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
