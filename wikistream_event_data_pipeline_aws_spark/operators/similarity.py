@@ -149,6 +149,74 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantization: nearest centroid by cosine (tie -> lowest
+    centroid id). Centroids broadcast; one window per vector set."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("__cent")).alias("__csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN, nprobe=1: partition the corpus into centroid cells,
+    search only the query's own cell, exact cosine re-rank inside it.
+
+    Centroids are the first ``n_cells`` corpus vectors — deterministic
+    and engine-reproducible (a k-means fit would be a drop-in
+    replacement at scale). The cell join replaces the cross join: cost
+    falls from O(|Q|*|C|) to O(|Q|*|C|/n_cells) at the cost of recall,
+    which is the IVF trade."""
+    centroids = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
+    )
+    corp = ivf_assign_cells(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
+    )
+    qry = ivf_assign_cells(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cell"
+    )
+    scored = (
+        qry.join(corp, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_sim")
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,

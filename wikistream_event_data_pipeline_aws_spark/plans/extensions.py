@@ -1,0 +1,169 @@
+"""Operator-surface extensions the reference leaves implicit
+(SURVEY §2.4 note: pivot as the idiomatic form of A1's SUM(CASE) edit-
+type breakdown; §2.7: set-op family; §2.9: map/array functions for the
+declared MapType columns; plus grouping-sets rollup/cube and a salted
+skew join, the scale technique for hot keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+# -- pivot --------------------------------------------------------------------
+
+
+def pivot_type_counts_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit pivot values (explicit list keeps
+    the schema static and skips the distinct-values pre-scan job —
+    mandatory at scale)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        e.groupBy("event_date")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+PIVOT_TYPE_COUNTS_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events
+GROUP BY 1
+"""
+
+
+# -- rollup / cube ------------------------------------------------------------
+
+
+def rollup_date_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        e.rollup("event_date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+    )
+
+
+ROLLUP_DATE_TYPE_SQL = """
+WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type FROM events)
+SELECT event_date, event_type, COUNT(*) AS n,
+       CAST(GROUPING(event_date) * 2 + GROUPING(event_type) AS BIGINT) AS gid
+FROM e GROUP BY ROLLUP (event_date, event_type)
+"""
+
+
+def cube_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn("event_hour", F.hour("ts"))
+    return (
+        e.cube("event_type", "event_hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+    )
+
+
+CUBE_TYPE_HOUR_SQL = """
+WITH e AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS event_hour FROM events)
+SELECT event_type, event_hour, COUNT(*) AS n,
+       CAST(GROUPING(event_type) * 2 + GROUPING(event_hour) AS BIGINT) AS gid
+FROM e GROUP BY CUBE (event_type, event_hour)
+"""
+
+
+# -- map / array ops on the props JSON column ---------------------------------
+
+
+def map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON -> MapType -> map_keys + explode to (key, value) rows
+    (the map-function surface the reference declares but never exercises,
+    SURVEY §2.9)."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.withColumn("props_map", F.from_json("props", "map<string,int>"))
+    return (
+        m.withColumn("n_keys", F.size(F.map_keys("props_map")))
+        .select("event_id", "n_keys", F.explode("props_map").alias("key", "val"))
+        .select("event_id", "n_keys", "key", "val")
+    )
+
+
+MAP_EXPLODE_PROPS_SQL = """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+       unnest(json_keys(props)) AS key,
+       CAST(json_extract(props, '$.' || unnest(json_keys(props))) AS INTEGER) AS val
+FROM events
+"""
+
+
+# -- salted skew join ---------------------------------------------------------
+
+N_SALTS = 8
+TYPE_WEIGHTS = {"click": 1, "view": 1, "purchase": 5, "signup": 3, "error": 0}
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join made safe by salting: the fact side's join key is
+    split into N_SALTS sub-keys and the dim side replicated across them,
+    so no single reducer owns a hot key. The result is provably identical
+    to the plain join (the oracle IS the plain join).
+
+    At local scale a broadcast join would win — the point here is the
+    shuffle-join shape that survives a 100x skewed key at cluster scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [(t, w) for t, w in TYPE_WEIGHTS.items()], "event_type string, weight int"
+    )
+    salted_e = e.withColumn("__salt", F.pmod(F.hash("event_id"), F.lit(N_SALTS)))
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    )
+    joined = salted_e.join(salted_dim, ["event_type", "__salt"])
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * F.col("weight"))
+        ).cast("double").alias("weighted_value"),
+    )
+
+
+_DIM_VALUES = ", ".join(f"('{t}', {w})" for t, w in TYPE_WEIGHTS.items())
+
+JOIN_SALTED_SKEW_SQL = f"""
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2)) * d.weight) AS DOUBLE) AS weighted_value
+FROM events e
+JOIN (VALUES {_DIM_VALUES}) AS d(event_type, weight)
+  ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+QUERIES = {
+    "pivot_type_counts_by_date": pivot_type_counts_by_date,
+    "rollup_date_type": rollup_date_type,
+    "cube_type_hour": cube_type_hour,
+    "map_explode_props": map_explode_props,
+    "join_salted_skew": join_salted_skew,
+}
+
+ORACLES = {
+    "pivot_type_counts_by_date": PIVOT_TYPE_COUNTS_SQL,
+    "rollup_date_type": ROLLUP_DATE_TYPE_SQL,
+    "cube_type_hour": CUBE_TYPE_HOUR_SQL,
+    "map_explode_props": MAP_EXPLODE_PROPS_SQL,
+    "join_salted_skew": JOIN_SALTED_SKEW_SQL,
+}

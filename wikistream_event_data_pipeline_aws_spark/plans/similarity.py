@@ -16,6 +16,7 @@ from ..catalog import load_table
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_bucket_topk,
 )
 
@@ -90,14 +91,59 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(queries, e, dim=64, k=TOP_K, n_planes=6)
 
 
+N_CELLS = 16
+
+
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(nprobe=1) ANN — deterministic coarse quantizer, so unlike the
+    LSH path this one IS exactly SQL-expressible and value-checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(queries, e, k=TOP_K, n_cells=N_CELLS)
+
+
+_ASSIGN_SQL = f"""
+  SELECT vec_id, embedding, centroid_id AS cell
+  FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS_SQL.format(a="v.embedding", b="c.cent")} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM ({{src}}) v,
+         (SELECT vec_id AS centroid_id, embedding AS cent
+          FROM embeddings WHERE vec_id < {N_CELLS}) c
+  ) WHERE rn = 1
+"""
+
+SIMILARITY_ANN_IVF_SQL = f"""
+WITH corp AS ({_ASSIGN_SQL.format(src="SELECT vec_id, embedding FROM embeddings")}),
+qry AS ({_ASSIGN_SQL.format(src=f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}")}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS cosine_sim
+  FROM qry q JOIN corp c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_embedding_neardup": similarity_embedding_neardup,
     "similarity_ann_lsh": similarity_ann_lsh,
+    "similarity_ann_ivf": similarity_ann_ivf,
 }
 
 ORACLES = {
     "similarity_cosine_topk": SIMILARITY_COSINE_TOPK_SQL,
     "similarity_embedding_neardup": SIMILARITY_EMBEDDING_NEARDUP_SQL,
     # similarity_ann_lsh: rows-only (approximate operator)
+    "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
 }

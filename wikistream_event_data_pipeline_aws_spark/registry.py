@@ -43,6 +43,7 @@ def _load() -> None:
         "text",
         "similarity",
         "multimodal",
+        "extensions",
         "dq",
         "merge",
         "streaming_batch",
