@@ -55,6 +55,47 @@ FROM parsed GROUP BY k % 10
 """
 
 
+def envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: the Kafka wire-format round trip. The producer wraps each
+    event as ``{id, data: <JSON string>, _processing: {...}}`` — note
+    ``data`` is a STRINGIFIED payload (reference
+    ``producer/kafka_producer.py:204-213``); the bronze job parses the
+    envelope with ``from_json`` and digs into ``data`` with
+    ``get_json_object`` (``bronze_streaming_job.py:143-188``). This
+    query manufactures the envelope from events, then parses it back —
+    both directions of the wire format in one plan."""
+    e = load_table(spark, sf_dir, "events")
+    envelope = e.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.to_json(
+                    F.struct("event_type", "value", "user_id")
+                ).alias("data"),
+                F.struct(
+                    F.lit("wiki-sse").alias("source"),
+                ).alias("_processing"),
+            )
+        ).alias("raw")
+    )
+    env_schema = "id bigint, data string, _processing struct<source:string>"
+    parsed = envelope.select(F.from_json("raw", env_schema).alias("env"))
+    return parsed.select(
+        F.col("env.id").alias("event_id"),
+        F.get_json_object("env.data", "$.event_type").alias("event_type"),
+        F.get_json_object("env.data", "$.value").cast("double").alias("value"),
+        F.get_json_object("env.data", "$.user_id").cast("long").alias("user_id"),
+        F.col("env._processing.source").alias("source"),
+    )
+
+
+# the oracle verifies the round trip is lossless: parse(serialize(x)) = x
+ENVELOPE_PARSE_SQL = """
+SELECT event_id, event_type, value, user_id, 'wiki-sse' AS source
+FROM events
+"""
+
+
 def json_assemble_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
@@ -199,6 +240,7 @@ FROM events
 
 QUERIES = {
     "json_extract_props": json_extract_props,
+    "envelope_parse": envelope_parse,
     "json_assemble_evidence": json_assemble_evidence,
     "surrogate_key_md5": surrogate_key_md5,
     "null_defaulting": null_defaulting,
@@ -209,6 +251,7 @@ QUERIES = {
 
 ORACLES = {
     "json_extract_props": JSON_EXTRACT_PROPS_SQL,
+    "envelope_parse": ENVELOPE_PARSE_SQL,
     "json_assemble_evidence": JSON_ASSEMBLE_EVIDENCE_SQL,
     "surrogate_key_md5": SURROGATE_KEY_MD5_SQL,
     "null_defaulting": NULL_DEFAULTING_SQL,
