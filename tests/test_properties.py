@@ -1,0 +1,133 @@
+"""Property-based tests (SURVEY §5 item 5) over randomized frames:
+merge algebra, risk-score bounds, dedup/minhash invariants, and the
+Q11-style cross-column consistency of the gold aggregations."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wikistream_event_data_pipeline_aws_spark.operators.merge import (
+    merge_insert_only,
+    merge_upsert,
+)
+from wikistream_event_data_pipeline_aws_spark.operators.textops import (
+    minhash_signature,
+)
+from wikistream_event_data_pipeline_aws_spark.plans.wiki import (
+    _risk_projection,
+    hourly_stats_df,
+    user_daily_metrics_df,
+    with_time_cols,
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+row = st.tuples(
+    st.integers(0, 30),  # key
+    st.integers(0, 5),  # version
+    st.text("abcde", min_size=0, max_size=6),
+)
+frames = st.lists(row, min_size=0, max_size=40)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows or [(0, 0, "")], "k int, v int, payload string").limit(
+        len(rows)
+    )
+
+
+@SLOW
+@given(target=frames, source=frames)
+def test_merge_insert_only_replay_is_noop(spark, target, source):
+    t, s = _df(spark, target), _df(spark, source)
+    once = merge_insert_only(t, s, ["k"])
+    twice = merge_insert_only(once, s, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # target rows always survive insert-only
+    assert once.count() >= t.count()
+
+
+@SLOW
+@given(target=frames, source=frames)
+def test_merge_upsert_is_idempotent_and_key_unique(spark, target, source):
+    t = _df(spark, target).dropDuplicates(["k"])
+    s = _df(spark, source)
+    once = merge_upsert(t, s, ["k"], order_by=["v", "payload"])
+    twice = merge_upsert(once, s, ["k"], order_by=["v", "payload"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == once.select("k").distinct().count()
+
+
+events_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),  # event_id
+        st.integers(0, 72),  # hours offset
+        st.integers(1, 40),  # user_id
+        st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+        st.floats(0, 2000, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+def _events_df(spark, rows):
+    df = spark.createDataFrame(
+        [(e, h, u, t, float(v)) for e, h, u, t, v in rows],
+        "event_id long, h int, user_id long, event_type string, value double",
+    )
+    return with_time_cols(
+        df.withColumn(
+            "ts", F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,h,0,0)")
+        )
+    )
+
+
+@SLOW
+@given(rows=events_rows)
+def test_risk_scores_bounded_and_banded(spark, rows):
+    e = _events_df(spark, rows)
+    risk = _risk_projection(user_daily_metrics_df(e)).collect()
+    for r in risk:
+        assert 0 <= r["risk_score"] <= 100
+        expected = (
+            "HIGH" if r["risk_score"] >= 70 else "MEDIUM" if r["risk_score"] >= 40 else "LOW"
+        )
+        assert r["risk_level"] == expected
+        assert r["alert"] == (r["risk_score"] >= 70)
+
+
+@SLOW
+@given(rows=events_rows)
+def test_hourly_stats_consistency(spark, rows):
+    e = _events_df(spark, rows)
+    hs = hourly_stats_df(e).collect()
+    total = sum(r["total_events"] for r in hs)
+    assert total == len(rows)
+    for r in hs:
+        # Q11 invariant + the type breakdown must repartition the total
+        assert r["total_events"] >= r["unique_users"]
+        parts = r["n_click"] + r["n_view"] + r["n_purchase"] + r["n_signup"] + r["n_error"]
+        assert parts == r["total_events"]
+        assert 0.0 <= r["error_pct"] <= 100.0
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text("abcdef ghij", min_size=0, max_size=60), min_size=1, max_size=12
+    )
+)
+def test_minhash_identical_docs_share_signature(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    clones = [(i + 1000, t) for i, t in rows]
+    d = spark.createDataFrame(rows + clones, "doc_id long, text string")
+    sigs = {r["doc_id"]: tuple(r)[1:] for r in minhash_signature(d, "doc_id", "text").collect()}
+    for i, _ in rows:
+        assert sigs[i] == sigs[i + 1000]

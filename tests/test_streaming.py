@@ -72,6 +72,76 @@ def test_watermark_dedup_across_microbatches(spark, tmp_path, batches_dir):
     assert n == 4  # replayed id=2 dropped by stateful dedup
 
 
+def test_late_replay_beyond_watermark_escapes_dedup(spark, tmp_path, batches_dir):
+    """T5: rows older than the watermark are silently dropped at the
+    dedup operator's input (the reference documents exactly this:
+    bronze_streaming_job.py:152 + SURVEY §2.10 T5). Bounded state means
+    the late replay never reaches the output; the downstream idempotent
+    MERGE (D3) is the second line of defense for replays."""
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        watermark_dedup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    _write_batch(spark, batches_dir, _rows([(1, t0)]), "b1.parquet")
+    # advances the watermark to ~t0+50min (10-minute delay on t0+1h)
+    _write_batch(spark, batches_dir, _rows([(5, t0 + dt.timedelta(hours=1))]), "b2.parquet")
+    # replay of id=1 with its original (now far-late) timestamp
+    _write_batch(spark, batches_dir, _rows([(1, t0)]), "b3.parquet")
+
+    stream = file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=1)
+    deduped = watermark_dedup(stream, ["event_id"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r.event_id for r in spark.sql("SELECT * FROM late_out").collect())
+    assert ids == [1, 5]  # the far-late replay was dropped, not re-emitted
+
+
+def test_stateful_user_counts_across_batches(spark, tmp_path, batches_dir):
+    """Custom stateful operator (applyInPandasWithState): per-key totals
+    accumulate across micro-batches."""
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        stateful_user_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    # user ids are i % 5 -> batch1 users {1,2}, batch2 users {1,2}
+    _write_batch(spark, batches_dir, _rows([(1, t0), (2, t0 + sec)]), "b1.parquet")
+    _write_batch(spark, batches_dir, _rows([(6, t0 + 2 * sec), (7, t0 + 3 * sec), (11, t0 + 4 * sec)]), "b2.parquet")
+
+    stream = file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=1)
+    counted = stateful_user_counts(stream, key="user_id")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM stateful_out ORDER BY key, total_events").collect()
+    finals = {}
+    for r in rows:
+        finals[r.key] = max(finals.get(r.key, 0), r.total_events)
+    # user 1 appears in both batches (ids 1, 6, 11), user 2 in both (2, 7)
+    assert finals == {1: 3, 2: 2}
+
+
 def test_merge_sink_exactly_once_equivalent(spark, tmp_path, batches_dir):
     from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
         file_stream,

@@ -143,6 +143,43 @@ def session_window_counts(
     )
 
 
+def stateful_user_counts(
+    df: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a running per-key event count maintained across micro-batches (the
+    shape the reference would need for cross-batch user velocity without
+    re-scanning silver; no built-in aggregation exposes incremental
+    per-batch emission like this).
+
+    State per key is one long — bounded, no timeout needed for the
+    bounded-key test corpus; production would set a TTL timeout to age
+    out idle keys."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        batch = 0
+        for pdf in pdf_iter:
+            batch += len(pdf)
+        seen += batch
+        state.update((seen,))
+        yield pd.DataFrame(
+            {"key": [key_tuple[0]], "batch_events": [batch], "total_events": [seen]}
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType="key long, batch_events long, total_events long",
+        stateStructType="total long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # -- sink ---------------------------------------------------------------------
 
 
