@@ -78,6 +78,30 @@ def merge_upsert(
     return kept_target.unionByName(source)
 
 
+def repair_dedup(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> tuple[int, int]:
+    """One-shot historical dedup repair (S10): rewrite the table keeping
+    the first row per key by ``order_by``. Returns (rows_before,
+    rows_after).
+
+    The reference's repair (``dq/deduplicate_bronze.py:96-110``) deletes
+    via an UNCORRELATED ``NOT IN (SELECT MIN(...) GROUP BY key)`` — a
+    duplicate sharing another key's timestamp survives or deletes
+    wrongly (SURVEY §7.3 hard part 5). This implementation is the
+    row_number form of W2, which is per-key by construction."""
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = dedup_keep_one(df, keys, order_by, keep="first").localCheckpoint(eager=True)
+    after = kept.count()
+    if after != before:
+        kept.write.mode("overwrite").parquet(path)
+    return before, after
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,

@@ -169,10 +169,33 @@ def gold_gate_suites() -> tuple[DQSuite, DQSuite]:
 
 
 class Pipeline:
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        metrics_sink=None,
+        alert_sink=None,
+    ):
         self.spark = spark
         self.warehouse = warehouse_dir
         self.audit = AuditWriter(warehouse_dir)
+        self.metrics = metrics_sink
+        self.alerts = alert_sink
+
+    def _emit(self, name: str, value: float, **tags: str) -> None:
+        # fire-and-forget: observability must never fail a data job
+        if self.metrics is not None:
+            try:
+                self.metrics.emit(name, value, tags)
+            except Exception:
+                pass
+
+    def _alert(self, subject: str, body: str) -> None:
+        if self.alerts is not None:
+            try:
+                self.alerts.alert(subject, body)
+            except Exception:
+                pass
 
     def table_path(self, layer: str, name: str) -> str:
         return os.path.join(self.warehouse, layer, name)
@@ -214,8 +237,18 @@ class Pipeline:
             step.name = name
             step.seconds = round(time.perf_counter() - t0, 3)
             report.steps.append(step)
+            self._emit(f"pipeline.{name}.seconds", step.seconds, run_id=run_id)
+            self._emit(f"pipeline.{name}.rows", float(step.rows), run_id=run_id)
             if step.status != "OK":
                 blocked = True
+                detail = step.details
+                if step.gate is not None:
+                    detail = "; ".join(
+                        f"{r.check_name}={r.status}"
+                        for r in step.gate.results
+                        if r.blocking_failure
+                    )
+                self._alert(f"pipeline {name} BLOCKED", f"run {run_id}: {detail}")
         return report
 
     def run_loop(
