@@ -114,10 +114,17 @@ def exploded_shingles(
 
 
 def minhash_signature(
-    docs: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    k: int = 3,
+    include_all_docs: bool = True,
 ) -> DataFrame:
     """One row per doc: m0..m{n-1} bigint minhash values. Docs with < k
-    tokens get NULL signatures.
+    tokens get NULL signatures (``include_all_docs=False`` drops them
+    instead, skipping the doc-preserving left join — use it when the
+    consumer filters null signatures anyway, e.g. the LSH pairs path).
 
     One md5 per shingle, n_hashes affine permutations folded into a
     single partial-aggregated groupBy — min() is duplicate-insensitive,
@@ -133,6 +140,8 @@ def minhash_signature(
             for j, (a, b) in enumerate(MINHASH_SEEDS[:n_hashes])
         ]
     )
+    if not include_all_docs:
+        return sig
     return docs.select(F.col(id_col)).join(sig, id_col, "left")
 
 

@@ -127,7 +127,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full LSH pipeline: shingle -> minhash -> band -> bucket join ->
     exact Jaccard verify. Planted clones must surface."""
     d = _docs_augmented(spark, sf_dir)
-    sigs = minhash_signature(d, "doc_id", "text", n_hashes=N_HASHES)
+    sigs = minhash_signature(
+        d, "doc_id", "text", n_hashes=N_HASHES, include_all_docs=False
+    )
     cands = lsh_candidate_pairs(sigs, "doc_id", n_hashes=N_HASHES, rows_per_band=2)
     # materialize the (tiny) candidate set once: the verify stage references
     # it three times and would otherwise recompute the banding join each time
