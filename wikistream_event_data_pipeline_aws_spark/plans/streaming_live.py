@@ -1,0 +1,145 @@
+"""Genuine Structured Streaming queries surfaced in ``queries()``.
+
+Unlike plans/streaming_batch.py (batch runs of the window operators),
+these start a real ``readStream`` -> MicroBatchExecution -> memory-sink
+query with ``Trigger.AvailableNow`` and return the materialized result,
+so the driver's oracle gate checks actual streaming execution:
+
+- T1/T2/D1 watermarked stateful dedup (reference
+  ``spark/jobs/bronze_streaming_job.py:55,152,237``) — the input stream
+  is the events table unioned with itself, so every key arrives twice
+  and exactly one copy must survive;
+- streaming tumbling-window aggregation (the idiomatic form of the
+  reference's batch HOUR() rollup, ``gold_batch_job.py:68-121``);
+- ``applyInPandasWithState`` running per-key counts (custom stateful
+  operator; deterministic here because AvailableNow folds the single
+  input file into one micro-batch).
+
+The memory sink collects to the driver — a test-harness sink only; the
+production path is streaming/ingest.start_merge_sink (checkpointed
+foreachBatch merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_session_confs
+from ..streaming.ingest import stateful_user_counts, watermark_dedup
+
+_AWAIT_S = 300
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table with the same epoch-nanos
+    -> microsecond-timestamp normalization as catalog.load_table."""
+    ensure_session_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a directory basePath; glob-filter the
+    # events file out of the sf_dir
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
+
+
+def _run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(_AWAIT_S)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in {_AWAIT_S}s")
+    return df.sparkSession.table(name)
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window agg, complete output mode (emits every
+    window including ones still open at end-of-stream, so the result
+    equals the batch rollup exactly)."""
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "total_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "mem_streaming_tumbling_hourly", "complete")
+
+
+STREAMING_TUMBLING_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS total_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stateful dedup over a doubled stream: events unioned
+    with itself means every event_id arrives twice; the 3650-day
+    watermark keeps all keys in state for the whole (historical) replay,
+    so exactly one copy survives. Both copies carry identical non-key
+    columns, so the kept row is deterministic."""
+    doubled = _events_stream(spark, sf_dir).unionByName(_events_stream(spark, sf_dir))
+    deduped = watermark_dedup(
+        doubled, ["event_id"], ts_col="ts", watermark="3650 days"
+    ).select("event_id", "user_id", "event_type")
+    return _run_to_memory(deduped, "mem_streaming_dedup", "append")
+
+
+STREAMING_DEDUP_WATERMARK_SQL = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
+def streaming_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-key running counts. AvailableNow folds
+    the single input file into one micro-batch, so batch == total and
+    the result is SQL-expressible; the cross-batch incremental behavior
+    is exercised by tests/test_streaming.py with multi-file replay."""
+    s = _events_stream(spark, sf_dir)
+    counts = stateful_user_counts(s, key="user_id")
+    return _run_to_memory(counts, "mem_streaming_running_count", "append")
+
+
+STREAMING_STATEFUL_RUNNING_COUNT_SQL = """
+SELECT user_id AS key, COUNT(*) AS batch_events, COUNT(*) AS total_events
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "streaming_tumbling_hourly": streaming_tumbling_hourly,
+    "streaming_dedup_watermark": streaming_dedup_watermark,
+    "streaming_stateful_running_count": streaming_stateful_running_count,
+}
+
+ORACLES = {
+    "streaming_tumbling_hourly": STREAMING_TUMBLING_HOURLY_SQL,
+    "streaming_dedup_watermark": STREAMING_DEDUP_WATERMARK_SQL,
+    "streaming_stateful_running_count": STREAMING_STATEFUL_RUNNING_COUNT_SQL,
+}

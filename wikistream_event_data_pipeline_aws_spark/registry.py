@@ -47,6 +47,7 @@ def _load() -> None:
         "dq",
         "merge",
         "streaming_batch",
+        "streaming_live",
     ):
         try:
             mod = __import__(f"{__package__}.plans.{modname}", fromlist=["QUERIES", "ORACLES"])
