@@ -48,6 +48,7 @@ def _load() -> None:
         "merge",
         "streaming_batch",
         "streaming_live",
+        "silver_flags",
     ):
         try:
             mod = __import__(f"{__package__}.plans.{modname}", fromlist=["QUERIES", "ORACLES"])
