@@ -222,26 +222,45 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefix_len: int = 16,
 ) -> DataFrame:
-    """All (id_a < id_b) pairs with cosine >= threshold (brute force;
-    LSH-bucket variant composes from lsh_bucket_key for scale).
+    """All (id_a < id_b) pairs with cosine >= threshold — EXACT, with a
+    Cauchy-Schwarz prefix bound pruning most pairs cheaply:
 
-    Norms projected once per vector; left side repartitioned so the
-    nested-loop pair scan parallelizes."""
+        dot(a,b) = dot(a[:h], b[:h]) + dot(a[h:], b[h:])
+                 <= dot(a[:h], b[:h]) + ||a[h:]|| * ||b[h:]||
+
+    so any pair whose bound falls below ``threshold * ||a|| * ||b||``
+    cannot qualify and is rejected after an h-element fold instead of a
+    full-dimension one. Survivors (planted clones + rare random
+    high-similarity pairs) recompute the full cosine with the identical
+    left-fold expression, so results stay bit-exact vs the naive
+    quadratic formula. Norms and prefix slices are projected once per
+    vector; the left side is repartitioned so the pair scan
+    parallelizes. The LSH-bucket variant (lsh_bucket_key) remains the
+    approximate scale path when even the pruned O(N^2) scan is too much."""
     npart = vectors.sparkSession.sparkContext.defaultParallelism
+    head = F.slice(F.col(vec_col), 1, prefix_len)
+    tail_n = F.sqrt(_norm2(F.expr(f"slice({vec_col}, {prefix_len + 1}, 1000000)")))
     a = vectors.repartition(npart).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
+        head.alias("__ha"),
         F.sqrt(_norm2(F.col(vec_col))).alias("__na"),
+        tail_n.alias("__ta"),
     )
     b = vectors.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
+        head.alias("__hb"),
         F.sqrt(_norm2(F.col(vec_col))).alias("__nb"),
+        tail_n.alias("__tb"),
     )
+    bound = _dot(F.col("__ha"), F.col("__hb")) + F.col("__ta") * F.col("__tb")
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(bound >= (threshold - 1e-9) * F.col("__na") * F.col("__nb"))
         .select(
             "id_a",
             "id_b",
