@@ -1,0 +1,100 @@
+"""Physical-plan regression tests: the scale properties that make these
+queries viable on a large cluster must not silently regress.
+
+Each assertion pins a property argued in COVERAGE.md / SURVEY.md §4:
+- small dimensions broadcast (no sort-merge shuffle of the fact table
+  against a 5-row region table);
+- filters and column pruning reach the parquet scan;
+- top-k compiles to TakeOrderedAndProject (no global sort);
+- the core (non-multimodal, non-stateful) query surface stays free of
+  row-at-a-time Python evaluation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_joins_broadcast_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_local_supplier_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_shipping_priority_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_top_risk_alerts_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_risk_alerts")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hourly_stats_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "hourly_stats")
+    # the events table has 6 columns; the rollup needs at most 4 —
+    # a scan reading props (the wide JSON column) means pruning broke
+    assert "props" not in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_semi_building_orders")
+    assert "PushedFilters: [" in plan, plan
+    # the BUILDING segment predicate must reach the customer scan
+    assert "BUILDING" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "hourly_stats",
+        "user_daily_metrics",
+        "risk_scores",
+        "daily_summary",
+        "tpch_pricing_summary",
+        "dedup_exact",
+        "dedup_minhash_signatures",
+        "similarity_cosine_topk",
+        "text_token_stats",
+        "quality_flags",
+    ],
+)
+def test_core_queries_are_python_free(spark, sf_dir, name):
+    """Core surface is UDF-free (SURVEY §2.12): no BatchEvalPython /
+    ArrowEvalPython nodes — everything stays JVM-side for codegen."""
+    plan = _plan(spark, sf_dir, name)
+    assert "EvalPython" not in plan, plan
+
+
+def test_exact_similarity_broadcasts_query_side(spark, sf_dir):
+    """Brute-force top-k is a broadcast nested-loop of the tiny query
+    set against the corpus — the corpus must never be the build side."""
+    plan = _plan(spark, sf_dir, "similarity_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_partitioned_scan_prunes_date_directories(spark, sf_dir):
+    """S6: the two-date predicate must prune the hive-partitioned events
+    table to 2 of its ~30 date directories at planning time."""
+    df = entry.queries()["partitioned_scan_pruning"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [event_date" in plan, plan
+    # the date predicate is resolved entirely against partition
+    # directories — nothing left to filter row-by-row
+    assert "DataFilters: []" in plan, plan
+
+
+def test_minhash_pipeline_has_no_cartesian_product(spark, sf_dir):
+    """LSH exists to avoid all-pairs: candidate generation must be a
+    bucket equi-join, never a cross join."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_pairs")
+    assert "CartesianProduct" not in plan, plan

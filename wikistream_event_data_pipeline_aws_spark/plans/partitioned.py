@@ -1,0 +1,81 @@
+"""Partitioned-table scan with partition-predicate pruning (SURVEY S6).
+
+The reference never scans a table without a partition predicate
+(``silver_batch_job.py:263-266``, ``gold_batch_job.py:116-118``) and
+declares every layer PARTITIONED BY date(+hour/region). This query
+reproduces that contract end-to-end on real storage: the events table
+is written hive-partitioned by ``event_date`` into the local warehouse,
+read back, and scanned with a two-date partition predicate — Catalyst
+resolves the predicate against the partition directories
+(``PartitionFilters``), so the scan touches 2 of 30 date directories.
+At cluster scale this is the difference between reading 100 TB and
+reading the two days the incremental window asked for.
+
+The write is idempotent (overwrite mode, path keyed by scale factor)
+and tiny (4 projected columns); tests/test_plans.py asserts the pruned
+``partitions read`` count on the scan node.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+TARGET_DATES = ("2024-01-05", "2024-01-17")
+
+_WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), os.pardir, "spark-warehouse")
+
+
+def partitioned_events_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.abspath(os.path.join(_WAREHOUSE, f"events_by_date_{tag}"))
+
+
+def write_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-partitioned materialization of events (date dirs on disk)."""
+    path = partitioned_events_path(sf_dir)
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        "event_type",
+        "user_id",
+        "value",
+    )
+    e.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    return path
+
+
+def partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: date-window rollup over the partitioned table; the predicate
+    prunes to the two matching date directories before any IO."""
+    path = write_partitioned_events(spark, sf_dir)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_date").isin(*TARGET_DATES))
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_DATES_IN = ", ".join(f"'{d}'" for d in TARGET_DATES)
+
+PARTITIONED_SCAN_PRUNING_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS unique_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') IN ({_DATES_IN})
+GROUP BY 1, 2
+"""
+
+QUERIES = {"partitioned_scan_pruning": partitioned_scan_pruning}
+ORACLES = {"partitioned_scan_pruning": PARTITIONED_SCAN_PRUNING_SQL}

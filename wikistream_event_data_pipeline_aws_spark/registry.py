@@ -49,6 +49,7 @@ def _load() -> None:
         "streaming_batch",
         "streaming_live",
         "silver_flags",
+        "partitioned",
     ):
         try:
             mod = __import__(f"{__package__}.plans.{modname}", fromlist=["QUERIES", "ORACLES"])
