@@ -93,6 +93,15 @@ def test_partitioned_scan_prunes_date_directories(spark, sf_dir):
     assert "DataFilters: []" in plan, plan
 
 
+def test_asof_join_is_window_not_range_join(spark, sf_dir):
+    """The as-of operator must compile to union + window (one key
+    shuffle), never an inequality join that degenerates to a per-key
+    cross product (operators/asof.py)."""
+    plan = _plan(spark, sf_dir, "asof_latest_click")
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_minhash_pipeline_has_no_cartesian_product(spark, sf_dir):
     """LSH exists to avoid all-pairs: candidate generation must be a
     bucket equi-join, never a cross join."""

@@ -1,0 +1,67 @@
+"""As-of (point-in-time) join — a custom operator Spark's join set
+lacks, composed from existing DataFrame ops per the build contract:
+union + last(ignorenulls) window, never an inequality join.
+
+For each left row, attach the payload of the latest right row with the
+same key and ``right.ts <= left.ts`` (backward, inclusive — the
+semantics of DuckDB's ``ASOF LEFT JOIN ... ON l.ts >= r.ts``, which is
+the oracle twin).
+
+Why this shape at scale: a naive implementation is a range join
+(``l.key = r.key AND r.ts <= l.ts`` + row_number) whose inequality
+predicate degenerates to a per-key cross product — O(n_l * n_r) within
+every key. The union-window form is one shuffle of (left ∪ right) on
+the key, a per-partition sort, and a linear last-non-null sweep:
+O((n_l + n_r) log) with no pair blow-up, and it inherits AQE skew
+splitting on the sort-merge-free single exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of-backward join: latest right payload at-or-before each
+    left row's ``ts_col`` within ``keys``. Left rows keep all their
+    columns; payload columns are NULL when no prior right row exists.
+
+    Right rows sort before left rows at equal timestamps (side tag in
+    the ordering), making the match inclusive. Ties among right rows at
+    the same (key, ts) are broken by the last payload column ordering.
+    """
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    overlap = [c for c in left.columns if c in payload_cols]
+    if overlap:
+        raise ValueError(f"payload columns {overlap} already exist on the left side")
+
+    l_tag = left.withColumn("__side", F.lit(1))
+    r_tag = right.select(*keys, ts_col, *payload_cols).withColumn("__side", F.lit(0))
+    both = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), *[F.col(c).asc() for c in payload_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = both.select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col(f"__asof_{c}").alias(c) for c in payload_cols],
+    )

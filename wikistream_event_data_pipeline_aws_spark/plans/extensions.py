@@ -160,12 +160,72 @@ GROUP BY e.event_type
 """
 
 
+# -- grouping sets ------------------------------------------------------------
+
+
+def grouping_sets_type_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per-type totals, per-date totals, and the grand total in one pass —
+    Spark expands to a single Expand + hash-agg, one shuffle."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return e.groupingSets(
+        [["event_type"], ["event_date"], []], "event_type", "event_date"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+GROUPING_SETS_TYPE_DATE_SQL = """
+WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, user_id FROM events)
+SELECT event_type, event_date, COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS unique_users,
+       CAST(GROUPING(event_type) * 2 + GROUPING(event_date) AS BIGINT) AS gid
+FROM e GROUP BY GROUPING SETS ((event_type), (event_date), ())
+"""
+
+
+# -- as-of (point-in-time) join -----------------------------------------------
+
+
+def asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join: every event picks up the value of the same
+    user's latest click at-or-before its timestamp (NULL before the
+    first click). Implemented as union + last(ignorenulls) window —
+    one key shuffle, no range-join pair blow-up (operators/asof.py);
+    the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("last_click_value")
+    )
+    joined = asof_join(
+        e, clicks, keys=["user_id"], ts_col="ts", payload_cols=["last_click_value"]
+    )
+    return joined.select("event_id", "user_id", "event_type", "last_click_value")
+
+
+ASOF_LATEST_CLICK_SQL = """
+SELECT e.event_id, e.user_id, e.event_type, c.last_click_value
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value AS last_click_value FROM events WHERE event_type = 'click'
+) c ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
 QUERIES = {
     "pivot_type_counts_by_date": pivot_type_counts_by_date,
     "rollup_date_type": rollup_date_type,
     "cube_type_hour": cube_type_hour,
     "map_explode_props": map_explode_props,
     "join_salted_skew": join_salted_skew,
+    "grouping_sets_type_date": grouping_sets_type_date,
+    "asof_latest_click": asof_latest_click,
 }
 
 ORACLES = {
@@ -174,4 +234,6 @@ ORACLES = {
     "cube_type_hour": CUBE_TYPE_HOUR_SQL,
     "map_explode_props": MAP_EXPLODE_PROPS_SQL,
     "join_salted_skew": JOIN_SALTED_SKEW_SQL,
+    "grouping_sets_type_date": GROUPING_SETS_TYPE_DATE_SQL,
+    "asof_latest_click": ASOF_LATEST_CLICK_SQL,
 }

@@ -127,6 +127,37 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window counts — each event lands in
+    width/slide overlapping windows (streaming or batch DataFrame).
+    SURVEY §2.10 extension alongside tumbling/session."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    uniq = (
+        F.approx_count_distinct("user_id") if df.isStreaming else F.countDistinct("user_id")
+    )
+    return (
+        df.groupBy(F.window(F.col(ts_col), width, slide))
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            uniq.alias("unique_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "total_events",
+            "unique_users",
+            "sum_value",
+        )
+    )
+
+
 def session_window_counts(
     df: DataFrame,
     ts_col: str = "ts",
