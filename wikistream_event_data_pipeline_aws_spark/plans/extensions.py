@@ -218,6 +218,44 @@ ASOF LEFT JOIN (
 """
 
 
+# -- banded range (interval) join ---------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def range_join_next_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many events the same user produced in the
+    following hour. Runs through the banded range join
+    (operators/rangejoin.py) — equi-join on (user, time-bucket) with an
+    exact microsecond interval filter, never a per-key cross product;
+    the oracle is the naive inequality join."""
+    from ..operators.rangejoin import banded_range_join
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = e.select(
+        "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("next_event_id")
+    )
+    pairs = banded_range_join(
+        left, right, keys=["user_id"], left_ts="ts", right_ts="rts",
+        lower_us=0, upper_us=_HOUR_US, how="left",
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count("next_event_id").alias("n_following")
+    )
+
+
+RANGE_JOIN_NEXT_HOUR_SQL = f"""
+SELECT a.event_id, COUNT(b.event_id) AS n_following
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + {_HOUR_US}
+GROUP BY a.event_id
+"""
+
+
 QUERIES = {
     "pivot_type_counts_by_date": pivot_type_counts_by_date,
     "rollup_date_type": rollup_date_type,
@@ -226,6 +264,7 @@ QUERIES = {
     "join_salted_skew": join_salted_skew,
     "grouping_sets_type_date": grouping_sets_type_date,
     "asof_latest_click": asof_latest_click,
+    "range_join_next_hour": range_join_next_hour,
 }
 
 ORACLES = {
@@ -236,4 +275,5 @@ ORACLES = {
     "join_salted_skew": JOIN_SALTED_SKEW_SQL,
     "grouping_sets_type_date": GROUPING_SETS_TYPE_DATE_SQL,
     "asof_latest_click": ASOF_LATEST_CLICK_SQL,
+    "range_join_next_hour": RANGE_JOIN_NEXT_HOUR_SQL,
 }
