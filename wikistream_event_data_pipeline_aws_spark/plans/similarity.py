@@ -82,13 +82,54 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+N_PLANES = 6
+DIM = 64
+
+
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only check: approximate by
-    design, no exact SQL twin — the brute-force query above is the
-    correctness yardstick)."""
+    """LSH-bucketed approximate top-k. Approximate vs brute force, but
+    fully deterministic: the hyperplanes are md5-derived constants, so
+    the oracle below reproduces the exact bucket assignment (same
+    coefficients as SQL literals, same left-fold projection) and the
+    query is value-checked like everything else."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES)
-    return lsh_bucket_topk(queries, e, dim=64, k=TOP_K, n_planes=6)
+    return lsh_bucket_topk(queries, e, dim=DIM, k=TOP_K, n_planes=N_PLANES)
+
+
+def _lsh_oracle_sql() -> str:
+    from ..operators.similarity import _hyperplane
+
+    proj_terms = []
+    for p in range(N_PLANES):
+        coeffs = ", ".join(repr(_hyperplane(p, d)) for d in range(DIM))
+        proj = (
+            f"list_sum(list_transform(list_zip(embedding::DOUBLE[], [{coeffs}]::DOUBLE[]),"
+            " t -> t[1] * t[2]))"
+        )
+        proj_terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(proj_terms)
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+qry AS (SELECT * FROM sig WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS cosine_sim
+  FROM qry q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+SIMILARITY_ANN_LSH_SQL = _lsh_oracle_sql()
 
 
 N_CELLS = 16
@@ -144,6 +185,6 @@ QUERIES = {
 ORACLES = {
     "similarity_cosine_topk": SIMILARITY_COSINE_TOPK_SQL,
     "similarity_embedding_neardup": SIMILARITY_EMBEDDING_NEARDUP_SQL,
-    # similarity_ann_lsh: rows-only (approximate operator)
+    "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
     "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
 }
