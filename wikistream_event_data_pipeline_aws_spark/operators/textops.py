@@ -203,7 +203,10 @@ def jaccard_pairs(
             .distinct()
         )
         docs = docs.join(cand_ids, id_col, "left_semi")
-    sh = exploded_shingles(docs, id_col, text_col, k).distinct()
+    # the distinct shingle set feeds three consumers (both sides of the
+    # co-shingle self-join + the per-doc sizes); materialize it once
+    # instead of re-running tokenize/explode/distinct per consumer
+    sh = exploded_shingles(docs, id_col, text_col, k).distinct().localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
