@@ -66,3 +66,109 @@ def test_upsert_parquet_roundtrip(spark, tmp_path):
     n3 = upsert_parquet(spark, path, _df(spark, [(2, "B", 2), (3, "c", 1)]), ["k"])
     assert n3 == 3
     assert _sorted(spark.read.parquet(path)) == [(1, "a", 1), (2, "B", 2), (3, "c", 1)]
+
+
+# -- partition-scoped merge (VERDICT round-1 item 2) --------------------------
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, version long, pt string")
+
+
+def _file_snapshot(path, prefix=""):
+    """(relpath, size, mtime_ns) of every parquet data file under path."""
+    import os
+
+    out = set()
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, path)
+            if rel.startswith(prefix):
+                st = os.stat(full)
+                out.add((rel, st.st_size, st.st_mtime_ns))
+    return out
+
+
+def test_upsert_parquet_partition_scoped_rewrite(spark, tmp_path):
+    from wikistream_event_data_pipeline_aws_spark.operators.merge import upsert_parquet
+
+    path = str(tmp_path / "ptbl")
+    upsert_parquet(
+        spark, path,
+        _pdf(spark, [(1, "a", 1, "d1"), (2, "b", 1, "d2")]),
+        ["k"], partition_by=["pt"],
+    )
+    d1_before = _file_snapshot(path, "pt=d1")
+    assert d1_before
+    # merge touching only pt=d2
+    n = upsert_parquet(
+        spark, path,
+        _pdf(spark, [(2, "B", 2, "d2"), (3, "c", 1, "d2")]),
+        ["k"], partition_by=["pt"],
+    )
+    assert n == 2  # rows written to touched partitions only
+    assert _file_snapshot(path, "pt=d1") == d1_before  # untouched files identical
+    assert _file_snapshot(path, "pt=d2") != set()
+    assert _sorted(spark.read.parquet(path).drop("pt")) == [
+        (1, "a", 1), (2, "B", 2), (3, "c", 1),
+    ]
+
+
+def test_insert_only_parquet_replay_leaves_files_untouched(spark, tmp_path):
+    from wikistream_event_data_pipeline_aws_spark.operators.merge import (
+        insert_only_parquet,
+    )
+
+    path = str(tmp_path / "itbl")
+    insert_only_parquet(
+        spark, path,
+        _pdf(spark, [(1, "a", 1, "d1"), (2, "b", 1, "d2")]),
+        ["k"], partition_by=["pt"],
+    )
+    snap = _file_snapshot(path)
+    # full replay -> short-circuits before any write
+    n = insert_only_parquet(
+        spark, path,
+        _pdf(spark, [(1, "a", 1, "d1"), (2, "b", 1, "d2")]),
+        ["k"], partition_by=["pt"],
+    )
+    assert n == 0
+    assert _file_snapshot(path) == snap
+    # partial replay inserts only the new key, rewrites only its partition
+    d1_before = _file_snapshot(path, "pt=d1")
+    n = insert_only_parquet(
+        spark, path,
+        _pdf(spark, [(2, "b", 1, "d2"), (4, "d", 1, "d2")]),
+        ["k"], partition_by=["pt"],
+    )
+    assert n == 2  # pt=d2 rewritten with k=2 (kept) + k=4 (new)
+    assert _file_snapshot(path, "pt=d1") == d1_before
+    assert _sorted(spark.read.parquet(path).drop("pt")) == [
+        (1, "a", 1), (2, "b", 1), (4, "d", 1),
+    ]
+
+
+def test_upsert_parquet_missing_path_errors_do_not_clobber(spark, tmp_path):
+    """A read failure that is NOT path-missing must propagate (ADVICE:
+    bare-except previously replaced the table with the batch)."""
+    import pytest as _pytest
+
+    from wikistream_event_data_pipeline_aws_spark.operators.merge import (
+        path_exists,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "corrupt")
+    import os
+
+    os.makedirs(path)
+    with open(os.path.join(path, "junk.parquet"), "w") as fh:
+        fh.write("not parquet at all")
+    assert path_exists(spark, path)
+    with _pytest.raises(Exception):
+        upsert_parquet(spark, path, _pdf(spark, [(1, "a", 1, "d1")]), ["k"])
+    # table was not clobbered by the failed merge
+    assert open(os.path.join(path, "junk.parquet")).read() == "not parquet at all"

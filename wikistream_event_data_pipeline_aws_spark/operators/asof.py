@@ -45,23 +45,33 @@ def asof_join(
     if overlap:
         raise ValueError(f"payload columns {overlap} already exist on the left side")
 
+    # All payload columns travel in ONE struct, built on the right side
+    # BEFORE the union (left rows therefore carry a NULL struct, not a
+    # struct of NULLs). A single last(ignorenulls) over the struct keeps
+    # the matched row atomic — per-column last() could mix payload values
+    # from different right rows when a right row carries a NULL field.
     l_tag = left.withColumn("__side", F.lit(1))
-    r_tag = right.select(*keys, ts_col, *payload_cols).withColumn("__side", F.lit(0))
+    r_tag = (
+        right.select(*keys, ts_col, *payload_cols)
+        .withColumn("__payload", F.struct(*payload_cols))
+        .drop(*payload_cols)
+        .withColumn("__side", F.lit(0))
+    )
     both = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
+    # Struct comparison is field-wise lexicographic, so ordering by the
+    # struct reproduces the per-column tie-break among same-(key, ts)
+    # right rows; left rows' NULL struct sorts first, which is harmless
+    # (they all share __side = 1).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), *[F.col(c).asc() for c in payload_cols])
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__payload").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = both.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in payload_cols
-        ],
+        "*", F.last(F.col("__payload"), ignorenulls=True).over(w).alias("__asof")
     )
     return filled.filter(F.col("__side") == 1).select(
         *left.columns,
-        *[F.col(f"__asof_{c}").alias(c) for c in payload_cols],
+        *[F.col(f"__asof.{c}").alias(c) for c in payload_cols],
     )

@@ -19,18 +19,59 @@ part (2).
 
 Scale: both shapes are a single shuffle on the merge keys (the anti
 join and the union reuse the same hash partitioning); with AQE the
-small side broadcasts. Writing through :func:`upsert_parquet` rewrites
-only for the local parquet backend — an Iceberg/Delta backend would
-issue a real MERGE with file-level pruning instead (documented
-fallback, SURVEY §4).
+small side broadcasts. Writing through :func:`upsert_parquet` is
+PARTITION-SCOPED on the parquet backend: only the partitions present in
+the source batch are read back, merged, and dynamically overwritten —
+untouched partition files are never rewritten, matching the reference's
+``event_date`` partition contract (``spark/jobs/bronze_streaming_job.py:363``,
+``silver_batch_job.py:248``). An Iceberg/Delta backend would issue a
+real MERGE with file-level pruning instead (documented fallback,
+SURVEY §4). The partition-scoped path assumes the partition value is
+stable per merge key (event_date is a pure function of the event
+timestamp in every pipeline table) — the same assumption the
+reference's partition-pruned MERGE predicates encode.
 """
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """True if *path* exists, via the Hadoop FS API — the explicit
+    existence probe that replaces catching bare exceptions around
+    ``spark.read.parquet`` (a transient read failure must propagate, not
+    silently clobber the table with the current batch)."""
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hadoop_path)
+
+
+def source_partition_filter(
+    source: DataFrame, partition_by: Sequence[str]
+):
+    """Pruning predicate selecting exactly the partitions present in
+    ``source``. The distinct partition-tuple list is collected (it is
+    one row per touched partition — bounded by the batch's date spread,
+    not by data volume) and compiled to an OR-of-conjunctions that the
+    parquet scan turns into PartitionFilters."""
+    tuples = source.select(*partition_by).distinct().collect()
+    if not tuples:
+        return F.lit(False)
+
+    def one(row):
+        terms = [
+            F.col(c).isNull() if row[c] is None else (F.col(c) == F.lit(row[c]))
+            for c in partition_by
+        ]
+        return functools.reduce(lambda a, b: a & b, terms)
+
+    return functools.reduce(lambda a, b: a | b, (one(r) for r in tuples))
 
 
 def dedup_keep_one(
@@ -110,21 +151,75 @@ def upsert_parquet(
     order_by: Sequence[str] | None = None,
     partition_by: Sequence[str] | None = None,
 ) -> int:
-    """Upsert ``source`` into a parquet table at ``path`` (copy-on-write
-    overwrite — the parquet fallback for Iceberg merge-on-read)."""
-    try:
-        target = spark.read.parquet(path)
-        merged = merge_upsert(target, source, keys, order_by)
-    except Exception:
+    """Upsert ``source`` into a parquet table at ``path``.
+
+    With ``partition_by`` the merge is PARTITION-SCOPED: only partitions
+    present in the source batch are read (partition-pruned scan), merged
+    and rewritten via dynamic partition overwrite — work per merge is
+    O(touched partitions), not O(table), which is what survives a
+    3-minute micro-batch cadence at 100 TB. Unpartitioned tables fall
+    back to full copy-on-write. Returns the number of rows written.
+
+    Contract for the scoped path: the partition value must be stable per
+    merge key (true for every event_date-partitioned pipeline table —
+    event_date is derived from the event timestamp).
+    """
+    if not path_exists(spark, path):
         merged = (
             dedup_keep_one(source, keys, order_by, keep="last") if order_by else source
         )
+    elif partition_by:
+        target = spark.read.parquet(path).filter(
+            source_partition_filter(source, partition_by)
+        )
+        merged = merge_upsert(target, source, keys, order_by)
+    else:
+        merged = merge_upsert(spark.read.parquet(path), source, keys, order_by)
     # break lineage before overwriting the path we read from (cache alone
     # can be evicted and recompute against the clobbered files)
     merged_rows = merged.localCheckpoint(eager=True)
     n = merged_rows.count()
     writer = merged_rows.write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        # dynamic mode replaces only the partitions present in merged_rows;
+        # every other partition's files are untouched
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+            *partition_by
+        )
+    writer.parquet(path)
+    return n
+
+
+def insert_only_parquet(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Insert-only MERGE into a parquet table (the streaming sink's
+    exactly-once body, T4/D3): rows whose keys already exist are dropped,
+    so replayed micro-batches are no-ops — a FULL replay short-circuits
+    before any write, leaving every file untouched. Partition-scoped
+    like :func:`upsert_parquet`; returns rows written."""
+    if not path_exists(spark, path):
+        merged_rows = source.localCheckpoint(eager=True)
+    else:
+        target = spark.read.parquet(path)
+        if partition_by:
+            target = target.filter(source_partition_filter(source, partition_by))
+        new_rows = source.join(
+            target.select(*keys).distinct(), list(keys), "left_anti"
+        ).localCheckpoint(eager=True)
+        if new_rows.count() == 0:
+            return 0
+        merged_rows = target.unionByName(new_rows).localCheckpoint(eager=True)
+    n = merged_rows.count()
+    writer = merged_rows.write.mode("overwrite")
+    if partition_by:
+        # dynamic mode replaces only the partitions present in merged_rows
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+            *partition_by
+        )
     writer.parquet(path)
     return n

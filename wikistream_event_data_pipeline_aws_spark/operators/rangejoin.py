@@ -54,7 +54,15 @@ def banded_range_join(
     # left row's interval (l+lower, l+upper] spans at most two
     # width-sized buckets: floor((l+lower)/w) and that + 1
     l_bucket0 = F.floor((l_us + F.lit(lower_us)) / F.lit(width))
-    l_tagged = left.withColumn("__lus", l_us).withColumn(
+    # Surrogate row id taken BEFORE the explode: the left-join re-attach
+    # below must identify unmatched rows by identity, not by whole-row
+    # equality — a null-unsafe anti-join on all left columns both drops
+    # NULL-bearing unmatched rows and re-emits NULL-bearing matched ones.
+    # monotonically_increasing_id is stable for file-backed scans (id is a
+    # function of partition index + row position), which is the case for
+    # every registered plan.
+    l_id = left.withColumn("__lid", F.monotonically_increasing_id())
+    l_tagged = l_id.withColumn("__lus", l_us).withColumn(
         "__bucket", F.explode(F.array(l_bucket0, l_bucket0 + 1))
     )
     r_tagged = right.withColumn("__rus", r_us).withColumn(
@@ -72,10 +80,10 @@ def banded_range_join(
         return joined.select(*left.columns, *right_cols)
 
     # left join: run the inner band join, then re-attach unmatched left
-    # rows (a direct left join would duplicate unmatched rows, once per
-    # exploded candidate bucket)
-    inner = l_tagged.join(r_tagged, on).filter(pred).select(*left.columns, *right_cols)
-    unmatched = left.join(inner.select(*left.columns).distinct(), left.columns, "left_anti")
+    # rows by surrogate id (a direct left join would duplicate unmatched
+    # rows, once per exploded candidate bucket)
+    inner = l_tagged.join(r_tagged, on).filter(pred).select("__lid", *left.columns, *right_cols)
+    unmatched = l_id.join(inner.select("__lid"), "__lid", "left_anti")
     for c in right_cols:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    return inner.unionByName(unmatched)
+    return inner.drop("__lid").unionByName(unmatched.drop("__lid"))

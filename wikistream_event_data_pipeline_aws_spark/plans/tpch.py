@@ -86,8 +86,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = _dec("l_discount", 4, 2)
     revenue = F.sum(price * (F.lit(1).cast("decimal(4,2)") - disc)).cast("double")
     return (
+        # customer scales with SF (150k rows x SF) — no broadcast hint;
+        # AQE converts the join at runtime when the filtered side is small
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -131,9 +133,12 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = _dec("l_extendedprice")
     disc = _dec("l_discount", 4, 2)
     return (
+        # only true dims (region 5 rows, nation 25 rows — SF-invariant) get
+        # broadcast hints; customer/supplier grow with SF and must stay on
+        # the shuffle path (AQE may still broadcast them at small SF)
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)

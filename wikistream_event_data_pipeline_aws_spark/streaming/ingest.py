@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from ..operators.merge import merge_insert_only
+from ..operators.merge import insert_only_parquet
 
 
 # -- sources ------------------------------------------------------------------
@@ -220,24 +220,24 @@ def start_merge_sink(
     keys: Sequence[str],
     checkpoint_dir: str,
     trigger: dict | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> StreamingQuery:
     """T4/D3: foreachBatch insert-only merge -> replayed batches no-op.
 
-    Local backend is parquet copy-on-write; with Iceberg/Delta the body
-    becomes a catalog MERGE INTO and nothing else changes.
+    With ``partition_by`` the merge body is partition-scoped (only the
+    batch's partitions are read and dynamically overwritten — O(batch)
+    work per micro-batch, the reference's event_date contract); with
+    Iceberg/Delta the body becomes a catalog MERGE INTO and nothing else
+    changes.
     """
     spark = stream_df.sparkSession
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        try:
-            target = spark.read.parquet(target_path)
-        except Exception:
-            batch_df.write.mode("overwrite").parquet(target_path)
-            return
-        merged = merge_insert_only(target, batch_df, keys).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(target_path)
+        insert_only_parquet(
+            spark, target_path, batch_df, keys, partition_by=partition_by
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_merge_batch)
