@@ -126,6 +126,25 @@ def test_minhash_pipeline_has_no_cartesian_product(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_no_unpartitioned_windows_in_plan_sources():
+    """A partitionBy-less Window.orderBy is a single-partition total sort
+    — banned in registered plans except over time-bounded aggregates
+    (daily_lag_trend's per-day rollup: one row per calendar day)."""
+    import pathlib
+    import re
+
+    import wikistream_event_data_pipeline_aws_spark.plans as plans_pkg
+
+    allowed = {"windows.py": 2}  # daily_lag_trend's two windows over daily agg
+    root = pathlib.Path(plans_pkg.__file__).parent
+    for p in sorted(root.glob("*.py")):
+        hits = len(re.findall(r"Window\.orderBy", p.read_text()))
+        assert hits <= allowed.get(p.name, 0), (
+            f"{p.name}: {hits} global-sort window(s); allowed "
+            f"{allowed.get(p.name, 0)}"
+        )
+
+
 def test_registry_size_and_driver_front_order():
     """Pins the registered query count (a broken plans-module import now
     propagates, but this catches accidental deregistration too) and the

@@ -183,39 +183,98 @@ FROM hourly
 
 
 def dq_profile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact profile (moments + discrete percentiles) with NO global sort.
+
+    The round-1 formulation ranked every row through a partitionBy-less
+    orderBy window — a single-partition total sort that dies at 100 TB.
+    This version is the distributed exact-order-statistic shape:
+
+    1. one keyed shuffle collapses rows to (value, count) pairs — moments
+       come exactly from sum(c*cnt)/sum(c^2*cnt) in integer/decimal math;
+    2. a <=1025-bucket equi-width histogram of those pairs is collected
+       (bounded coordinator data, same order of magnitude as AQE stats)
+       to locate, for each target rank ceil(q*n), its bucket and
+       within-bucket rank;
+    3. the value at each rank is read back with a PER-BUCKET cumulative
+       window (partitionBy bucket — distributed), filtered to the <=4
+       target buckets only.
+
+    Every window is partitioned; driver data is bounded by the bucket
+    count, never by data volume.
+    """
+    import math
+
     e = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    w_all = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = (
-        e.select(cents.alias("cents"))
-        .withColumn("rn", F.row_number().over(Window.orderBy("cents")))
-        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    cents_col = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    counts = (
+        e.select(cents_col.alias("cents"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
-    def pct(q: float, name: str):
-        pos = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("int"))
-        return F.max(F.when(F.col("rn") == pos, F.col("cents"))).alias(name)
-
-    sum_c = F.sum("cents")
-    sumsq = F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
-    n = F.count(F.lit(1))
-    mean = sum_c.cast("double") / n
-    var = (sumsq.cast("double") - sum_c.cast("double") * sum_c.cast("double") / n) / (
-        n - F.lit(1)
+    lo, hi, n = counts.agg(
+        F.min("cents"), F.max("cents"), F.sum("cnt")
+    ).first()
+    width = max((hi - lo) // 1024, 1)
+    bucketed = counts.withColumn(
+        "bucket", F.floor((F.col("cents") - F.lit(lo)) / F.lit(width))
     )
-    return ranked.agg(
-        n.alias("n"),
+    hist = sorted(
+        (r["bucket"], r["bcnt"])
+        for r in bucketed.groupBy("bucket").agg(F.sum("cnt").alias("bcnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for b, c in hist:
+        offsets[b] = acc
+        acc += c
+
+    targets: dict[str, tuple[int, int]] = {}
+    for q, name in ((0.25, "p25_cents"), (0.50, "p50_cents"),
+                    (0.75, "p75_cents"), (0.95, "p95_cents")):
+        pos = max(1, math.ceil(q * n))
+        for b, c in hist:
+            if offsets[b] < pos <= offsets[b] + c:
+                targets[name] = (b, pos - offsets[b])
+                break
+
+    w_bucket = Window.partitionBy("bucket").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = bucketed.filter(
+        F.col("bucket").isin([b for b, _ in targets.values()])
+    ).withColumn("cum", F.sum("cnt").over(w_bucket))
+    pct_row = local.agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("bucket") == b)
+                    & (F.col("cum") >= r)
+                    & (F.col("cum") - F.col("cnt") < r),
+                    F.col("cents"),
+                )
+            ).alias(name)
+            for name, (b, r) in targets.items()
+        ]
+    )
+
+    sum_c = F.sum(F.col("cents") * F.col("cnt"))
+    sumsq = F.sum(
+        (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+        * F.col("cnt").cast("decimal(18,0)")
+    ).cast("decimal(38,0)")
+    n_agg = F.sum("cnt")
+    mean = sum_c.cast("double") / n_agg
+    var = (
+        sumsq.cast("double") - sum_c.cast("double") * sum_c.cast("double") / n_agg
+    ) / (n_agg - F.lit(1))
+    stats_row = counts.agg(
+        n_agg.alias("n"),
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
         mean.alias("mean_cents"),
         F.sqrt(var).alias("stddev_cents"),
-        pct(0.25, "p25_cents"),
-        pct(0.50, "p50_cents"),
-        pct(0.75, "p75_cents"),
-        pct(0.95, "p95_cents"),
     )
+    return stats_row.crossJoin(pct_row)
 
 
 DQ_PROFILE_VALUE_SQL = """

@@ -35,9 +35,16 @@ def partitioned_events_path(sf_dir: str) -> str:
     return os.path.abspath(os.path.join(_WAREHOUSE, f"events_by_date_{tag}"))
 
 
-def write_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
-    """Hive-partitioned materialization of events (date dirs on disk)."""
+def write_partitioned_events(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Hive-partitioned materialization of events (date dirs on disk).
+
+    The write is setup, not the operator under measurement: a completed
+    materialization (``_SUCCESS`` marker) is reused, so benchmark and
+    correctness runs time only the pruned scan. Source testdata is
+    immutable; pass ``force=True`` to rebuild."""
     path = partitioned_events_path(sf_dir)
+    if not force and os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
     e = load_table(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
         "event_type",

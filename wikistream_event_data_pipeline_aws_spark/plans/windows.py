@@ -58,6 +58,9 @@ WHERE rn = 1
 def daily_lag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events_with_time(spark, sf_dir)
     daily = e.groupBy("event_date").agg(F.count(F.lit(1)).alias("total_events"))
+    # global-order window is over the per-day AGGREGATE — one row per
+    # calendar day, bounded by elapsed time, not data volume; lag/moving
+    # averages over dates are inherently totally ordered
     w = Window.orderBy("event_date")
     prev = F.lag("total_events", 1).over(w)
     mov = Window.orderBy("event_date").rowsBetween(-6, 0)
