@@ -85,3 +85,92 @@ def test_gold_respects_upstream_audit_block(spark, sf_dir, warehouse):
     # a fresh gold-only attempt must refuse while the latest gate is blocked
     step = p._gold("manual")
     assert step.status == "BLOCKED" and "upstream" in step.details
+
+
+def test_golden_gold_values(spark, warehouse):
+    """Golden medallion test (SURVEY §5 item 2): a designed fixture with
+    one user per risk band runs bronze->silver->gold and the gold tables
+    must equal hand-computed values exactly — risk ladder scores, bands,
+    alert flags, daily summary and platform health score.
+
+    Fixture (all on 2024-03-01):
+      user 1: 120 events, 5/hour over hours 0-23 -> velocity 40;
+              6 errors -> 30; 5 distinct types -> 15; sum 1200 -> 15;
+              score 100 HIGH, alert
+      user 2: 60 events over hours 0-11 -> velocity 25; 2 errors -> 15;
+              3 distinct types; sum 60 -> score 40 MEDIUM
+      user 3: 6 views hour 10 -> all components 0 -> score 0 LOW
+      anonymous: 4 clicks (user_id NULL) — excluded from risk, counted
+              in daily totals; plus 1 exact-duplicate event_id that the
+              merge/dedup path must collapse.
+    """
+    import datetime as dt
+
+    import pytest as _pytest
+
+    rows = []
+
+    def ev(eid, hour, minute, user, etype, value):
+        rows.append(
+            (eid, dt.datetime(2024, 3, 1, hour, minute, 0), user, etype, value, '{"k": 1}')
+        )
+
+    eid = 0
+    for i in range(120):  # user 1
+        etype = (
+            "error" if i < 6 else "purchase" if i < 11
+            else ["click", "view", "signup"][i % 3]
+        )
+        ev(eid, i // 5, i % 5, 1, etype, 10.0)
+        eid += 1
+    for i in range(60):  # user 2
+        etype = "error" if i < 2 else ["click", "view"][i % 2]
+        ev(eid, i // 5, 10 + i % 5, 2, etype, 1.0)
+        eid += 1
+    for i in range(6):  # user 3
+        ev(eid, 10, 20 + i, 3, "view", 2.0)
+        eid += 1
+    for i in range(4):  # anonymous
+        ev(eid, 3, 30 + i, None, "click", 50.0)
+        eid += 1
+    rows.append(rows[-1])  # exact duplicate event_id -> must collapse
+
+    src = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    p = Pipeline(spark, warehouse)
+    report = p.run(source=src, run_date="2024-03-01")
+    assert report.passed, [(s.name, s.status, s.details) for s in report.steps]
+
+    risk = {
+        r["user_id"]: r
+        for r in p.read_table("gold", "risk_scores").collect()
+    }
+    assert set(risk) == {1, 2, 3}
+    r1, r2, r3 = risk[1], risk[2], risk[3]
+    assert (r1["velocity_score"], r1["error_score"], r1["spread_score"],
+            r1["spend_score"]) == (40, 30, 15, 15)
+    assert (r1["risk_score"], r1["risk_level"], r1["alert"]) == (100, "HIGH", True)
+    assert (r2["velocity_score"], r2["error_score"], r2["spread_score"],
+            r2["spend_score"]) == (25, 15, 0, 0)
+    assert (r2["risk_score"], r2["risk_level"], r2["alert"]) == (40, "MEDIUM", False)
+    assert (r3["risk_score"], r3["risk_level"], r3["alert"]) == (0, "LOW", False)
+
+    [summary] = p.read_table("gold", "daily_summary").collect()
+    assert summary["event_date"] == "2024-03-01"
+    assert summary["total_events"] == 190
+    assert summary["unique_users"] == 3
+    assert summary["errors"] == 8
+    assert summary["purchases"] == 5
+    assert summary["sum_value"] == 1472.0
+    # hour 10: user1 5 + user2 5 + user3 6 = 16 — the daily peak
+    assert summary["peak_hour_events"] == 16
+    assert summary["high_risk_users"] == 1
+    assert summary["medium_risk_users"] == 1
+    assert summary["max_risk_score"] == 100
+    assert summary["error_rate_pct"] == _pytest.approx(800.0 / 190.0, rel=1e-12)
+    assert summary["platform_health_score"] == _pytest.approx(
+        100.0 - (800.0 / 190.0) * 2.0 - 5.0, rel=1e-12
+    )

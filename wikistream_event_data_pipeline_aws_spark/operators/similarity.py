@@ -149,6 +149,66 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_multi_table_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH ANN — the recall knob the 100 TB story depends on.
+
+    Each vector gets one ``n_planes``-bit signature PER TABLE (independent
+    md5-derived hyperplane sets, seeded by the table index); a candidate
+    pair collides in ANY table. If a single table finds a true neighbor
+    with probability p, ``n_tables`` independent tables find it with
+    1-(1-p)^n_tables — recall climbs toward exact at linear candidate
+    cost, still never a cross join.
+
+    Plan shape: the per-table signatures are one array projection;
+    ``posexplode`` turns them into (table, bucket) rows so ALL tables
+    share ONE equi-join; candidates are deduped on the pair key (one
+    keyed shuffle) before the exact cosine re-rank."""
+
+    def tagged(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                lsh_bucket_key(F.col(vec_col), dim, n_planes, table=t)
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.posexplode(sigs).alias("table", "bucket"),
+        )
+
+    q = tagged(queries, "query_id", "__qv")
+    c = tagged(corpus, "neighbor_id", "__cv")
+    cand = (
+        q.join(c, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("__qv").alias("__qv"), F.first("__cv").alias("__cv"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_sim")
+    )
+
+
 def ivf_assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,

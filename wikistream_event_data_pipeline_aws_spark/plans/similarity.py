@@ -18,6 +18,7 @@ from ..operators.similarity import (
     embedding_near_duplicates,
     ivf_topk,
     lsh_bucket_topk,
+    lsh_multi_table_topk,
 )
 
 _COS_SQL = """
@@ -132,6 +133,67 @@ FROM ranked WHERE rank <= {TOP_K}
 SIMILARITY_ANN_LSH_SQL = _lsh_oracle_sql()
 
 
+N_TABLES = 3
+
+
+def similarity_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN (union-of-tables candidate set, deduped):
+    the recall lever over the single-table path, still deterministic —
+    every table's hyperplanes are md5-derived, so the oracle reproduces
+    the exact candidate set and the result is value-checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_multi_table_topk(
+        queries, e, dim=DIM, k=TOP_K, n_planes=N_PLANES, n_tables=N_TABLES
+    )
+
+
+def _lsh_multi_oracle_sql() -> str:
+    from ..operators.similarity import _hyperplane
+
+    bucket_cols = []
+    for t in range(N_TABLES):
+        proj_terms = []
+        for p in range(N_PLANES):
+            coeffs = ", ".join(
+                repr(_hyperplane(t * 1000 + p, d)) for d in range(DIM)
+            )
+            proj = (
+                "list_sum(list_transform(list_zip(embedding::DOUBLE[],"
+                f" [{coeffs}]::DOUBLE[]), t -> t[1] * t[2]))"
+            )
+            proj_terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        bucket_cols.append(" + ".join(proj_terms) + f" AS b{t}")
+    any_table = " OR ".join(f"q.b{t} = c.b{t}" for t in range(N_TABLES))
+    return f"""
+WITH sig AS (
+  SELECT vec_id, {', '.join(bucket_cols)} FROM embeddings
+),
+qry AS (SELECT * FROM sig WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qry q JOIN sig c ON q.vec_id <> c.vec_id AND ({any_table})
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_COS_SQL.format(a="qe.embedding", b="ce.embedding")} AS cosine_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+SIMILARITY_ANN_LSH_MULTI_SQL = _lsh_multi_oracle_sql()
+
+
 N_CELLS = 16
 
 
@@ -179,10 +241,12 @@ QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_embedding_neardup": similarity_embedding_neardup,
     "similarity_ann_lsh": similarity_ann_lsh,
+    "similarity_ann_lsh_multi": similarity_ann_lsh_multi,
     "similarity_ann_ivf": similarity_ann_ivf,
 }
 
 ORACLES = {
+    "similarity_ann_lsh_multi": SIMILARITY_ANN_LSH_MULTI_SQL,
     "similarity_cosine_topk": SIMILARITY_COSINE_TOPK_SQL,
     "similarity_embedding_neardup": SIMILARITY_EMBEDDING_NEARDUP_SQL,
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,

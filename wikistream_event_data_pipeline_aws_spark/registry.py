@@ -24,6 +24,7 @@ _ORACLES: dict[str, str] = {}
 # query accumulates a driver-side verification row.  The full list is always
 # registered — only the iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
+    "similarity_ann_lsh_multi",  # new in round 2 — needs its first driver row
     "quality_flags",
     "peak_hour_analytic",
     "gate_status_rollup",

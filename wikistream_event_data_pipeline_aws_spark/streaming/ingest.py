@@ -61,24 +61,58 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+def kafka_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    group_id: str | None = None,
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool | None = None,
+    extra_options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Assemble the Kafka reader option map (S1/T6) — the offset/consumer
+    contract of the reference's reader (``bronze_streaming_job.py:381-395``:
+    bootstrap servers, subscribe, group.id, startingOffsets; its SASL/IAM
+    auth options are deployment config and pass through ``extra_options``).
+
+    ``starting_offsets`` accepts ``latest``, ``earliest`` or a per-partition
+    offset JSON (``{"topic":{"0":42}}``) — Spark's three offset-resumption
+    modes. Kept separate from the reader so the contract is testable
+    without a broker on the classpath.
+    """
+    if starting_offsets not in ("latest", "earliest") and not starting_offsets.lstrip().startswith("{"):
+        raise ValueError(
+            f"starting_offsets must be latest/earliest/offset-JSON, got {starting_offsets!r}"
+        )
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if group_id is not None:
+        opts["kafka.group.id"] = group_id
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if fail_on_data_loss is not None:
+        opts["failOnDataLoss"] = "true" if fail_on_data_loss else "false"
+    opts.update(extra_options or {})
+    return opts
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "latest",
     extra_options: dict[str, str] | None = None,
+    **kwargs,
 ) -> DataFrame:
     """Kafka source (needs the spark-sql-kafka package on the cluster
     classpath; not present in the local test image — S1)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    opts = kafka_options(
+        bootstrap_servers, topic, starting_offsets, extra_options=extra_options, **kwargs
     )
-    for k, v in (extra_options or {}).items():
-        reader = reader.option(k, v)
-    return reader.load()
+    return spark.readStream.format("kafka").options(**opts).load()
 
 
 # -- transforms ---------------------------------------------------------------
