@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.clusters import connected_components
 from ..operators.textops import (
     MINHASH_PRIME,
     MINHASH_SEEDS,
@@ -222,6 +223,45 @@ JOIN sizes sb ON id_b = sb.doc_id
 WHERE n_shared / CAST(sa.n_shingles + sb.n_shingles - n_shared AS DOUBLE) >= CAST(0.6 AS DOUBLE)
 """
 
+# -- near-dup clusters (pairs -> transitive closure -> canonical keeper) --------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution step of near-dup dedup: the verified LSH pair graph
+    collapsed into clusters via smallest-label propagation
+    (``operators.clusters.connected_components``), one deterministic
+    canonical keeper (the minimum doc_id) per cluster. This is what a
+    dedup POLICY consumes — pairs alone can't tell you which docs to
+    drop when clones chain (a~b, b~c)."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id,
+       MIN(label) AS cluster_id,
+       node = MIN(label) AS is_keeper
+FROM reach
+GROUP BY node
+"""
+
 # -- simhash --------------------------------------------------------------------
 
 
@@ -263,6 +303,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
@@ -271,4 +312,5 @@ ORACLES = {
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }

@@ -1,0 +1,265 @@
+"""Training-data preparation queries over the documents table — the
+corpus-assembly steps an LLM data pipeline runs after dedup/quality
+(north-star scope beyond the reference's operator surface):
+
+* ``pack_sequences``   — concatenate-and-chunk token packing: assign each
+  doc its span of fixed-budget training sequences via a partitioned
+  cumulative-sum window (the distributed form of "concat the corpus and
+  cut every N tokens").
+* ``decontaminate_ngram_overlap`` — benchmark decontamination: flag train
+  docs sharing any 5-gram with the held-out set via a broadcast hash
+  join on shingles (never a cross join).
+* ``sample_stratified_hash`` — deterministic per-stratum downsampling
+  from an md5-derived uniform; reproducible across engines and runs,
+  no RNG state.
+* ``redact_pii``       — regex PII scrubbing (emails/phones) with
+  redaction counts; the synthetic corpus carries no PII, so the query
+  plants deterministic PII derived from doc_id, then removes it.
+
+All four are pure column expressions / joins — no UDFs — and each has
+an exact DuckDB oracle twin.
+
+Scale notes: the packing window partitions by (lang, shard) so no
+single partition sees the whole corpus (shard count is the scale knob;
+8 here for test-data visibility, thousands at 100 TB). Decontamination
+broadcasts only the held-out side, which is small by construction in
+any decontamination task. Sampling and redaction are embarrassingly
+parallel row maps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.textops import exploded_shingles, hex_hash, tokenize
+
+_TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+# -- sequence packing -----------------------------------------------------------
+
+SEQ_BUDGET = 512  # tokens per training sequence
+N_SHARDS = 8  # packing shards per lang (scale knob)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each doc's position in the packed training stream: the corpus is
+    ordered by doc_id within (lang, shard), token counts are
+    cumulative-summed, and every ``SEQ_BUDGET``-token slice is one
+    training sequence. ``seq_first``/``seq_last`` are the sequence ids
+    the doc lands in (a doc may straddle a boundary)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    seq_first = F.floor(start / F.lit(SEQ_BUDGET))
+    seq_last = F.floor((F.col("cum") - 1) / F.lit(SEQ_BUDGET))
+    return c.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        (seq_last - seq_first + 1).alias("n_seqs"),
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang, doc_id % {N_SHARDS} AS shard,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, lang, shard, n_tokens,
+       (cum - n_tokens) // {SEQ_BUDGET} AS seq_first,
+       (cum - 1) // {SEQ_BUDGET} AS seq_last,
+       ((cum - 1) // {SEQ_BUDGET}) - ((cum - n_tokens) // {SEQ_BUDGET}) + 1 AS n_seqs
+FROM c
+"""
+
+# -- benchmark decontamination --------------------------------------------------
+
+DECON_K = 5  # shingle width
+DECON_MOD = 97  # doc_id % DECON_MOD == 0 -> held-out "benchmark" doc
+DECON_PLANT_OFFSET = 200_000
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs contaminated by the held-out slice: any shared
+    ``DECON_K``-gram. Shingle sets hash-join on the shingle string with
+    the (small) held-out side broadcast; output is per train doc with
+    the overlap evidence. The synthetic corpus has few organic 5-gram
+    collisions, so guaranteed leaks are planted: each held-out doc's
+    text re-enters train under doc_id+offset with a token appended —
+    those MUST all surface (same plant-then-find discipline as the
+    near-dup queries)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    heldout = d.filter(F.col("doc_id") % DECON_MOD == 0)
+    planted = heldout.select(
+        (F.col("doc_id") + DECON_PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" leaked benchmark copy")).alias("text"),
+    )
+    train = d.filter(F.col("doc_id") % DECON_MOD != 0).unionByName(planted)
+    train_sh = exploded_shingles(train, "doc_id", "text", k=DECON_K).distinct()
+    held_sh = (
+        exploded_shingles(heldout, "doc_id", "text", k=DECON_K)
+        .distinct()
+        .withColumnRenamed("doc_id", "heldout_doc_id")
+    )
+    return (
+        train_sh.join(F.broadcast(held_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_ngrams"),
+            F.countDistinct("heldout_doc_id").alias("n_heldout_docs"),
+        )
+    )
+
+
+_DECON_SHINGLES_SQL = rf"""
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= {DECON_K}
+                     THEN list_transform(range(1, len(t) - {DECON_K - 2}),
+                                         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+                     ELSE [] END) AS shingle
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM ({{src}}))
+"""
+
+_DECON_TRAIN_SQL = f"""
+  SELECT doc_id, text FROM documents WHERE doc_id % {DECON_MOD} != 0
+  UNION ALL
+  SELECT doc_id + {DECON_PLANT_OFFSET} AS doc_id,
+         concat(text, ' leaked benchmark copy') AS text
+  FROM documents WHERE doc_id % {DECON_MOD} = 0
+"""
+_DECON_HELD_SQL = f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_MOD} = 0"
+
+DECONTAMINATE_SQL = rf"""
+WITH train_sh AS ({_DECON_SHINGLES_SQL.format(src=_DECON_TRAIN_SQL)}),
+held_sh AS ({_DECON_SHINGLES_SQL.format(src=_DECON_HELD_SQL)})
+SELECT t.doc_id,
+       COUNT(DISTINCT t.shingle) AS n_hit_ngrams,
+       COUNT(DISTINCT h.doc_id) AS n_heldout_docs
+FROM train_sh t JOIN held_sh h ON t.shingle = h.shingle
+GROUP BY t.doc_id
+"""
+
+# -- deterministic stratified sampling ------------------------------------------
+
+_RATES_PER_MILLE = {"en": 100, "es": 300}  # other langs: 500
+_DEFAULT_RATE = 500
+_STRAT_SEED = "strat"
+
+
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling with a deterministic md5-uniform: keep
+    a doc iff hash(doc_id) mod 1000 < the stratum's rate. Reproducible
+    on any engine (no RNG), stable under reruns/backfills — the
+    property `sampleBy` lacks."""
+    d = load_table(spark, sf_dir, "documents")
+    u = hex_hash(F.col("doc_id").cast("string"), seed=_STRAT_SEED) % 1000
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _RATES_PER_MILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", u.alias("strat_hash"), rate.alias("rate_per_mille"))
+        .filter(F.col("strat_hash") < F.col("rate_per_mille"))
+    )
+
+
+_RATE_SQL = "CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 300 ELSE 500 END"
+
+SAMPLE_STRATIFIED_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(concat('{_STRAT_SEED}', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 AS strat_hash,
+         CAST({_RATE_SQL} AS BIGINT) AS rate_per_mille
+  FROM documents
+)
+SELECT doc_id, lang, strat_hash, rate_per_mille
+FROM t WHERE strat_hash < rate_per_mille
+"""
+
+# -- PII redaction --------------------------------------------------------------
+
+_EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant doc_id-derived PII (one email, one 555-prefixed phone) in
+    each doc, then scrub both with regexes and report counts plus a
+    fingerprint of the redacted text. The plant step stands in for real
+    corpus PII; the scrub expressions are the actual operator."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    with_pii = d.select("doc_id", planted.alias("text_pii"))
+    n_emails = F.regexp_count(F.col("text_pii"), F.lit(_EMAIL_RE))
+    n_phones = F.regexp_count(F.col("text_pii"), F.lit(_PHONE_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text_pii"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return with_pii.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+REDACT_PII_SQL = rf"""
+WITH p AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or 555-01',
+                lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) AS text_pii
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text_pii, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text_pii, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text_pii, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM p
+"""
+
+
+QUERIES = {
+    "pack_sequences": pack_sequences,
+    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "sample_stratified_hash": sample_stratified_hash,
+    "redact_pii": redact_pii,
+}
+
+ORACLES = {
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "decontaminate_ngram_overlap": DECONTAMINATE_SQL,
+    "sample_stratified_hash": SAMPLE_STRATIFIED_SQL,
+    "redact_pii": REDACT_PII_SQL,
+}

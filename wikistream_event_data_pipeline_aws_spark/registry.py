@@ -25,6 +25,11 @@ _ORACLES: dict[str, str] = {}
 # registered — only the iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
     "similarity_ann_lsh_multi",  # new in round 2 — needs its first driver row
+    "dedup_clusters",  # new in round 2 — needs its first driver row
+    "pack_sequences",  # new in round 2
+    "decontaminate_ngram_overlap",  # new in round 2
+    "sample_stratified_hash",  # new in round 2
+    "redact_pii",  # new in round 2
     "quality_flags",
     "peak_hour_analytic",
     "gate_status_rollup",
@@ -84,6 +89,7 @@ def _load() -> None:
         "json_ops",
         "dedup",
         "text",
+        "llmprep",
         "similarity",
         "multimodal",
         "extensions",
