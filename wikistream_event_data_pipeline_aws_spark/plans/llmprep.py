@@ -15,8 +15,20 @@ corpus-assembly steps an LLM data pipeline runs after dedup/quality
 * ``redact_pii``       — regex PII scrubbing (emails/phones) with
   redaction counts; the synthetic corpus carries no PII, so the query
   plants deterministic PII derived from doc_id, then removes it.
+* ``vocab_topk``       — tokenizer-vocabulary induction: corpus-wide
+  word counts, top-k under a total (count desc, token asc) order so
+  the cut is deterministic; TakeOrderedAndProject, never a global sort.
+* ``text_repetition_filter`` — Gopher-style within-doc repetition
+  signals (duplicate-token / duplicate-2-gram fractions) as pure array
+  expressions; no explode, no shuffle.
+* ``corpus_shuffle_hash`` — deterministic training-order shuffle: an
+  md5 sort key split into (shard, position-within-shard) so the global
+  order needs only partitioned windows, never a single-partition sort.
+* ``domain_mixture_sample`` — mixture balancing: downsample every
+  source to the smallest source's size via per-source keep-rates and
+  the same md5-uniform; the 20-row rate table is broadcast.
 
-All four are pure column expressions / joins — no UDFs — and each has
+All are pure column expressions / keyed joins — no UDFs — and each has
 an exact DuckDB oracle twin.
 
 Scale notes: the packing window partitions by (lang, shard) so no
@@ -33,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.textops import exploded_shingles, hex_hash, tokenize
+from ..operators.textops import exploded_shingles, hex_hash, shingles_expr, tokenize
 
 _TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
 
@@ -250,11 +262,190 @@ FROM p
 """
 
 
+# -- vocabulary induction -------------------------------------------------------
+
+VOCAB_K = 25
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word counts, top ``VOCAB_K`` — the counting pass of
+    tokenizer-vocab induction. The (count desc, token asc) order is
+    total, so the cut is deterministic; orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver),
+    not a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(VOCAB_K)
+    )
+
+
+VOCAB_TOPK_SQL = rf"""
+SELECT token, COUNT(*) AS n_occurrences
+FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {VOCAB_K}
+"""
+
+# -- within-doc repetition signals ----------------------------------------------
+
+REPETITION_THRESHOLD = 0.2
+
+
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: the fraction of tokens
+    (and of 2-grams) that are repeats of an earlier occurrence in the
+    same doc. Pure array expressions over the token list — no explode,
+    no shuffle, embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    nd = F.size(F.array_distinct("toks"))
+    g2 = shingles_expr("toks", k=2)
+    n2 = F.size(g2)
+    nd2 = F.size(F.array_distinct(g2))
+    dup_tok = (n - nd) / n
+    dup_2g = F.when(n2 > 0, (n2 - nd2) / n2).otherwise(F.lit(0.0))
+    return t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        dup_tok.alias("dup_token_frac"),
+        dup_2g.alias("dup_2gram_frac"),
+        (dup_2g > REPETITION_THRESHOLD).alias("is_repetitive"),
+    )
+
+
+TEXT_REPETITION_SQL = rf"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> concat_ws(' ', toks[i], toks[i+1]))
+              ELSE [] END AS g2
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       (len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+       CASE WHEN len(g2) > 0
+            THEN (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(g2) > 0
+            THEN (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE)
+            ELSE 0.0 END > {REPETITION_THRESHOLD} AS is_repetitive
+FROM g
+"""
+
+# -- deterministic corpus shuffle -----------------------------------------------
+
+SHUF_SEED = "shuf"
+SHUF_SHARDS = 16
+
+
+def corpus_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order shuffle without RNG state or a global sort: an
+    md5-uniform per doc, split into (shard, position-within-shard).
+    (shard, pos) is a reproducible total order; each shard orders
+    independently, so the window is partitioned — at 100 TB this is a
+    plain repartition + per-partition sort, no single-partition
+    bottleneck."""
+    d = load_table(spark, sf_dir, "documents")
+    u = hex_hash(F.col("doc_id").cast("string"), seed=SHUF_SEED)
+    t = d.select("doc_id", u.alias("shuffle_hash"), (u % SHUF_SHARDS).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("shuffle_hash", "doc_id")
+    return t.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "shuffle_hash",
+    )
+
+
+_SHUF_HASH_SQL = (
+    f"CAST(concat('0x', substr(md5(concat('{SHUF_SEED}', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+CORPUS_SHUFFLE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, {_SHUF_HASH_SQL} AS shuffle_hash,
+         {_SHUF_HASH_SQL} % {SHUF_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_hash, doc_id) AS BIGINT) AS pos,
+       shuffle_hash
+FROM t
+"""
+
+# -- domain mixture balancing ---------------------------------------------------
+
+_MIX_SEED = "mix"
+
+
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: every source downsampled to the smallest
+    source's size. Per-source keep-rates come from one count
+    aggregation (the rate table is sources-sized — broadcast), the
+    keep decision from the deterministic md5-uniform. The synthetic
+    sources are equal-sized, so imbalance is planted first (odd docs
+    dropped from the single-digit sources) — the rates must then
+    actually trim the larger sources."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        ~((F.col("doc_id") % 2 == 1) & (F.length("source") == 4))
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    min_n = counts.agg(F.min("n_source").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        F.floor(F.lit(1000) * F.col("min_n") / F.col("n_source")).alias(
+            "rate_per_mille"
+        ),
+    )
+    u = hex_hash(F.col("doc_id").cast("string"), seed=_MIX_SEED) % 1000
+    return (
+        d.select("doc_id", "source", u.alias("mix_hash"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("mix_hash") < F.col("rate_per_mille"))
+        .select("doc_id", "source", "mix_hash", "rate_per_mille")
+    )
+
+
+DOMAIN_MIXTURE_SQL = rf"""
+WITH docs_imb AS (
+  SELECT * FROM documents
+  WHERE NOT (doc_id % 2 = 1 AND length(source) = 4)
+),
+counts AS (SELECT source, COUNT(*) AS n_source FROM docs_imb GROUP BY source),
+rates AS (
+  SELECT source,
+         CAST(FLOOR(1000 * (SELECT MIN(n_source) FROM counts) / CAST(n_source AS DOUBLE)) AS BIGINT) AS rate_per_mille
+  FROM counts
+),
+t AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat('{_MIX_SEED}', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 AS mix_hash
+  FROM docs_imb
+)
+SELECT doc_id, t.source, mix_hash, rate_per_mille
+FROM t JOIN rates ON t.source = rates.source
+WHERE mix_hash < rate_per_mille
+"""
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "sample_stratified_hash": sample_stratified_hash,
     "redact_pii": redact_pii,
+    "vocab_topk": vocab_topk,
+    "text_repetition_filter": text_repetition_filter,
+    "corpus_shuffle_hash": corpus_shuffle_hash,
+    "domain_mixture_sample": domain_mixture_sample,
 }
 
 ORACLES = {
@@ -262,4 +453,8 @@ ORACLES = {
     "decontaminate_ngram_overlap": DECONTAMINATE_SQL,
     "sample_stratified_hash": SAMPLE_STRATIFIED_SQL,
     "redact_pii": REDACT_PII_SQL,
+    "vocab_topk": VOCAB_TOPK_SQL,
+    "text_repetition_filter": TEXT_REPETITION_SQL,
+    "corpus_shuffle_hash": CORPUS_SHUFFLE_SQL,
+    "domain_mixture_sample": DOMAIN_MIXTURE_SQL,
 }

@@ -30,6 +30,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "decontaminate_ngram_overlap",  # new in round 2
     "sample_stratified_hash",  # new in round 2
     "redact_pii",  # new in round 2
+    "vocab_topk",  # new in round 2
+    "text_repetition_filter",  # new in round 2
+    "corpus_shuffle_hash",  # new in round 2
+    "domain_mixture_sample",  # new in round 2
     "quality_flags",
     "peak_hour_analytic",
     "gate_status_rollup",
