@@ -131,3 +131,38 @@ def test_minhash_identical_docs_share_signature(spark, texts):
     sigs = {r["doc_id"]: tuple(r)[1:] for r in minhash_signature(d, "doc_id", "text").collect()}
     for i, _ in rows:
         assert sigs[i] == sigs[i + 1000]
+
+
+edge = st.tuples(st.integers(0, 25), st.integers(0, 25))
+
+
+@SLOW
+@given(edges=st.lists(edge, min_size=1, max_size=40))
+def test_connected_components_fixpoint_and_connectivity(spark, edges):
+    from wikistream_event_data_pipeline_aws_spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    # every endpoint labelled, label is a member of the node set, label <= node
+    for a, b in edges:
+        assert labels[a] == labels[b]  # direct edges share a cluster
+        for n in (a, b):
+            assert labels[n] <= n
+            assert labels[n] in labels and labels[labels[n]] == labels[n]
+    # reference answer: union-find on the driver
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for n, lbl in labels.items():
+        assert lbl == find(n)
