@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from ..session import ensure_session_confs
 from ..streaming.ingest import stateful_user_counts, watermark_dedup
 
@@ -146,14 +147,100 @@ GROUP BY user_id
 """
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + downstream aggregation: the
+    events stream joins the (static, broadcast) customer dim on
+    user_id, then rolls up per (mktsegment, event_type). Stream-static
+    joins are stateless — the static side is re-broadcast per
+    micro-batch, so this shape works unchanged on an unbounded stream;
+    the agg runs in complete mode so end-of-stream equals the batch
+    rollup exactly."""
+    s = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    enriched = s.join(
+        F.broadcast(cust), s["user_id"] + 1 == cust["custkey"], "inner"
+    )
+    agg = enriched.groupBy("mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return _run_to_memory(agg, "mem_streaming_static_enrich", "complete")
+
+
+STREAMING_STATIC_ENRICH_SQL = """
+SELECT c_mktsegment AS mktsegment, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same
+    user's purchases in the following hour. Both sides carry watermarks
+    (the state-cleanup contract of stream-stream joins); the join
+    condition is equality on user plus a bounded time range, so state
+    per side is watermark-bounded at scale. AvailableNow delivers all
+    rows, making the inner-join result equal to the batch range join."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "3650 days")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "3650 days")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delta_us"),
+    )
+    return _run_to_memory(joined, "mem_streaming_interval_join", "append")
+
+
+STREAMING_INTERVAL_JOIN_SQL = """
+SELECT c.event_id AS click_id, v.event_id AS purchase_id, c.user_id,
+       epoch_us(v.ts) - epoch_us(c.ts) AS delta_us
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'purchase'
+ AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_stateful_running_count": streaming_stateful_running_count,
+    "streaming_static_enrich": streaming_static_enrich,
+    "streaming_interval_join": streaming_interval_join,
 }
 
 ORACLES = {
     "streaming_tumbling_hourly": STREAMING_TUMBLING_HOURLY_SQL,
     "streaming_dedup_watermark": STREAMING_DEDUP_WATERMARK_SQL,
     "streaming_stateful_running_count": STREAMING_STATEFUL_RUNNING_COUNT_SQL,
+    "streaming_static_enrich": STREAMING_STATIC_ENRICH_SQL,
+    "streaming_interval_join": STREAMING_INTERVAL_JOIN_SQL,
 }

@@ -34,6 +34,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "text_repetition_filter",  # new in round 2
     "corpus_shuffle_hash",  # new in round 2
     "domain_mixture_sample",  # new in round 2
+    "streaming_static_enrich",  # new in round 2
+    "streaming_interval_join",  # new in round 2
     "quality_flags",
     "peak_hour_analytic",
     "gate_status_rollup",
