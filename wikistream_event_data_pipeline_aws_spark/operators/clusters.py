@@ -39,10 +39,15 @@ def connected_components(
     Raises after ``max_iterations`` non-converged rounds (near-dup
     graphs converge in a handful; hitting the cap means the input is
     not a dedup-shaped graph)."""
-    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # checkpoint the raw pairs BEFORE the symmetrize union: both union
+    # branches reference them, and without the checkpoint the (possibly
+    # expensive) upstream plan that produced the pairs runs twice
+    base = pairs.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint(eager=True)  # reused every round — scan once
