@@ -1,0 +1,260 @@
+"""End-to-end corpus curation — the flagship composition query.
+
+One pass over the documents table produces the per-doc disposition a
+training-data pipeline needs, chaining the individually-verified
+operators in their real order:
+
+1. held-out fencing  (benchmark slice never trains)
+2. quality filter    (repetition fractions + minimum length)
+3. near-dup dedup    (minhash -> LSH bands -> Jaccard verify ->
+                      connected components -> keep cluster minimum)
+4. decontamination   (drop train docs sharing a 5-gram with held-out)
+5. stratified sample (deterministic md5-uniform per language)
+6. sequence packing  (survivors get their training-sequence id)
+
+Output: one row per doc — (doc_id, lang, disposition, seq_first) with
+``disposition`` ∈ {heldout, quality, duplicate, contaminated,
+sampled_out, kept} decided with exactly that precedence, and
+``seq_first`` non-null only for kept docs.
+
+Scale shape: every stage is the already-audited bucketed/broadcast
+form (LSH bands not all-pairs, broadcast held-out shingles, keyed
+aggregations, partitioned packing window); the composition adds no new
+shuffle beyond its parts. The DuckDB oracle replays the entire
+pipeline — including the recursive-CTE transitive closure — so the
+composition itself is value-checked, not just the pieces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.clusters import connected_components
+from ..operators.textops import (
+    exploded_shingles,
+    hex_hash,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingles_expr,
+    tokenize,
+)
+from .dedup import _MH_COLS, _SHINGLES_SQL, _SIGS_SQL, N_HASHES
+from .llmprep import (
+    DECON_K,
+    DECON_MOD,
+    SEQ_BUDGET,
+    _DECON_SHINGLES_SQL,
+    _TOKS_SQL,
+)
+
+CURATE_JACCARD = 0.5
+MIN_TOKENS = 5
+# stricter than llmprep.REPETITION_THRESHOLD (0.2): curation trims the
+# p99 repetition tail of this corpus rather than only pathological docs
+CURATE_REP_THRESHOLD = 0.1
+CURATE_SEED = "curate"
+CURATE_RATES = {"en": 700, "es": 800}  # per-mille; other langs: 900
+CURATE_DEFAULT_RATE = 900
+PACK_SHARDS = 8
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    is_heldout = F.col("doc_id") % DECON_MOD == 0
+
+    # 2. quality signals (pure array expressions)
+    t = d.select("doc_id", "lang", tokenize(F.col("text")).alias("toks"))
+    g2 = shingles_expr("toks", k=2)
+    n2 = F.size(g2)
+    dup_2g = F.when(
+        n2 > 0, (n2 - F.size(F.array_distinct(g2))) / n2
+    ).otherwise(F.lit(0.0))
+    rep = t.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_tokens"),
+        ((dup_2g > CURATE_REP_THRESHOLD) | (F.size("toks") < MIN_TOKENS)).alias(
+            "bad_quality"
+        ),
+    )
+
+    # 3. near-dup clusters on the raw corpus (organic dups only)
+    sigs = minhash_signature(
+        d, "doc_id", "text", n_hashes=N_HASHES, include_all_docs=False
+    )
+    cands = lsh_candidate_pairs(
+        sigs, "doc_id", n_hashes=N_HASHES, rows_per_band=2
+    ).localCheckpoint(eager=True)
+    pairs = (
+        jaccard_pairs(d, "doc_id", "text", k=3, candidates=cands)
+        .filter(F.col("jaccard") >= CURATE_JACCARD)
+        .select("id_a", "id_b")
+    )
+    dups = (
+        connected_components(pairs, "id_a", "id_b")
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"), F.lit(True).alias("is_dup"))
+    )
+
+    # 4. decontamination evidence (broadcast the held-out shingle set)
+    held_sh = (
+        exploded_shingles(d.filter(is_heldout), "doc_id", "text", k=DECON_K)
+        .select("shingle")
+        .distinct()
+    )
+    cont = (
+        exploded_shingles(d.filter(~is_heldout), "doc_id", "text", k=DECON_K)
+        .distinct()
+        .join(F.broadcast(held_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+
+    # 5. sampling uniform + per-lang rate
+    u = hex_hash(F.col("doc_id").cast("string"), seed=CURATE_SEED) % 1000
+    rate = F.lit(CURATE_DEFAULT_RATE)
+    for lang, r in CURATE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+
+    disposition = (
+        F.when(F.col("doc_id") % DECON_MOD == 0, "heldout")
+        .when(F.col("bad_quality"), "quality")
+        .when(F.coalesce(F.col("is_dup"), F.lit(False)), "duplicate")
+        .when(F.coalesce(F.col("is_cont"), F.lit(False)), "contaminated")
+        .when(u >= rate, "sampled_out")
+        .otherwise("kept")
+    )
+    flags = (
+        rep.join(dups, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select("doc_id", "lang", "n_tokens", disposition.alias("disposition"))
+    )
+
+    # 6. pack the survivors
+    kept = flags.filter(F.col("disposition") == "kept")
+    w = (
+        Window.partitionBy("lang", (F.col("doc_id") % PACK_SHARDS))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.select(
+        "doc_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(SEQ_BUDGET)
+        ).alias("seq_first"),
+    )
+    return flags.join(packed, "doc_id", "left").select(
+        "doc_id", "lang", "disposition", "seq_first"
+    )
+
+
+_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('|', m{2 * b}, m{2 * b + 1}) AS bucket FROM sigs"
+    for b in range(N_HASHES // 2)
+)
+
+_RATE_SQL = (
+    "CASE lang WHEN 'en' THEN 700 WHEN 'es' THEN 800 ELSE 900 END"
+)
+
+CURATE_CORPUS_SQL = rf"""
+WITH RECURSIVE
+sh_all AS ({_SHINGLES_SQL.format(src="documents")}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+sigs AS ({_SIGS_SQL.format(shingles="SELECT * FROM sh_all")}),
+banded AS (
+  {_BANDS_SQL}
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN cands c ON s.id_a = c.id_a AND s.id_b = c.id_b
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.n_shared / CAST(sa.n_shingles + sb.n_shingles - s.n_shared AS DOUBLE)
+        >= CAST({CURATE_JACCARD} AS DOUBLE)
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+dups AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING node != MIN(label)
+),
+held_sh AS (
+  SELECT DISTINCT shingle FROM (
+    {_DECON_SHINGLES_SQL.format(src=f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_MOD} = 0")}
+  )
+),
+cont AS (
+  SELECT DISTINCT doc_id FROM (
+    {_DECON_SHINGLES_SQL.format(src=f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_MOD} != 0")}
+  ) WHERE shingle IN (SELECT shingle FROM held_sh)
+),
+rep AS (
+  SELECT doc_id, lang,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         (CASE WHEN len(g2) > 0
+               THEN (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE)
+               ELSE 0.0 END) > {CURATE_REP_THRESHOLD}
+         OR len(t) < {MIN_TOKENS} AS bad_quality
+  FROM (
+    SELECT doc_id, lang, t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                                    i -> concat_ws(' ', t[i], t[i+1]))
+                ELSE [] END AS g2
+    FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
+  )
+),
+flags AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE WHEN doc_id % {DECON_MOD} = 0 THEN 'heldout'
+              WHEN bad_quality THEN 'quality'
+              WHEN doc_id IN (SELECT doc_id FROM dups) THEN 'duplicate'
+              WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+              WHEN CAST(concat('0x', substr(md5(concat('{CURATE_SEED}', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000
+                   >= {_RATE_SQL} THEN 'sampled_out'
+              ELSE 'kept' END AS disposition
+  FROM rep
+),
+kept AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang, doc_id % {PACK_SHARDS}
+                             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM flags WHERE disposition = 'kept'
+)
+SELECT f.doc_id, f.lang, f.disposition,
+       (k.cum - k.n_tokens) // {SEQ_BUDGET} AS seq_first
+FROM flags f LEFT JOIN kept k ON f.doc_id = k.doc_id
+"""
+
+
+QUERIES = {
+    "curate_corpus": curate_corpus,
+}
+
+ORACLES = {
+    "curate_corpus": CURATE_CORPUS_SQL,
+}

@@ -24,6 +24,7 @@ _ORACLES: dict[str, str] = {}
 # query accumulates a driver-side verification row.  The full list is always
 # registered — only the iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
+    "curate_corpus",  # new in round 2 — the end-to-end flagship
     "similarity_ann_lsh_multi",  # new in round 2 — needs its first driver row
     "dedup_clusters",  # new in round 2 — needs its first driver row
     "pack_sequences",  # new in round 2
@@ -96,6 +97,7 @@ def _load() -> None:
         "dedup",
         "text",
         "llmprep",
+        "curate",
         "similarity",
         "multimodal",
         "extensions",
