@@ -158,3 +158,50 @@ def test_registry_size_and_driver_front_order():
     assert set(o) <= set(q)
     front = registry._DRIVER_FRONT
     assert list(q)[: len(front)] == list(front)
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_corpus_shuffle_has_no_global_sort(spark, sf_dir):
+    """The deterministic shuffle must order within hash shards only —
+    a SinglePartition exchange means the whole corpus funnels through
+    one task."""
+    plan = _plan(spark, sf_dir, "corpus_shuffle_hash")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_decontaminate_broadcasts_heldout_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_curate_corpus_stays_bucketed(spark, sf_dir):
+    """The composition must inherit its parts' scale shapes: LSH bucket
+    equi-joins and broadcast decontamination, never an all-pairs join."""
+    plan = _plan(spark, sf_dir, "curate_corpus")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pack_sequences",
+        "sample_stratified_hash",
+        "redact_pii",
+        "text_repetition_filter",
+        "vocab_topk",
+        "corpus_shuffle_hash",
+        "domain_mixture_sample",
+    ],
+)
+def test_llmprep_queries_are_python_free(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "EvalPython" not in plan, plan
