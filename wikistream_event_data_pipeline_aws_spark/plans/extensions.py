@@ -256,6 +256,66 @@ GROUP BY a.event_id
 """
 
 
+# -- regression aggregate ------------------------------------------------------
+
+_TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01, the corpus epoch
+
+
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of value over time — the regression
+    aggregate (regr_slope family) computed exactly: x is whole seconds
+    from a fixed corpus epoch, y is decimal-cast cents, all four sums
+    are integer-exact and order-independent, and only the final
+    slope/mean combination runs in (deterministic) double arithmetic.
+    One map-side-combined groupBy — the same shuffle as any hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr(f"(unix_micros(ts) - {_TREND_EPOCH_US}L) div 1000000")
+    y = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    t = e.select("user_id", x.alias("x"), y.alias("y"))
+    a = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_events").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = n * sxx - sx * sx
+    return a.select(
+        "user_id",
+        "n_events",
+        F.when(den != 0, (n * sxy - sx * sy) / den).alias("slope_cents_per_sec"),
+        (sy / n).alias("mean_cents"),
+    )
+
+
+USER_VALUE_TREND_SQL = f"""
+WITH t AS (
+  SELECT user_id,
+         (epoch_us(ts) - {_TREND_EPOCH_US}) // 1000000 AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM events
+),
+a AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM t GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CASE WHEN CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
+            THEN (CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       END AS slope_cents_per_sec,
+       CAST(sy AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean_cents
+FROM a
+"""
+
+
 QUERIES = {
     "pivot_type_counts_by_date": pivot_type_counts_by_date,
     "rollup_date_type": rollup_date_type,
@@ -265,6 +325,7 @@ QUERIES = {
     "grouping_sets_type_date": grouping_sets_type_date,
     "asof_latest_click": asof_latest_click,
     "range_join_next_hour": range_join_next_hour,
+    "user_value_trend": user_value_trend,
 }
 
 ORACLES = {
@@ -276,4 +337,5 @@ ORACLES = {
     "grouping_sets_type_date": GROUPING_SETS_TYPE_DATE_SQL,
     "asof_latest_click": ASOF_LATEST_CLICK_SQL,
     "range_join_next_hour": RANGE_JOIN_NEXT_HOUR_SQL,
+    "user_value_trend": USER_VALUE_TREND_SQL,
 }

@@ -37,6 +37,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "domain_mixture_sample",  # new in round 2
     "streaming_static_enrich",  # new in round 2
     "streaming_interval_join",  # new in round 2
+    "user_value_trend",  # new in round 2
     "quality_flags",
     "peak_hour_analytic",
     "gate_status_rollup",
