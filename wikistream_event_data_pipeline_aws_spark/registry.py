@@ -38,6 +38,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "streaming_static_enrich",  # new in round 2
     "streaming_interval_join",  # new in round 2
     "user_value_trend",  # new in round 2
+    "hll_distinct_events",  # new in round 2
     "quality_flags",
     "peak_hour_analytic",
     "gate_status_rollup",
@@ -99,6 +100,7 @@ def _load() -> None:
         "text",
         "llmprep",
         "curate",
+        "sketches",
         "similarity",
         "multimodal",
         "extensions",
