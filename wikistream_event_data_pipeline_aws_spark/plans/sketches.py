@@ -1,5 +1,16 @@
 """Deterministic sketch operators (north-star "novel sketch" scope).
 
+Four mergeable sketches — HyperLogLog (global + per-group), count-min,
+and a fixed-width histogram quantile — each built from engine-neutral
+primitives so that, unusually for sketches, their outputs are exactly
+value-hash-checkable against an independent engine. The common scale
+property: every sketch state is bounded by its parameters (registers,
+counter grid, bins), NOT by data volume, and combines associatively —
+per-partition partial states merge with max/sum, which is exactly what
+Spark's partial/final hash aggregation already does. At 100 TB these
+replace the exact formulations (countDistinct / per-key counts /
+global sort percentiles) whose shuffle grows with key cardinality.
+
 ``hll_distinct_events`` is a real HyperLogLog built from engine-neutral
 primitives so that — unusually for a sketch — its output is exactly
 value-hash-checkable against an independent engine:
@@ -37,7 +48,7 @@ sits in that regime; at sf0.01+ the raw estimate is within ~0.1%).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -110,10 +121,244 @@ FROM a, x
 """
 
 
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HyperLogLog: distinct users per event_type.
+
+    Same register construction as :func:`hll_distinct_events` but keyed
+    by ``event_type`` — the grouped-sketch pattern that replaces
+    ``COUNT(DISTINCT user_id) GROUP BY type`` at scale. State is
+    ``n_groups x m`` registers; the exact distinct (a second shuffle of
+    every (type, user) pair) rides along only to report error.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = hex_hash(F.col("user_id").cast("string"), seed="hllg")
+    t = e.select("event_type", h.alias("h")).select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rest"),
+    )
+    rho = F.lit(51) - F.length(F.expr("ltrim('0', conv(rest, 10, 2))"))
+    regs = (
+        t.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    a = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.expr("CAST(shiftleft(1L, 62 - M) AS DECIMAL(38,0))")).alias("s_obs"),
+    )
+    x = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    s_total = F.expr(
+        f"s_obs + CAST({HLL_M}L - n_obs AS DECIMAL(38,0))"
+        f" * CAST({_POW62} AS DECIMAL(38,0))"
+    )
+    est = F.lit(float(_NUM)) / s_total.cast("double")
+    n_exact_d = F.col("n_exact").cast("double")
+    return a.join(x, "event_type").select(
+        "event_type",
+        F.col("n_obs").alias("n_nonzero_registers"),
+        F.col("n_exact").alias("n_exact_distinct"),
+        est.alias("hll_estimate"),
+        ((est - n_exact_d) / n_exact_d).alias("rel_error"),
+    )
+
+
+HLL_DISTINCT_USERS_BY_TYPE_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(concat('hllg', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+t AS (SELECT event_type, h % {HLL_M} AS bucket, h // {HLL_M} AS rest FROM h),
+r AS (
+  SELECT event_type, bucket, MAX(51 - length(ltrim(bin(rest), '0'))) AS M
+  FROM t GROUP BY event_type, bucket
+),
+a AS (
+  SELECT event_type, COUNT(*) AS n_obs,
+         SUM(CAST(1::BIGINT << (62 - M) AS DECIMAL(38,0))) AS s_obs
+  FROM r GROUP BY event_type
+),
+x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
+SELECT a.event_type,
+       n_obs AS n_nonzero_registers,
+       n_exact AS n_exact_distinct,
+       {_NUM} / CAST(s_obs + CAST({HLL_M} - n_obs AS DECIMAL(38,0))
+                     * CAST({_POW62} AS DECIMAL(38,0)) AS DOUBLE) AS hll_estimate,
+       ({_NUM} / CAST(s_obs + CAST({HLL_M} - n_obs AS DECIMAL(38,0))
+                      * CAST({_POW62} AS DECIMAL(38,0)) AS DOUBLE)
+        - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
+FROM a JOIN x ON a.event_type = x.event_type
+"""
+
+
+CMS_D = 4  # hash rows
+CMS_W = 2048  # counter columns per row
+CMS_TOPK = 15
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over ``events.user_id``.
+
+    Sketch state is a ``d x w`` counter grid (8192 cells) regardless of
+    key cardinality: each event increments one cell per hash row, and
+    Spark's map-side partial aggregation means at most ``d*w`` rows per
+    partition cross the shuffle. Estimates take the MIN over the d
+    cells for each candidate key (classic CMS upper bound: never under,
+    over only on collisions). The grid is broadcast for the estimate
+    join; the exact per-key count rides along to report the overcount.
+
+    Reference scope: the reference's gold jobs compute exact per-user
+    counts (gold_batch_job.py user_daily_metrics); CMS is the bounded-
+    state alternative when the user dimension itself no longer fits a
+    shuffle at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("string")
+    cols = F.array(*[(hex_hash(u, seed=f"cms{j}") % CMS_W) for j in range(CMS_D)])
+    pos = e.select(F.col("user_id"), F.posexplode(cols).alias("j", "col"))
+    counters = pos.groupBy("j", "col").agg(F.count(F.lit(1)).alias("c"))
+    cand = pos.select("user_id", "j", "col").distinct()
+    est = (
+        cand.join(F.broadcast(counters), ["j", "col"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(CMS_TOPK)
+    )
+
+
+HEAVY_HITTERS_CMS_SQL = f"""
+WITH pos AS (
+  SELECT user_id, j,
+         CAST(concat('0x', substr(md5(concat('cms', CAST(j AS VARCHAR), CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % {CMS_W} AS col
+  FROM events, range({CMS_D}) t(j)
+),
+counters AS (SELECT j, col, COUNT(*) AS c FROM pos GROUP BY j, col),
+cand AS (SELECT DISTINCT user_id, j, col FROM pos),
+est AS (
+  SELECT user_id, MIN(c) AS est_count
+  FROM cand JOIN counters USING (j, col) GROUP BY user_id
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id)
+SELECT user_id, est_count, exact_count, est_count - exact_count AS overcount
+FROM est JOIN exact USING (user_id)
+ORDER BY est_count DESC, user_id
+LIMIT {CMS_TOPK}
+"""
+
+
+HIST_BINS = 256
+HIST_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram quantile sketch over ``events.value``.
+
+    The mergeable alternative to a global sort: one pass for (min, max,
+    n), one map-side-combined aggregation into ``B`` bins, then the
+    quantile lookup runs over the B-row histogram — bounded by B, not
+    by data volume (the single-partition cumulative window is over at
+    most 256 rows by construction). Estimate = bin midpoint; the bin
+    width bounds the error at (max-min)/B. Contrast with the exact
+    count+offset formulation in ``dq_profile_value`` which still
+    shuffles every distinct value.
+
+    All arithmetic is plain IEEE double ops evaluated in the same order
+    in both engines, so even the estimates value-hash-match exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    mm = e.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = e.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * HIST_BINS),
+        ).alias("bin"),
+        "mn",
+        "mx",
+        "n",
+    )
+    hist = binned.groupBy("bin", "mn", "mx", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", "mn", "mx", "n", F.sum("cnt").over(w).alias("cum"))
+    qs = F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
+    targets = cum.select("bin", "mn", "mx", "n", "cum", qs).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
+    )
+    best = targets.groupBy("q").agg(
+        F.min("bin").alias("bin"),
+        F.first("mn").alias("mn"),
+        F.first("mx").alias("mx"),
+        F.first("n").alias("n"),
+    )
+    est = F.col("mn") + (F.col("bin") + F.lit(0.5)) / HIST_BINS * (F.col("mx") - F.col("mn"))
+    return best.select(
+        "q",
+        F.ceil(F.col("q") * F.col("n")).alias("target_rank"),
+        "bin",
+        est.alias("est_value"),
+        F.col("n").alias("n_rows"),
+    )
+
+
+_QS_LIST = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in HIST_QS)
+
+HISTOGRAM_QUANTILES_VALUE_SQL = f"""
+WITH mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n FROM events),
+binned AS (
+  SELECT LEAST({HIST_BINS - 1}::BIGINT,
+               CAST(FLOOR((value - mn) / (mx - mn) * {HIST_BINS}) AS BIGINT)) AS bin,
+         mn, mx, n
+  FROM events, mm
+),
+hist AS (SELECT bin, mn, mx, n, COUNT(*) AS cnt FROM binned GROUP BY bin, mn, mx, n),
+cum AS (
+  SELECT bin, mn, mx, n,
+         SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+t AS (
+  SELECT q, bin, mn, mx, n, cum
+  FROM cum, unnest([{_QS_LIST}]) AS u(q)
+  WHERE cum >= CEIL(q * n)
+),
+best AS (
+  SELECT q, MIN(bin) AS bin, MIN(mn) AS mn, MIN(mx) AS mx, MIN(n) AS n
+  FROM t GROUP BY q
+)
+SELECT q,
+       CAST(CEIL(q * n) AS BIGINT) AS target_rank,
+       bin,
+       mn + (bin + CAST(0.5 AS DOUBLE)) / {HIST_BINS} * (mx - mn) AS est_value,
+       n AS n_rows
+FROM best
+"""
+
+
 QUERIES = {
     "hll_distinct_events": hll_distinct_events,
+    "hll_distinct_users_by_type": hll_distinct_users_by_type,
+    "heavy_hitters_cms": heavy_hitters_cms,
+    "histogram_quantiles_value": histogram_quantiles_value,
 }
 
 ORACLES = {
     "hll_distinct_events": HLL_DISTINCT_EVENTS_SQL,
+    "hll_distinct_users_by_type": HLL_DISTINCT_USERS_BY_TYPE_SQL,
+    "heavy_hitters_cms": HEAVY_HITTERS_CMS_SQL,
+    "histogram_quantiles_value": HISTOGRAM_QUANTILES_VALUE_SQL,
 }

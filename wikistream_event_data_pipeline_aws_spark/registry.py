@@ -39,6 +39,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "streaming_interval_join",  # new in round 2
     "user_value_trend",  # new in round 2
     "hll_distinct_events",  # new in round 2
+    "hll_distinct_users_by_type",  # new in round 2
+    "heavy_hitters_cms",  # new in round 2
+    "histogram_quantiles_value",  # new in round 2
     "quality_flags",
     "peak_hour_analytic",
     "gate_status_rollup",
