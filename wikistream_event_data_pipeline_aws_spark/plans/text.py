@@ -4,7 +4,7 @@ language-ID heuristic, quality scoring, token counting, fingerprinting).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -166,11 +166,126 @@ FROM documents
 """
 
 
+TFIDF_TOPK = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic tokens per document by TF-IDF.
+
+    Classic corpus-analysis operator the reference lacks. IDF uses the
+    rational BM25 form ``(N - df + 0.5) / (df + 0.5)`` instead of
+    ``ln(N/df)`` deliberately: plain double arithmetic is bit-identical
+    across engines where libm ``ln`` is not, so the scores value-hash
+    exactly. Shape: explode -> (doc, token) count agg -> token-keyed
+    df agg -> token-keyed join back -> per-doc window top-k. Three
+    key-partitioned shuffles, N broadcast as a 1-row agg; no global
+    sort and no collect.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n))
+    idf = (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (
+        F.col("df_docs") + F.lit(0.5)
+    )
+    score = F.col("tf") * idf
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.select("doc_id", "token", "tf", "df_docs", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "rnk", "token", "tf", "df_docs", "score")
+    )
+
+
+TEXT_TFIDF_TOPK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df_docs,
+         tf * ((n_docs - df_docs + CAST(0.5 AS DOUBLE)) / (df_docs + CAST(0.5 AS DOUBLE))) AS score
+  FROM tf JOIN dfreq USING (token), n
+),
+ranked AS (
+  SELECT doc_id, token, tf, df_docs, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, token, tf, df_docs, score
+FROM ranked WHERE rnk <= {TFIDF_TOPK}
+"""
+
+
+INVIDX_TOPK = 20
+INVIDX_POSTINGS_CAP = 50
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token -> sorted posting list of doc_ids,
+    for the highest-document-frequency tokens.
+
+    One (token)-keyed aggregation then a top-k (TakeOrderedAndProject).
+    Postings are emitted as a capped sample (first ``INVIDX_POSTINGS_CAP``
+    doc_ids) plus the full df count: at 100 TB a frequent token's full
+    posting list exceeds a single row, so a production index shards
+    postings into (token, doc_id_bucket) pages — the cap keeps this
+    demonstration row-bounded while the df column stays exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok_docs = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    ).distinct()
+    agg = tok_docs.groupBy("token").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("postings_arr")
+    )
+    return (
+        agg.select(
+            "token",
+            F.size("postings_arr").alias("df_docs"),
+            F.array_join(
+                F.transform(
+                    F.slice("postings_arr", 1, INVIDX_POSTINGS_CAP),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_sample"),
+        )
+        .orderBy(F.desc("df_docs"), "token")
+        .limit(INVIDX_TOPK)
+    )
+
+
+TEXT_INVERTED_INDEX_SQL = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents) raw
+),
+agg AS (
+  SELECT token, list_sort(list(doc_id)) AS postings_arr
+  FROM toks GROUP BY token
+)
+SELECT token,
+       CAST(len(postings_arr) AS INTEGER) AS df_docs,
+       array_to_string(postings_arr[1:{INVIDX_POSTINGS_CAP}], ',') AS postings_sample
+FROM agg
+ORDER BY df_docs DESC, token
+LIMIT {INVIDX_TOPK}
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_tfidf_topk": text_tfidf_topk,
+    "text_inverted_index": text_inverted_index,
 }
 
 ORACLES = {
@@ -178,4 +293,6 @@ ORACLES = {
     "text_quality_score": TEXT_QUALITY_SCORE_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
+    "text_inverted_index": TEXT_INVERTED_INDEX_SQL,
 }

@@ -42,6 +42,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "hll_distinct_users_by_type",  # new in round 2
     "heavy_hitters_cms",  # new in round 2
     "histogram_quantiles_value",  # new in round 2
+    "text_tfidf_topk",  # new in round 2
+    "text_inverted_index",  # new in round 2
     "quality_flags",
     "peak_hour_analytic",
     "gate_status_rollup",
