@@ -119,6 +119,62 @@ def merge_upsert(
     return kept_target.unionByName(source)
 
 
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    eff_date: str,
+    high_date: str = "9999-12-31",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge.
+
+    ``dim`` carries ``valid_from``/``valid_to``/``is_current`` history
+    columns; ``updates`` carries ``keys + attrs`` (one row per key).
+    Rows whose attributes actually changed (null-safe comparison
+    against the CURRENT dim version) close the current version at
+    ``eff_date`` and open a new one; no-op updates and historical
+    versions pass through untouched — the warehouse MERGE pattern the
+    reference's Iceberg upsert (``bronze_streaming_job.py:364-374``)
+    would need for versioned dimensions.
+
+    Shape: one key-partitioned join to diff updates against current
+    rows, one to tag dim rows, then unions — all equi-joins on the
+    dimension key; the update batch (typically CDC-sized) broadcasts
+    when small. No global sort, no window.
+    """
+    cur = dim.filter(F.col("is_current"))
+    cur_attrs = cur.select(
+        *keys, *[F.col(a).alias(f"__cur_{a}") for a in attrs]
+    )
+    same = None
+    for a in attrs:
+        eq = F.col(a).eqNullSafe(F.col(f"__cur_{a}"))
+        same = eq if same is None else (same & eq)
+    changed = (
+        updates.join(cur_attrs, list(keys))
+        .filter(~same)
+        .select(*keys, *attrs)
+    )
+    ck = changed.select(*keys).withColumn("__chg", F.lit(True))
+    marked = dim.join(ck, list(keys), "left")
+    untouched = marked.filter(
+        ~(F.col("is_current") & F.col("__chg").isNotNull())
+    ).drop("__chg")
+    closed = (
+        marked.filter(F.col("is_current") & F.col("__chg").isNotNull())
+        .drop("__chg")
+        .withColumn("valid_to", F.lit(eff_date))
+        .withColumn("is_current", F.lit(False))
+    )
+    opened = (
+        changed.withColumn("valid_from", F.lit(eff_date))
+        .withColumn("valid_to", F.lit(high_date))
+        .withColumn("is_current", F.lit(True))
+    )
+    return untouched.unionByName(closed).unionByName(opened.select(*dim.columns))
+
+
 def repair_dedup(
     spark: SparkSession,
     path: str,

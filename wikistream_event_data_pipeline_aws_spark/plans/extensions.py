@@ -316,6 +316,111 @@ FROM a
 """
 
 
+# -- bloom-filter semi-join (runtime-filter pushdown semantics) ---------------
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 3  # hash functions
+
+
+def bloom_semi_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filter for a selective join, made relational so
+    an independent engine verifies the exact false-positive set.
+
+    The build side (BUILDING-segment customers) hashes each key into
+    ``k`` bit positions; the distinct position set (<= m rows however
+    large the build side grows) is broadcast and the probe side
+    (orders) passes only if ALL of its k positions are present —
+    exactly the membership rule of Spark's own runtime bloom pushdown
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, SURVEY §4),
+    which at 100 TB prunes the fact scan before the shuffle. The true
+    semi-join rides along to count false positives; output is the
+    one-row selectivity report.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    from ..operators.textops import hex_hash
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        ks = F.col(key).cast("string")
+        arr = F.array(*[(hex_hash(ks, seed=f"bloom{j}") % BLOOM_M) for j in range(BLOOM_K)])
+        return df.select(F.col(key), F.explode(arr).alias("pos")).distinct()
+
+    build = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = positions(build, "c_custkey").select("pos").distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    probe = positions(o.select("o_custkey").distinct(), "o_custkey")
+    probed = (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("o_custkey")
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("hit"), F.lit(0)))).alias(
+                "bloom_pass"
+            )
+        )
+    )
+    truth = o.select("o_custkey").distinct().join(
+        build.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+            "true_match", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
+    )
+    joined = probed.join(truth, "o_custkey")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("true_match"), F.lit(0))).alias("n_true_match"),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("true_match").isNull(), 1).otherwise(0)
+        ).alias("n_false_positive"),
+    ).select(
+        "n_probe_keys",
+        "n_bloom_pass",
+        "n_true_match",
+        "n_false_positive",
+        (
+            F.col("n_false_positive").cast("double")
+            / (F.col("n_probe_keys") - F.col("n_true_match")).cast("double")
+        ).alias("fp_rate"),
+    )
+
+
+def _bloom_pos_sql(table: str, key: str) -> str:
+    return f"""
+  SELECT DISTINCT {key},
+         CAST(concat('0x', substr(md5(concat('bloom', CAST(j AS VARCHAR), CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT) % {BLOOM_M} AS pos
+  FROM {table}, range({BLOOM_K}) t(j)
+"""
+
+
+BLOOM_SEMI_JOIN_STATS_SQL = f"""
+WITH build AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+bits AS (SELECT DISTINCT pos FROM ({_bloom_pos_sql("build", "c_custkey")})),
+probe_keys AS (SELECT DISTINCT o_custkey FROM orders),
+probe AS ({_bloom_pos_sql("probe_keys", "o_custkey")}),
+probed AS (
+  SELECT o_custkey,
+         COUNT(*) = SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS bloom_pass
+  FROM probe LEFT JOIN bits ON probe.pos = bits.pos
+  GROUP BY o_custkey
+),
+truth AS (
+  SELECT pk.o_custkey,
+         CASE WHEN b.c_custkey IS NOT NULL THEN 1 END AS true_match
+  FROM probe_keys pk LEFT JOIN build b ON pk.o_custkey = b.c_custkey
+),
+joined AS (SELECT p.o_custkey, bloom_pass, true_match FROM probed p JOIN truth USING (o_custkey))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(COALESCE(true_match, 0)) AS BIGINT) AS n_true_match,
+       CAST(SUM(CASE WHEN bloom_pass AND true_match IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+       CAST(SUM(CASE WHEN bloom_pass AND true_match IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) - SUM(COALESCE(true_match, 0)) AS DOUBLE) AS fp_rate
+FROM joined
+"""
+
+
 QUERIES = {
     "pivot_type_counts_by_date": pivot_type_counts_by_date,
     "rollup_date_type": rollup_date_type,
@@ -326,6 +431,7 @@ QUERIES = {
     "asof_latest_click": asof_latest_click,
     "range_join_next_hour": range_join_next_hour,
     "user_value_trend": user_value_trend,
+    "bloom_semi_join_stats": bloom_semi_join_stats,
 }
 
 ORACLES = {
@@ -338,4 +444,5 @@ ORACLES = {
     "asof_latest_click": ASOF_LATEST_CLICK_SQL,
     "range_join_next_hour": RANGE_JOIN_NEXT_HOUR_SQL,
     "user_value_trend": USER_VALUE_TREND_SQL,
+    "bloom_semi_join_stats": BLOOM_SEMI_JOIN_STATS_SQL,
 }

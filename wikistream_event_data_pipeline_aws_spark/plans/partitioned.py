@@ -84,5 +84,80 @@ WHERE strftime(ts, '%Y-%m-%d') IN ({_DATES_IN})
 GROUP BY 1, 2
 """
 
-QUERIES = {"partitioned_scan_pruning": partitioned_scan_pruning}
-ORACLES = {"partitioned_scan_pruning": PARTITIONED_SCAN_PRUNING_SQL}
+Z_BITS = 8  # bits interleaved per dimension -> 16-bit z space
+Z_BUCKET_SHIFT = 10  # 2^16 z values / 2^10 = 64 fixed-prefix buckets
+
+
+def _z_expr(x: str, y: str) -> str:
+    """Morton bit-interleave as pure div/mod arithmetic — identical
+    semantics in any engine (`div`/`%` here; `//`/`%` in the oracle)."""
+    terms = []
+    for j in range(Z_BITS):
+        terms.append(f"(({x} div {1 << j}) % 2) * {1 << (2 * j)}")
+        terms.append(f"(({y} div {1 << j}) % 2) * {1 << (2 * j + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout audit: interleave the bits of
+    two scan dimensions (user shard, hour-of-day), bucket rows by fixed
+    z-prefix — exactly how a z-ordered table maps rows to files — and
+    report each bucket's min/max on BOTH dimensions.
+
+    The point at 100 TB: writing files in z-bucket order (a single
+    ``repartitionByRange(zkey)``, range partitioning, no single-task
+    sort) gives every file a tight min/max envelope on *both* columns,
+    so a predicate on either dimension prunes most files via footer
+    stats — the multi-dimensional generalization of S6's one-column
+    partition pruning. This audit query is the layout's proof: per-
+    bucket spans cover ~1/8 of each dimension's range instead of all
+    of it. One narrow projection + one hash aggregation (64 groups).
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        (F.col("user_id") % 256).alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    z = t.select("x", "y", F.expr(_z_expr("x", "y")).alias("zkey"))
+    return (
+        z.select("x", "y", F.expr(f"zkey div {1 << Z_BUCKET_SHIFT}").alias("z_bucket"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+def _z_expr_duck(x: str, y: str) -> str:
+    terms = []
+    for j in range(Z_BITS):
+        terms.append(f"(({x} // {1 << j}) % 2) * {1 << (2 * j)}")
+        terms.append(f"(({y} // {1 << j}) % 2) * {1 << (2 * j + 1)}")
+    return " + ".join(terms)
+
+
+ZORDER_CLUSTER_STATS_SQL = f"""
+WITH t AS (
+  SELECT user_id % 256 AS x, CAST(hour(ts) AS BIGINT) AS y FROM events
+),
+z AS (SELECT x, y, {_z_expr_duck("x", "y")} AS zkey FROM t)
+SELECT zkey // {1 << Z_BUCKET_SHIFT} AS z_bucket,
+       COUNT(*) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM z GROUP BY 1
+"""
+
+
+QUERIES = {
+    "partitioned_scan_pruning": partitioned_scan_pruning,
+    "zorder_cluster_stats": zorder_cluster_stats,
+}
+ORACLES = {
+    "partitioned_scan_pruning": PARTITIONED_SCAN_PRUNING_SQL,
+    "zorder_cluster_stats": ZORDER_CLUSTER_STATS_SQL,
+}

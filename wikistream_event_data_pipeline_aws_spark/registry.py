@@ -44,6 +44,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "histogram_quantiles_value",  # new in round 2
     "text_tfidf_topk",  # new in round 2
     "text_inverted_index",  # new in round 2
+    "bloom_semi_join_stats",  # new in round 2
+    "scd2_customer_dim",  # new in round 2
+    "zorder_cluster_stats",  # new in round 2
     "quality_flags",
     "peak_hour_analytic",
     "gate_status_rollup",
