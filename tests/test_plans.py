@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 99
+EXPECTED_QUERY_COUNT = 101
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -146,6 +146,15 @@ def test_no_unpartitioned_windows_in_plan_sources():
             f"{p.name}: {hits} global-sort window(s); allowed "
             f"{allowed.get(p.name, 0)}"
         )
+
+
+def test_udtf_filter_sits_below_python_boundary(spark, sf_dir):
+    """Catalyst does not push predicates through a LATERAL Python UDTF
+    join, so the query must filter before the view: the scan node has
+    to carry the pushed event_type predicate (plans/pyapi.py)."""
+    plan = _plan(spark, sf_dir, "props_kv_udtf")
+    assert "PythonUDTF" in plan, plan
+    assert "EqualTo(event_type,purchase)" in plan, plan
 
 
 def test_registry_size_and_driver_front_order():

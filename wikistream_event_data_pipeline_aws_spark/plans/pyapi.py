@@ -1,0 +1,119 @@
+"""Python-path operator surface (SURVEY §2.12): the Arrow-batched
+escape hatches for semantics built-ins can't express, demonstrated on
+operators whose results an independent engine still reproduces exactly.
+
+The core engine stays UDF-free (COVERAGE §2.12); these two queries pin
+the *plumbing* — grouped ``applyInPandas`` with an explicit result
+schema, and a Python UDTF consumed through a SQL LATERAL join — the
+way a real pipeline attaches pandas/NumPy-only logic (exact per-group
+quantiles, custom parsers) to a Spark plan.
+
+Determinism discipline: the pandas median is the DISCRETE (lower)
+median ``sorted[(n-1)//2]`` — an element of the input, no float
+interpolation — so it equals DuckDB's ``quantile_disc(0.5)`` bit-for-
+bit where interpolated medians can drift by an ulp. The UDTF re-emits
+JSON pairs exactly as the built-in ``from_json``+``explode`` path does
+(`map_explode_props`), so its oracle is plain SQL.
+
+Scale notes: ``applyInPandas`` shuffles once on the grouping key and
+streams each group through Arrow — memory is bounded by the largest
+group, not the table, and partial aggregation does NOT apply (that is
+the price of the escape hatch; the expression-based queries keep the
+map-side combine). The UDTF is a row flat-map with Arrow transfer
+(``useArrow=True``) and no shuffle at all. Both are registered as
+surface demos, not replacements for the built-in formulations.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import udtf
+
+from ..catalog import load_table
+
+
+def user_value_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user discrete median of ``value`` via grouped applyInPandas."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["value"].sort_values().reset_index(drop=True)
+        n = len(vals)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "median_value": [float(vals.iloc[(n - 1) // 2])],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        median_fn, "user_id bigint, n_events bigint, median_value double"
+    )
+
+
+USER_VALUE_MEDIAN_PANDAS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       quantile_disc(value, 0.5) AS median_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@udtf(returnType="key string, val int", useArrow=True)
+class _PropsKV:
+    """Emit one (key, val) row per JSON property — the UDTF twin of the
+    built-in ``from_json`` + ``explode`` path in ``map_explode_props``."""
+
+    def eval(self, props: str):  # noqa: ANN201 - UDTF contract
+        if props is None:
+            return
+        for k, v in json.loads(props).items():
+            yield k, int(v)
+
+
+def props_kv_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse purchase-event props through the UDTF.
+
+    The event_type filter is applied to the DataFrame BEFORE the view/
+    LATERAL join on purpose: Catalyst does not push predicates through
+    a LATERAL Python UDTF join (measured: a WHERE written after the
+    join ran the UDTF over all 100k rows, 18.5s; filtering first lands
+    in the parquet scan as ``PushedFilters`` and runs the UDTF over
+    the 20% that needs it, 4.2s). The deployment rule for UDTFs at
+    scale: cut rows relationally first, cross the Python boundary
+    last — and verify in the plan that the Filter sits under the
+    ``ArrowEvalPythonUDTF`` node."""
+    e = load_table(spark, sf_dir, "events").filter("event_type = 'purchase'")
+    e.createOrReplaceTempView("__pyapi_events")
+    spark.udtf.register("props_kv", _PropsKV)
+    return spark.sql(
+        """
+        SELECT e.event_id, s.key, s.val
+        FROM __pyapi_events e, LATERAL props_kv(e.props) s
+        """
+    )
+
+
+PROPS_KV_UDTF_SQL = """
+SELECT event_id,
+       unnest(json_keys(props)) AS key,
+       CAST(json_extract(props, '$.' || unnest(json_keys(props))) AS INTEGER) AS val
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+QUERIES = {
+    "user_value_median_pandas": user_value_median_pandas,
+    "props_kv_udtf": props_kv_udtf,
+}
+
+ORACLES = {
+    "user_value_median_pandas": USER_VALUE_MEDIAN_PANDAS_SQL,
+    "props_kv_udtf": PROPS_KV_UDTF_SQL,
+}

@@ -47,6 +47,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "bloom_semi_join_stats",  # new in round 2
     "scd2_customer_dim",  # new in round 2
     "zorder_cluster_stats",  # new in round 2
+    "user_value_median_pandas",  # new in round 2
+    "props_kv_udtf",  # new in round 2
     "quality_flags",
     "peak_hour_analytic",
     "gate_status_rollup",
@@ -109,6 +111,7 @@ def _load() -> None:
         "llmprep",
         "curate",
         "sketches",
+        "pyapi",
         "similarity",
         "multimodal",
         "extensions",
