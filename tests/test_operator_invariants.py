@@ -1,0 +1,157 @@
+"""Mathematical invariants of the round-2 operators — properties that
+must hold beyond the value-parity oracle: sketch error/containment
+guarantees, SCD2 version algebra, bloom no-false-negatives, and the
+z-order two-dimensional span bound.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from wikistream_event_data_pipeline_aws_spark.operators.merge import scd2_apply
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# -- sketches -----------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark):
+    rows = entry.queries()["heavy_hitters_cms"](spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r.est_count >= r.exact_count, r
+        assert r.overcount == r.est_count - r.exact_count
+
+
+def test_hll_registers_bounded_and_estimate_close_at_sf001(spark):
+    from wikistream_event_data_pipeline_aws_spark.plans.sketches import HLL_M
+
+    r = entry.queries()["hll_distinct_events"](spark, SF01).first()
+    assert r.n_nonzero_registers <= HLL_M
+    # n/m ~ 10 at sf0.01: the raw estimator is out of the linear-counting
+    # regime, so the canonical ~1.04/sqrt(m) relative error (~3.3%) applies
+    assert abs(r.rel_error) < 0.1, r
+
+
+def test_hll_grouped_matches_structure(spark):
+    from wikistream_event_data_pipeline_aws_spark.plans.sketches import HLL_M
+
+    rows = entry.queries()["hll_distinct_users_by_type"](spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_nonzero_registers <= HLL_M
+        assert r.hll_estimate > 0
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark):
+    from wikistream_event_data_pipeline_aws_spark.plans.sketches import HIST_BINS
+
+    rows = entry.queries()["histogram_quantiles_value"](spark, SF001).collect()
+    assert len(rows) == 5
+    con = duckdb.connect()
+    mn, mx = con.execute(
+        f"SELECT MIN(value), MAX(value) FROM '{SF001}/events.parquet'"
+    ).fetchone()
+    width = (mx - mn) / HIST_BINS
+    for r in rows:
+        exact = con.execute(
+            f"SELECT quantile_disc(value, {r.q}) FROM '{SF001}/events.parquet'"
+        ).fetchone()[0]
+        # midpoint estimate sits within half a bin of any value in the
+        # bin; the exact quantile is in that bin by construction
+        assert abs(r.est_value - exact) <= width, (r, exact, width)
+
+
+# -- bloom --------------------------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark):
+    r = entry.queries()["bloom_semi_join_stats"](spark, SF001).first()
+    # every true match passes the filter: pass = true + false_positive
+    assert r.n_bloom_pass == r.n_true_match + r.n_false_positive, r
+    assert r.n_bloom_pass <= r.n_probe_keys
+
+
+# -- z-order ------------------------------------------------------------------
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    rows = entry.queries()["zorder_cluster_stats"](spark, SF01).collect()
+    # 64 fixed z-prefix buckets, each a 32x3 (x, hour) envelope: the
+    # whole point of the interleave — BOTH dimensions stay bounded
+    assert 32 <= len(rows) <= 64
+    for r in rows:
+        assert r.x_max - r.x_min <= 31, r
+        assert r.hour_max - r.hour_min <= 3, r
+
+
+# -- SCD2 ---------------------------------------------------------------------
+
+_dim_rows = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 3)),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+_upd_rows = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 3)),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+def _scd_frames(spark, dim_rows, upd_rows):
+    dim = spark.createDataFrame(
+        [(k, v, "2024-01-01", "9999-12-31", True) for k, v in dim_rows],
+        "k int, v int, valid_from string, valid_to string, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        upd_rows or [(0, 0)], "k int, v int"
+    ).limit(len(upd_rows))
+    return dim, upd
+
+
+@SLOW
+@given(dim_rows=_dim_rows, upd_rows=_upd_rows)
+def test_scd2_one_current_version_per_key(spark, dim_rows, upd_rows):
+    dim, upd = _scd_frames(spark, dim_rows, upd_rows)
+    out = scd2_apply(dim, upd, ["k"], ["v"], "2024-06-01")
+    per_key = (
+        out.filter(F.col("is_current"))
+        .groupBy("k")
+        .count()
+        .filter(F.col("count") != 1)
+        .collect()
+    )
+    assert not per_key, per_key
+    # every key present before is still present
+    assert out.select("k").distinct().count() == len(dim_rows)
+
+
+@SLOW
+@given(dim_rows=_dim_rows, upd_rows=_upd_rows)
+def test_scd2_replay_is_noop(spark, dim_rows, upd_rows):
+    """Applying the same update batch twice adds no rows: the second
+    pass sees current versions already equal to the updates."""
+    dim, upd = _scd_frames(spark, dim_rows, upd_rows)
+    once = scd2_apply(dim, upd, ["k"], ["v"], "2024-06-01")
+    twice = scd2_apply(once, upd, ["k"], ["v"], "2024-07-01")
+    assert twice.count() == once.count()
+    # and the current snapshot reflects the updates for existing keys
+    cur = {r.k: r.v for r in once.filter("is_current").collect()}
+    upd_map = dict(upd_rows)
+    for k, v in dim_rows:
+        assert cur[k] == upd_map.get(k, v)

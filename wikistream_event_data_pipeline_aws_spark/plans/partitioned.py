@@ -109,25 +109,32 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort) gives every file a tight min/max envelope on *both* columns,
     so a predicate on either dimension prunes most files via footer
     stats — the multi-dimensional generalization of S6's one-column
-    partition pruning. This audit query is the layout's proof: per-
-    bucket spans cover ~1/8 of each dimension's range instead of all
-    of it. One narrow projection + one hash aggregation (64 groups).
+    partition pruning. This audit query is the layout's proof: 64
+    buckets, each spanning <=1/8 of the user-shard range AND <=3 of
+    the 24 hours. One narrow projection + one hash aggregation.
+
+    Interleave discipline: the hour (0..23) is first scaled onto the
+    full 8-bit range (``hour*256 div 24``) — interleaving a 5-bit
+    value raw would leave its top bits constant and the z prefix
+    would degenerate to single-dimension bucketing (the classic
+    z-order mistake with mismatched column ranges; tests pin the
+    two-dimensional span bound).
     """
     e = load_table(spark, sf_dir, "events")
     t = e.select(
         (F.col("user_id") % 256).alias("x"),
-        F.hour("ts").cast("long").alias("y"),
-    )
-    z = t.select("x", "y", F.expr(_z_expr("x", "y")).alias("zkey"))
+        F.hour("ts").cast("long").alias("h"),
+    ).withColumn("y", F.expr("(h * 256) div 24"))
+    z = t.select("x", "h", F.expr(_z_expr("x", "y")).alias("zkey"))
     return (
-        z.select("x", "y", F.expr(f"zkey div {1 << Z_BUCKET_SHIFT}").alias("z_bucket"))
+        z.select("x", "h", F.expr(f"zkey div {1 << Z_BUCKET_SHIFT}").alias("z_bucket"))
         .groupBy("z_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min("x").alias("x_min"),
             F.max("x").alias("x_max"),
-            F.min("y").alias("y_min"),
-            F.max("y").alias("y_max"),
+            F.min("h").alias("hour_min"),
+            F.max("h").alias("hour_max"),
         )
     )
 
@@ -142,13 +149,16 @@ def _z_expr_duck(x: str, y: str) -> str:
 
 ZORDER_CLUSTER_STATS_SQL = f"""
 WITH t AS (
-  SELECT user_id % 256 AS x, CAST(hour(ts) AS BIGINT) AS y FROM events
+  SELECT user_id % 256 AS x,
+         CAST(hour(ts) AS BIGINT) AS h,
+         (CAST(hour(ts) AS BIGINT) * 256) // 24 AS y
+  FROM events
 ),
-z AS (SELECT x, y, {_z_expr_duck("x", "y")} AS zkey FROM t)
+z AS (SELECT x, h, {_z_expr_duck("x", "y")} AS zkey FROM t)
 SELECT zkey // {1 << Z_BUCKET_SHIFT} AS z_bucket,
        COUNT(*) AS n_rows,
        MIN(x) AS x_min, MAX(x) AS x_max,
-       MIN(y) AS y_min, MAX(y) AS y_max
+       MIN(h) AS hour_min, MAX(h) AS hour_max
 FROM z GROUP BY 1
 """
 
