@@ -148,6 +148,37 @@ def test_no_unpartitioned_windows_in_plan_sources():
         )
 
 
+def test_cms_estimate_join_broadcasts_counter_grid(spark, sf_dir):
+    """The count-min counter grid is d*w cells by construction — the
+    estimate join must broadcast it, never shuffle the candidates."""
+    plan = _plan(spark, sf_dir, "heavy_hitters_cms")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_probe_broadcasts_bit_set(spark, sf_dir):
+    """The bloom bit set is <= m rows however large the build side —
+    the probe join must broadcast it."""
+    plan = _plan(spark, sf_dir, "bloom_semi_join_stats")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_has_no_cartesian_and_caps_with_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_tfidf_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_zorder_is_single_hash_aggregate(spark, sf_dir):
+    """The layout audit is a projection + one hash agg — no join, no
+    sort, no window."""
+    plan = _plan(spark, sf_dir, "zorder_cluster_stats")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
 def test_udtf_filter_sits_below_python_boundary(spark, sf_dir):
     """Catalyst does not push predicates through a LATERAL Python UDTF
     join, so the query must filter before the view: the scan node has
