@@ -237,12 +237,58 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation: the multi-table LSH ANN path audited
+    against the exact brute-force top-k — the measurement every ANN
+    deployment needs before trusting the approximate path at 100 TB
+    (tune n_tables/n_planes until recall clears the bar, then retire
+    the exact scan). Ground truth joins the ANN result on (query,
+    neighbor); recall = hit fraction per query. Both inputs are the
+    already-registered deterministic pipelines, so even this eval is
+    value-hash-checked."""
+    exact = similarity_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = (
+        similarity_ann_lsh_multi(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_exact")).alias("recall_at_k"),
+        )
+    )
+
+
+SIMILARITY_ANN_RECALL_SQL = f"""
+WITH exact AS ({SIMILARITY_COSINE_TOPK_SQL}),
+ann AS ({SIMILARITY_ANN_LSH_MULTI_SQL})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+FROM exact e
+LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_embedding_neardup": similarity_embedding_neardup,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_lsh_multi": similarity_ann_lsh_multi,
     "similarity_ann_ivf": similarity_ann_ivf,
+    "similarity_ann_recall": similarity_ann_recall,
 }
 
 ORACLES = {
@@ -251,4 +297,5 @@ ORACLES = {
     "similarity_embedding_neardup": SIMILARITY_EMBEDDING_NEARDUP_SQL,
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
     "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
+    "similarity_ann_recall": SIMILARITY_ANN_RECALL_SQL,
 }

@@ -229,12 +229,70 @@ FROM events c JOIN events v
 """
 
 
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session-window aggregation (``F.session_window``,
+    30-minute gap, per user) — the dynamic-window stateful operator:
+    unlike tumbling/sliding, session bounds are data-driven and the
+    state store merges overlapping sessions as events arrive. One
+    stateful aggregation only (streaming forbids chaining a second
+    agg on top); complete mode keeps all sessions in state so the
+    end-of-stream result equals the batch lag-gap sessionization
+    (same semantics as ``session_window_user_stats``: a new session
+    starts when the gap is >= 30 min)."""
+    s = _events_stream(spark, sf_dir)
+    win = F.session_window(F.col("ts"), "30 minutes")
+    agg = (
+        s.groupBy(win, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "mem_streaming_session_window", "complete")
+
+
+STREAMING_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_stateful_running_count": streaming_stateful_running_count,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_interval_join": streaming_interval_join,
+    "streaming_session_window": streaming_session_window,
 }
 
 ORACLES = {
@@ -243,4 +301,5 @@ ORACLES = {
     "streaming_stateful_running_count": STREAMING_STATEFUL_RUNNING_COUNT_SQL,
     "streaming_static_enrich": STREAMING_STATIC_ENRICH_SQL,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN_SQL,
+    "streaming_session_window": STREAMING_SESSION_WINDOW_SQL,
 }
