@@ -287,6 +287,100 @@ GROUP BY o_orderpriority
 """
 
 
+# -- Q6-style forecast revenue (pure scan-side filter + scalar agg) -----------
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: every predicate is scan-pushable (shipdate range,
+    discount band, quantity cap), so the whole query is a pruned
+    parquet scan + one map-side-combined scalar aggregate — at 100 TB
+    this reads only the row groups whose min/max stats intersect the
+    filters and shuffles d partial sums, nothing else. Products are
+    computed in DECIMAL so the sum is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount", 4, 2)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# -- Q14-style promotion effect (fact ⋈ broadcast part dim) -------------------
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: one month of lineitem joined to the part dim
+    (broadcast — part is the classic small dim), conditional revenue
+    ratio. Exercises the ``part`` table and the SUM(CASE)/SUM ratio
+    pattern with decimal-exact numerators."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount", 4, 2)
+    disc_price = price * (F.lit(1).cast("decimal(4,2)") - disc)
+    zero = F.lit(0).cast("decimal(17,4)")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero)
+    ).cast("double")
+    total = F.sum(disc_price).cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+PROMO_REVENUE_SQL = """
+WITH j AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS disc_price,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_price ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(disc_price) AS DOUBLE) AS total_revenue,
+       CAST(100.0 AS DOUBLE)
+         * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_price ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+         / CAST(SUM(disc_price) AS DOUBLE) AS promo_pct
+FROM j
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": pricing_summary,
     "tpch_shipping_priority": shipping_priority,
@@ -295,6 +389,8 @@ QUERIES = {
     "join_anti_customers_without_orders": customers_without_orders,
     "join_left_customer_order_profile": customer_order_profile,
     "tpch_order_priority_count": order_priority_count,
+    "tpch_forecast_revenue": forecast_revenue,
+    "tpch_promo_revenue": promo_revenue,
 }
 
 ORACLES = {
@@ -305,4 +401,6 @@ ORACLES = {
     "join_anti_customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "join_left_customer_order_profile": CUSTOMER_ORDER_PROFILE_SQL,
     "tpch_order_priority_count": ORDER_PRIORITY_COUNT_SQL,
+    "tpch_forecast_revenue": FORECAST_REVENUE_SQL,
+    "tpch_promo_revenue": PROMO_REVENUE_SQL,
 }
