@@ -230,32 +230,38 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build: token -> sorted posting list of doc_ids,
     for the highest-document-frequency tokens.
 
-    One (token)-keyed aggregation then a top-k (TakeOrderedAndProject).
-    Postings are emitted as a capped sample (first ``INVIDX_POSTINGS_CAP``
-    doc_ids) plus the full df count: at 100 TB a frequent token's full
-    posting list exceeds a single row, so a production index shards
-    postings into (token, doc_id_bucket) pages — the cap keeps this
-    demonstration row-bounded while the df column stays exact.
+    The df count is an exact token-keyed aggregation; the postings
+    sample is capped BEFORE any array materializes — a token-partitioned
+    ``row_number`` keeps only the first ``INVIDX_POSTINGS_CAP`` doc_ids,
+    so no executor ever holds a full posting list (a stopword's postings
+    at 100 TB would otherwise OOM the collect). The window shuffle is
+    sort-based and spillable; a production index would page the full
+    lists into (token, doc_id_bucket) shards with the same bound.
+    Final top-k is a TakeOrderedAndProject over the token aggregate.
     """
     d = load_table(spark, sf_dir, "documents")
     tok_docs = d.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     ).distinct()
-    agg = tok_docs.groupBy("token").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("postings_arr")
-    )
-    return (
-        agg.select(
-            "token",
-            F.size("postings_arr").alias("df_docs"),
+    dfreq = tok_docs.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    w = Window.partitionBy("token").orderBy("doc_id")
+    sample = (
+        tok_docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= INVIDX_POSTINGS_CAP)
+        .groupBy("token")
+        .agg(
             F.array_join(
                 F.transform(
-                    F.slice("postings_arr", 1, INVIDX_POSTINGS_CAP),
+                    F.array_sort(F.collect_list("doc_id")),
                     lambda x: x.cast("string"),
                 ),
                 ",",
-            ).alias("postings_sample"),
+            ).alias("postings_sample")
         )
+    )
+    return (
+        dfreq.join(sample, "token")
+        .select("token", "df_docs", "postings_sample")
         .orderBy(F.desc("df_docs"), "token")
         .limit(INVIDX_TOPK)
     )
@@ -266,14 +272,18 @@ WITH toks AS (
   SELECT DISTINCT doc_id, token
   FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents) raw
 ),
-agg AS (
-  SELECT token, list_sort(list(doc_id)) AS postings_arr
-  FROM toks GROUP BY token
+dfreq AS (SELECT token, COUNT(*) AS df_docs FROM toks GROUP BY token),
+sample AS (
+  SELECT token, array_to_string(list_sort(list(doc_id)), ',') AS postings_sample
+  FROM (
+    SELECT token, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+    FROM toks
+  ) WHERE rn <= {INVIDX_POSTINGS_CAP}
+  GROUP BY token
 )
-SELECT token,
-       CAST(len(postings_arr) AS INTEGER) AS df_docs,
-       array_to_string(postings_arr[1:{INVIDX_POSTINGS_CAP}], ',') AS postings_sample
-FROM agg
+SELECT token, df_docs, postings_sample
+FROM dfreq JOIN sample USING (token)
 ORDER BY df_docs DESC, token
 LIMIT {INVIDX_TOPK}
 """
