@@ -405,6 +405,94 @@ FROM per_type, g
 """
 
 
+def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection (Q14-adjacent DQ extension): per event_type,
+    count values beyond 2 standard deviations of the type's mean.
+
+    Mean/variance come from integer-exact cents sums held in
+    DECIMAL(38,0) — `var = (n*sxx - sx^2) / n^2` is computed on exact
+    integers and only the final division and sqrt touch floating
+    point. ``sqrt`` is IEEE-754 correctly rounded (unlike ln/exp), so
+    the thresholds are bit-identical across engines and even the
+    outlier COUNTS value-hash-match. Two map-side-combined passes
+    (moments, then flag counts) joined on the 5-row type key — the
+    same shape at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    t = e.select("event_type", cents.alias("cents"))
+    m = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    mean = sx_d / n_d
+    # exact integer sums -> double factors, combined with the identical
+    # expression tree as the oracle (user_value_trend pattern): every
+    # op is the same IEEE op in both engines
+    var = (n_d * sxx_d - sx_d * sx_d) / (n_d * n_d)
+    stats = m.select(
+        "event_type",
+        "n",
+        mean.alias("mean_cents"),
+        F.sqrt(var).alias("std_cents"),
+    )
+    flagged = (
+        t.join(F.broadcast(stats), "event_type")
+        .filter(
+            F.abs(F.col("cents").cast("double") - F.col("mean_cents"))
+            > F.lit(2.0) * F.col("std_cents")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "mean_cents",
+            "std_cents",
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+        )
+    )
+
+
+DQ_OUTLIER_ZSCORE_SQL = """
+WITH t AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(cents * cents AS DECIMAL(38,0))) AS sxx
+  FROM t GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+         sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_cents
+  FROM m
+),
+flagged AS (
+  SELECT t.event_type, COUNT(*) AS n_outliers
+  FROM t JOIN stats s ON t.event_type = s.event_type
+  WHERE abs(CAST(cents AS DOUBLE) - mean_cents) > CAST(2.0 AS DOUBLE) * std_cents
+  GROUP BY t.event_type
+)
+SELECT s.event_type, s.n, s.mean_cents, s.std_cents,
+       COALESCE(f.n_outliers, 0) AS n_outliers
+FROM stats s LEFT JOIN flagged f ON s.event_type = f.event_type
+"""
+
+
 QUERIES = {
     "dq_completeness": dq_completeness,
     "dq_containment": dq_containment,
@@ -415,6 +503,7 @@ QUERIES = {
     "dq_profile_value": dq_profile_value,
     "dq_drift_halves": dq_drift_halves,
     "dq_freshness": dq_freshness,
+    "dq_outlier_zscore": dq_outlier_zscore,
 }
 
 ORACLES = {
@@ -427,4 +516,5 @@ ORACLES = {
     "dq_profile_value": DQ_PROFILE_VALUE_SQL,
     "dq_drift_halves": DQ_DRIFT_HALVES_SQL,
     "dq_freshness": DQ_FRESHNESS_SQL,
+    "dq_outlier_zscore": DQ_OUTLIER_ZSCORE_SQL,
 }
