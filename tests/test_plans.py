@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 106
+EXPECTED_QUERY_COUNT = 107
 
 
 def _plan(spark, sf_dir, name: str) -> str:

@@ -113,6 +113,7 @@ def _load() -> None:
         "sketches",
         "pyapi",
         "similarity",
+        "graph",
         "multimodal",
         "extensions",
         "dq",
