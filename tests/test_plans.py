@@ -201,6 +201,12 @@ def test_registry_size_and_driver_front_order():
     assert set(o) <= set(q)
     front = registry._DRIVER_FRONT
     assert list(q)[: len(front)] == list(front)
+    # The driver verifies only the FIRST 50 registered queries; a 51st
+    # _DRIVER_FRONT entry is silently dropped (this cut partitioned_scan
+    # _pruning from BOTH round-1 and round-2 rotations).
+    assert len(front) <= 50
+    assert len(front) == len(set(front))
+    assert set(front) <= set(q)
 
 
 def test_vocab_topk_is_take_ordered(spark, sf_dir):

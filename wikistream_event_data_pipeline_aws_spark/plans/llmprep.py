@@ -101,9 +101,10 @@ c AS (
   FROM t
 )
 SELECT doc_id, lang, shard, n_tokens,
-       (cum - n_tokens) // {SEQ_BUDGET} AS seq_first,
-       (cum - 1) // {SEQ_BUDGET} AS seq_last,
-       ((cum - 1) // {SEQ_BUDGET}) - ((cum - n_tokens) // {SEQ_BUDGET}) + 1 AS n_seqs
+       CAST((cum - n_tokens) // {SEQ_BUDGET} AS BIGINT) AS seq_first,
+       CAST((cum - 1) // {SEQ_BUDGET} AS BIGINT) AS seq_last,
+       CAST(((cum - 1) // {SEQ_BUDGET}) - ((cum - n_tokens) // {SEQ_BUDGET}) + 1
+            AS BIGINT) AS n_seqs
 FROM c
 """
 

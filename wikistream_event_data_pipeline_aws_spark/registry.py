@@ -18,63 +18,23 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 # The driver verifies the FIRST 50 registered queries against DuckDB each
-# round (CORRECTNESS_r01.json cut off at exactly the first 50 in insertion
-# order).  Round 1 covered the 50 below the fold; this round the 26 that
-# missed the cap are promoted to the front so that, across rounds, every
-# query accumulates a driver-side verification row.  The full list is always
-# registered — only the iteration order changes.
+# round (CORRECTNESS_r01/r02 cut off at exactly the first 50 in insertion
+# order — a 51st entry is silently dropped, so this list MUST stay <= 50;
+# tests/test_plans.py pins that).  Round 3 promotes the 7 queries that have
+# no driver row in r01∪r02 (partitioned_scan_pruning missed BOTH rotations)
+# plus pack_sequences, whose round-2 row was red on an oracle-side HUGEINT
+# type bug (now fixed) and needs a green re-check.  Queries added in round 3
+# follow, so every registered query accumulates a driver verification row.
+# The full set is always registered — only iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
-    "curate_corpus",  # new in round 2 — the end-to-end flagship
-    "similarity_ann_lsh_multi",  # new in round 2 — needs its first driver row
-    "dedup_clusters",  # new in round 2 — needs its first driver row
-    "pack_sequences",  # new in round 2
-    "decontaminate_ngram_overlap",  # new in round 2
-    "sample_stratified_hash",  # new in round 2
-    "redact_pii",  # new in round 2
-    "vocab_topk",  # new in round 2
-    "text_repetition_filter",  # new in round 2
-    "corpus_shuffle_hash",  # new in round 2
-    "domain_mixture_sample",  # new in round 2
-    "streaming_static_enrich",  # new in round 2
-    "streaming_interval_join",  # new in round 2
-    "user_value_trend",  # new in round 2
-    "hll_distinct_events",  # new in round 2
-    "hll_distinct_users_by_type",  # new in round 2
-    "heavy_hitters_cms",  # new in round 2
-    "histogram_quantiles_value",  # new in round 2
-    "text_tfidf_topk",  # new in round 2
-    "text_inverted_index",  # new in round 2
-    "bloom_semi_join_stats",  # new in round 2
-    "scd2_customer_dim",  # new in round 2
-    "zorder_cluster_stats",  # new in round 2
-    "user_value_median_pandas",  # new in round 2
-    "props_kv_udtf",  # new in round 2
-    "quality_flags",
-    "peak_hour_analytic",
-    "gate_status_rollup",
-    "join_salted_skew",
-    "grouping_sets_type_date",
-    "asof_latest_click",
-    "range_join_next_hour",
-    "dq_completeness",
-    "dq_containment",
-    "dq_uniqueness",
-    "dq_range",
-    "dq_accuracy_recompute",
-    "dq_cross_column",
-    "dq_profile_value",
-    "dq_drift_halves",
-    "dq_freshness",
-    "merge_insert_only_orders",
-    "merge_upsert_orders",
-    "tumbling_hourly_counts",
-    "tumbling_15min_by_type",
-    "sliding_1h_15m_counts",
-    "session_window_user_stats",
-    "streaming_tumbling_hourly",
-    "streaming_dedup_watermark",
-    "streaming_stateful_running_count",
-    "partitioned_scan_pruning",
+    "partitioned_scan_pruning",  # S6 — only SURVEY §2 row never driver-checked
+    "similarity_ann_recall",  # round-2 post-freeze, no driver row yet
+    "streaming_session_window",  # no driver row yet
+    "graph_triangle_count",  # no driver row yet (degree-oriented this round)
+    "dq_outlier_zscore",  # no driver row yet
+    "tpch_forecast_revenue",  # no driver row yet
+    "tpch_promo_revenue",  # no driver row yet
+    "pack_sequences",  # r02 red row — oracle CAST fixed, needs green re-check
 )
 
 
