@@ -7,6 +7,8 @@ mode, timezone) before the driver's CORRECTNESS gate does.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 
 import duckdb
@@ -50,6 +52,54 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_family(s: pd.Series) -> str:
+    """Collapse a pandas column to a type family for parity checking.
+
+    The driver's value-hash is type-sensitive: DuckDB ``//`` silently
+    widens to HUGEINT, which pandas materializes as an *object* column of
+    Python ints while Spark emits int64 — identical values, different
+    hash (the round-2 ``pack_sequences`` red row). Families make that
+    class of oracle-side type drift a local test failure instead of a
+    driver-round discovery.
+    """
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "timestamp"
+    if k != "O":
+        return k
+    for v in s:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            # int values in an *object* column: pandas had no native home
+            # for them (DuckDB HUGEINT) — distinct from int64 on purpose.
+            return "bigint-object"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (tuple, list)):
+            return "array"
+        if isinstance(v, (bytes, bytearray)):
+            return "binary"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, datetime.datetime):
+            return "timestamp"
+        if isinstance(v, datetime.date):
+            return "date"
+        return type(v).__name__
+    return "empty"
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 0.0) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems: list[str] = []
@@ -60,6 +110,18 @@ def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 0.0) -> list[s
         return problems
     if list(s.columns) != list(o.columns):
         problems.append(f"columns: spark={list(s.columns)} oracle={list(o.columns)}")
+        return problems
+    for c in s.columns:
+        fs, fo = _dtype_family(s[c]), _dtype_family(o[c])
+        if fs == fo or "empty" in (fs, fo):
+            continue
+        # int-vs-float is a legitimate pandas artifact of nullable int
+        # columns (either side may widen to float64 when nulls are
+        # present); the value loop below still compares numerically.
+        if {fs, fo} == {"int", "float"}:
+            continue
+        problems.append(f"col {c} dtype family: spark={fs} oracle={fo}")
+    if problems:
         return problems
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()

@@ -40,9 +40,18 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # epoch-nanos long -> microsecond timestamp, integer math only
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # epoch-nanos long -> microsecond timestamp, integer math only
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] with isAdjustedToUTC=false arrives as
+            # TIMESTAMP_NTZ under inferTimestampNTZ; functions like
+            # unix_micros accept only LTZ. The session timezone is pinned
+            # UTC, so the cast reinterprets the same wall-clock instant —
+            # value-identical to what DuckDB reads from the same file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
