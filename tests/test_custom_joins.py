@@ -77,3 +77,32 @@ def test_asof_join_payload_is_atomic(spark):
     out = asof_join(left, right, ["user_id"], "ts", ["x", "y"]).collect()
     assert len(out) == 1
     assert (out[0]["x"], out[0]["y"]) == ("C", None)
+
+
+def test_banded_range_left_join_survives_nondeterministic_left(spark):
+    """The left path re-evaluates the id-tagged left plan in two
+    branches; a shuffle upstream must not let rows be double-emitted or
+    dropped (the id assignment is pinned by localCheckpoint)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    left = _ts(
+        spark,
+        [(f"k{i % 7}", t0 + dt.timedelta(minutes=i)) for i in range(200)],
+        "key string, lts timestamp",
+    ).repartition(8)  # injects a round-robin (nondeterministic) shuffle
+    right = _ts(
+        spark,
+        [(f"k{i % 7}", t0 + dt.timedelta(minutes=i, seconds=30), f"tag{i}") for i in range(0, 200, 3)],
+        "key string, rts timestamp, tag string",
+    )
+    out = banded_range_join(
+        left, right, ["key"], "lts", "rts",
+        lower_us=0, upper_us=60_000_000, how="left",
+    )
+    # every left row appears at least once; unmatched exactly once with NULL
+    assert out.groupBy("key", "lts").count().filter("count < 1").count() == 0
+    n_left = left.count()
+    n_matched_keys = out.filter("tag IS NOT NULL").select("key", "lts").distinct().count()
+    n_unmatched = out.filter("tag IS NULL").count()
+    assert n_matched_keys + n_unmatched == n_left

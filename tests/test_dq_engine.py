@@ -134,3 +134,19 @@ def test_audit_roundtrip(clean_df, spark, tmp_path):
     w.write_gate(spark, bad_gate, "2024-01-02")
     assert w.latest_gate_blocked(spark, "bronze") is True
     assert w.latest_gate_blocked(spark, "silver") is None
+
+
+def test_dq_profile_value_empty_events(spark, tmp_path):
+    """Zero input rows: the profile short-circuits to a null-filled row
+    instead of TypeError-ing on None histogram bounds."""
+    from wikistream_event_data_pipeline_aws_spark.plans.dq import dq_profile_value
+
+    empty = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    empty.write.parquet(str(tmp_path / "events.parquet"))
+    row = dq_profile_value(spark, str(tmp_path)).collect()[0]
+    assert row["n"] == 0
+    assert row["min_cents"] is None and row["p95_cents"] is None

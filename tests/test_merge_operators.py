@@ -172,3 +172,37 @@ def test_upsert_parquet_missing_path_errors_do_not_clobber(spark, tmp_path):
         upsert_parquet(spark, path, _pdf(spark, [(1, "a", 1, "d1")]), ["k"])
     # table was not clobbered by the failed merge
     assert open(os.path.join(path, "junk.parquet")).read() == "not parquet at all"
+
+
+def test_scd2_new_keys_open_first_current_version(spark):
+    """Update keys absent from dim insert a current row (MERGE's WHEN
+    NOT MATCHED arm) instead of being silently dropped."""
+    from wikistream_event_data_pipeline_aws_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, 10, "2024-01-01", "9999-12-31", True)],
+        "k int, v int, valid_from string, valid_to string, is_current boolean",
+    )
+    upd = spark.createDataFrame([(1, 11), (2, 20)], "k int, v int")
+    out = scd2_apply(dim, upd, ["k"], ["v"], "2024-06-01")
+    rows = {(r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, 10, "2024-01-01", "2024-06-01", False),
+        (1, 11, "2024-06-01", "9999-12-31", True),
+        (2, 20, "2024-06-01", "9999-12-31", True),
+    }
+
+
+def test_scd2_fully_closed_key_reopens(spark):
+    """A key whose history is entirely closed (no current row) gets a
+    fresh current version from an update."""
+    from wikistream_event_data_pipeline_aws_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, 10, "2024-01-01", "2024-03-01", False)],
+        "k int, v int, valid_from string, valid_to string, is_current boolean",
+    )
+    upd = spark.createDataFrame([(1, 12)], "k int, v int")
+    out = scd2_apply(dim, upd, ["k"], ["v"], "2024-06-01")
+    rows = {(r.k, r.v, r.is_current) for r in out.collect()}
+    assert rows == {(1, 10, False), (1, 12, True)}

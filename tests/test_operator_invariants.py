@@ -137,8 +137,10 @@ def test_scd2_one_current_version_per_key(spark, dim_rows, upd_rows):
         .collect()
     )
     assert not per_key, per_key
-    # every key present before is still present
-    assert out.select("k").distinct().count() == len(dim_rows)
+    # every key present before is still present, and update keys absent
+    # from dim open a first version (MERGE insert arm)
+    expected_keys = {k for k, _ in dim_rows} | {k for k, _ in upd_rows}
+    assert out.select("k").distinct().count() == len(expected_keys)
 
 
 @SLOW
@@ -155,3 +157,6 @@ def test_scd2_replay_is_noop(spark, dim_rows, upd_rows):
     upd_map = dict(upd_rows)
     for k, v in dim_rows:
         assert cur[k] == upd_map.get(k, v)
+    # brand-new keys are current with the update's attributes
+    for k, v in upd_rows:
+        assert cur[k] == v

@@ -133,10 +133,13 @@ def scd2_apply(
     columns; ``updates`` carries ``keys + attrs`` (one row per key).
     Rows whose attributes actually changed (null-safe comparison
     against the CURRENT dim version) close the current version at
-    ``eff_date`` and open a new one; no-op updates and historical
-    versions pass through untouched — the warehouse MERGE pattern the
-    reference's Iceberg upsert (``bronze_streaming_job.py:364-374``)
-    would need for versioned dimensions.
+    ``eff_date`` and open a new one; update keys with no current dim
+    row (brand-new keys, or keys whose history is fully closed) open a
+    first/current version — standard SCD2 MERGE ``WHEN NOT MATCHED THEN
+    INSERT``; no-op updates and historical versions pass through
+    untouched — the warehouse MERGE pattern the reference's Iceberg
+    upsert (``bronze_streaming_job.py:364-374``) would need for
+    versioned dimensions.
 
     Shape: one key-partitioned join to diff updates against current
     rows, one to tag dim rows, then unions — all equi-joins on the
@@ -156,6 +159,11 @@ def scd2_apply(
         .filter(~same)
         .select(*keys, *attrs)
     )
+    # Keys with no current row open a first version (MERGE insert arm).
+    new_keys = updates.join(cur_attrs.select(*keys), list(keys), "left_anti").select(
+        *keys, *attrs
+    )
+    changed = changed.unionByName(new_keys)
     ck = changed.select(*keys).withColumn("__chg", F.lit(True))
     marked = dim.join(ck, list(keys), "left")
     untouched = marked.filter(

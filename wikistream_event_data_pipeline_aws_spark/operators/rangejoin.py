@@ -58,10 +58,15 @@ def banded_range_join(
     # below must identify unmatched rows by identity, not by whole-row
     # equality — a null-unsafe anti-join on all left columns both drops
     # NULL-bearing unmatched rows and re-emits NULL-bearing matched ones.
-    # monotonically_increasing_id is stable for file-backed scans (id is a
-    # function of partition index + row position), which is the case for
-    # every registered plan.
+    # The left path evaluates l_id twice (inner branch + anti branch), so
+    # the id assignment must come from ONE materialized evaluation: a
+    # shuffle/sample/other nondeterministic stage upstream could otherwise
+    # renumber rows between branches, emitting a row as both matched and
+    # unmatched (or neither). localCheckpoint pins the assignment; the
+    # inner path evaluates once and needs no fence.
     l_id = left.withColumn("__lid", F.monotonically_increasing_id())
+    if how == "left":
+        l_id = l_id.localCheckpoint(eager=True)
     l_tagged = l_id.withColumn("__lus", l_us).withColumn(
         "__bucket", F.explode(F.array(l_bucket0, l_bucket0 + 1))
     )

@@ -215,6 +215,17 @@ def dq_profile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi, n = counts.agg(
         F.min("cents"), F.max("cents"), F.sum("cnt")
     ).first()
+    if not n:
+        # Empty input: the histogram math below would TypeError on None
+        # bounds; return the same null-filled single row the oracle's
+        # aggregate produces over zero rows.
+        return spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS n,"
+            " CAST(NULL AS BIGINT) AS min_cents, CAST(NULL AS BIGINT) AS max_cents,"
+            " CAST(NULL AS DOUBLE) AS mean_cents, CAST(NULL AS DOUBLE) AS stddev_cents,"
+            " CAST(NULL AS BIGINT) AS p25_cents, CAST(NULL AS BIGINT) AS p50_cents,"
+            " CAST(NULL AS BIGINT) AS p75_cents, CAST(NULL AS BIGINT) AS p95_cents"
+        )
     width = max((hi - lo) // 1024, 1)
     bucketed = counts.withColumn(
         "bucket", F.floor((F.col("cents") - F.lit(lo)) / F.lit(width))
