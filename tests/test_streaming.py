@@ -8,6 +8,7 @@ import datetime as dt
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
@@ -260,3 +261,93 @@ def test_kafka_stream_builds_unresolved_reader(spark):
         kafka_stream(spark, "b:9092", "t")
     msg = str(ei.value)
     assert "kafka" in msg.lower()
+
+
+def test_kafka_wire_roundtrip_envelope_to_merge_sink(spark, tmp_path):
+    """S1/T6 without a broker: micro-batches carrying Spark's exact
+    Kafka source schema (key/value binary + topic/partition/offset/
+    timestamp) flow through envelope parse -> watermark dedup -> the
+    checkpointed merge sink. After .load() the plan is identical to the
+    real Kafka source, so this pins the whole downstream contract:
+    offset metadata propagation, envelope decode, cross-batch replay
+    idempotency."""
+    import glob
+    import json
+    import shutil
+    import tempfile
+
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        KAFKA_WIRE_SCHEMA,
+        file_stream,
+        parse_kafka_envelope,
+        start_merge_sink,
+        watermark_dedup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def kafka_rows(specs):
+        rows = []
+        for event_id, offset in specs:
+            payload = json.dumps(
+                {
+                    "id": event_id,
+                    "data": json.dumps({"type": "edit", "domain": "en.wikipedia.org"}),
+                }
+            ).encode()
+            rows.append(
+                (
+                    str(event_id).encode(),
+                    payload,
+                    "raw-events",
+                    0,
+                    offset,
+                    t0 + dt.timedelta(seconds=offset),
+                    0,
+                )
+            )
+        return rows
+
+    batches = str(tmp_path / "kafka_batches")
+
+    def write_kafka_batch(rows, name):
+        df = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+        with tempfile.TemporaryDirectory() as tmp:
+            out = os.path.join(tmp, "ds")
+            df.coalesce(1).write.mode("overwrite").parquet(out)
+            part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+            os.makedirs(batches, exist_ok=True)
+            shutil.copy(part, os.path.join(batches, name))
+
+    write_kafka_batch(kafka_rows([(1, 0), (2, 1)]), "b1.parquet")
+    # batch 2 replays offset 1 (broker redelivery) and adds offset 2
+    write_kafka_batch(kafka_rows([(2, 1), (3, 2)]), "b2.parquet")
+
+    stream = file_stream(spark, batches, KAFKA_WIRE_SCHEMA, max_files_per_trigger=1)
+    parsed = parse_kafka_envelope(
+        stream, "id long, data string"
+    ).select(
+        F.col("env.id").alias("event_id"),
+        "kafka_key",
+        "topic",
+        "partition",
+        "offset",
+        "kafka_timestamp",
+        F.get_json_object("env.data", "$.type").alias("event_type"),
+    )
+    deduped = watermark_dedup(parsed, ["event_id"], ts_col="kafka_timestamp")
+    target = str(tmp_path / "bronze_kafka")
+    q = start_merge_sink(deduped, target, ["event_id"], str(tmp_path / "ckpt_kafka"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.read.parquet(target).collect()
+    assert sorted(r.event_id for r in final) == [1, 2, 3]
+    by_id = {r.event_id: r for r in final}
+    # kafka metadata survived the decode; key matches the event id
+    assert by_id[3].offset == 2 and by_id[3].topic == "raw-events"
+    assert by_id[1].kafka_key == "1"
+    # the inner stringified payload parsed through get_json_object
+    assert by_id[2].event_type == "edit"

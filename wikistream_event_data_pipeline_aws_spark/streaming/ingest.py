@@ -99,6 +99,35 @@ def kafka_options(
     return opts
 
 
+# Schema of every Kafka-source row as Spark emits it — the wire contract
+# downstream transforms are written against. A file stream with this
+# schema is plan-for-plan identical to the Kafka source after .load(),
+# which is what makes the brokerless round-trip test meaningful.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long,"
+    " timestamp timestamp, timestampType int"
+)
+
+
+def parse_kafka_envelope(df: DataFrame, payload_schema: StructType | str) -> DataFrame:
+    """Decode Kafka rows into (kafka metadata + parsed envelope struct).
+
+    The reference parses ``value.cast(string)`` with ``from_json``
+    (``bronze_streaming_job.py:143-150`` — P1) keeping the Kafka
+    timestamp for watermarking; same contract here, source-agnostic:
+    works on the real Kafka source or any stream with
+    :data:`KAFKA_WIRE_SCHEMA`.
+    """
+    return df.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp").alias("kafka_timestamp"),
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("env"),
+    )
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
