@@ -149,6 +149,49 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_multi_table_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deduped (query_id, neighbor_id, __qv, __cv) candidate pairs that
+    collide in ANY of the ``n_tables`` signature tables — the pre-re-rank
+    stage of :func:`lsh_multi_table_topk`, exposed separately so the
+    sweep query can measure candidate volume (the cost axis of the
+    recall/cost frontier).
+
+    Plan shape: the per-table signatures are one array projection;
+    ``posexplode`` turns them into (table, bucket) rows so ALL tables
+    share ONE equi-join; candidates are deduped on the pair key (one
+    keyed shuffle)."""
+
+    def tagged(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                lsh_bucket_key(F.col(vec_col), dim, n_planes, table=t)
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.posexplode(sigs).alias("table", "bucket"),
+        )
+
+    q = tagged(queries, "query_id", "__qv")
+    c = tagged(corpus, "neighbor_id", "__cv")
+    return (
+        q.join(c, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("__qv").alias("__qv"), F.first("__cv").alias("__cv"))
+    )
+
+
 def lsh_multi_table_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -166,33 +209,10 @@ def lsh_multi_table_topk(
     pair collides in ANY table. If a single table finds a true neighbor
     with probability p, ``n_tables`` independent tables find it with
     1-(1-p)^n_tables — recall climbs toward exact at linear candidate
-    cost, still never a cross join.
-
-    Plan shape: the per-table signatures are one array projection;
-    ``posexplode`` turns them into (table, bucket) rows so ALL tables
-    share ONE equi-join; candidates are deduped on the pair key (one
-    keyed shuffle) before the exact cosine re-rank."""
-
-    def tagged(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                lsh_bucket_key(F.col(vec_col), dim, n_planes, table=t)
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(out_vec),
-            F.posexplode(sigs).alias("table", "bucket"),
-        )
-
-    q = tagged(queries, "query_id", "__qv")
-    c = tagged(corpus, "neighbor_id", "__cv")
-    cand = (
-        q.join(c, ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("__qv").alias("__qv"), F.first("__cv").alias("__cv"))
+    cost, still never a cross join. Candidate generation is
+    :func:`lsh_multi_table_candidates`; exact cosine re-ranks within."""
+    cand = lsh_multi_table_candidates(
+        queries, corpus, dim, n_planes, n_tables, id_col, vec_col
     )
     scored = cand.select(
         "query_id",

@@ -18,6 +18,7 @@ from ..operators.similarity import (
     embedding_near_duplicates,
     ivf_topk,
     lsh_bucket_topk,
+    lsh_multi_table_candidates,
     lsh_multi_table_topk,
 )
 
@@ -282,6 +283,145 @@ GROUP BY e.query_id
 """
 
 
+# (n_tables, n_planes) grid: the tables axis buys recall at linear
+# candidate cost; the planes axis cuts candidates at recall cost. Five
+# points trace the frontier's two edges plus the deployed corner.
+SWEEP_CONFIGS: tuple[tuple[int, int], ...] = ((1, 6), (2, 6), (3, 4), (3, 6), (3, 8))
+
+
+def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost frontier sweep over the multi-table LSH grid — the
+    tuning artifact an actual 100 TB ANN deployment needs: pick the
+    cheapest (n_tables, n_planes) whose recall clears the product bar,
+    then retire the exact scan. One row per config:
+    ``n_candidates`` (pairs scored — the cost axis) and micro-averaged
+    ``recall`` against the exact brute-force top-k (the quality axis).
+    Deterministic end to end (md5 hyperplanes), so even this eval is
+    value-hash-checked against the DuckDB oracle.
+
+    Each config's candidate set feeds two consumers (count + re-rank),
+    so it is fenced with a lazy localCheckpoint — the signature
+    projection (n_planes x DIM literal folds per row, the sweep's
+    dominant cost) runs once per config, not twice. Ground truth is
+    fenced the same way (one brute-force pass, not one per config)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    exact = (
+        brute_force_topk(queries, e, k=TOP_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    parts = []
+    for nt, npl in SWEEP_CONFIGS:
+        cand = lsh_multi_table_candidates(
+            queries, e, dim=DIM, n_planes=npl, n_tables=nt
+        ).localCheckpoint(eager=False)
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+        )
+        ann = (
+            cand.select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        rec = exact.join(ann, ["query_id", "neighbor_id"], "left").agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        parts.append(
+            n_cand.crossJoin(rec).select(
+                F.lit(nt).cast("long").alias("n_tables"),
+                F.lit(npl).cast("long").alias("n_planes"),
+                "n_candidates",
+                "n_exact",
+                "n_hits",
+                (F.col("n_hits") / F.col("n_exact")).alias("micro_recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _bucket_cols_sql(n_tables: int, n_planes: int) -> str:
+    from ..operators.similarity import _hyperplane
+
+    bucket_cols = []
+    for t in range(n_tables):
+        proj_terms = []
+        for p in range(n_planes):
+            coeffs = ", ".join(
+                repr(_hyperplane(t * 1000 + p, d)) for d in range(DIM)
+            )
+            proj = (
+                "list_sum(list_transform(list_zip(embedding::DOUBLE[],"
+                f" [{coeffs}]::DOUBLE[]), t -> t[1] * t[2]))"
+            )
+            proj_terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        bucket_cols.append(" + ".join(proj_terms) + f" AS b{t}")
+    return ", ".join(bucket_cols)
+
+
+def _sweep_cfg_sql(i: int, n_tables: int, n_planes: int) -> str:
+    """CTE chunk computing one sweep row (same candidate/re-rank shape
+    as the registered multi-table oracle, parameterized)."""
+    any_table = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+sig{i} AS (
+  SELECT vec_id, {_bucket_cols_sql(n_tables, n_planes)} FROM embeddings
+),
+cand{i} AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM (SELECT * FROM sig{i} WHERE vec_id < {N_QUERIES}) q
+  JOIN sig{i} c ON q.vec_id <> c.vec_id AND ({any_table})
+),
+ranked{i} AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {_COS_SQL.format(a="qe.embedding", b="ce.embedding")} DESC,
+                                     neighbor_id ASC) AS rank
+  FROM cand{i}
+  JOIN embeddings qe ON qe.vec_id = cand{i}.query_id
+  JOIN embeddings ce ON ce.vec_id = cand{i}.neighbor_id
+),
+cfg{i} AS (
+  SELECT CAST({n_tables} AS BIGINT) AS n_tables,
+         CAST({n_planes} AS BIGINT) AS n_planes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{i}) AS n_candidates,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           / CAST(COUNT(*) AS DOUBLE) AS micro_recall
+  FROM exact e
+  LEFT JOIN (SELECT * FROM ranked{i} WHERE rank <= {TOP_K}) a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)"""
+
+
+def _sweep_oracle_sql() -> str:
+    chunks = ",".join(
+        _sweep_cfg_sql(i, nt, npl) for i, (nt, npl) in enumerate(SWEEP_CONFIGS)
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM cfg{i}" for i in range(len(SWEEP_CONFIGS))
+    )
+    return f"WITH exact AS ({SIMILARITY_COSINE_TOPK_SQL}),{chunks}\n{union}"
+
+
+SIMILARITY_ANN_SWEEP_SQL = _sweep_oracle_sql()
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_embedding_neardup": similarity_embedding_neardup,
@@ -289,9 +429,11 @@ QUERIES = {
     "similarity_ann_lsh_multi": similarity_ann_lsh_multi,
     "similarity_ann_ivf": similarity_ann_ivf,
     "similarity_ann_recall": similarity_ann_recall,
+    "similarity_ann_sweep": similarity_ann_sweep,
 }
 
 ORACLES = {
+    "similarity_ann_sweep": SIMILARITY_ANN_SWEEP_SQL,
     "similarity_ann_lsh_multi": SIMILARITY_ANN_LSH_MULTI_SQL,
     "similarity_cosine_topk": SIMILARITY_COSINE_TOPK_SQL,
     "similarity_embedding_neardup": SIMILARITY_EMBEDDING_NEARDUP_SQL,

@@ -35,6 +35,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_forecast_revenue",  # no driver row yet
     "tpch_promo_revenue",  # no driver row yet
     "pack_sequences",  # r02 red row — oracle CAST fixed, needs green re-check
+    "similarity_ann_sweep",  # new in round 3 — recall/cost frontier
 )
 
 
