@@ -45,14 +45,28 @@ def main() -> None:
     # whichever streaming query sorts first.
     qs["streaming_stateful_running_count"](spark, "/root/testdata/sf0.001").count()
 
+    # Stateful streaming queries pay a state-store/MicroBatchExecution
+    # setup cost with ~1.5x run-to-run variance on this host (r02 verdict:
+    # their deltas were harness noise, not plan changes). They are timed
+    # as the median of NOISY_REPEATS runs so round-over-round comparisons
+    # reflect plans; every other query is single-run.
+    noisy = {"streaming_stateful_running_count", "streaming_dedup_watermark"}
+    noisy_repeats = 3
+    noisy_runs: dict[str, list[float]] = {}
+
     for name in sorted(qs):
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        if n < 0:  # pragma: no cover - count() is always >= 0
-            raise RuntimeError(name)
+        runs: list[float] = []
+        for _ in range(noisy_repeats if name in noisy else 1):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+            if n < 0:  # pragma: no cover - count() is always >= 0
+                raise RuntimeError(name)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 4)
+        if len(runs) > 1:
+            noisy_runs[name] = [round(r, 4) for r in runs]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -63,6 +77,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
     }
+    if noisy_runs:
+        # file-only detail: the individual runs behind each median
+        result["noisy_query_runs"] = noisy_runs
     # Full-precision result -> file (the driver's stdout capture keeps only
     # the last 2000 chars; round 1 lost the head of the line and recorded
     # parsed=null). The printed line is the same JSON shrunk to fit the
@@ -75,6 +92,7 @@ def main() -> None:
 
     budget = 1950
     printed = dict(result)
+    printed.pop("noisy_query_runs", None)
     printed["queries"] = {k: round(v, 3) for k, v in timings.items()}
     line = json.dumps(printed, separators=(",", ":"))
     if len(line) > budget:
