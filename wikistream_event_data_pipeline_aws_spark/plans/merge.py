@@ -151,14 +151,69 @@ FROM changed
 """
 
 
+_SCD_ASOF = ("2024-03-15", "2024-07-15")  # one before, one after _SCD_EFF
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction over the SCD2 history — the read
+    side of the versioned-dimension pattern: the dim state AS OF a date
+    is the rows whose ``[valid_from, valid_to)`` interval covers it
+    (ISO date strings compare lexicographically in both engines). One
+    snapshot before and one after the effective date, aggregated per
+    market segment with exact decimal sums cast to double at the end,
+    so the before/after balance delta (+100.00 per 7th customer) is
+    value-checked. The snapshot filter sits directly on the history
+    scan — at scale, partition the history by valid_from range and the
+    filter prunes."""
+    from functools import reduce
+
+    hist = scd2_customer_dim(spark, sf_dir)
+    parts = []
+    for asof in _SCD_ASOF:
+        snap = hist.filter(
+            (F.col("valid_from") <= F.lit(asof)) & (F.col("valid_to") > F.lit(asof))
+        )
+        parts.append(
+            snap.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_acctbal"),
+            ).select(
+                F.lit(asof).alias("snapshot_date"),
+                "c_mktsegment",
+                "n_customers",
+                "total_acctbal",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _scd2_pit_sql() -> str:
+    snaps = "\nUNION ALL\n".join(
+        f"""SELECT '{asof}' AS snapshot_date, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM hist WHERE valid_from <= '{asof}' AND valid_to > '{asof}'
+GROUP BY c_mktsegment"""
+        for asof in _SCD_ASOF
+    )
+    return f"WITH hist AS ({SCD2_CUSTOMER_DIM_SQL})\n{snaps}"
+
+
+SCD2_POINT_IN_TIME_SQL = _scd2_pit_sql()
+
+
 QUERIES = {
     "merge_insert_only_orders": merge_insert_only_orders,
     "merge_upsert_orders": merge_upsert_orders,
     "scd2_customer_dim": scd2_customer_dim,
+    "scd2_point_in_time": scd2_point_in_time,
 }
 
 ORACLES = {
     "merge_insert_only_orders": MERGE_INSERT_ONLY_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "scd2_customer_dim": SCD2_CUSTOMER_DIM_SQL,
+    "scd2_point_in_time": SCD2_POINT_IN_TIME_SQL,
 }

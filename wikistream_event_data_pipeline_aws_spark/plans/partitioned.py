@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -163,11 +163,95 @@ FROM z GROUP BY 1
 """
 
 
+COMPACT_TARGET_BYTES = 16 * 1024  # scaled-down stand-in for the 256 MB target
+_FILE_OVERHEAD = 64  # per-row footer/metadata overhead in the size model
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the maintenance op behind the
+    reference's 256 MB target-file-size property
+    (``spark/schemas/bronze_schema.py:246-254``,
+    ``config/settings.py:180-186``): given a partition's file inventory,
+    assign files to target-sized output bins (Iceberg/Delta OPTIMIZE's
+    planning phase).
+
+    The inventory is derived deterministically from events: one "file"
+    per (event_date, hour) — exactly the micro-batch file grain a
+    3-minute streaming trigger leaves behind — sized as payload bytes
+    (UTF-8 byte length: ``octet_length`` in Spark, ``octet_length(::BLOB)`` in DuckDB) plus a
+    per-row overhead. Binning is next-fit in hour order:
+    ``floor(cumulative_bytes_before / target)``, one partition-local
+    prefix-sum window. At 100 TB each date partition plans
+    independently and in parallel (the window never crosses partition
+    keys, no global sort, no driver state), and the plan's output —
+    files per bin, bytes per bin — is the rewrite job's work list."""
+    e = load_table(spark, sf_dir, "events")
+    files = (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+            F.hour("ts").cast("long").alias("file_hour"),
+            F.octet_length("props").alias("payload"),
+        )
+        .groupBy("event_date", "file_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("payload") + _FILE_OVERHEAD * F.count(F.lit(1))).alias("size_bytes"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_date")
+        .orderBy("file_hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.withColumn(
+        "bin_id",
+        F.expr(
+            f"coalesce(sum(size_bytes) over (partition by event_date order by file_hour"
+            f" rows between unbounded preceding and 1 preceding), 0) div {COMPACT_TARGET_BYTES}"
+        ),
+    )
+    return binned.groupBy("event_date", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").alias("total_bytes"),
+        F.sum("n_rows").alias("total_rows"),
+        F.min("file_hour").alias("first_hour"),
+        F.max("file_hour").alias("last_hour"),
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH files AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(hour(ts) AS BIGINT) AS file_hour,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(octet_length(props::BLOB)) + {_FILE_OVERHEAD} * COUNT(*) AS BIGINT) AS size_bytes
+  FROM events GROUP BY 1, 2
+),
+binned AS (
+  SELECT *,
+         CAST(COALESCE(SUM(size_bytes) OVER (
+             PARTITION BY event_date ORDER BY file_hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id
+  FROM files
+)
+SELECT event_date, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       MIN(file_hour) AS first_hour,
+       MAX(file_hour) AS last_hour
+FROM binned GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "partitioned_scan_pruning": partitioned_scan_pruning,
     "zorder_cluster_stats": zorder_cluster_stats,
+    "compaction_plan": compaction_plan,
 }
 ORACLES = {
     "partitioned_scan_pruning": PARTITIONED_SCAN_PRUNING_SQL,
     "zorder_cluster_stats": ZORDER_CLUSTER_STATS_SQL,
+    "compaction_plan": COMPACTION_PLAN_SQL,
 }

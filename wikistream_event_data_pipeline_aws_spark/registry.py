@@ -36,6 +36,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_promo_revenue",  # no driver row yet
     "pack_sequences",  # r02 red row — oracle CAST fixed, needs green re-check
     "similarity_ann_sweep",  # new in round 3 — recall/cost frontier
+    "scd2_point_in_time",  # new in round 3 — versioned-dim read side
+    "compaction_plan",  # new in round 3 — small-file maintenance planner
 )
 
 
