@@ -68,14 +68,18 @@ def _oriented_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (pa < pb) part co-occurrence edges within the shipdate
+    window — the shared graph both kernels analyze. Distinct is applied
+    at both grains (order-part, then pair) so multi-line orders don't
+    multiply edges."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(_WIN_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(_WIN_HI).cast("timestamp"))
     )
     pp = li.select("l_orderkey", "l_partkey").distinct()
     a, b = pp.alias("a"), pp.alias("b")
-    edges = (
+    return (
         a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(
@@ -83,6 +87,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cooccurrence_edges(spark, sf_dir)
     oe = _oriented_edges(edges)
     e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     # Wedge (u; v, w) from the minimum-rank vertex u only, with the two
@@ -160,10 +168,110 @@ FROM wedge, ne, tri
 """
 
 
+PR_SCALE = 10**9  # fixed-point unit: 1.0 rank == 1e9 scaled units
+PR_ITERS = 3
+PR_TOP = 20
+_PR_BASE = (15 * PR_SCALE) // 100  # (1 - d) with d = 0.85
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, {PR_ITERS} fixed iterations) over the part
+    co-occurrence graph, in scaled-integer fixed point so both engines
+    compute bit-identical ranks: per-edge contribution is
+    ``pr div out_deg`` (floor), the damped update is
+    ``(15*SCALE) div 100 + (85 * in_sum) div 100`` — floor division
+    and integer sums are order-independent, unlike float accumulation,
+    which is what makes an iterative float kernel oracle-checkable at
+    all.
+
+    Shape per iteration: one keyed equi-join (edge src = rank node) +
+    one hash aggregation on dst + one left join back to the node list —
+    the standard Pregel-as-joins lowering with NO driver-side state and
+    no global sort; the edge list (built once, degree-annotated) is
+    fenced with a lazy localCheckpoint so the co-occurrence self-join
+    doesn't re-run each iteration. Every node in this graph has
+    out-degree >= 1 (nodes exist only via edges), so there is no
+    dangling-mass term. The undirected graph is symmetrized into
+    directed edges; a 1000-executor run shuffles on vertex ids and AQE
+    splits residual hub skew. Output: top-{PR_TOP} ranked parts
+    (TakeOrderedAndProject — no full sort)."""
+    edges = _cooccurrence_edges(spark, sf_dir)
+    directed = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = directed.join(deg, "src").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("src").alias("node"))
+    pr = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = ed.join(pr, ed["src"] == pr["node"]).select(
+            F.col("dst"), F.expr("pr div out_deg").alias("c")
+        )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(insum, nodes["node"] == insum["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("pr"),
+            )
+        )
+    return (
+        pr.orderBy(F.col("pr").desc(), F.col("node").asc())
+        .limit(PR_TOP)
+        .select("node", F.col("pr").alias("pr_scaled"))
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    iters = []
+    for i in range(PR_ITERS):
+        prev = f"pr{i}"
+        iters.append(f"""
+pr{i + 1} AS (
+  SELECT n.node,
+         CAST({_PR_BASE} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst, CAST(SUM(p.pr // ed.out_deg) AS BIGINT) AS s
+    FROM ed JOIN {prev} p ON ed.src = p.node GROUP BY ed.dst
+  ) s ON n.node = s.dst
+)""")
+    return f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+d AS (
+  SELECT pa AS src, pb AS dst FROM e
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM e
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM d GROUP BY src),
+ed AS (SELECT d.src, d.dst, deg.out_deg FROM d JOIN deg ON d.src = deg.src),
+nodes AS (SELECT src AS node FROM deg),
+pr0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes),{",".join(iters)}
+SELECT node, pr AS pr_scaled FROM pr{PR_ITERS}
+ORDER BY pr DESC, node ASC LIMIT {PR_TOP}
+"""
+
+
+GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
+    "graph_pagerank": graph_pagerank,
 }
 
 ORACLES = {
     "graph_triangle_count": GRAPH_TRIANGLE_COUNT_SQL,
+    "graph_pagerank": GRAPH_PAGERANK_SQL,
 }

@@ -38,6 +38,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "similarity_ann_sweep",  # new in round 3 — recall/cost frontier
     "scd2_point_in_time",  # new in round 3 — versioned-dim read side
     "compaction_plan",  # new in round 3 — small-file maintenance planner
+    "graph_pagerank",  # new in round 3 — fixed-point Pregel-as-joins
 )
 
 
