@@ -351,3 +351,52 @@ def test_kafka_wire_roundtrip_envelope_to_merge_sink(spark, tmp_path):
     assert by_id[1].kafka_key == "1"
     # the inner stringified payload parsed through get_json_object
     assert by_id[2].event_type == "edit"
+
+
+def test_transform_with_state_running_counts(spark, tmp_path, batches_dir):
+    """Spark 4 transformWithStateInPandas variant of the running count:
+    must agree with the applyInPandasWithState operator batch-for-batch.
+    Skipped where the TWS protobuf dependency is absent (see
+    ingest.tws_available)."""
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        stateful_user_counts_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: transformWithStateInPandas cannot run")
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    _write_batch(spark, batches_dir, _rows([(1, t0), (2, t0 + sec)]), "b1.parquet")
+    _write_batch(spark, batches_dir, _rows([(3, t0 + 2 * sec), (6, t0 + 3 * sec)]), "b2.parquet")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=1)
+        counts = stateful_user_counts_tws(stream, key="user_id")
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("tws_counts")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        rows = {(r.key, r.total_events) for r in spark.table("tws_counts").collect()
+                if r.batch_events}
+        # ids 1,2,3,6 -> users 1,2,3,1: user 1 reaches total 2 in batch 2
+        assert (1, 1) in rows and (2, 1) in rows and (3, 1) in rows and (1, 2) in rows
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
