@@ -8,7 +8,7 @@ pairs plus any organic ones, all DuckDB-verifiable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -297,8 +297,86 @@ FROM bit_sums
 """
 
 
+PASSAGE_WORDS = 10
+
+
+def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level global dedup with reassembly — the C4/RefinedWeb
+    'drop repeated lines across the corpus' op, at the fixed
+    {PASSAGE_WORDS}-word-window grain this corpus supports (no
+    newlines): each document splits into consecutive word passages; a
+    passage survives only at its lexicographically-first
+    (doc_id, passage_idx) occurrence corpus-wide; survivors reassemble
+    in order. Output per doc: passage totals and the deduplicated text
+    — a full string value-check of the reassembly.
+
+    Scale shape: passage construction is one projection
+    (transform/slice over the split array + posexplode — no join);
+    first-occurrence selection is ONE window partitioned by passage
+    text (the corpus-wide grouping key, hash-shuffled, never a global
+    sort); reassembly is one hash aggregation with an in-group
+    array_sort. On the augmented corpus the planted clones' bodies
+    dedup against their originals while their distinct tails survive —
+    planted evidence the oracle checks exactly."""
+    d = _docs_augmented(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_pass = F.ceil(F.size(words) / F.lit(PASSAGE_WORDS)).cast("int")
+    passages = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_pass - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i * PASSAGE_WORDS + 1, PASSAGE_WORDS)
+                ),
+            )
+        ).alias("passage_idx", "passage"),
+    )
+    w = Window.partitionBy("passage").orderBy("doc_id", "passage_idx")
+    ranked = passages.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("passage_idx"), F.col("passage"))
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["passage"],
+                ),
+            ).alias("dedup_text"),
+        )
+    )
+
+
+DEDUP_PASSAGE_EXACT_SQL = f"""
+WITH aug AS ({_DOCS_AUG_SQL}),
+docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM aug),
+passages AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS passage_idx,
+         array_to_string(words[(i * {PASSAGE_WORDS} + 1):((i + 1) * {PASSAGE_WORDS})], ' ') AS passage
+  FROM docs, UNNEST(range(CAST(ceil(len(words) / {PASSAGE_WORDS}.0) AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, passage_idx) AS rn
+  FROM passages
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_passages,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY passage_idx), '')
+         AS dedup_text
+FROM ranked GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_passage_exact": dedup_passage_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -308,6 +386,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_passage_exact": DEDUP_PASSAGE_EXACT_SQL,
     "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,

@@ -39,6 +39,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "scd2_point_in_time",  # new in round 3 — versioned-dim read side
     "compaction_plan",  # new in round 3 — small-file maintenance planner
     "graph_pagerank",  # new in round 3 — fixed-point Pregel-as-joins
+    "dedup_passage_exact",  # new in round 3 — passage dedup + reassembly
 )
 
 
