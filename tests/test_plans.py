@@ -254,3 +254,55 @@ def test_curate_corpus_stays_bucketed(spark, sf_dir):
 def test_llmprep_queries_are_python_free(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "EvalPython" not in plan, plan
+
+
+def test_pagerank_is_take_ordered_with_no_cartesian(spark, sf_dir):
+    """The iterative kernel must stay keyed joins + hash aggs; the
+    top-k emission must compile to TakeOrderedAndProject, not a global
+    sort of the rank table."""
+    plan = _plan(spark, sf_dir, "graph_pagerank")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_count_orients_edges_by_degree(spark, sf_dir):
+    """The wedge join must run on the degree-oriented edge relation
+    (src/dst after the (deg, id) rank flip), not raw pa/pb canonical
+    edges — the orientation is what bounds wedge fan-out by sqrt(|E|)."""
+    df = entry.queries()["graph_triangle_count"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "src" in analyzed and "ddeg" in analyzed, analyzed
+
+
+def test_compaction_plan_window_is_partitioned(spark, sf_dir):
+    """The prefix-sum window must be partitioned by event_date (each
+    partition plans independently); a partitionBy-less window would be
+    a single-task global sort at scale."""
+    plan = _plan(spark, sf_dir, "compaction_plan")
+    assert "partitionBy" not in plan  # physical plans don't print this; guard below
+    import re
+
+    windows = re.findall(r"Window .*", plan)
+    assert windows, plan
+    for w in windows:
+        assert "event_date" in w, w
+
+
+def test_passage_dedup_window_partitioned_by_passage(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_passage_exact")
+    import re
+
+    windows = re.findall(r"Window .*", plan)
+    assert windows, plan
+    for w in windows:
+        assert "passage" in w, w
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_sweep_has_no_cartesian_beyond_result_assembly(spark, sf_dir):
+    """Candidate generation must stay bucket-equi-joined for every grid
+    config; the only cross joins allowed are the 1-row stat-assembly
+    joins (count x recall per config) and the broadcast query side of
+    the exact ground truth."""
+    plan = _plan(spark, sf_dir, "similarity_ann_sweep")
+    assert "SortMergeJoin" not in plan, plan

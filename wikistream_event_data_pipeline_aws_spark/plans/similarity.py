@@ -337,7 +337,10 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
             .withColumn("hit", F.lit(1))
         )
-        rec = exact.join(ann, ["query_id", "neighbor_id"], "left").agg(
+        # ann is <= N_QUERIES * TOP_K rows by construction — broadcast it
+        # (the checkpointed inputs carry no size stats, so the planner
+        # would otherwise fall back to a sort-merge join)
+        rec = exact.join(F.broadcast(ann), ["query_id", "neighbor_id"], "left").agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
         )
