@@ -421,7 +421,107 @@ FROM joined
 """
 
 
+_IVM_CUTOFF_DAY = 20
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a gold aggregate: the base
+    window's partial aggregates merge with a late batch's partials —
+    sum/count states combine associatively, so the refreshed view never
+    rescans the base window. At 100 TB this is the difference between
+    re-aggregating a month and aggregating one late day; it is also the
+    algebra behind map-side combine and streaming state merge. Only
+    mergeable metrics participate (counts, exact decimal-cents sums —
+    NOT countDistinct, whose state is a set; the HLL sketch family is
+    the mergeable stand-in there). The oracle recomputes the whole
+    window flat, so the merge path is value-checked against the
+    recompute it replaces."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+                "event_type",
+                cents.alias("cents"),
+            )
+            .groupBy("event_date", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+
+    base = partials(e.filter(F.dayofmonth("ts") <= _IVM_CUTOFF_DAY))
+    late = partials(e.filter(F.dayofmonth("ts") > _IVM_CUTOFF_DAY))
+    return (
+        base.unionByName(late)
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .select(
+            "event_date",
+            "event_type",
+            "n_events",
+            (F.col("sum_cents").cast("double") / 100).alias("sum_value"),
+        )
+    )
+
+
+INCREMENTAL_AGG_MERGE_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100
+         AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic for shuffle planning: the per-key frequency
+    distribution of the join/agg key (user_id), reduced to the numbers
+    that decide between a plain hash join, AQE skew splitting, and
+    salting — key count, max/mean frequency, the skew ratio, and the
+    hottest key (deterministic argmax: max count, then max key). One
+    keyed aggregation plus one scalar aggregation; the per-key table
+    never leaves the executors."""
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        (F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt")).cast("double").alias(
+            "skew_ratio"
+        ),
+        F.max(F.struct("cnt", "user_id"))["user_id"].alias("hottest_key"),
+    )
+
+
+SKEW_PROFILE_SQL = """
+WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       MAX(cnt) AS max_cnt,
+       MIN(cnt) AS min_cnt,
+       CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS skew_ratio,
+       (SELECT user_id FROM per_key ORDER BY cnt DESC, user_id DESC LIMIT 1)
+         AS hottest_key
+FROM per_key
+"""
+
+
 QUERIES = {
+    "incremental_agg_merge": incremental_agg_merge,
+    "skew_profile": skew_profile,
     "pivot_type_counts_by_date": pivot_type_counts_by_date,
     "rollup_date_type": rollup_date_type,
     "cube_type_hour": cube_type_hour,
@@ -435,6 +535,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_agg_merge": INCREMENTAL_AGG_MERGE_SQL,
+    "skew_profile": SKEW_PROFILE_SQL,
     "pivot_type_counts_by_date": PIVOT_TYPE_COUNTS_SQL,
     "rollup_date_type": ROLLUP_DATE_TYPE_SQL,
     "cube_type_hour": CUBE_TYPE_HOUR_SQL,

@@ -40,6 +40,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "compaction_plan",  # new in round 3 — small-file maintenance planner
     "graph_pagerank",  # new in round 3 — fixed-point Pregel-as-joins
     "dedup_passage_exact",  # new in round 3 — passage dedup + reassembly
+    "incremental_agg_merge",  # new in round 3 — IVM partial-merge
+    "skew_profile",  # new in round 3 — shuffle-planning diagnostic
 )
 
 
