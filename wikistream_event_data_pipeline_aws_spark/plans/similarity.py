@@ -299,19 +299,67 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic end to end (md5 hyperplanes), so even this eval is
     value-hash-checked against the DuckDB oracle.
 
-    Each config's candidate set feeds two consumers (count + re-rank),
-    so it is fenced with a lazy localCheckpoint — the signature
-    projection (n_planes x DIM literal folds per row, the sweep's
-    dominant cost) runs once per config, not twice. Ground truth is
-    fenced the same way (one brute-force pass, not one per config)."""
+    Signature discipline: every config's bucket is a BIT-PREFIX of the
+    same per-table plane-bit vector, so the hyperplane projections (the
+    sweep's dominant cost: DIM-literal folds per plane per row) are
+    computed ONCE for the maximal (tables, planes) grid and fenced with
+    a lazy localCheckpoint; each config then derives its buckets with
+    pure integer arithmetic over the materialized bits. That is also
+    the production shape — signatures are computed/stored once and
+    every tuning evaluation reuses them. Ground truth is fenced the
+    same way (one brute-force pass, not one per config)."""
     from functools import reduce
 
     from pyspark.sql import Window
 
-    from ..operators.similarity import cosine
+    from ..operators.similarity import _dot, _hyperplane, cosine
+
+    max_tables = max(nt for nt, _ in SWEEP_CONFIGS)
+    max_planes = max(npl for _, npl in SWEEP_CONFIGS)
+
+    def with_bits(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        cols = [F.col("vec_id").alias(out_id), F.col("embedding").alias(out_vec)]
+        for t in range(max_tables):
+            bits = F.array(
+                *[
+                    F.when(
+                        _dot(
+                            F.col("embedding"),
+                            F.array(
+                                *[
+                                    F.lit(_hyperplane(t * 1000 + p, d))
+                                    for d in range(DIM)
+                                ]
+                            ),
+                        )
+                        > 0,
+                        F.lit(1),
+                    ).otherwise(0)
+                    for p in range(max_planes)
+                ]
+            )
+            cols.append(bits.alias(f"__bits{t}"))
+        return df.select(*cols)
+
+    def tagged(df: DataFrame, nt: int, npl: int) -> DataFrame:
+        buckets = F.array(
+            *[
+                sum(
+                    (F.col(f"__bits{t}")[p] * F.lit(1 << p) for p in range(npl)),
+                    start=F.lit(0),
+                )
+                for t in range(nt)
+            ]
+        )
+        return df.select(
+            *[c for c in df.columns if not c.startswith("__bits")],
+            F.posexplode(buckets).alias("table", "bucket"),
+        )
 
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES)
+    q_bits = with_bits(queries, "query_id", "__qv").localCheckpoint(eager=False)
+    c_bits = with_bits(e, "neighbor_id", "__cv").localCheckpoint(eager=False)
     exact = (
         brute_force_topk(queries, e, k=TOP_K)
         .select("query_id", "neighbor_id")
@@ -319,9 +367,14 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = []
     for nt, npl in SWEEP_CONFIGS:
-        cand = lsh_multi_table_candidates(
-            queries, e, dim=DIM, n_planes=npl, n_tables=nt
-        ).localCheckpoint(eager=False)
+        cand = (
+            tagged(q_bits, nt, npl)
+            .join(tagged(c_bits, nt, npl), ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.first("__qv").alias("__qv"), F.first("__cv").alias("__cv"))
+            .localCheckpoint(eager=False)
+        )
         n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
