@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 114
+EXPECTED_QUERY_COUNT = 115
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -306,3 +306,17 @@ def test_ann_sweep_has_no_cartesian_beyond_result_assembly(spark, sf_dir):
     the exact ground truth."""
     plan = _plan(spark, sf_dir, "similarity_ann_sweep")
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle_before_join(spark, sf_dir):
+    """Both sides scan bucketed files pair-wise: the plan must show
+    bucketed scans and no exchange below the join — only the
+    post-aggregation exchange remains."""
+    plan = _plan(spark, sf_dir, "bucketed_join_colocated")
+    assert plan.count("Bucketed: true") == 2, plan
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1, plan
+    # every Exchange in the plan must sit ABOVE the join (aggregation),
+    # never between the join and its scans
+    after_join = plan[join_pos:]
+    assert "Exchange" not in after_join, plan

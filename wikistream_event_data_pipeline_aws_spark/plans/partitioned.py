@@ -245,13 +245,96 @@ FROM binned GROUP BY 1, 2
 """
 
 
+N_BUCKETS = 8
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, src: str, key: str) -> str:
+    """Materialize (once per sf) and register (once per session) a
+    bucketed copy of *src* clustered by *key*.
+
+    ``saveAsTable`` writes bucket-id-stamped files; because the
+    in-memory catalog forgets them between sessions, a later session
+    re-declares the SAME bucketing over the existing files with
+    ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` — the production
+    pattern for external bucketed tables."""
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    name = f"bucketed_{src}_{tag}"
+    if spark.catalog.tableExists(name):
+        return name
+    path = os.path.abspath(os.path.join(_WAREHOUSE, name))
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        # CLUSTERED BY requires an explicit column list; derive it from
+        # the existing files' footer schema
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"""CREATE TABLE {name} ({cols}) USING PARQUET
+                CLUSTERED BY ({key}) INTO {N_BUCKETS} BUCKETS
+                LOCATION '{path}'"""
+        )
+    else:
+        (
+            load_table(spark, sf_dir, src)
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", path)
+            .saveAsTable(name)
+        )
+    return name
+
+
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketing — the co-location
+    technique for repeated big joins: orders and lineitem are both
+    bucketed INTO {N_BUCKETS} BUCKETS on the order key at write time,
+    so the join reads matching buckets pair-wise and neither side
+    shuffles (tests pin 'Bucketed: true' scans and at most the one
+    post-aggregation exchange). At 100 TB this converts the pipeline's
+    hottest recurring join from two full-table shuffles per run into
+    zero — the write-once cost amortizes across every downstream join
+    on the same key. The bucketed copies are materialized once per
+    scale factor outside the timed path (same discipline as the
+    partitioned-scan setup)."""
+    o = spark.table(_bucketed_table(spark, sf_dir, "orders", "o_orderkey"))
+    li = spark.table(_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey"))
+    # The MERGE hint pins the sort-merge strategy the bucketing feeds:
+    # at test SF the planner would otherwise broadcast the small orders
+    # side, hiding the co-location this query exists to demonstrate —
+    # at production fact-fact scale neither side broadcasts and SMJ is
+    # what the planner picks unaided.
+    return (
+        o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+BUCKETED_JOIN_COLOCATED_SQL = """
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
 QUERIES = {
     "partitioned_scan_pruning": partitioned_scan_pruning,
     "zorder_cluster_stats": zorder_cluster_stats,
     "compaction_plan": compaction_plan,
+    "bucketed_join_colocated": bucketed_join_colocated,
 }
 ORACLES = {
     "partitioned_scan_pruning": PARTITIONED_SCAN_PRUNING_SQL,
     "zorder_cluster_stats": ZORDER_CLUSTER_STATS_SQL,
     "compaction_plan": COMPACTION_PLAN_SQL,
+    "bucketed_join_colocated": BUCKETED_JOIN_COLOCATED_SQL,
 }

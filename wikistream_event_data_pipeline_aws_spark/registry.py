@@ -42,6 +42,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_passage_exact",  # new in round 3 — passage dedup + reassembly
     "incremental_agg_merge",  # new in round 3 — IVM partial-merge
     "skew_profile",  # new in round 3 — shuffle-planning diagnostic
+    "bucketed_join_colocated",  # new in round 3 — shuffle-free bucketed join
 )
 
 
