@@ -400,3 +400,92 @@ def test_transform_with_state_running_counts(spark, tmp_path, batches_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_merge_sink_restart_resumes_from_checkpoint(spark, tmp_path, batches_dir):
+    """T4 hard case: stop the query, add data, START A NEW QUERY on the
+    same checkpoint — committed offsets must not be reprocessed (the
+    offset log gains exactly one entry per new batch) and replayed keys
+    still no-op through the merge."""
+    import json
+    import os as _os
+
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        start_merge_sink,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    target = str(tmp_path / "bronze_restart")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    _write_batch(spark, batches_dir, _rows([(1, t0), (2, t0 + sec)]), "b1.parquet")
+    stream = file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=10)
+    q = start_merge_sink(stream, target, ["event_id"], ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # second run: new file with one replayed id + one new id
+    _write_batch(spark, batches_dir, _rows([(2, t0 + sec), (3, t0 + 2 * sec)]), "b2.parquet")
+    stream2 = file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=10)
+    q2 = start_merge_sink(stream2, target, ["event_id"], ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    final = spark.read.parquet(target)
+    assert sorted(r.event_id for r in final.collect()) == [1, 2, 3]
+    # offset log: one entry per processed micro-batch; a reprocessed b1
+    # would have appended a third entry with duplicate source files
+    offsets = sorted(
+        f for f in _os.listdir(_os.path.join(ckpt, "offsets")) if f.isdigit()
+    )
+    assert offsets == ["0", "1"], offsets
+    # batch 1's offset entry must reference only the NEW file
+    with open(_os.path.join(ckpt, "offsets", "1")) as fh:
+        entry_lines = fh.read().splitlines()
+    assert not any("b1.parquet" in ln for ln in entry_lines), entry_lines
+
+
+def test_validated_merge_sink_routes_dlq_and_stays_idempotent(spark, tmp_path, batches_dir):
+    """Streaming DQ gate: invalid rows quarantine to the DLQ, valid rows
+    merge; replaying the same batch dir through a fresh checkpoint adds
+    nothing to either side (insert-only merge on both)."""
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        start_validated_merge_sink,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "click", 5.0),
+        (2, t0 + sec, 2, "click", -1.0),   # invalid: negative value
+        (3, t0 + 2 * sec, 3, "view", 7.0),
+    ]
+    _write_batch(spark, batches_dir, rows, "b1.parquet")
+    target = str(tmp_path / "gated_target")
+    dlq = str(tmp_path / "gated_dlq")
+
+    def run(ckpt_name):
+        stream = file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=10)
+        q = start_validated_merge_sink(
+            stream, target, dlq, ["event_id"], str(tmp_path / ckpt_name),
+            valid=F.col("value") >= 0,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("ck1")
+    assert sorted(r.event_id for r in spark.read.parquet(target).collect()) == [1, 3]
+    assert [r.event_id for r in spark.read.parquet(dlq).collect()] == [2]
+    # full replay through a FRESH checkpoint: both sides must no-op
+    run("ck2")
+    assert sorted(r.event_id for r in spark.read.parquet(target).collect()) == [1, 3]
+    assert [r.event_id for r in spark.read.parquet(dlq).collect()] == [2]

@@ -382,3 +382,46 @@ def start_merge_sink(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def start_validated_merge_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    dlq_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    valid: "F.Column",
+    trigger: dict | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> StreamingQuery:
+    """Per-micro-batch DQ gate with DLQ side output (reference S4 done
+    in-stream): rows failing ``valid`` route to the DLQ table, the rest
+    merge into the target — both via insert-only merge on the same
+    keys, so a replayed micro-batch no-ops on BOTH sides (a plain DLQ
+    append would duplicate quarantined rows on replay and break the
+    exactly-once story). The batch is split once from a cached local
+    evaluation inside foreachBatch: batch_df is a static DataFrame
+    there, so the valid/invalid branches don't re-read the source."""
+    spark = stream_df.sparkSession
+
+    def _gate_and_merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        flagged = batch_df.withColumn("__valid", valid).localCheckpoint(eager=True)
+        bad = flagged.filter(~F.col("__valid")).drop("__valid")
+        good = flagged.filter(F.col("__valid")).drop("__valid")
+        if bad.take(1):
+            insert_only_parquet(spark, dlq_path, bad, keys)
+        if good.take(1):
+            insert_only_parquet(
+                spark, target_path, good, keys, partition_by=partition_by
+            )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_gate_and_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
