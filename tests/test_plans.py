@@ -320,3 +320,17 @@ def test_bucketed_join_has_no_shuffle_before_join(spark, sf_dir):
     # never between the join and its scans
     after_join = plan[join_pos:]
     assert "Exchange" not in after_join, plan
+
+
+def test_incremental_merge_is_two_level_agg_without_join(spark, sf_dir):
+    """The IVM refresh must stay pure aggregation: partials + combine,
+    no join anywhere (a join-based refresh would rescan the base)."""
+    plan = _plan(spark, sf_dir, "incremental_agg_merge")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x2 levels
+
+
+def test_skew_profile_is_aggregation_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "skew_profile")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
