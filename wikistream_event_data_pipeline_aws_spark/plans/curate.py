@@ -251,10 +251,119 @@ FROM flags f LEFT JOIN kept k ON f.doc_id = k.doc_id
 """
 
 
+GATE_Q = 0.25  # drop the bottom quartile by quality score
+_GATE_UNITS = 10**9  # float score -> integer units (identical doubles both engines)
+
+
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gating: drop documents below the corpus
+    p25 of the deterministic quality score — curation thresholds in
+    practice are percentile-derived, not hand-tuned constants, so the
+    gate needs an exact order statistic over the whole corpus.
+
+    Scale shape is the audited dq_profile_value selection (NO global
+    sort): scores collapse to integer units (floor(score * 1e9) —
+    identical doubles floor to identical ints in both engines), one
+    keyed shuffle builds (units, count), a <=1025-bucket histogram is
+    collected (bounded driver data) to locate the rank's bucket, and a
+    PER-BUCKET cumulative window reads the threshold value back.
+    Output: per (lang, disposition) doc and token totals plus the
+    threshold units — the artifact that says what the gate cost each
+    language slice."""
+    import math
+
+    from .text import text_quality_score
+
+    scores = text_quality_score(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = scores.join(d, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("quality_score") * _GATE_UNITS).cast("long").alias("units"),
+    )
+    counts = u.groupBy("units").agg(F.count(F.lit(1)).alias("cnt"))
+    lo, hi, n = counts.agg(F.min("units"), F.max("units"), F.sum("cnt")).first()
+    width = max((hi - lo) // 1024, 1)
+    bucketed = counts.withColumn(
+        "bucket", F.floor((F.col("units") - F.lit(lo)) / F.lit(width))
+    )
+    hist = sorted(
+        (r["bucket"], r["bcnt"])
+        for r in bucketed.groupBy("bucket").agg(F.sum("cnt").alias("bcnt")).collect()
+    )
+    pos = max(1, math.ceil(GATE_Q * n))
+    acc = 0
+    tgt_bucket, tgt_rank = hist[0][0], 1
+    for b, c in hist:
+        if acc < pos <= acc + c:
+            tgt_bucket, tgt_rank = b, pos - acc
+            break
+        acc += c
+    w_bucket = Window.partitionBy("bucket").orderBy("units").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    thr_row = (
+        bucketed.filter(F.col("bucket") == tgt_bucket)
+        .withColumn("cum", F.sum("cnt").over(w_bucket))
+        .filter(
+            (F.col("cum") >= tgt_rank) & (F.col("cum") - F.col("cnt") < tgt_rank)
+        )
+        .agg(F.min("units"))
+        .first()
+    )
+    threshold = thr_row[0]
+    return (
+        u.withColumn(
+            "disposition",
+            F.when(F.col("units") >= threshold, "keep").otherwise("drop"),
+        )
+        .groupBy("lang", "disposition")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn("threshold_units", F.lit(threshold).cast("long"))
+    )
+
+
+def _quality_gate_oracle_sql() -> str:
+    from .text import TEXT_QUALITY_SCORE_SQL
+
+    return f"""
+WITH q AS ({TEXT_QUALITY_SCORE_SQL}),
+u AS (
+  SELECT q.doc_id, d.lang, q.n_tokens,
+         CAST(floor(q.quality_score * {_GATE_UNITS}) AS BIGINT) AS units
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT units, ROW_NUMBER() OVER (ORDER BY units) AS rn, COUNT(*) OVER () AS n
+  FROM u
+),
+thr AS (
+  SELECT units AS t FROM ranked
+  WHERE rn = GREATEST(1, CAST(ceil({GATE_Q} * n) AS BIGINT))
+)
+SELECT u.lang,
+       CASE WHEN u.units >= thr.t THEN 'keep' ELSE 'drop' END AS disposition,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(u.n_tokens) AS BIGINT) AS sum_tokens,
+       thr.t AS threshold_units
+FROM u, thr
+GROUP BY 1, 2, 5
+"""
+
+
+QUALITY_PERCENTILE_GATE_SQL = _quality_gate_oracle_sql()
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
+    "quality_percentile_gate": quality_percentile_gate,
 }
 
 ORACLES = {
     "curate_corpus": CURATE_CORPUS_SQL,
+    "quality_percentile_gate": QUALITY_PERCENTILE_GATE_SQL,
 }

@@ -43,6 +43,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "incremental_agg_merge",  # new in round 3 — IVM partial-merge
     "skew_profile",  # new in round 3 — shuffle-planning diagnostic
     "bucketed_join_colocated",  # new in round 3 — shuffle-free bucketed join
+    "quality_percentile_gate",  # new in round 3 — corpus-relative curation gate
 )
 
 
