@@ -352,12 +352,129 @@ LIMIT 10
 """
 
 
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: per user, the earliest view, the earliest
+    click strictly AFTER that view, and the earliest purchase strictly
+    after that click — the ordered-pattern operator behind conversion
+    metrics. Three chained conditional-min aggregations on the user key
+    (each stage needs the previous stage's timestamp, so the
+    data-dependency depth — not the operator — forces three keyed
+    passes); all joins are on user_id, hash-shuffled, no window, no
+    ordering. Output: users reaching each stage and median-free stage
+    conversion counts per event-date cohort of the first view."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    funnel = (
+        t1.join(t2.select("user_id", "t_click"), "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            F.date_format("t_view", "yyyy-MM-dd").alias("cohort_date"),
+            "t_click",
+            "t_purchase",
+        )
+    )
+    return funnel.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_purchase").alias("n_purchased"),
+    )
+
+
+FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+  GROUP BY e.user_id
+)
+SELECT strftime(t1.t_view, '%Y-%m-%d') AS cohort_date,
+       CAST(COUNT(*) AS BIGINT) AS n_viewed,
+       CAST(COUNT(t2.t_click) AS BIGINT) AS n_clicked,
+       CAST(COUNT(t3.t_purchase) AS BIGINT) AS n_purchased
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+GROUP BY 1
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    date; for each later day-offset, how many of that cohort were
+    active — the operator behind every retention dashboard. One min-agg
+    for cohort assignment, one keyed join back to activity, one
+    distinct-count per (cohort, offset) cell. Offsets capped at 7 so
+    the matrix (and the driver compare) stays bounded; at scale the cap
+    also bounds the join output to |activity| rows regardless of
+    history depth."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    activity = e.distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    cells = (
+        activity.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_d"))
+        .filter(F.col("day_offset") <= 7)
+    )
+    return (
+        cells.groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_date"),
+            "day_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(d) AS cohort_d FROM activity GROUP BY user_id
+)
+SELECT strftime(c.cohort_d, '%Y-%m-%d') AS cohort_date,
+       CAST(date_diff('day', c.cohort_d, a.d) AS INTEGER) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+WHERE date_diff('day', c.cohort_d, a.d) <= 7
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "hourly_stats": hourly_stats,
     "user_daily_metrics": user_daily_metrics,
     "risk_scores": risk_scores,
     "daily_summary": daily_summary,
     "top_risk_alerts": top_risk_alerts,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "retention_cohorts": retention_cohorts,
 }
 
 ORACLES = {
@@ -366,4 +483,6 @@ ORACLES = {
     "risk_scores": RISK_SCORES_SQL,
     "daily_summary": DAILY_SUMMARY_SQL,
     "top_risk_alerts": TOP_RISK_ALERTS_SQL,
+    "funnel_view_click_purchase": FUNNEL_SQL,
+    "retention_cohorts": RETENTION_COHORTS_SQL,
 }

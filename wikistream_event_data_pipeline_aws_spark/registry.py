@@ -44,6 +44,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "skew_profile",  # new in round 3 — shuffle-planning diagnostic
     "bucketed_join_colocated",  # new in round 3 — shuffle-free bucketed join
     "quality_percentile_gate",  # new in round 3 — corpus-relative curation gate
+    "funnel_view_click_purchase",  # new in round 3 — sequential funnel
+    "retention_cohorts",  # new in round 3 — cohort retention matrix
 )
 
 
