@@ -84,11 +84,68 @@ FROM flagged GROUP BY user_id
 """
 
 
+def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine resampling: the tumbling hourly rollup left-joined
+    onto the COMPLETE hour spine between the data's min and max hour,
+    zero-filling silent hours — dashboards and downstream window
+    functions need the gaps materialized, not skipped. The spine is
+    one `sequence()` explode off a 1-row bounds aggregate (rows =
+    hours in range, independent of event volume); the join key is the
+    hour timestamp, hash-shuffled. Gap hours are the interesting
+    output: `had_events` marks them."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    return spine.join(hourly, "h", "left").select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.coalesce("total_events", F.lit(0)).alias("total_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.col("total_events").isNotNull().alias("had_events"),
+    )
+
+
+HOURLY_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS total_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+)
+SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       COALESCE(hourly.total_events, 0) AS total_events,
+       COALESCE(hourly.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value,
+       hourly.total_events IS NOT NULL AS had_events
+FROM spine s LEFT JOIN hourly ON s.h = hourly.h
+"""
+
+
 QUERIES = {
     "tumbling_hourly_counts": tumbling_hourly_counts,
     "tumbling_15min_by_type": tumbling_15min_by_type,
     "sliding_1h_15m_counts": sliding_1h_15m_counts,
     "session_window_user_stats": session_window_user_stats,
+    "hourly_gapfill": hourly_gapfill,
 }
 
 ORACLES = {
@@ -96,4 +153,5 @@ ORACLES = {
     "tumbling_15min_by_type": TUMBLING_15MIN_BY_TYPE_SQL,
     "sliding_1h_15m_counts": SLIDING_1H_15M_COUNTS_SQL,
     "session_window_user_stats": SESSION_WINDOW_USER_STATS_SQL,
+    "hourly_gapfill": HOURLY_GAPFILL_SQL,
 }

@@ -20,7 +20,7 @@ the shuffle reduces to near-nothing after map-side partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -467,6 +467,38 @@ GROUP BY 1, 2
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition counts — the Markov-chain view of
+    user behavior (what follows a view? what precedes an error?). One
+    lag window partitioned BY USER and ordered by (ts, event_id) — the
+    event_id tiebreak makes simultaneous events deterministic in both
+    engines — then a hash aggregation on the (prev, next) pair. The
+    window never crosses user partitions, so this scales exactly like
+    any per-entity sessionization."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    return (
+        pairs.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "hourly_stats": hourly_stats,
     "user_daily_metrics": user_daily_metrics,
@@ -475,6 +507,7 @@ QUERIES = {
     "top_risk_alerts": top_risk_alerts,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "retention_cohorts": retention_cohorts,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 ORACLES = {
@@ -485,4 +518,5 @@ ORACLES = {
     "top_risk_alerts": TOP_RISK_ALERTS_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
     "retention_cohorts": RETENTION_COHORTS_SQL,
+    "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
 }

@@ -46,6 +46,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "quality_percentile_gate",  # new in round 3 — corpus-relative curation gate
     "funnel_view_click_purchase",  # new in round 3 — sequential funnel
     "retention_cohorts",  # new in round 3 — cohort retention matrix
+    "hourly_gapfill",  # new in round 3 — time-spine resample
+    "event_transition_matrix",  # new in round 3 — behavior Markov view
 )
 
 
