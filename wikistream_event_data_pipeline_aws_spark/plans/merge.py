@@ -204,11 +204,82 @@ GROUP BY c_mktsegment"""
 SCD2_POINT_IN_TIME_SQL = _scd2_pit_sql()
 
 
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation diff between two table versions — the audit every
+    MERGE/migration needs: a full-outer join on the business key
+    classifies each key as added / removed / changed / unchanged
+    ('changed' by md5 over the canonically-stringified non-key columns,
+    one hash instead of N column comparisons), rolled up to a count +
+    keyspace checksum per class. One keyed shuffle join, one hash agg;
+    the per-class XOR-free checksum (sum of key md5 prefixes) lets two
+    runs compare dispositions without exchanging keys — at 100 TB the
+    summary travels, the diff rows stay distributed."""
+    t = _target(spark, sf_dir)
+    s = _source(spark, sf_dir)
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        non_key = [c for c in df.columns if c != "o_orderkey"]
+        return df.select(
+            "o_orderkey",
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in non_key])).alias(
+                f"{side}_hash"
+            ),
+        )
+
+    j = hashed(t, "t").join(hashed(s, "s"), "o_orderkey", "full_outer")
+    cls = (
+        F.when(F.col("t_hash").isNull(), "added")
+        .when(F.col("s_hash").isNull(), "removed")
+        .when(F.col("t_hash") != F.col("s_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    key_sig = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        j.select(cls.alias("diff_class"), key_sig.alias("ks"))
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("ks").alias("keyspace_checksum"),
+        )
+    )
+
+
+TABLE_DIFF_ORDERS_SQL = f"""
+WITH t AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31), o_orderstatus, CAST(o_totalprice AS VARCHAR),
+                       o_orderdate_str)) AS t_hash
+  FROM ({_TARGET_SQL})
+),
+s AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31), o_orderstatus, CAST(o_totalprice AS VARCHAR),
+                       o_orderdate_str)) AS s_hash
+  FROM ({_SOURCE_SQL})
+),
+j AS (
+  SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS k, t_hash, s_hash
+  FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+)
+SELECT CASE WHEN t_hash IS NULL THEN 'added'
+            WHEN s_hash IS NULL THEN 'removed'
+            WHEN t_hash <> s_hash THEN 'changed'
+            ELSE 'unchanged' END AS diff_class,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS keyspace_checksum
+FROM j GROUP BY 1
+"""
+
+
 QUERIES = {
     "merge_insert_only_orders": merge_insert_only_orders,
     "merge_upsert_orders": merge_upsert_orders,
     "scd2_customer_dim": scd2_customer_dim,
     "scd2_point_in_time": scd2_point_in_time,
+    "table_diff_orders": table_diff_orders,
 }
 
 ORACLES = {
@@ -216,4 +287,5 @@ ORACLES = {
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "scd2_customer_dim": SCD2_CUSTOMER_DIM_SQL,
     "scd2_point_in_time": SCD2_POINT_IN_TIME_SQL,
+    "table_diff_orders": TABLE_DIFF_ORDERS_SQL,
 }

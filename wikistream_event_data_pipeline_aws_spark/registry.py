@@ -48,6 +48,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "retention_cohorts",  # new in round 3 — cohort retention matrix
     "hourly_gapfill",  # new in round 3 — time-spine resample
     "event_transition_matrix",  # new in round 3 — behavior Markov view
+    "table_diff_orders",  # new in round 3 — reconciliation diff
 )
 
 
