@@ -292,6 +292,42 @@ ORDER BY n_occurrences DESC, token
 LIMIT {VOCAB_K}
 """
 
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step's candidate table: corpus-wide counts of
+    ADJACENT token pairs. The top pair is the merge a byte-pair-encoding
+    trainer applies next; the ranked frontier is what you inspect when
+    auditing a tokenizer build. Same shape as vocab_topk one n-gram up:
+    per-doc pair arrays are a zero-shuffle projection, the count is one
+    hash aggregation, the cut is TakeOrderedAndProject under the total
+    (count desc, pair asc) order. A full BPE train is this query in a
+    loop with pair-collapsed re-tokenization — each iteration stays
+    this exact distributed shape."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(tokenize(F.col("text")).alias("toks"))
+    pairs = t.select(F.explode(shingles_expr("toks", k=2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(VOCAB_K)
+    )
+
+
+BPE_MERGE_CANDIDATES_SQL = rf"""
+SELECT pair, COUNT(*) AS n_occurrences
+FROM (
+  SELECT unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(range(1, len(t)),
+                                         i -> concat_ws(' ', t[i], t[i+1]))
+                     ELSE [] END) AS pair
+  FROM (SELECT {_TOKS_SQL} AS t FROM documents)
+)
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {VOCAB_K}
+"""
+
 # -- within-doc repetition signals ----------------------------------------------
 
 REPETITION_THRESHOLD = 0.2
@@ -444,6 +480,7 @@ QUERIES = {
     "sample_stratified_hash": sample_stratified_hash,
     "redact_pii": redact_pii,
     "vocab_topk": vocab_topk,
+    "bpe_merge_candidates": bpe_merge_candidates,
     "text_repetition_filter": text_repetition_filter,
     "corpus_shuffle_hash": corpus_shuffle_hash,
     "domain_mixture_sample": domain_mixture_sample,
@@ -455,6 +492,7 @@ ORACLES = {
     "sample_stratified_hash": SAMPLE_STRATIFIED_SQL,
     "redact_pii": REDACT_PII_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
+    "bpe_merge_candidates": BPE_MERGE_CANDIDATES_SQL,
     "text_repetition_filter": TEXT_REPETITION_SQL,
     "corpus_shuffle_hash": CORPUS_SHUFFLE_SQL,
     "domain_mixture_sample": DOMAIN_MIXTURE_SQL,

@@ -49,6 +49,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "hourly_gapfill",  # new in round 3 — time-spine resample
     "event_transition_matrix",  # new in round 3 — behavior Markov view
     "table_diff_orders",  # new in round 3 — reconciliation diff
+    "bpe_merge_candidates",  # new in round 3 — BPE pair-count step
 )
 
 
