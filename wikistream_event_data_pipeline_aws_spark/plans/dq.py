@@ -504,7 +504,106 @@ FROM stats s LEFT JOIN flagged f ON s.event_type = f.event_type
 """
 
 
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FK orphan audit — the relationship-level check the
+    per-table DQ family (Q1-Q16) doesn't cover: for each declared
+    relationship, how many child keys have no parent. Each relationship
+    is one distinct-project + one left-anti join on the key (broadcast
+    when the parent keyset is small, hash otherwise — AQE decides);
+    results union into the audit row-per-relationship shape the gate
+    consumes. A healthy TPC-H-shaped corpus reports zero orphans, so
+    the query plants one synthetic orphan per relationship (key beyond
+    the parent range) which MUST surface — the same plant-then-find
+    discipline as the dedup family."""
+    PLANT = 900_000_000
+    rels = []
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ck")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    rels.append(
+        (
+            "lineitem.l_orderkey->orders",
+            li.unionByName(spark.range(1).select(F.lit(PLANT).alias("ck"))),
+            orders.select(F.col("o_orderkey").alias("pk")),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    rels.append(
+        (
+            "orders.o_custkey->customer",
+            orders.select(F.col("o_custkey").alias("ck")).unionByName(
+                spark.range(1).select(F.lit(PLANT).alias("ck"))
+            ),
+            cust.select(F.col("c_custkey").alias("pk")),
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    rels.append(
+        (
+            "customer.c_nationkey->nation",
+            cust.select(F.col("c_nationkey").cast("long").alias("ck")).unionByName(
+                spark.range(1).select(F.lit(PLANT).alias("ck"))
+            ),
+            nation.select(F.col("n_nationkey").cast("long").alias("pk")),
+        )
+    )
+    parts = []
+    for name, child, parent in rels:
+        orphans = (
+            child.distinct()
+            .join(parent.distinct(), child["ck"] == parent["pk"], "left_anti")
+        )
+        parts.append(
+            orphans.agg(
+                F.count(F.lit(1)).alias("n_orphan_keys"),
+                F.min("ck").alias("min_orphan_key"),
+            ).select(
+                F.lit(name).alias("relationship"),
+                "n_orphan_keys",
+                "min_orphan_key",
+                (F.col("n_orphan_keys") == 1).alias("only_planted"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+DQ_REFERENTIAL_INTEGRITY_SQL = """
+WITH l AS (
+  SELECT DISTINCT ck FROM (
+    SELECT l_orderkey AS ck FROM lineitem UNION ALL SELECT 900000000
+  )
+),
+o AS (
+  SELECT DISTINCT ck FROM (
+    SELECT o_custkey AS ck FROM orders UNION ALL SELECT 900000000
+  )
+),
+c AS (
+  SELECT DISTINCT ck FROM (
+    SELECT CAST(c_nationkey AS BIGINT) AS ck FROM customer UNION ALL SELECT 900000000
+  )
+)
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS n_orphan_keys,
+       MIN(ck) AS min_orphan_key,
+       COUNT(*) = 1 AS only_planted
+FROM l WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.ck)
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST(COUNT(*) AS BIGINT), MIN(ck), COUNT(*) = 1
+FROM o WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.ck)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST(COUNT(*) AS BIGINT), MIN(ck), COUNT(*) = 1
+FROM c WHERE NOT EXISTS (SELECT 1 FROM nation WHERE CAST(n_nationkey AS BIGINT) = c.ck)
+"""
+
+
 QUERIES = {
+    "dq_referential_integrity": dq_referential_integrity,
     "dq_completeness": dq_completeness,
     "dq_containment": dq_containment,
     "dq_uniqueness": dq_uniqueness,
@@ -518,6 +617,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_referential_integrity": DQ_REFERENTIAL_INTEGRITY_SQL,
     "dq_completeness": DQ_COMPLETENESS_SQL,
     "dq_containment": DQ_CONTAINMENT_SQL,
     "dq_uniqueness": DQ_UNIQUENESS_SQL,

@@ -50,6 +50,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "event_transition_matrix",  # new in round 3 — behavior Markov view
     "table_diff_orders",  # new in round 3 — reconciliation diff
     "bpe_merge_candidates",  # new in round 3 — BPE pair-count step
+    "dq_referential_integrity",  # new in round 3 — FK orphan audit
 )
 
 
