@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 123
+EXPECTED_QUERY_COUNT = 124
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -334,3 +334,24 @@ def test_skew_profile_is_aggregation_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "skew_profile")
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_table_diff_is_single_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "table_diff_orders")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_gapfill_spine_join_has_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "hourly_gapfill")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_transition_matrix_window_partitioned_by_user(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "event_transition_matrix")
+    windows = re.findall(r"Window .*", plan)
+    assert windows, plan
+    for w in windows:
+        assert "user_id" in w, w

@@ -211,6 +211,50 @@ SELECT doc_id, lang, strat_hash, rate_per_mille
 FROM t WHERE strat_hash < rate_per_mille
 """
 
+
+_IMP_CAP = 200  # tokens at which the keep-probability saturates
+_IMP_SEED = "imp"
+
+
+def sample_importance_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ROW weighted (importance) sampling — the third sampling mode
+    after per-group rates (stratified) and group equalization (mixture):
+    keep-probability proportional to document length,
+    ``p = min(n_tokens, CAP) / (2 * CAP)``, so token-heavy docs are
+    favored in proportion to their training-token contribution. The
+    keep predicate is PURE INTEGER — ``u mod (2*CAP*1000) <
+    min(n_tokens, CAP) * 1000`` with the md5-uniform ``u`` — so the
+    probabilistic decision is bit-reproducible on any engine, rerun, or
+    backfill. Embarrassingly parallel row map, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokenize(F.col("text"))).cast("long")
+    u = hex_hash(F.col("doc_id").cast("string"), seed=_IMP_SEED) % (2 * _IMP_CAP * 1000)
+    w = F.least(n_tokens, F.lit(_IMP_CAP)) * 1000
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            u.alias("draw"),
+            w.alias("keep_threshold"),
+        )
+        .filter(F.col("draw") < F.col("keep_threshold"))
+    )
+
+
+SAMPLE_IMPORTANCE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+         CAST(concat('0x', substr(md5(concat('{_IMP_SEED}', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % {2 * _IMP_CAP * 1000} AS draw
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, draw,
+       LEAST(n_tokens, {_IMP_CAP}) * 1000 AS keep_threshold
+FROM t WHERE draw < LEAST(n_tokens, {_IMP_CAP}) * 1000
+"""
+
 # -- PII redaction --------------------------------------------------------------
 
 _EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-z]{2,}"
@@ -481,6 +525,7 @@ QUERIES = {
     "redact_pii": redact_pii,
     "vocab_topk": vocab_topk,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "sample_importance_tokens": sample_importance_tokens,
     "text_repetition_filter": text_repetition_filter,
     "corpus_shuffle_hash": corpus_shuffle_hash,
     "domain_mixture_sample": domain_mixture_sample,
@@ -493,6 +538,7 @@ ORACLES = {
     "redact_pii": REDACT_PII_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "bpe_merge_candidates": BPE_MERGE_CANDIDATES_SQL,
+    "sample_importance_tokens": SAMPLE_IMPORTANCE_SQL,
     "text_repetition_filter": TEXT_REPETITION_SQL,
     "corpus_shuffle_hash": CORPUS_SHUFFLE_SQL,
     "domain_mixture_sample": DOMAIN_MIXTURE_SQL,

@@ -51,6 +51,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "table_diff_orders",  # new in round 3 — reconciliation diff
     "bpe_merge_candidates",  # new in round 3 — BPE pair-count step
     "dq_referential_integrity",  # new in round 3 — FK orphan audit
+    "sample_importance_tokens",  # new in round 3 — per-row weighted sampling
 )
 
 
