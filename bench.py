@@ -20,6 +20,67 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _update_history(repo_dir: str, result: dict) -> None:
+    """Append this run to BENCH_HISTORY.jsonl and regenerate the
+    BENCH_HISTORY.md trend table.
+
+    The comparable signal across rounds is the COMMON-query subset total
+    (new queries grow the raw total without meaning a regression), so each
+    row shows: this run's full total, plus previous-run and this-run totals
+    restricted to the queries both runs timed, and the worst per-query
+    ratio on that subset. History keeps full per-query timings (the
+    BENCH_r{N}.json driver artifacts truncate their printed payload)."""
+    import datetime
+
+    hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
+    entry = {
+        "at": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+        "sf": result["sf"],
+        "cpus": result["cpus"],
+        "queries": result["queries"],
+    }
+    runs = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as fh:
+            runs = [json.loads(line) for line in fh if line.strip()]
+    runs.append(entry)
+    with open(hist_path, "a") as fh:
+        fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
+
+    lines = [
+        "# Bench history",
+        "",
+        "One row per `bench.py` run (same host, `local[N]`). `common total`",
+        "compares against the PREVIOUS run restricted to queries timed in both",
+        "runs — the round-over-round signal; `total` moves with coverage.",
+        "`worst ratio` is the largest per-query this/prev ratio on that subset.",
+        "",
+        "| run (UTC) | sf | cpus | queries | total s | common prev s | common now s | worst ratio |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    prev = None
+    for r in runs:
+        q = r["queries"]
+        cells = [r["at"], str(r["sf"]), str(r["cpus"]), str(len(q)), f"{sum(q.values()):.1f}"]
+        if prev is not None and prev["sf"] == r["sf"] and prev["cpus"] == r["cpus"]:
+            common = sorted(set(q) & set(prev["queries"]))
+            pq = prev["queries"]
+            worst = max(
+                ((q[k] + 0.05) / (pq[k] + 0.05), k) for k in common
+            )  # +50ms floor: sub-tenth-second timings are pure noise
+            cells += [
+                f"{sum(pq[k] for k in common):.1f}",
+                f"{sum(q[k] for k in common):.1f}",
+                f"{worst[0]:.2f}x {worst[1]}",
+            ]
+        else:
+            cells += ["—", "—", "—"]
+        lines.append("| " + " | ".join(cells) + " |")
+        prev = r
+    with open(os.path.join(repo_dir, "BENCH_HISTORY.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -39,6 +100,19 @@ def main() -> None:
     qs["hourly_stats"](spark, sf_dir).count()
     for tbl in ("documents", "embeddings", "lineitem", "orders", "customer"):
         load_table(spark, sf_dir, tbl).count()
+    # Materialize the setup artifacts OUTSIDE the timed path: the bucketed
+    # orders/lineitem copies and the hive-partitioned events table are
+    # one-time writes per scale factor; without this pre-warm the first
+    # invocation of bucketed_join_colocated / partitioned_scan_pruning
+    # would pay the write inside its timing.
+    from wikistream_event_data_pipeline_aws_spark.plans.partitioned import (
+        _bucketed_table,
+        write_partitioned_events,
+    )
+
+    _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    write_partitioned_events(spark, sf_dir)
     # Warm the streaming engine the same way (MicroBatchExecution,
     # state-store provider, Arrow stateful-worker spin-up) with one tiny
     # run at the smallest SF, so the one-time init cost doesn't distort
@@ -86,9 +160,11 @@ def main() -> None:
     # capture window: 3-decimal timings, and if still too long the fastest
     # queries are dropped from the printed dict (never from the file),
     # with the omission counted.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json"), "w") as fh:
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_OUT.json"), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    _update_history(repo_dir, result)
 
     budget = 1950
     printed = dict(result)

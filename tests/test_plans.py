@@ -279,7 +279,6 @@ def test_compaction_plan_window_is_partitioned(spark, sf_dir):
     partition plans independently); a partitionBy-less window would be
     a single-task global sort at scale."""
     plan = _plan(spark, sf_dir, "compaction_plan")
-    assert "partitionBy" not in plan  # physical plans don't print this; guard below
     import re
 
     windows = re.findall(r"Window .*", plan)

@@ -64,6 +64,14 @@ def banded_range_join(
     # renumber rows between branches, emitting a row as both matched and
     # unmatched (or neither). localCheckpoint pins the assignment; the
     # inner path evaluates once and needs no fence.
+    # Trade-off: localCheckpoint(eager=True) runs a job at plan-construction
+    # time and materializes the ENTIRE left input to executor block storage;
+    # it is also non-reliable (lost on executor failure, the job fails and
+    # retries from the caller). For a left input too large for cluster
+    # storage, swap in persist(StorageLevel.DISK_ONLY) + a reliable
+    # checkpoint dir, or pre-assign a stable business key upstream and skip
+    # the surrogate id entirely — the surrogate is only needed when the
+    # left side has no unique key.
     l_id = left.withColumn("__lid", F.monotonically_increasing_id())
     if how == "left":
         l_id = l_id.localCheckpoint(eager=True)

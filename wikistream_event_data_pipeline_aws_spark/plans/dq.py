@@ -512,40 +512,45 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the parent keyset is small, hash otherwise — AQE decides);
     results union into the audit row-per-relationship shape the gate
     consumes. A healthy TPC-H-shaped corpus reports zero orphans, so
-    the query plants one synthetic orphan per relationship (key beyond
-    the parent range) which MUST surface — the same plant-then-find
-    discipline as the dedup family."""
-    PLANT = 900_000_000
+    the query plants one synthetic orphan per relationship which MUST
+    surface — the same plant-then-find discipline as the dedup family.
+    The plant is derived as ``max(parent key) + 1`` (one extra scalar
+    agg per relationship, re-used by AQE), never a fixed literal: a
+    constant beyond today's key range collides with a real parent key
+    once the scale factor grows (o_orderkey grows ~6M x SF), silently
+    corrupting the only_planted/orphan counts."""
+
+    def _plant(parent: DataFrame) -> DataFrame:
+        """1-row frame carrying max(pk)+1 — collision-free by construction."""
+        return parent.agg((F.max("pk") + F.lit(1)).alias("ck"))
+
     rels = []
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ck")
     )
     orders = load_table(spark, sf_dir, "orders")
+    o_parent = orders.select(F.col("o_orderkey").alias("pk"))
     rels.append(
-        (
-            "lineitem.l_orderkey->orders",
-            li.unionByName(spark.range(1).select(F.lit(PLANT).alias("ck"))),
-            orders.select(F.col("o_orderkey").alias("pk")),
-        )
+        ("lineitem.l_orderkey->orders", li.unionByName(_plant(o_parent)), o_parent)
     )
     cust = load_table(spark, sf_dir, "customer")
+    c_parent = cust.select(F.col("c_custkey").alias("pk"))
     rels.append(
         (
             "orders.o_custkey->customer",
-            orders.select(F.col("o_custkey").alias("ck")).unionByName(
-                spark.range(1).select(F.lit(PLANT).alias("ck"))
-            ),
-            cust.select(F.col("c_custkey").alias("pk")),
+            orders.select(F.col("o_custkey").alias("ck")).unionByName(_plant(c_parent)),
+            c_parent,
         )
     )
     nation = load_table(spark, sf_dir, "nation")
+    n_parent = nation.select(F.col("n_nationkey").cast("long").alias("pk"))
     rels.append(
         (
             "customer.c_nationkey->nation",
             cust.select(F.col("c_nationkey").cast("long").alias("ck")).unionByName(
-                spark.range(1).select(F.lit(PLANT).alias("ck"))
+                _plant(n_parent)
             ),
-            nation.select(F.col("n_nationkey").cast("long").alias("pk")),
+            n_parent,
         )
     )
     parts = []
@@ -573,17 +578,20 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 DQ_REFERENTIAL_INTEGRITY_SQL = """
 WITH l AS (
   SELECT DISTINCT ck FROM (
-    SELECT l_orderkey AS ck FROM lineitem UNION ALL SELECT 900000000
+    SELECT l_orderkey AS ck FROM lineitem
+    UNION ALL SELECT MAX(o_orderkey) + 1 FROM orders
   )
 ),
 o AS (
   SELECT DISTINCT ck FROM (
-    SELECT o_custkey AS ck FROM orders UNION ALL SELECT 900000000
+    SELECT o_custkey AS ck FROM orders
+    UNION ALL SELECT MAX(c_custkey) + 1 FROM customer
   )
 ),
 c AS (
   SELECT DISTINCT ck FROM (
-    SELECT CAST(c_nationkey AS BIGINT) AS ck FROM customer UNION ALL SELECT 900000000
+    SELECT CAST(c_nationkey AS BIGINT) AS ck FROM customer
+    UNION ALL SELECT CAST(MAX(n_nationkey) AS BIGINT) + 1 FROM nation
   )
 )
 SELECT 'lineitem.l_orderkey->orders' AS relationship,

@@ -131,10 +131,21 @@ upd AS (
   FROM customer WHERE c_custkey % 7 = 0
 ),
 changed AS (
+  -- WHEN MATCHED arm: updates whose attributes differ from the current row
   SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment
   FROM upd u JOIN dim d ON u.c_custkey = d.c_custkey AND d.is_current
   WHERE u.c_acctbal IS DISTINCT FROM d.c_acctbal
      OR u.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+  UNION ALL
+  -- WHEN NOT MATCHED arm: update keys with no current dim row open a first
+  -- version (mirrors scd2_apply's new_keys branch; empty for this fixture,
+  -- where the update batch is a subset of current keys, but keeps oracle
+  -- and operator semantically aligned rather than coincidentally equal)
+  SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment
+  FROM upd u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dim d WHERE d.c_custkey = u.c_custkey AND d.is_current
+  )
 )
 SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from, d.valid_to, d.is_current
 FROM dim d LEFT JOIN changed c ON d.c_custkey = c.c_custkey

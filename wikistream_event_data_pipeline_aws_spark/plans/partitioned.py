@@ -294,8 +294,10 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     hottest recurring join from two full-table shuffles per run into
     zero — the write-once cost amortizes across every downstream join
     on the same key. The bucketed copies are materialized once per
-    scale factor outside the timed path (same discipline as the
-    partitioned-scan setup)."""
+    scale factor; bench.py pre-warms them during setup so the timed
+    path measures only the join — a cold first invocation elsewhere
+    (e.g. the driver's correctness run) pays the one-time write
+    inside this builder."""
     o = spark.table(_bucketed_table(spark, sf_dir, "orders", "o_orderkey"))
     li = spark.table(_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey"))
     # The MERGE hint pins the sort-merge strategy the bucketing feeds:
