@@ -251,3 +251,43 @@ def test_pagerank_mass_is_conserved_within_floor_loss(spark, sf_dir):
     base = (15 * PR_SCALE) // 100
     for r in top.collect():
         assert base <= r.pr_scaled <= n_nodes * PR_SCALE, r
+
+
+def test_ivf_multi_probe_monotone_and_reduces_to_single_probe(spark, sf_dir):
+    """nprobe=1 must equal the registered single-probe ivf_topk exactly;
+    raising nprobe can only grow each query's candidate cell set, so
+    per-query recall against brute force is monotone non-decreasing."""
+    from pyspark.sql import functions as F
+
+    from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+    from wikistream_event_data_pipeline_aws_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_multi_probe_topk,
+        ivf_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    single = {
+        (r["query_id"], r["neighbor_id"]) for r in ivf_topk(qs, e, k=5, n_cells=8).collect()
+    }
+    multi1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_multi_probe_topk(qs, e, k=5, n_cells=8, nprobe=1).collect()
+    }
+    assert single == multi1
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(qs, e, k=5).collect()
+    }
+    prev_recall = -1.0
+    for nprobe in (1, 2, 4, 8):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_multi_probe_topk(qs, e, k=5, n_cells=8, nprobe=nprobe).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= prev_recall, (nprobe, recall, prev_recall)
+        prev_recall = recall
+    # probing every cell IS brute force
+    assert got == exact

@@ -288,26 +288,39 @@ GROUP BY e.query_id
 # points trace the frontier's two edges plus the deployed corner.
 SWEEP_CONFIGS: tuple[tuple[int, int], ...] = ((1, 6), (2, 6), (3, 4), (3, 6), (3, 8))
 
+# (n_cells, nprobe) grid for the IVF family: cells cut candidates
+# ~1/n_cells, nprobe buys recall back linearly. Shares the sweep's
+# cost/quality axes so the two index families land in ONE artifact.
+IVF_SWEEP_CONFIGS: tuple[tuple[int, int], ...] = ((8, 1), (8, 2), (16, 1), (16, 3))
+
 
 def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall/cost frontier sweep over the multi-table LSH grid — the
+    """Recall/cost frontier sweep across BOTH index families — the
     tuning artifact an actual 100 TB ANN deployment needs: pick the
-    cheapest (n_tables, n_planes) whose recall clears the product bar,
-    then retire the exact scan. One row per config:
-    ``n_candidates`` (pairs scored — the cost axis) and micro-averaged
-    ``recall`` against the exact brute-force top-k (the quality axis).
-    Deterministic end to end (md5 hyperplanes), so even this eval is
-    value-hash-checked against the DuckDB oracle.
+    cheapest config whose recall clears the product bar, then retire
+    the exact scan. One row per config:
+    ``index_family`` ('lsh_multi' rows parameterized by
+    (param_a=n_tables, param_b=n_planes); 'ivf' rows by
+    (param_a=n_cells, param_b=nprobe)), ``n_candidates`` (pairs scored
+    — the cost axis) and micro-averaged ``micro_recall`` against the
+    exact brute-force top-k (the quality axis). Deterministic end to
+    end (md5 hyperplanes; first-N-vector centroids), so even this eval
+    is value-hash-checked against the DuckDB oracle.
 
-    Signature discipline: every config's bucket is a BIT-PREFIX of the
-    same per-table plane-bit vector, so the hyperplane projections (the
-    sweep's dominant cost: DIM-literal folds per plane per row) are
-    computed ONCE for the maximal (tables, planes) grid and fenced with
-    a lazy localCheckpoint; each config then derives its buckets with
-    pure integer arithmetic over the materialized bits. That is also
-    the production shape — signatures are computed/stored once and
-    every tuning evaluation reuses them. Ground truth is fenced the
-    same way (one brute-force pass, not one per config)."""
+    Cost-sharing discipline (the production shape — signatures/indexes
+    built once, every tuning evaluation reuses them):
+    - LSH: every config's bucket is a BIT-PREFIX of the same per-table
+      plane-bit vector, so the hyperplane projections (the dominant
+      cost: DIM-literal folds per plane per row) are computed ONCE for
+      the maximal (tables, planes) grid and fenced with a lazy
+      localCheckpoint; each config derives buckets with integer
+      arithmetic over the materialized bits.
+    - IVF: one corpus cell assignment per DISTINCT n_cells (different
+      quantizers genuinely differ), fenced; the query side ranks ALL
+      centroids once per n_cells and each nprobe config is a pure
+      ``rank <= nprobe`` filter over that ranking.
+    - Ground truth: one brute-force pass, fenced, shared by every row.
+    """
     from functools import reduce
 
     from pyspark.sql import Window
@@ -365,20 +378,16 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    parts = []
-    for nt, npl in SWEEP_CONFIGS:
-        cand = (
-            tagged(q_bits, nt, npl)
-            .join(tagged(c_bits, nt, npl), ["table", "bucket"])
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .groupBy("query_id", "neighbor_id")
-            .agg(F.first("__qv").alias("__qv"), F.first("__cv").alias("__cv"))
-            .localCheckpoint(eager=False)
-        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+
+    def config_row(cand: DataFrame, family: str, pa: int, pb: int) -> DataFrame:
+        """Cost + recall row for one config from its candidate pairs
+        (columns: query_id, neighbor_id, __qv, __cv)."""
+        cand = cand.localCheckpoint(eager=False)
         n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-        )
         ann = (
             cand.select(
                 "query_id",
@@ -397,16 +406,77 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_exact"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
         )
-        parts.append(
-            n_cand.crossJoin(rec).select(
-                F.lit(nt).cast("long").alias("n_tables"),
-                F.lit(npl).cast("long").alias("n_planes"),
-                "n_candidates",
-                "n_exact",
-                "n_hits",
-                (F.col("n_hits") / F.col("n_exact")).alias("micro_recall"),
-            )
+        return n_cand.crossJoin(rec).select(
+            F.lit(family).alias("index_family"),
+            F.lit(pa).cast("long").alias("param_a"),
+            F.lit(pb).cast("long").alias("param_b"),
+            "n_candidates",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_exact")).alias("micro_recall"),
         )
+
+    parts = []
+    for nt, npl in SWEEP_CONFIGS:
+        cand = (
+            tagged(q_bits, nt, npl)
+            .join(tagged(c_bits, nt, npl), ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.first("__qv").alias("__qv"), F.first("__cv").alias("__cv"))
+        )
+        parts.append(config_row(cand, "lsh_multi", nt, npl))
+
+    for n_cells in sorted({c for c, _ in IVF_SWEEP_CONFIGS}):
+        cents = e.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("__cent")
+        )
+        cw = Window.partitionBy("vec_id").orderBy(
+            F.col("__csim").desc(), F.col("centroid_id").asc()
+        )
+
+        def ranked_cells(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+            return (
+                df.crossJoin(F.broadcast(cents))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    "centroid_id",
+                    cosine(F.col("embedding"), F.col("__cent")).alias("__csim"),
+                )
+                .withColumn("__rn", F.row_number().over(cw))
+                .select(
+                    F.col("vec_id").alias(out_id),
+                    F.col("embedding").alias(out_vec),
+                    F.col("centroid_id").alias("cell"),
+                    F.col("__rn").alias("probe_rank"),
+                )
+            )
+
+        corp_cells = (
+            ranked_cells(e, "neighbor_id", "__cv")
+            .filter(F.col("probe_rank") == 1)
+            .drop("probe_rank")
+            .localCheckpoint(eager=False)
+        )
+        max_probe = max(pb for ca, pb in IVF_SWEEP_CONFIGS if ca == n_cells)
+        qry_cells = (
+            ranked_cells(queries, "query_id", "__qv")
+            .filter(F.col("probe_rank") <= max_probe)
+            .localCheckpoint(eager=False)
+        )
+        for ca, nprobe in IVF_SWEEP_CONFIGS:
+            if ca != n_cells:
+                continue
+            cand = (
+                qry_cells.filter(F.col("probe_rank") <= nprobe)
+                .drop("probe_rank")
+                .join(corp_cells, "cell")
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+                .select("query_id", "neighbor_id", "__qv", "__cv")
+            )
+            parts.append(config_row(cand, "ivf", n_cells, nprobe))
+
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
@@ -452,8 +522,9 @@ ranked{i} AS (
   JOIN embeddings ce ON ce.vec_id = cand{i}.neighbor_id
 ),
 cfg{i} AS (
-  SELECT CAST({n_tables} AS BIGINT) AS n_tables,
-         CAST({n_planes} AS BIGINT) AS n_planes,
+  SELECT 'lsh_multi' AS index_family,
+         CAST({n_tables} AS BIGINT) AS param_a,
+         CAST({n_planes} AS BIGINT) AS param_b,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{i}) AS n_candidates,
          CAST(COUNT(*) AS BIGINT) AS n_exact,
          CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
@@ -465,12 +536,66 @@ cfg{i} AS (
 )"""
 
 
+def _ivf_cfg_sql(i: int, n_cells: int, nprobe: int) -> str:
+    """CTE chunk for one IVF sweep row: corpus cells (rank-1 centroid),
+    query cells (rank <= nprobe), equi-join candidates, exact re-rank."""
+    assign = f"""
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS_SQL.format(a="v.embedding", b="c.cent")} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM ({{src}}) v,
+         (SELECT vec_id AS centroid_id, embedding AS cent
+          FROM embeddings WHERE vec_id < {n_cells}) c
+"""
+    return f"""
+icorp{i} AS (
+  SELECT vec_id, centroid_id AS cell
+  FROM ({assign.format(src="SELECT vec_id, embedding FROM embeddings")}) WHERE rn = 1
+),
+iqry{i} AS (
+  SELECT vec_id, centroid_id AS cell
+  FROM ({assign.format(src=f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}")})
+  WHERE rn <= {nprobe}
+),
+icand{i} AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM iqry{i} q JOIN icorp{i} c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+),
+iranked{i} AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {_COS_SQL.format(a="qe.embedding", b="ce.embedding")} DESC,
+                                     neighbor_id ASC) AS rank
+  FROM icand{i}
+  JOIN embeddings qe ON qe.vec_id = icand{i}.query_id
+  JOIN embeddings ce ON ce.vec_id = icand{i}.neighbor_id
+),
+icfg{i} AS (
+  SELECT 'ivf' AS index_family,
+         CAST({n_cells} AS BIGINT) AS param_a,
+         CAST({nprobe} AS BIGINT) AS param_b,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM icand{i}) AS n_candidates,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           / CAST(COUNT(*) AS DOUBLE) AS micro_recall
+  FROM exact e
+  LEFT JOIN (SELECT * FROM iranked{i} WHERE rank <= {TOP_K}) a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)"""
+
+
 def _sweep_oracle_sql() -> str:
     chunks = ",".join(
         _sweep_cfg_sql(i, nt, npl) for i, (nt, npl) in enumerate(SWEEP_CONFIGS)
+    ) + "," + ",".join(
+        _ivf_cfg_sql(i, nc, npr) for i, (nc, npr) in enumerate(IVF_SWEEP_CONFIGS)
     )
     union = "\nUNION ALL\n".join(
-        f"SELECT * FROM cfg{i}" for i in range(len(SWEEP_CONFIGS))
+        [f"SELECT * FROM cfg{i}" for i in range(len(SWEEP_CONFIGS))]
+        + [f"SELECT * FROM icfg{i}" for i in range(len(IVF_SWEEP_CONFIGS))]
     )
     return f"WITH exact AS ({SIMILARITY_COSINE_TOPK_SQL}),{chunks}\n{union}"
 
