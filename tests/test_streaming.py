@@ -489,3 +489,103 @@ def test_validated_merge_sink_routes_dlq_and_stays_idempotent(spark, tmp_path, b
     run("ck2")
     assert sorted(r.event_id for r in spark.read.parquet(target).collect()) == [1, 3]
     assert [r.event_id for r in spark.read.parquet(dlq).collect()] == [2]
+
+
+# -- CDC stream -> SCD2 sink (VERDICT r3 item 3) ------------------------------
+
+
+def _scd2_hist_snapshot(spark, dim_path):
+    return {
+        (r.c_custkey, r.c_acctbal, r.c_mktsegment, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(dim_path).collect()
+    }
+
+
+def test_scd2_sink_checkpoint_restart_and_replay_idempotent(spark, tmp_path, sf_dir):
+    """The streamed SCD2 history must be (a) resumable — restart with the
+    same checkpoint processes only the unseen CDC file — and (b) a fixed
+    point under replay — wiping the checkpoint and re-streaming BOTH
+    files over the already-evolved dim changes nothing (scd2_apply finds
+    no diffs and no missing keys), which is the exactly-once-equivalent
+    contract for a crash between dim write and offset commit."""
+    from wikistream_event_data_pipeline_aws_spark.plans.merge import (
+        seed_scd2_dim,
+        write_cdc_fixture,
+    )
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        start_scd2_sink,
+    )
+
+    cdc_all = tmp_path / "cdc_all"
+    write_cdc_fixture(spark, sf_dir, str(cdc_all))
+    files = sorted(cdc_all.iterdir())
+    assert len(files) == 2
+
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    dim_path = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    seed_scd2_dim(spark, sf_dir, dim_path)
+    schema = spark.read.parquet(str(cdc_all)).schema
+
+    def run():
+        q = start_scd2_sink(
+            file_stream(spark, str(cdc_dir), schema),
+            dim_path,
+            keys=["c_custkey"],
+            attrs=["c_acctbal", "c_mktsegment"],
+            checkpoint_dir=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    # batch 1 only
+    (cdc_dir / files[0].name).write_bytes(files[0].read_bytes())
+    run()
+    after_b1 = _scd2_hist_snapshot(spark, dim_path)
+    closed = {r for r in after_b1 if not r[5]}
+    assert closed and all(r[4] == "2024-06-01" for r in closed)
+
+    # restart with the same checkpoint: only the new file is processed
+    (cdc_dir / files[1].name).write_bytes(files[1].read_bytes())
+    run()
+    after_b2 = _scd2_hist_snapshot(spark, dim_path)
+    assert after_b2 != after_b1
+    assert any(r[4] == "2024-09-01" for r in after_b2 if not r[5])
+    # the insert arm fired in-stream: new keys exist exactly once, current
+    new_keys = [r for r in after_b2 if r[0] >= 1_000_000]
+    assert new_keys and all(r[5] and r[3] == "2024-09-01" for r in new_keys)
+
+    # full replay over the evolved dim: wipe offsets, re-stream BOTH files.
+    # Every replayed update is now late (eff <= the key's current
+    # valid_from), so the monotonicity guard makes the whole re-stream a
+    # no-op — the strongest form of the exactly-once-equivalent contract.
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    assert _scd2_hist_snapshot(spark, dim_path) == after_b2
+
+
+def test_scd2_sink_requires_seeded_dim(spark, tmp_path, sf_dir):
+    import pytest as _pytest
+
+    from wikistream_event_data_pipeline_aws_spark.plans.merge import write_cdc_fixture
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        start_scd2_sink,
+    )
+
+    cdc = tmp_path / "cdc"
+    write_cdc_fixture(spark, sf_dir, str(cdc))
+    schema = spark.read.parquet(str(cdc)).schema
+    with _pytest.raises(ValueError, match="seeded"):
+        start_scd2_sink(
+            file_stream(spark, str(cdc), schema),
+            str(tmp_path / "missing_dim"),
+            keys=["c_custkey"],
+            attrs=["c_acctbal", "c_mktsegment"],
+            checkpoint_dir=str(tmp_path / "ck"),
+        )

@@ -215,6 +215,221 @@ GROUP BY c_mktsegment"""
 SCD2_POINT_IN_TIME_SQL = _scd2_pit_sql()
 
 
+# -- CDC stream -> SCD2 (the streaming upsert of a versioned dimension) ------
+
+_CDC_EFF2 = "2024-09-01"
+_CDC_ASOF = ("2024-03-15", "2024-07-15", "2024-10-15")  # initial / after b1 / after b2
+# New-key offset for the second CDC batch's inserts. Collision-free while
+# max(c_custkey) < 1e6, i.e. customer SF < ~6.7 — far above the test grid;
+# a production fixture would derive it as max(key)+1 like the FK plant.
+_CDC_NEW_KEY_OFFSET = 1_000_000
+
+
+def _cdc_batches(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Two deterministic CDC batches over customer, each stamped with its
+    effective date (from DATA, not wall clock — replay determinism):
+    b0: every 7th customer +100.00 balance (same fixture as
+        scd2_customer_dim, so histories are comparable);
+    b1: every 5th customer +250.00 and segment MACHINERY (keys div by 35
+        gain a THIRD version), plus brand-new keys (+offset) for every
+        11th customer — the WHEN NOT MATCHED insert arm, in-stream."""
+    c = load_table(spark, sf_dir, "customer")
+    b0 = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(_SCD_EFF).alias("eff_date"),
+    )
+    b1 = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.lit(250.0)).alias("c_acctbal"),
+            F.lit("MACHINERY").alias("c_mktsegment"),
+            F.lit(_CDC_EFF2).alias("eff_date"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + F.lit(_CDC_NEW_KEY_OFFSET)).alias("c_custkey"),
+                (F.col("c_acctbal") + F.lit(500.0)).alias("c_acctbal"),
+                F.lit("STREAMING").alias("c_mktsegment"),
+                F.lit(_CDC_EFF2).alias("eff_date"),
+            )
+        )
+    )
+    return [b0, b1]
+
+
+def write_cdc_fixture(spark: SparkSession, sf_dir: str, cdc_dir: str) -> None:
+    """Materialize the CDC batches as ONE parquet file each with
+    ascending mtimes (FileStreamSource replays oldest-first, one file
+    per micro-batch under maxFilesPerTrigger=1)."""
+    import os
+    import time
+
+    os.makedirs(cdc_dir, exist_ok=True)
+    base = time.time() - 600
+    for i, b in enumerate(_cdc_batches(spark, sf_dir)):
+        path = os.path.join(cdc_dir, f"batch_{i}.parquet")
+        b.toPandas().to_parquet(path, index=False)
+        os.utime(path, (base + 60 * i, base + 60 * i))
+
+
+def seed_scd2_dim(spark: SparkSession, sf_dir: str, dim_path: str) -> None:
+    """Write the initial current-only dimension (valid_from = history
+    start, open-ended, is_current)."""
+    c = load_table(spark, sf_dir, "customer")
+    dim0 = c.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(_SCD_START).alias("valid_from"),
+        F.lit(_SCD_HIGH).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dim0.write.mode("overwrite").parquet(dim_path)
+
+
+def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC-stream -> SCD2 composition (VERDICT r3 item 3):
+    a file-replayed update stream drives
+    :func:`streaming.ingest.start_scd2_sink` (checkpointed foreachBatch
+    ``scd2_apply``) over a seeded customer dimension — two micro-batches,
+    two effective dates, update+insert arms both exercised — then the
+    STREAMED history is read back and reconstructed point-in-time at
+    three snapshot dates (before/between/after the effective dates),
+    aggregated per market segment with exact decimal sums. The DuckDB
+    oracle applies the same two batches sequentially in SQL, so every
+    version row the stream produced is value-checked through the PIT
+    lens. Checkpoint-restart idempotency is pinned separately in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.ingest import file_stream, start_scd2_sink
+
+    tmp = tempfile.mkdtemp(prefix="scd2_stream_")
+    cdc_dir = f"{tmp}/cdc"
+    dim_path = f"{tmp}/dim"
+    ckpt = f"{tmp}/ckpt"
+    write_cdc_fixture(spark, sf_dir, cdc_dir)
+    seed_scd2_dim(spark, sf_dir, dim_path)
+
+    schema = spark.read.parquet(cdc_dir).schema
+    stream = file_stream(spark, cdc_dir, schema, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start_scd2_sink(
+            stream,
+            dim_path,
+            keys=["c_custkey"],
+            attrs=["c_acctbal", "c_mktsegment"],
+            checkpoint_dir=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("scd2 stream did not finish in 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    from functools import reduce
+
+    hist = spark.read.parquet(dim_path)
+    parts = []
+    for asof in _CDC_ASOF:
+        snap = hist.filter(
+            (F.col("valid_from") <= F.lit(asof)) & (F.col("valid_to") > F.lit(asof))
+        )
+        parts.append(
+            snap.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_acctbal"),
+            )
+            .select(
+                F.lit(asof).alias("snapshot_date"),
+                "c_mktsegment",
+                "n_customers",
+                "total_acctbal",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _scd2_apply_step_sql(i: int, eff: str) -> str:
+    """CTE pair applying update batch ``upd{i}`` to history ``hist{i}``
+    at effective date ``eff`` -> ``hist{i+1}``: the SQL mirror of
+    operators.merge.scd2_apply (untouched + closed + opened arms, with
+    the WHEN NOT MATCHED insert arm)."""
+    prev, nxt = f"hist{i}", f"hist{i + 1}"
+    return f"""
+chg{i} AS (
+  SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment
+  FROM upd{i} u JOIN {prev} d ON u.c_custkey = d.c_custkey AND d.is_current
+  WHERE u.c_acctbal IS DISTINCT FROM d.c_acctbal
+     OR u.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+  UNION ALL
+  SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment
+  FROM upd{i} u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev} d WHERE d.c_custkey = u.c_custkey AND d.is_current
+  )
+),
+{nxt} AS (
+  SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from, d.valid_to, d.is_current
+  FROM {prev} d LEFT JOIN chg{i} c ON d.c_custkey = c.c_custkey
+  WHERE NOT (d.is_current AND c.c_custkey IS NOT NULL)
+  UNION ALL
+  SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from,
+         '{eff}' AS valid_to, FALSE AS is_current
+  FROM {prev} d JOIN chg{i} c ON d.c_custkey = c.c_custkey
+  WHERE d.is_current
+  UNION ALL
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         '{eff}' AS valid_from, '{_SCD_HIGH}' AS valid_to, TRUE AS is_current
+  FROM chg{i}
+)"""
+
+
+def _scd2_stream_replay_sql() -> str:
+    snaps = "\nUNION ALL\n".join(
+        f"""SELECT '{asof}' AS snapshot_date, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM hist2 WHERE valid_from <= '{asof}' AND valid_to > '{asof}'
+GROUP BY c_mktsegment"""
+        for asof in _CDC_ASOF
+    )
+    return f"""
+WITH hist0 AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         '{_SCD_START}' AS valid_from, '{_SCD_HIGH}' AS valid_to, TRUE AS is_current
+  FROM customer
+),
+upd0 AS (
+  SELECT c_custkey, c_acctbal + CAST(100.0 AS DOUBLE) AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+),
+upd1 AS (
+  SELECT c_custkey, c_acctbal + CAST(250.0 AS DOUBLE) AS c_acctbal,
+         'MACHINERY' AS c_mktsegment
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + {_CDC_NEW_KEY_OFFSET}, c_acctbal + CAST(500.0 AS DOUBLE),
+         'STREAMING'
+  FROM customer WHERE c_custkey % 11 = 0
+),{_scd2_apply_step_sql(0, _SCD_EFF)},{_scd2_apply_step_sql(1, _CDC_EFF2)}
+{snaps}
+"""
+
+
+SCD2_STREAM_REPLAY_SQL = _scd2_stream_replay_sql()
+
+
 def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconciliation diff between two table versions — the audit every
     MERGE/migration needs: a full-outer join on the business key
@@ -290,6 +505,7 @@ QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "scd2_customer_dim": scd2_customer_dim,
     "scd2_point_in_time": scd2_point_in_time,
+    "scd2_stream_replay": scd2_stream_replay,
     "table_diff_orders": table_diff_orders,
 }
 
@@ -298,5 +514,6 @@ ORACLES = {
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "scd2_customer_dim": SCD2_CUSTOMER_DIM_SQL,
     "scd2_point_in_time": SCD2_POINT_IN_TIME_SQL,
+    "scd2_stream_replay": SCD2_STREAM_REPLAY_SQL,
     "table_diff_orders": TABLE_DIFF_ORDERS_SQL,
 }

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from ..operators.merge import insert_only_parquet
+from ..operators.merge import insert_only_parquet, path_exists, scd2_apply
 
 
 # -- sources ------------------------------------------------------------------
@@ -376,6 +376,93 @@ def start_merge_sink(
 
     writer = (
         stream_df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def start_scd2_sink(
+    stream_df: DataFrame,
+    dim_path: str,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    checkpoint_dir: str,
+    eff_date_col: str = "eff_date",
+    high_date: str = "9999-12-31",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """CDC stream -> SCD2 versioned dimension: each micro-batch of
+    update rows (``keys + attrs + eff_date_col``) is applied to the
+    dimension at ``dim_path`` via :func:`operators.merge.scd2_apply` —
+    the streaming upsert of a versioned dimension that the reference's
+    Iceberg MERGE would perform (``silver_batch_job.py:294-326``), with
+    history columns instead of overwrite.
+
+    Exactly-once composition: checkpointed offsets make each CDC file
+    process once, and the body enforces EVENT-TIME MONOTONICITY per key
+    — an update applies only if its effective date is strictly newer
+    than the key's current ``valid_from``. That guard makes the history
+    a fixed point under ARBITRARY replay (not just same-batch retry): a
+    crash between dim write and offset commit re-applies the last batch
+    as a no-op, and even a full from-scratch re-stream over the evolved
+    dim changes nothing, because every replayed update is now late.
+    Without the guard, replaying an older batch would "change" keys
+    back to stale values and corrupt the history — the SCD2 analogue of
+    out-of-order events, handled the same way a watermark handles them.
+    (Same-day corrections are dropped by the guard; a feed needing them
+    must carry a version-sequence column as part of the effective key.)
+    Proven by the checkpoint-restart + full-replay test
+    (tests/test_streaming.py).
+
+    Effective dates come from the DATA (``eff_date_col``), never the
+    wall clock — replay determinism requires it. A recovered micro-batch
+    may fold several CDC files together, so the body applies each
+    distinct effective date in ascending order (bounded driver loop:
+    one iteration per folded CDC day, not per row).
+
+    The dim rewrite is copy-on-write on plain parquet (bounded by dim
+    size, not stream volume); an Iceberg/Delta backend would MERGE with
+    file pruning, and a date-bucketed history table would make the
+    rewrite partition-scoped like upsert_parquet."""
+    spark = stream_df.sparkSession
+
+    def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        effs = [
+            r[0]
+            for r in batch_df.select(eff_date_col).distinct().orderBy(eff_date_col).collect()
+        ]
+        dim = spark.read.parquet(dim_path)
+        for eff in effs:
+            updates = batch_df.filter(F.col(eff_date_col) == eff).select(*keys, *attrs)
+            # late-update guard: drop updates not strictly newer than the
+            # key's current version (ISO date strings compare lexically)
+            cur_from = dim.filter(F.col("is_current")).select(
+                *keys, F.col("valid_from").alias("__cur_from")
+            )
+            updates = (
+                updates.join(cur_from, list(keys), "left")
+                .filter(
+                    F.col("__cur_from").isNull() | (F.col("__cur_from") < F.lit(str(eff)))
+                )
+                .drop("__cur_from")
+            )
+            dim = scd2_apply(dim, updates, keys, attrs, str(eff), high_date)
+        # pin rows before overwriting the files they were read from
+        pinned = dim.localCheckpoint(eager=True)
+        pinned.write.mode("overwrite").parquet(dim_path)
+
+    if not path_exists(spark, dim_path):
+        raise ValueError(
+            f"dim_path {dim_path!r} must be seeded with the initial dimension "
+            "(write the current rows with valid_from/valid_to/is_current first)"
+        )
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
