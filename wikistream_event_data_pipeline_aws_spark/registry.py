@@ -20,38 +20,69 @@ _ORACLES: dict[str, str] = {}
 # The driver verifies the FIRST 50 registered queries against DuckDB each
 # round (CORRECTNESS_r01/r02 cut off at exactly the first 50 in insertion
 # order — a 51st entry is silently dropped, so this list MUST stay <= 50;
-# tests/test_plans.py pins that).  Round 3 promotes the 7 queries that have
-# no driver row in r01∪r02 (partitioned_scan_pruning missed BOTH rotations)
-# plus pack_sequences, whose round-2 row was red on an oracle-side HUGEINT
-# type bug (now fixed) and needs a green re-check.  Queries added in round 3
-# follow, so every registered query accumulates a driver verification row.
+# tests/test_plans.py pins that).  Rotation policy (VERDICT r3 item 1):
+# front = (queries whose implementation or oracle changed this round)
+# + (queries new this round) + (queries with the OLDEST driver row),
+# capped at 50 — so every registered query keeps accumulating fresh
+# verification rows and no stale green row shields a changed plan.
+# Round 4 composition: 2 new + 5 changed + all 25 whose latest row is r1
+# + the first 18 (alphabetical) whose latest row is r2.
 # The full set is always registered — only iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
-    "partitioned_scan_pruning",  # S6 — only SURVEY §2 row never driver-checked
-    "similarity_ann_recall",  # round-2 post-freeze, no driver row yet
-    "streaming_session_window",  # no driver row yet
-    "graph_triangle_count",  # no driver row yet (degree-oriented this round)
-    "dq_outlier_zscore",  # no driver row yet
-    "tpch_forecast_revenue",  # no driver row yet
-    "tpch_promo_revenue",  # no driver row yet
-    "pack_sequences",  # r02 red row — oracle CAST fixed, needs green re-check
-    "similarity_ann_sweep",  # new in round 3 — recall/cost frontier
-    "scd2_point_in_time",  # new in round 3 — versioned-dim read side
-    "compaction_plan",  # new in round 3 — small-file maintenance planner
-    "graph_pagerank",  # new in round 3 — fixed-point Pregel-as-joins
-    "dedup_passage_exact",  # new in round 3 — passage dedup + reassembly
-    "incremental_agg_merge",  # new in round 3 — IVM partial-merge
-    "skew_profile",  # new in round 3 — shuffle-planning diagnostic
-    "bucketed_join_colocated",  # new in round 3 — shuffle-free bucketed join
-    "quality_percentile_gate",  # new in round 3 — corpus-relative curation gate
-    "funnel_view_click_purchase",  # new in round 3 — sequential funnel
-    "retention_cohorts",  # new in round 3 — cohort retention matrix
-    "hourly_gapfill",  # new in round 3 — time-spine resample
-    "event_transition_matrix",  # new in round 3 — behavior Markov view
-    "table_diff_orders",  # new in round 3 — reconciliation diff
-    "bpe_merge_candidates",  # new in round 3 — BPE pair-count step
-    "dq_referential_integrity",  # new in round 3 — FK orphan audit
-    "sample_importance_tokens",  # new in round 3 — per-row weighted sampling
+    # -- new in round 4 -------------------------------------------------
+    "scd2_stream_replay",  # CDC stream -> SCD2 foreachBatch composition
+    "partition_evolution_audit",  # layout migration reconciliation
+    # -- changed in round 4 (plan or oracle) ----------------------------
+    "similarity_ann_sweep",  # + IVF axis, generalized schema
+    "scd2_customer_dim",  # oracle gained the insert arm
+    "scd2_point_in_time",  # embeds the scd2_customer_dim oracle
+    "dq_referential_integrity",  # plant now derived max(parent)+1
+    "graph_pagerank",  # kernel extracted into _pr_step
+    # -- oldest driver rows: every query last verified in round 1 -------
+    "conditional_mapping",
+    "cube_type_hour",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "map_explode_props",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "null_defaulting",
+    "pivot_type_counts_by_date",
+    "rollup_date_type",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_cosine_topk",
+    "similarity_embedding_neardup",
+    "string_cleaning",
+    "surrogate_key_md5",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_token_stats",
+    "timestamp_normalize",
+    # -- oldest remaining: first 18 whose latest row is round 2 ---------
+    "asof_latest_click",
+    "bloom_semi_join_stats",
+    "corpus_shuffle_hash",
+    "curate_corpus",
+    "decontaminate_ngram_overlap",
+    "dedup_clusters",
+    "domain_mixture_sample",
+    "dq_accuracy_recompute",
+    "dq_completeness",
+    "dq_containment",
+    "dq_cross_column",
+    "dq_drift_halves",
+    "dq_freshness",
+    "dq_profile_value",
+    "dq_range",
+    "dq_uniqueness",
+    "gate_status_rollup",
+    "grouping_sets_type_date",
 )
 
 
