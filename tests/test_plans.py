@@ -354,3 +354,21 @@ def test_transition_matrix_window_partitioned_by_user(spark, sf_dir):
     assert windows, plan
     for w in windows:
         assert "user_id" in w, w
+
+
+def test_ann_sweep_has_no_cartesian_product(spark, sf_dir):
+    """Every cross join in the sweep must be a BROADCAST nested loop
+    (tiny centroid/ground-truth sides); an unhinted CartesianProduct
+    would be the all-pairs scan the sweep exists to avoid."""
+    plan = _plan(spark, sf_dir, "similarity_ann_sweep")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_evolution_audit_is_single_keyed_join(spark, sf_dir):
+    """The reconciliation is one full-outer equi-join on event_id plus
+    one hash agg — no cross join, no window, no second shuffle chain."""
+    plan = _plan(spark, sf_dir, "partition_evolution_audit")
+    assert "CartesianProduct" not in plan, plan
+    assert "FullOuter" in plan, plan
+    assert "HashAggregate" in plan, plan
