@@ -291,3 +291,41 @@ def test_ivf_multi_probe_monotone_and_reduces_to_single_probe(spark, sf_dir):
         prev_recall = recall
     # probing every cell IS brute force
     assert got == exact
+
+
+def test_doc_chunks_cover_and_overlap_exactly(spark, sf_dir):
+    """Chunk-grid invariants: per doc, chunks start at 0, advance by the
+    stride, end exactly at n_tokens (full coverage, no over-read), and
+    every non-final chunk is full-size — so consecutive full chunks
+    share exactly CHUNK_OVERLAP tokens."""
+    from collections import defaultdict
+
+    from wikistream_event_data_pipeline_aws_spark.plans.llmprep import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        _CHUNK_STRIDE,
+        doc_chunk_overlap,
+    )
+
+    rows = doc_chunk_overlap(spark, sf_dir).collect()
+    assert rows
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    assert CHUNK_TOKENS - CHUNK_OVERLAP == _CHUNK_STRIDE
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        starts = [c.start_token for c in chunks]
+        assert starts[0] == 0
+        assert all(b - a == _CHUNK_STRIDE for a, b in zip(starts, starts[1:]))
+        n = max(c.start_token + c.chunk_tokens for c in chunks)
+        for c in chunks[:-1]:
+            assert c.chunk_tokens == CHUNK_TOKENS, (doc_id, c)
+        last = chunks[-1]
+        assert last.start_token + last.chunk_tokens == n
+        # coverage: the last chunk reaches the end; a dropped tail start
+        # would leave a gap only if last.start + CHUNK < n
+        assert last.start_token + CHUNK_TOKENS >= n
+        # no degenerate tail: a non-first chunk carries more than overlap
+        if len(chunks) > 1:
+            assert last.chunk_tokens > CHUNK_OVERLAP or last.start_token == 0

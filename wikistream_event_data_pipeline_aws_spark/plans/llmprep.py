@@ -6,6 +6,10 @@ corpus-assembly steps an LLM data pipeline runs after dedup/quality
   doc its span of fixed-budget training sequences via a partitioned
   cumulative-sum window (the distributed form of "concat the corpus and
   cut every N tokens").
+* ``doc_chunk_overlap`` — fixed-size overlapping token chunks per doc
+  (the RAG / long-context chunking grain): stride-grid starts, full
+  coverage, exact-overlap invariants; chunks emitted as md5
+  fingerprints so the result stays compact.
 * ``decontaminate_ngram_overlap`` — benchmark decontamination: flag train
   docs sharing any 5-gram with the held-out set via a broadcast hash
   join on shingles (never a cross join).
@@ -106,6 +110,86 @@ SELECT doc_id, lang, shard, n_tokens,
        CAST(((cum - 1) // {SEQ_BUDGET}) - ((cum - n_tokens) // {SEQ_BUDGET}) + 1
             AS BIGINT) AS n_seqs
 FROM c
+"""
+
+# -- overlapping document chunking ---------------------------------------------
+
+CHUNK_TOKENS = 64  # tokens per chunk (the RAG/context-window grain)
+CHUNK_OVERLAP = 16  # tokens shared between consecutive chunks
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-size token chunks with overlap —
+    the chunking step every RAG indexing / long-context training
+    pipeline runs between cleaning and embedding. Chunk starts are the
+    stride grid ``0, S, 2S, ...`` with degenerate tails dropped (a
+    start other than 0 must begin before ``n - overlap``, else its
+    content is already covered by the previous chunk); the grid
+    guarantees full coverage (last start >= n - chunk) and exactly
+    ``overlap`` shared tokens between full consecutive chunks
+    (invariants pinned in tests/test_operator_invariants.py).
+
+    Shape: one narrow projection, a per-row start grid (tiny array —
+    the generator wraps the START LIST, never the token array, per the
+    generator-reevaluation trap documented in README), one posexplode,
+    then pure per-row slicing — embarrassingly parallel, no shuffle at
+    all below the (registry-level) ordering. Chunks are emitted as
+    md5 fingerprints + token counts, not text, so the result stays
+    compact and value-hash-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "doc_id",
+            "lang",
+            tokenize(F.col("text")).alias("__toks"),
+        )
+        .withColumn("n_tokens", F.size("__toks").cast("long"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0).cast("long"), F.col("n_tokens") - 1, F.lit(_CHUNK_STRIDE).cast("long")),
+        lambda s: (s == 0) | (s < F.col("n_tokens") - CHUNK_OVERLAP),
+    )
+    chunked = t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "__toks",
+        F.explode(starts).alias("start_token"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start_token") + 1, CHUNK_TOKENS)
+    return chunked.select(
+        "doc_id",
+        "lang",
+        (F.col("start_token") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        "start_token",
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+DOC_CHUNK_OVERLAP_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKS_SQL} AS toks,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len({_TOKS_SQL}) > 0
+),
+s AS (
+  SELECT doc_id, lang, n_tokens, toks,
+         CAST(u.s AS BIGINT) AS start_token
+  FROM t, UNNEST(list_filter(range(0, n_tokens, {_CHUNK_STRIDE}),
+                             x -> x = 0 OR x < n_tokens - {CHUNK_OVERLAP})) AS u(s)
+)
+SELECT doc_id, lang,
+       CAST(start_token // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       start_token,
+       CAST(len(list_slice(toks, start_token + 1, start_token + {CHUNK_TOKENS})) AS BIGINT)
+         AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, start_token + 1, start_token + {CHUNK_TOKENS}), ' '))
+         AS chunk_md5
+FROM s
 """
 
 # -- benchmark decontamination --------------------------------------------------
@@ -520,6 +604,7 @@ WHERE mix_hash < rate_per_mille
 
 QUERIES = {
     "pack_sequences": pack_sequences,
+    "doc_chunk_overlap": doc_chunk_overlap,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "sample_stratified_hash": sample_stratified_hash,
     "redact_pii": redact_pii,
@@ -533,6 +618,7 @@ QUERIES = {
 
 ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "doc_chunk_overlap": DOC_CHUNK_OVERLAP_SQL,
     "decontaminate_ngram_overlap": DECONTAMINATE_SQL,
     "sample_stratified_hash": SAMPLE_STRATIFIED_SQL,
     "redact_pii": REDACT_PII_SQL,

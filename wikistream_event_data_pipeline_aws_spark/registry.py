@@ -32,6 +32,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # -- new in round 4 -------------------------------------------------
     "scd2_stream_replay",  # CDC stream -> SCD2 foreachBatch composition
     "partition_evolution_audit",  # layout migration reconciliation
+    "doc_chunk_overlap",  # overlapping RAG/training chunker
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -82,7 +83,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dq_range",
     "dq_uniqueness",
     "gate_status_rollup",
-    "grouping_sets_type_date",
 )
 
 
