@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 127
+EXPECTED_QUERY_COUNT = 139
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -372,3 +372,92 @@ def test_evolution_audit_is_single_keyed_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "FullOuter" in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_tpch_deep_small_qty_brand_filter_pushed(spark, sf_dir):
+    """Q17: the brand predicate must reach BOTH part scans (the join leg
+    and the per-part threshold leg), and the correlated-AVG rewrite must
+    stay broadcast — a SortMergeJoin here would shuffle lineitem twice."""
+    plan = _plan(spark, sf_dir, "tpch_small_qty_revenue")
+    assert plan.count("EqualTo(p_brand,Brand#3)") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_deep_disjunction_pushed_to_lineitem_scan(spark, sf_dir):
+    """Q19: Catalyst must factor the lineitem-only legs of the
+    OR-of-conjunctions into a scan-pushable quantity disjunction; the
+    part side stays a single broadcast build."""
+    plan = _plan(spark, sf_dir, "tpch_disjunctive_revenue")
+    assert "Or(" in plan and "l_quantity" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_deep_order_count_preaggregates_orders(spark, sf_dir):
+    """Q13: orders are aggregated to one row per customer BEFORE the
+    left join (priority filter pushed to the orders scan), so the join
+    never sees the raw fact table."""
+    plan = _plan(spark, sf_dir, "tpch_order_count_distribution")
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan, plan
+    # pre-agg on o_custkey, final agg on c_count: two keyed exchanges max
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_tpch_deep_topk_queries_take_ordered(spark, sf_dir):
+    """Q10/Q18: deterministic top-k compiles to TakeOrderedAndProject,
+    never a global sort."""
+    for name in ("tpch_returned_item_customers", "tpch_large_volume_customers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), (name, plan)
+
+
+def test_tpch_deep_scalar_subqueries_broadcast(spark, sf_dir):
+    """Q15/Q22: the scalar threshold joins (MAX revenue, AVG balance)
+    must be broadcast 1-row joins, not cartesian products."""
+    for name in ("tpch_top_supplier", "tpch_idle_customers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+    # Q22's cross join against the 1-row scalar is a broadcast NLJ
+    plan = _plan(spark, sf_dir, "tpch_idle_customers")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_tpch_deep_volume_shipping_nation_filter_pushed(spark, sf_dir):
+    """Q7: the nation-pair membership prunes both nation dim scans at
+    the source."""
+    plan = _plan(spark, sf_dir, "tpch_volume_shipping")
+    assert plan.count("In(n_name") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_record_linkage_blocking_join_is_equi(spark, sf_dir):
+    """Blocked linkage must pair via the blocking-key equi-join — a
+    CartesianProduct here is the all-pairs scan blocking exists to
+    avoid; the Levenshtein scorer stays JVM-side (no Python eval)."""
+    for name in ("record_linkage_blocks", "record_linkage_matches"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "EvalPython" not in plan, (name, plan)
+
+
+def test_wma_single_user_window(spark, sf_dir):
+    """The 7-lag kernel must resolve in ONE user-partitioned window
+    (one shuffle + one sort), not one window per lag."""
+    import re
+
+    plan = _plan(spark, sf_dir, "wma_user_value")
+    windows = re.findall(r"Window .*", plan)
+    assert windows, plan
+    for w in windows:
+        assert "user_id" in w, w
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_mixture_temperature_scalar_is_broadcast(spark, sf_dir):
+    """The normalizing total joins back as a broadcast 1-row scalar —
+    never a collect() literal, never a cartesian."""
+    plan = _plan(spark, sf_dir, "mixture_temperature_weights")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

@@ -602,8 +602,66 @@ WHERE mix_hash < rate_per_mille
 """
 
 
+# -- temperature-scaled mixture weights -----------------------------------------
+
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture weights: p_i ∝ n_i^(1/T) with
+    T = 2 (i.e. sqrt), the standard multilingual rebalancing that
+    upsamples low-resource languages relative to proportional sampling.
+    Float-parity design: sqrt is IEEE-correctly-rounded in both engines,
+    and the normalizing total is folded over the *lang-sorted* weight
+    array (``F.aggregate`` here, ``list_reduce`` in the oracle) so both
+    engines add the same doubles in the same order — the per-group agg
+    is one shuffle of ≤ |languages| rows; the scalar total is a 1-row
+    broadcast join, never a collect."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("weight", F.sqrt(F.col("n_docs").cast("double")))
+    )
+    total = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("lang", "weight"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["weight"],
+        ).alias("total_w")
+    )
+    budget = F.lit(1_000_000.0)
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "weight",
+            (F.col("weight") / F.col("total_w")).alias("share"),
+            F.floor(budget * F.col("weight") / F.col("total_w"))
+            .cast("bigint")
+            .alias("budget_docs"),
+        )
+    )
+
+
+MIXTURE_TEMPERATURE_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), arr AS (
+  SELECT list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang) AS ws FROM counts
+), tot AS (
+  SELECT list_reduce(ws, (a, b) -> a + b) AS total_w FROM arr
+)
+SELECT c.lang, c.n_docs,
+       sqrt(CAST(c.n_docs AS DOUBLE)) AS weight,
+       sqrt(CAST(c.n_docs AS DOUBLE)) / t.total_w AS share,
+       CAST(floor(1000000.0 * sqrt(CAST(c.n_docs AS DOUBLE)) / t.total_w) AS BIGINT) AS budget_docs
+FROM counts c, tot t
+"""
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
+    "mixture_temperature_weights": mixture_temperature_weights,
     "doc_chunk_overlap": doc_chunk_overlap,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "sample_stratified_hash": sample_stratified_hash,
@@ -618,6 +676,7 @@ QUERIES = {
 
 ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "mixture_temperature_weights": MIXTURE_TEMPERATURE_SQL,
     "doc_chunk_overlap": DOC_CHUNK_OVERLAP_SQL,
     "decontaminate_ngram_overlap": DECONTAMINATE_SQL,
     "sample_stratified_hash": SAMPLE_STRATIFIED_SQL,

@@ -195,8 +195,53 @@ FROM flagged GROUP BY user_id
 """
 
 
+def wma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted 7-point moving average of ``value`` per user —
+    the trend smoother the reference's declared-but-unimplemented trend
+    columns (``gold_schema.py:67-69``) gesture at, generalized to a
+    weighted kernel. One keyed window (partition user_id, ordered by
+    ts with event_id tiebreak) supplies all seven lags in a single
+    shuffle + sort; the kernel dot product runs in DECIMAL with integer
+    weights (exact — no float on any intermediate), divided once at the
+    output edge. Rows without a full 7-event history are dropped, so
+    every emitted value is a true 7-term average."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    v = F.col("value").cast("decimal(18,6)")
+    lags = [v] + [F.lag(v, k).over(w) for k in range(1, 7)]
+    num = sum(
+        (F.lit(7 - k).cast("decimal(2,0)") * lag for k, lag in enumerate(lags)),
+        F.lit(0).cast("decimal(30,6)"),
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("wma7", num.cast("double") / F.lit(28.0))
+        .filter(F.col("rn") >= 7)
+        .select("user_id", "event_id", "wma7")
+    )
+
+
+WMA_USER_VALUE_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         lag(CAST(value AS DECIMAL(18,6)), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+         lag(CAST(value AS DECIMAL(18,6)), 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2,
+         lag(CAST(value AS DECIMAL(18,6)), 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v3,
+         lag(CAST(value AS DECIMAL(18,6)), 4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v4,
+         lag(CAST(value AS DECIMAL(18,6)), 5) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v5,
+         lag(CAST(value AS DECIMAL(18,6)), 6) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v6
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(7*v + 6*v1 + 5*v2 + 4*v3 + 3*v4 + 2*v5 + 1*v6 AS DOUBLE) / 28.0 AS wma7
+FROM ordered WHERE rn >= 7
+"""
+
+
 QUERIES = {
     "dedup_keep_first": dedup_keep_first,
+    "wma_user_value": wma_user_value,
     "daily_lag_trend": daily_lag_trend,
     "running_total_per_user": running_total_per_user,
     "rank_customers_by_balance": rank_customers_by_balance,
@@ -206,6 +251,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_keep_first": DEDUP_KEEP_FIRST_SQL,
+    "wma_user_value": WMA_USER_VALUE_SQL,
     "daily_lag_trend": DAILY_LAG_TREND_SQL,
     "running_total_per_user": RUNNING_TOTAL_PER_USER_SQL,
     "rank_customers_by_balance": RANK_CUSTOMERS_BY_BALANCE_SQL,

@@ -25,14 +25,27 @@ _ORACLES: dict[str, str] = {}
 # + (queries new this round) + (queries with the OLDEST driver row),
 # capped at 50 — so every registered query keeps accumulating fresh
 # verification rows and no stale green row shields a changed plan.
-# Round 4 composition: 2 new + 5 changed + all 25 whose latest row is r1
-# + the first 18 (alphabetical) whose latest row is r2.
+# Round 4 composition: 15 new (3 early-round + 8 tpch_deep + linkage/
+# window/mixture additions) + 5 changed + all 25 whose latest row is r1
+# + the first 5 (alphabetical) whose latest row is r2.
 # The full set is always registered — only iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- new in round 4 -------------------------------------------------
     "scd2_stream_replay",  # CDC stream -> SCD2 foreachBatch composition
     "partition_evolution_audit",  # layout migration reconciliation
     "doc_chunk_overlap",  # overlapping RAG/training chunker
+    "tpch_volume_shipping",  # Q7 nation-pair year rollup
+    "tpch_returned_item_customers",  # Q10 negative-flag top-k
+    "tpch_order_count_distribution",  # Q13 agg-of-agg
+    "tpch_top_supplier",  # Q15 scalar MAX subquery
+    "tpch_small_qty_revenue",  # Q17 correlated AVG threshold
+    "tpch_large_volume_customers",  # Q18 HAVING-gated semi join
+    "tpch_disjunctive_revenue",  # Q19 OR-of-conjunctions residual
+    "tpch_idle_customers",  # Q22 scalar AVG + anti join
+    "record_linkage_blocks",  # blocked fuzzy entity resolution
+    "record_linkage_matches",  # the matched edge list
+    "wma_user_value",  # weighted moving-average kernel
+    "mixture_temperature_weights",  # temperature-scaled lang mixture
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -71,18 +84,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "corpus_shuffle_hash",
     "curate_corpus",
     "decontaminate_ngram_overlap",
-    "dedup_clusters",
-    "domain_mixture_sample",
-    "dq_accuracy_recompute",
-    "dq_completeness",
-    "dq_containment",
-    "dq_cross_column",
-    "dq_drift_halves",
-    "dq_freshness",
-    "dq_profile_value",
-    "dq_range",
-    "dq_uniqueness",
-    "gate_status_rollup",
 )
 
 
@@ -111,6 +112,8 @@ def _load() -> None:
     _register(wiki.QUERIES, wiki.ORACLES)
     for modname in (
         "tpch",
+        "tpch_deep",
+        "linkage",
         "windows",
         "setops",
         "json_ops",
