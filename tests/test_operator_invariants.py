@@ -329,3 +329,42 @@ def test_doc_chunks_cover_and_overlap_exactly(spark, sf_dir):
         # no degenerate tail: a non-first chunk carries more than overlap
         if len(chunks) > 1:
             assert last.chunk_tokens > CHUNK_OVERLAP or last.start_token == 0
+
+
+class TestKmeans:
+    def test_partition_of_corpus_and_centroid_shape(self, spark, sf_dir):
+        """The final assignment partitions the corpus: cluster sizes sum
+        to N, every cluster id is one of the K initial ids, and the
+        updated centroids keep the full dimensionality."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans import kmeans
+
+        out = kmeans.kmeans_embeddings(spark, sf_dir).collect()
+        n = load_table(spark, sf_dir, "embeddings").count()
+        assert sum(r.n_members for r in out) == n
+        assert {r.cluster_id for r in out} <= set(range(kmeans.K))
+        assert all(r.n_members > 0 for r in out)
+
+    def test_update_preserves_dim_and_mean_bounds(self, spark, sf_dir):
+        """Updated centroids have DIM components, each within the
+        min/max envelope of the member values for that dim."""
+        import pyspark.sql.functions as F
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans import kmeans
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("x")
+        )
+        cent0 = e.filter(F.col("vec_id") < kmeans.K).select(
+            F.col("vec_id").alias("cid"), F.col("x").alias("c")
+        )
+        cent1 = kmeans.update(kmeans.assign(e, cent0))
+        rows = cent1.collect()
+        assert len(rows) == kmeans.K
+        lo, hi = e.agg(
+            F.min(F.array_min("x")), F.max(F.array_max("x"))
+        ).first()
+        for r in rows:
+            assert len(r.c) == kmeans.DIM
+            assert all(lo <= v <= hi for v in r.c)

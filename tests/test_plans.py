@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 139
+EXPECTED_QUERY_COUNT = 140
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -461,3 +461,17 @@ def test_mixture_temperature_scalar_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mixture_temperature_weights")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_kmeans_centroids_broadcast_no_cartesian(spark, sf_dir):
+    """Both Lloyd iterations must score via a BROADCAST of the K-row
+    centroid side; an unhinted CartesianProduct would shuffle the corpus
+    against itself. The argmin windows partition by vec_id (K rows per
+    partition — bounded state)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "kmeans_embeddings")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    for w in re.findall(r"Window .*", plan):
+        assert "vec_id" in w, w

@@ -1,0 +1,154 @@
+"""Distributed k-means (Lloyd's algorithm) over the embeddings table.
+
+The iterative-ML companion to the ANN family (``plans/similarity.py``):
+the same broadcast-centroid / keyed-aggregation shape that trains
+IVF coarse quantizers at scale. Two Lloyd iterations are unrolled into
+one declarative plan — at 100 TB each iteration is: one broadcast
+nested-loop of K centroids against the corpus (K rows, always
+broadcast), one per-vector argmin (a vec_id-partitioned window over
+exactly K candidate rows), and one (cluster, dim) hash aggregation of
+K×DIM cells — no collect, no driver loop state beyond plan
+construction.
+
+Determinism scaffold (same policy as the md5-derived LSH hyperplanes):
+- init centroids are the first K vectors by id (no RNG);
+- squared-L2 distances are left-folds in double over the dim order —
+  bit-identical in Spark (``F.aggregate``) and DuckDB (``list_sum``);
+- centroid means fold member values in vec_id order
+  (``sort_array(collect_list(...))`` vs ``list(... ORDER BY vec_id)``)
+  so both engines sum identical doubles in identical order. At
+  production scale the ordered fold would relax to a tree-reduce (mean
+  drift ~1 ulp is irrelevant to clustering quality); here it makes the
+  whole iterative algorithm value-hash checkable;
+- argmin ties break on centroid id (``ORDER BY dist, cid``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+K = 4
+DIM = 64
+
+
+def _sq_dist(x: Column, c: Column) -> Column:
+    """Left-fold Σ (x_i - c_i)² in double, dim order."""
+    return F.aggregate(
+        F.zip_with(x, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids, score
+    each vector against all K, keep the argmin (dist, cid)."""
+    scored = vectors.join(F.broadcast(centroids)).select(
+        "vec_id", "x", "cid", _sq_dist(F.col("x"), F.col("c")).alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "x", "cid")
+    )
+
+
+def update(members: DataFrame) -> DataFrame:
+    """Per-cluster mean centroid with a vec_id-ordered fold per dim."""
+    dims = members.select(
+        "cid", "vec_id", F.posexplode(F.col("x")).alias("i", "val")
+    )
+    per_dim = dims.groupBy("cid", "i").agg(
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("vec_id", "val"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["val"],
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("c")
+    )
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations; output one row per cluster with
+    its final membership count and the first component of the centroid
+    it was assigned against (a compact, hash-checkable fingerprint of
+    the full K×DIM centroid matrix)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cent0 = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    a1 = assign(e, cent0)
+    cent1 = update(a1)
+    a2 = assign(e, cent1)
+    return (
+        a2.join(F.broadcast(cent1), "cid")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.col("c")[0]).alias("centroid_dim0"),
+        )
+    )
+
+
+_DIST_SQL = "list_sum(list_transform(list_zip({x}, {c}), t -> (t[1] - t[2]) * (t[1] - t[2])))"
+
+KMEANS_EMBEDDINGS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+),
+cent0 AS (
+  SELECT vec_id AS cid, x AS c FROM e WHERE vec_id < {K}
+),
+d1 AS (
+  SELECT e.vec_id, c0.cid, {_DIST_SQL.format(x="e.x", c="c0.c")} AS dist
+  FROM e CROSS JOIN cent0 c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1
+  ) WHERE rk = 1
+),
+memb1 AS (
+  SELECT a1.cid, e.vec_id, e.x FROM a1 JOIN e USING (vec_id)
+),
+cent1_dims AS (
+  SELECT cid, i,
+         list_sum(list(x[i] ORDER BY vec_id)) / COUNT(*) AS mean_val
+  FROM memb1, (SELECT unnest(generate_series(1, {DIM})) AS i)
+  GROUP BY cid, i
+),
+cent1 AS (
+  SELECT cid, list(mean_val ORDER BY i) AS c FROM cent1_dims GROUP BY cid
+),
+d2 AS (
+  SELECT e.vec_id, c1.cid, {_DIST_SQL.format(x="e.x", c="c1.c")} AS dist
+  FROM e CROSS JOIN cent1 c1
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2
+  ) WHERE rk = 1
+)
+SELECT a2.cid AS cluster_id, COUNT(*) AS n_members,
+       MIN(c1.c[1]) AS centroid_dim0
+FROM a2 JOIN cent1 c1 ON a2.cid = c1.cid
+GROUP BY a2.cid
+"""
+
+
+QUERIES = {"kmeans_embeddings": kmeans_embeddings}
+ORACLES = {"kmeans_embeddings": KMEANS_EMBEDDINGS_SQL}

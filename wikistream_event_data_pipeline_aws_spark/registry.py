@@ -25,9 +25,9 @@ _ORACLES: dict[str, str] = {}
 # + (queries new this round) + (queries with the OLDEST driver row),
 # capped at 50 — so every registered query keeps accumulating fresh
 # verification rows and no stale green row shields a changed plan.
-# Round 4 composition: 15 new (3 early-round + 8 tpch_deep + linkage/
-# window/mixture additions) + 5 changed + all 25 whose latest row is r1
-# + the first 5 (alphabetical) whose latest row is r2.
+# Round 4 composition: 16 new (3 early-round + 8 tpch_deep + linkage/
+# window/mixture/kmeans additions) + 5 changed + all 25 whose latest
+# row is r1 + the first 4 (alphabetical) whose latest row is r2.
 # The full set is always registered — only iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- new in round 4 -------------------------------------------------
@@ -46,6 +46,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "record_linkage_matches",  # the matched edge list
     "wma_user_value",  # weighted moving-average kernel
     "mixture_temperature_weights",  # temperature-scaled lang mixture
+    "kmeans_embeddings",  # unrolled Lloyd iterations
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -83,7 +84,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "bloom_semi_join_stats",
     "corpus_shuffle_hash",
     "curate_corpus",
-    "decontaminate_ngram_overlap",
 )
 
 
@@ -124,6 +124,7 @@ def _load() -> None:
         "sketches",
         "pyapi",
         "similarity",
+        "kmeans",
         "graph",
         "multimodal",
         "extensions",
