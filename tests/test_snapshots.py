@@ -1,0 +1,76 @@
+"""Snapshot/time-travel operator tests: isolation, rollback semantics,
+commit conflicts — the Iceberg behaviors the manifest layer must
+reproduce (reference ``bronze_schema.py:246-254``,
+``bronze_streaming_job.py:364-374``)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from wikistream_event_data_pipeline_aws_spark.operators import snapshots as snap
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def test_append_then_overwrite_snapshot_isolation(spark, table):
+    snap.snapshot_write(spark, table, _df(spark, 0, 10))
+    snap.snapshot_write(spark, table, _df(spark, 10, 15))
+    snap.snapshot_write(spark, table, _df(spark, 100, 102), mode="overwrite")
+    # latest sees only the overwrite; v1/v2 reads are untouched
+    assert snap.read_snapshot(spark, table).count() == 2
+    assert snap.read_snapshot(spark, table, 1).count() == 10
+    assert snap.read_snapshot(spark, table, 2).count() == 15
+    assert [h["n_rows"] for h in snap.snapshot_history(table)] == [10, 15, 2]
+
+
+def test_rollback_is_metadata_only(spark, table):
+    snap.snapshot_write(spark, table, _df(spark, 0, 10))
+    snap.snapshot_write(spark, table, _df(spark, 10, 20))
+    data_dirs = set(os.listdir(os.path.join(table, snap.DATA_DIR)))
+    v = snap.rollback(table, 1)
+    assert v == 3
+    # no new data directory: the rollback re-points, never rewrites
+    assert set(os.listdir(os.path.join(table, snap.DATA_DIR))) == data_dirs
+    assert snap.read_snapshot(spark, table).count() == 10
+    assert snap.read_manifest(table, 3)["files"] == snap.read_manifest(table, 1)["files"]
+
+
+def test_commit_conflict_detected(spark, table):
+    """The conflict window is read-state -> commit: a writer that
+    planned against version N must fail if another writer claimed N+1
+    first (the manifest claim is the commit point). A writer that reads
+    state AFTER the racing commit simply targets the next version —
+    that's the retry path, not a conflict."""
+    snap.snapshot_write(spark, table, _df(spark, 0, 5))
+    race = {"version": 2, "parent": 1, "operation": "append", "files": [], "n_rows": 0}
+    snap._commit_manifest(table, 2, race)
+    with pytest.raises(snap.SnapshotConflictError):
+        snap._commit_manifest(table, 2, race)
+    # reading fresh state succeeds at v3 — the reference's retry loop
+    assert snap.snapshot_write(spark, table, _df(spark, 5, 8)) == 3
+
+
+def test_file_diff_tracks_visible_set(spark, table):
+    snap.snapshot_write(spark, table, _df(spark, 0, 5))
+    snap.snapshot_write(spark, table, _df(spark, 5, 8))
+    d = snap.snapshot_file_diff(table, 1, 2)
+    assert d["removed"] == []
+    assert len(d["added"]) >= 1
+    d = snap.snapshot_file_diff(table, 2, 1)
+    assert d["added"] == []
+
+
+def test_invalid_mode_and_empty_table_errors(spark, table):
+    with pytest.raises(ValueError):
+        snap.snapshot_write(spark, table, _df(spark, 0, 1), mode="merge")
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, table)

@@ -47,6 +47,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "wma_user_value",  # weighted moving-average kernel
     "mixture_temperature_weights",  # temperature-scaled lang mixture
     "kmeans_embeddings",  # unrolled Lloyd iterations
+    "snapshot_time_travel",  # manifest-versioned reads + rollback
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -83,7 +84,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "asof_latest_click",
     "bloom_semi_join_stats",
     "corpus_shuffle_hash",
-    "curate_corpus",
 )
 
 
@@ -130,6 +130,7 @@ def _load() -> None:
         "extensions",
         "dq",
         "merge",
+        "snapshots",
         "streaming_batch",
         "streaming_live",
         "silver_flags",
