@@ -589,3 +589,66 @@ def test_scd2_sink_requires_seeded_dim(spark, tmp_path, sf_dir):
             attrs=["c_acctbal", "c_mktsegment"],
             checkpoint_dir=str(tmp_path / "ck"),
         )
+
+
+def test_snapshot_sink_checkpoint_restart_no_double_commit(spark, tmp_path, batches_dir):
+    """Streaming -> snapshot table: one snapshot version per micro-batch
+    (operation-tagged), and BOTH exactly-once layers hold across a
+    restart — checkpointed offsets skip committed source files, and the
+    manifest batch tag would skip a written-but-unacknowledged batch.
+    A from-scratch replay (fresh checkpoint, same files) commits
+    nothing, proving the tag layer alone suffices."""
+    from wikistream_event_data_pipeline_aws_spark.operators import snapshots as snap
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        start_snapshot_sink,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    table = str(tmp_path / "snap_table")
+    ckpt = str(tmp_path / "ckpt_snap")
+
+    _write_batch(spark, batches_dir, _rows([(1, t0), (2, t0 + sec)]), "b1.parquet")
+    _write_batch(spark, batches_dir, _rows([(3, t0 + 2 * sec)]), "b2.parquet")
+    q = start_snapshot_sink(
+        file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=1), table, ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert snap.versions(table) == [1, 2]
+    assert snap.read_snapshot(spark, table).count() == 3
+    ops_before = snap.committed_operations(table)
+    assert all(op.startswith("stream-batch-") for op in ops_before)
+
+    # restart on the SAME checkpoint with one new file: exactly one new
+    # version; committed batches are not re-read, let alone re-committed
+    _write_batch(spark, batches_dir, _rows([(4, t0 + 3 * sec)]), "b3.parquet")
+    q2 = start_snapshot_sink(
+        file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=1), table, ckpt
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert len(snap.versions(table)) == 3
+    assert snap.read_snapshot(spark, table).count() == 4
+    # time travel still sees the per-batch history
+    assert snap.read_snapshot(spark, table, 1).count() == 2
+
+    # from-scratch replay (FRESH checkpoint, same source): every batch id
+    # is already tagged in the manifest history, so nothing commits
+    q3 = start_snapshot_sink(
+        file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ckpt_snap_fresh"),
+    )
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    assert len(snap.versions(table)) == 3
+    assert snap.read_snapshot(spark, table).count() == 4

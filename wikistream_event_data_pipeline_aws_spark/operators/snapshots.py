@@ -100,13 +100,20 @@ def _data_files(commit_dir: str) -> list[str]:
 
 
 def snapshot_write(
-    spark: SparkSession, path: str, df: DataFrame, mode: str = "append"
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    mode: str = "append",
+    operation: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     ``mode='append'`` keeps the parent's files visible; ``'overwrite'``
     replaces the visible set (old files remain on disk for old-version
-    readers — snapshot isolation, not deletion).
+    readers — snapshot isolation, not deletion). ``operation`` labels
+    the manifest (default: the mode) — streaming sinks stamp their
+    micro-batch id here so replays can detect already-committed batches
+    (``streaming/ingest.py:start_snapshot_sink``).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -129,12 +136,18 @@ def snapshot_write(
         {
             "version": version,
             "parent": parent,
-            "operation": mode,
+            "operation": operation or mode,
             "files": files,
             "n_rows": n_rows,
         },
     )
     return version
+
+
+def committed_operations(path: str) -> set[str]:
+    """Operation labels of every committed snapshot — the replay-dedup
+    lookup for streaming commits (KB-scale metadata read)."""
+    return {read_manifest(path, v)["operation"] for v in versions(path)}
 
 
 def read_snapshot(

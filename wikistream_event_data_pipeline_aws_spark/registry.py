@@ -48,6 +48,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "mixture_temperature_weights",  # temperature-scaled lang mixture
     "kmeans_embeddings",  # unrolled Lloyd iterations
     "snapshot_time_travel",  # manifest-versioned reads + rollback
+    "snapshot_changes",  # incremental CDC between versions
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -83,7 +84,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # -- oldest remaining: first 18 whose latest row is round 2 ---------
     "asof_latest_click",
     "bloom_semi_join_stats",
-    "corpus_shuffle_hash",
 )
 
 

@@ -512,3 +512,47 @@ def start_validated_merge_sink(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def start_snapshot_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming commits into a manifest-versioned snapshot table
+    (``operators/snapshots.py``) — the portable form of the reference's
+    Structured-Streaming-into-Iceberg bronze sink
+    (``bronze_streaming_job.py:364-395``), which relies on Iceberg
+    recording the query/batch id in each snapshot to make retried
+    micro-batch commits no-ops.
+
+    Exactly-once here is a TWO-layer protocol, and both layers matter:
+    checkpointed offsets stop a *healthy* restart from re-reading
+    sources, and the manifest's ``stream-batch-{id}`` operation label
+    stops a *crashed* restart from double-committing the batch that was
+    written but whose offset never committed — the failure window
+    checkpoints alone cannot close for a non-transactional sink. A
+    replayed batch whose label already exists in the (KB-sized)
+    manifest history is skipped wholesale; readers meanwhile get
+    snapshot isolation per micro-batch commit."""
+    from ..operators.snapshots import committed_operations, snapshot_write
+
+    spark = stream_df.sparkSession
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"stream-batch-{batch_id}"
+        if tag in committed_operations(table_path):
+            return
+        if not batch_df.take(1):
+            return
+        snapshot_write(spark, table_path, batch_df, mode="append", operation=tag)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
