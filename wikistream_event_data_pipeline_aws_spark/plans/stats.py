@@ -1,0 +1,192 @@
+"""Exact-arithmetic statistics: robust MAD outliers, Pearson
+correlation, OLS trend — with zero float nondeterminism.
+
+Complements the DQ family's z-score outliers (``plans/dq.py``,
+reference Q10's profile moments): the z-score breaks down when the
+contamination itself inflates the mean/stddev; the MAD estimator is
+robust to 50% contamination. And unlike the built-in ``F.corr`` /
+``F.covar_pop`` (float accumulation, order-dependent), correlation and
+regression here run on DECIMAL power sums combined in one fixed double
+expression at the output edge — bit-stable under any row order or
+partitioning, which is what makes them oracle-checkable AND what a
+resumable 100 TB job wants (retried partitions cannot drift the
+result).
+
+Medians are rank-based (lower median: element ``ceil(n/2)`` by
+``(value, event_id)``), not interpolated — no float arithmetic on the
+order statistic. The per-type windows shuffle on a bounded-cardinality
+key (|event types|); at true scale the same statistic comes from the
+bucketed order-statistic pattern of ``plans/curate.py``'s percentile
+gate (histogram + one exact pass over the boundary bucket), which
+avoids low-cardinality window partitions entirely — this query keeps
+the window form because it also demonstrates the rank-median operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+MAD_K = 3.0  # flag beyond 3 robust sigmas
+MAD_SCALE = 1.4826  # MAD -> sigma under normality
+
+
+def _lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Per-type lower median of ``col``: rank by (col, event_id), keep
+    the ceil(n/2)-th element. Exact — no interpolation."""
+    w = Window.partitionBy("event_type").orderBy(F.col(col), F.col("event_id"))
+    n = Window.partitionBy("event_type")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(n))
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .select("event_type", F.col(col).alias(out))
+    )
+
+
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: exact median, median absolute deviation, and the
+    count of events beyond MAD_K robust sigmas."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    med = _lower_median(e, "value", "median_value")
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("median_value"))
+    )
+    mad = _lower_median(dev, "adev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("median_value").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (
+                    F.col("adev") > F.lit(MAD_K) * F.lit(MAD_SCALE) * F.col("mad")
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+STATS_MAD_OUTLIERS_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, value AS median_value
+  FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.median_value,
+         abs(e.value - m.median_value) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+dev_ranked AS (
+  SELECT event_type, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+madt AS (
+  SELECT event_type, adev AS mad
+  FROM dev_ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+)
+SELECT d.event_type,
+       MIN(d.median_value) AS median_value,
+       MIN(t.mad) AS mad,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN d.adev > {MAD_K} * {MAD_SCALE} * t.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN madt t USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+def stats_corr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS fit of value against hour-of-day, per
+    event type. One hash aggregation accumulates the five power sums in
+    DECIMAL (exact, order-free); the closed-form estimators combine
+    them in a single double expression per row."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("decimal(4,0)")
+    y = F.col("value").cast("decimal(18,6)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x_n = n * sxx - sx * sx
+    var_y_n = n * syy - sy * sy
+    slope = cov_n / var_x_n
+    return s.select(
+        "event_type",
+        "n",
+        (cov_n / (F.sqrt(var_x_n) * F.sqrt(var_y_n))).alias("corr_hour_value"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+# DuckDB's CAST(DECIMAL AS DOUBLE) double-rounds for scale-12 sums whose
+# unscaled int128 exceeds 2^53 (int128 -> double, then / 10^scale — two
+# roundings); Spark's BigDecimal.doubleValue rounds once, correctly. The
+# VARCHAR round-trip forces DuckDB through its correctly-rounded string
+# parser so both engines produce the identical double.
+_D = "CAST(CAST({c} AS VARCHAR) AS DOUBLE)"
+_SX, _SY, _SXY, _SXX, _SYY = (
+    _D.format(c=c) for c in ("sx", "sy", "sxy", "sxx", "syy")
+)
+
+STATS_CORR_OLS_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(hour(ts) AS DECIMAL(4,0))) AS sx,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sy,
+         SUM(CAST(hour(ts) AS DECIMAL(4,0)) * CAST(value AS DECIMAL(18,6))) AS sxy,
+         SUM(CAST(hour(ts) AS DECIMAL(4,0)) * CAST(hour(ts) AS DECIMAL(4,0))) AS sxx,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS syy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       (n * {_SXY} - {_SX} * {_SY})
+         / (sqrt(n * {_SXX} - {_SX} * {_SX})
+            * sqrt(n * {_SYY} - {_SY} * {_SY}))
+         AS corr_hour_value,
+       (n * {_SXY} - {_SX} * {_SY})
+         / (n * {_SXX} - {_SX} * {_SX}) AS slope,
+       ({_SY}
+          - (n * {_SXY} - {_SX} * {_SY})
+            / (n * {_SXX} - {_SX} * {_SX})
+            * {_SX}) / n AS intercept
+FROM s
+"""
+
+
+QUERIES = {
+    "stats_mad_outliers": stats_mad_outliers,
+    "stats_corr_ols": stats_corr_ols,
+}
+
+ORACLES = {
+    "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
+    "stats_corr_ols": STATS_CORR_OLS_SQL,
+}

@@ -49,6 +49,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "kmeans_embeddings",  # unrolled Lloyd iterations
     "snapshot_time_travel",  # manifest-versioned reads + rollback
     "snapshot_changes",  # incremental CDC between versions
+    "stats_mad_outliers",  # robust rank-median outliers
+    "stats_corr_ols",  # decimal-exact correlation + OLS
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -83,7 +85,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "timestamp_normalize",
     # -- oldest remaining: first 18 whose latest row is round 2 ---------
     "asof_latest_click",
-    "bloom_semi_join_stats",
 )
 
 
@@ -122,6 +123,7 @@ def _load() -> None:
         "llmprep",
         "curate",
         "sketches",
+        "stats",
         "pyapi",
         "similarity",
         "kmeans",
