@@ -473,8 +473,88 @@ FROM idle GROUP BY cust_bucket
 """
 
 
+# -- Q8: national market share within a region --------------------------------
+
+
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the deepest join in the suite — lineitem against
+    five dims in two nation ROLES (customer nation restricts the market
+    region; supplier nation is the share numerator), yearly conditional
+    revenue ratio. All five dims broadcast; the customer-side
+    nation⋈region restriction prunes the customer build before it
+    reaches the fact join; the single wide shuffle is the
+    lineitem ⋈ orders key join, then one 1-key-per-year hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(region),
+                    nat.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    zero = F.lit(0).cast("decimal(17,4)")
+    volume = _disc_price()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(zero)
+                ).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+NATIONAL_MARKET_SHARE_SQL = """
+WITH j AS (
+  SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM j GROUP BY o_year
+"""
+
+
 QUERIES = {
     "tpch_volume_shipping": volume_shipping,
+    "tpch_national_market_share": national_market_share,
     "tpch_returned_item_customers": returned_item_customers,
     "tpch_order_count_distribution": order_count_distribution,
     "tpch_top_supplier": top_supplier,
@@ -486,6 +566,7 @@ QUERIES = {
 
 ORACLES = {
     "tpch_volume_shipping": VOLUME_SHIPPING_SQL,
+    "tpch_national_market_share": NATIONAL_MARKET_SHARE_SQL,
     "tpch_returned_item_customers": RETURNED_ITEM_CUSTOMERS_SQL,
     "tpch_order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
     "tpch_top_supplier": TOP_SUPPLIER_SQL,

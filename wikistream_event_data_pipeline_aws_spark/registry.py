@@ -25,9 +25,10 @@ _ORACLES: dict[str, str] = {}
 # + (queries new this round) + (queries with the OLDEST driver row),
 # capped at 50 — so every registered query keeps accumulating fresh
 # verification rows and no stale green row shields a changed plan.
-# Round 4 composition: 16 new (3 early-round + 8 tpch_deep + linkage/
-# window/mixture/kmeans additions) + 5 changed + all 25 whose latest
-# row is r1 + the first 4 (alphabetical) whose latest row is r2.
+# Round 4 composition: 21 new (3 early-round + 9 tpch_deep + linkage /
+# wma / mixture / kmeans / snapshots / stats) + 5 changed + 24 of the
+# 25 whose latest row is r1 (timestamp_normalize bumps to round 5 —
+# new queries MUST verify this round; an old green row only ages).
 # The full set is always registered — only iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- new in round 4 -------------------------------------------------
@@ -42,6 +43,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_large_volume_customers",  # Q18 HAVING-gated semi join
     "tpch_disjunctive_revenue",  # Q19 OR-of-conjunctions residual
     "tpch_idle_customers",  # Q22 scalar AVG + anti join
+    "tpch_national_market_share",  # Q8 two-role nation share
     "record_linkage_blocks",  # blocked fuzzy entity resolution
     "record_linkage_matches",  # the matched edge list
     "wma_user_value",  # weighted moving-average kernel
@@ -82,9 +84,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "text_langid",
     "text_quality_score",
     "text_token_stats",
-    "timestamp_normalize",
-    # -- oldest remaining: first 18 whose latest row is round 2 ---------
-    "asof_latest_click",
 )
 
 
