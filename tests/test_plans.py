@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 145
+EXPECTED_QUERY_COUNT = 146
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -475,3 +475,16 @@ def test_kmeans_centroids_broadcast_no_cartesian(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
     for w in re.findall(r"Window .*", plan):
         assert "vec_id" in w, w
+
+
+def test_attribution_is_single_window_no_join(spark, sf_dir):
+    """First/last-touch attribution resolves both credits in ONE
+    user-partitioned window pass — no self-join, no per-purchase
+    lookback join, one key shuffle."""
+    import re
+
+    plan = _plan(spark, sf_dir, "attribution_first_last_touch")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    for w in re.findall(r"Window .*", plan):
+        assert "user_id" in w, w

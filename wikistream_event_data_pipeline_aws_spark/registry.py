@@ -25,10 +25,11 @@ _ORACLES: dict[str, str] = {}
 # + (queries new this round) + (queries with the OLDEST driver row),
 # capped at 50 — so every registered query keeps accumulating fresh
 # verification rows and no stale green row shields a changed plan.
-# Round 4 composition: 21 new (3 early-round + 9 tpch_deep + linkage /
-# wma / mixture / kmeans / snapshots / stats) + 5 changed + 24 of the
-# 25 whose latest row is r1 (timestamp_normalize bumps to round 5 —
-# new queries MUST verify this round; an old green row only ages).
+# Round 4 composition: 22 new (3 early-round + 9 tpch_deep + linkage /
+# wma / mixture / kmeans / snapshots / stats / attribution) + 5 changed
+# + 23 of the 25 whose latest row is r1 (timestamp_normalize and
+# text_token_stats bump to round 5 — new queries MUST verify this
+# round; an old green row only ages).
 # The full set is always registered — only iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- new in round 4 -------------------------------------------------
@@ -53,6 +54,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "snapshot_changes",  # incremental CDC between versions
     "stats_mad_outliers",  # robust rank-median outliers
     "stats_corr_ols",  # decimal-exact correlation + OLS
+    "attribution_first_last_touch",  # windowed struct-extrema credit
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -83,7 +85,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "text_fingerprint",
     "text_langid",
     "text_quality_score",
-    "text_token_stats",
 )
 
 
@@ -114,6 +115,7 @@ def _load() -> None:
         "tpch",
         "tpch_deep",
         "linkage",
+        "attribution",
         "windows",
         "setops",
         "json_ops",
