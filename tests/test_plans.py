@@ -488,3 +488,25 @@ def test_attribution_is_single_window_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     for w in re.findall(r"Window .*", plan):
         assert "user_id" in w, w
+
+
+def test_no_cartesian_product_in_any_batch_plan(spark, sf_dir):
+    """Blanket net over the whole registry: NO batch query may compile
+    to a CartesianProduct — every intentional cross join in the engine
+    is a broadcast nested loop against a provably-tiny side (scalars,
+    centroids, query vectors). Streaming compositions are skipped (their
+    builders execute foreachBatch pipelines, and their plans are
+    per-micro-batch); everything else must build a cartesian-free plan."""
+    skip_prefixes = ("streaming_", "scd2_stream_")
+    bad = []
+    for name, fn in entry.queries().items():
+        if name.startswith(skip_prefixes):
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # builder failure is its own red flag
+            bad.append((name, f"plan build failed: {exc}"))
+            continue
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+    assert not bad, bad
