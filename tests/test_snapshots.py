@@ -74,3 +74,30 @@ def test_invalid_mode_and_empty_table_errors(spark, table):
         snap.snapshot_write(spark, table, _df(spark, 0, 1), mode="merge")
     with pytest.raises(FileNotFoundError):
         snap.read_snapshot(spark, table)
+
+
+def test_expire_snapshots_gc_preserves_survivors(spark, table):
+    """GC drops old manifests and only the data files no surviving
+    version references; surviving reads are byte-identical."""
+    snap.snapshot_write(spark, table, _df(spark, 0, 10))          # v1
+    snap.snapshot_write(spark, table, _df(spark, 10, 15))         # v2 (keeps v1 files)
+    snap.snapshot_write(spark, table, _df(spark, 100, 103), mode="overwrite")  # v3
+    removed = snap.expire_snapshots(table, keep_last=1)
+    assert removed["manifests"] == ["v000001", "v000002"]
+    # v1/v2 data files are unreferenced by v3 -> deleted; v3 intact
+    assert removed["data_files"], removed
+    assert snap.versions(table) == [3]
+    assert snap.read_snapshot(spark, table).count() == 3
+    # idempotent re-run
+    assert snap.expire_snapshots(table, keep_last=1) == {"manifests": [], "data_files": []}
+
+
+def test_expire_keeps_files_shared_with_survivors(spark, table):
+    """An append chain shares files across versions: expiring v1 while
+    keeping v2 must NOT delete v1's files (v2 still references them)."""
+    snap.snapshot_write(spark, table, _df(spark, 0, 10))   # v1
+    snap.snapshot_write(spark, table, _df(spark, 10, 15))  # v2 = v1 files + new
+    removed = snap.expire_snapshots(table, keep_last=1)
+    assert removed["manifests"] == ["v000001"]
+    assert removed["data_files"] == []  # every v1 file is live in v2
+    assert snap.read_snapshot(spark, table).count() == 15

@@ -200,6 +200,48 @@ def snapshot_history(path: str) -> list[dict[str, Any]]:
     return out
 
 
+def expire_snapshots(path: str, keep_last: int) -> dict[str, list[str]]:
+    """Garbage-collect history: drop all but the newest ``keep_last``
+    manifests, then delete every data file no surviving manifest
+    references (Iceberg's ``expire_snapshots`` + orphan-file cleanup).
+    Returns what was removed. The current version is never expired;
+    deletion order is manifests first, data second, so a crash mid-GC
+    leaves only unreferenced-but-present files (safe: re-run finishes
+    the job), never a manifest pointing at deleted data."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = versions(path)
+    expired = vs[:-keep_last]
+    if not expired:
+        return {"manifests": [], "data_files": []}
+    survivors = vs[-keep_last:]
+    live_files: set[str] = set()
+    for v in survivors:
+        live_files.update(read_manifest(path, v)["files"])
+    dead_files: set[str] = set()
+    for v in expired:
+        dead_files.update(f for f in read_manifest(path, v)["files"] if f not in live_files)
+    removed_manifests = []
+    for v in expired:
+        os.remove(_manifest_path(path, v))
+        removed_manifests.append(f"v{v:06d}")
+    for f in sorted(dead_files):
+        if os.path.exists(f):
+            os.remove(f)
+    # prune now-empty commit dirs
+    ddir = os.path.join(path, DATA_DIR)
+    if os.path.isdir(ddir):
+        for d in os.listdir(ddir):
+            full = os.path.join(ddir, d)
+            if os.path.isdir(full) and not any(
+                f.endswith(".parquet") for f in os.listdir(full)
+            ):
+                for leftover in os.listdir(full):
+                    os.remove(os.path.join(full, leftover))
+                os.rmdir(full)
+    return {"manifests": removed_manifests, "data_files": sorted(dead_files)}
+
+
 def snapshot_file_diff(path: str, v_from: int, v_to: int) -> dict[str, list[str]]:
     """File-level diff between two snapshots (what Iceberg's
     ``snapshot.summary`` reports): files added and removed from the
