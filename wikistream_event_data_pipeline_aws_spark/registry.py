@@ -25,11 +25,11 @@ _ORACLES: dict[str, str] = {}
 # + (queries new this round) + (queries with the OLDEST driver row),
 # capped at 50 — so every registered query keeps accumulating fresh
 # verification rows and no stale green row shields a changed plan.
-# Round 4 composition: 22 new (3 early-round + 9 tpch_deep + linkage /
-# wma / mixture / kmeans / snapshots / stats / attribution) + 5 changed
-# + 23 of the 25 whose latest row is r1 (timestamp_normalize and
-# text_token_stats bump to round 5 — new queries MUST verify this
-# round; an old green row only ages).
+# Round 4 composition: 25 new (3 early-round + 9 tpch_deep + linkage /
+# wma / mixture / kmeans / snapshots / stats / attribution / relational)
+# + 5 changed + 21 of the 25 whose latest row is r1 (timestamp_normalize,
+# text_token_stats, text_quality_score and text_langid bump to round 5 —
+# new queries MUST verify this round; an old green row only ages).
 # The full set is always registered — only iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- new in round 4 -------------------------------------------------
@@ -55,6 +55,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "stats_mad_outliers",  # robust rank-median outliers
     "stats_corr_ols",  # decimal-exact correlation + OLS
     "attribution_first_last_touch",  # windowed struct-extrema credit
+    "metric_unpivot",  # wide->long stack generator
+    "join_null_safe_buckets",  # IS NOT DISTINCT FROM equi-join
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -83,8 +85,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "string_cleaning",
     "surrogate_key_md5",
     "text_fingerprint",
-    "text_langid",
-    "text_quality_score",
 )
 
 
@@ -116,6 +116,7 @@ def _load() -> None:
         "tpch_deep",
         "linkage",
         "attribution",
+        "relational",
         "windows",
         "setops",
         "json_ops",
