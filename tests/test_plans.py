@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 148
+EXPECTED_QUERY_COUNT = 150
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -510,3 +510,11 @@ def test_no_cartesian_product_in_any_batch_plan(spark, sf_dir):
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
     assert not bad, bad
+
+
+def test_forward_asof_is_window_not_range_join(spark, sf_dir):
+    """The forward as-of mirror must also compile to union + window
+    (one key shuffle), never an inequality join."""
+    plan = _plan(spark, sf_dir, "asof_next_purchase")
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan

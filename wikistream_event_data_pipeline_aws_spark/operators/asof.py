@@ -75,3 +75,48 @@ def asof_join(
         *left.columns,
         *[F.col(f"__asof.{c}").alias(c) for c in payload_cols],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of-FORWARD join: earliest right payload at-or-after each
+    left row's ``ts_col`` within ``keys`` (NULL when no later right row
+    exists) — the mirror of :func:`asof_join`, same union-window shape,
+    same O((n_l + n_r) log) cost with no range-join pair blow-up.
+
+    Ordering mirror: at equal timestamps the LEFT row must sort before
+    the right rows it may match (inclusive forward), so the side tag
+    orders left-first; the frame flips to current-row .. unbounded
+    following with ``first(ignorenulls)``.
+    """
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    overlap = [c for c in left.columns if c in payload_cols]
+    if overlap:
+        raise ValueError(f"payload columns {overlap} already exist on the left side")
+
+    l_tag = left.withColumn("__side", F.lit(0))
+    r_tag = (
+        right.select(*keys, ts_col, *payload_cols)
+        .withColumn("__payload", F.struct(*payload_cols))
+        .drop(*payload_cols)
+        .withColumn("__side", F.lit(1))
+    )
+    both = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__payload").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = both.select(
+        "*", F.first(F.col("__payload"), ignorenulls=True).over(w).alias("__asof")
+    )
+    return filled.filter(F.col("__side") == 0).select(
+        *left.columns,
+        *[F.col(f"__asof.{c}").alias(c) for c in payload_cols],
+    )

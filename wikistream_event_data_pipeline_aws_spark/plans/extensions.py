@@ -218,6 +218,35 @@ ASOF LEFT JOIN (
 """
 
 
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of FORWARD join: every event picks up the value of the same
+    user's earliest purchase at-or-after its timestamp (NULL after the
+    last purchase) — the mirror of ``asof_latest_click`` via
+    ``operators/asof.asof_join_forward`` (union + first(ignorenulls)
+    over a current-row..unbounded-following frame, one key shuffle);
+    the oracle is DuckDB's native forward ASOF (``e.ts <= p.ts``)."""
+    from ..operators.asof import asof_join_forward
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("next_purchase_value")
+    )
+    joined = asof_join_forward(
+        e, purchases, keys=["user_id"], ts_col="ts",
+        payload_cols=["next_purchase_value"],
+    )
+    return joined.select("event_id", "user_id", "event_type", "next_purchase_value")
+
+
+ASOF_NEXT_PURCHASE_SQL = """
+SELECT e.event_id, e.user_id, e.event_type, p.next_purchase_value
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value AS next_purchase_value FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts <= p.ts
+"""
+
+
 # -- banded range (interval) join ---------------------------------------------
 
 _HOUR_US = 3_600_000_000
@@ -529,6 +558,7 @@ QUERIES = {
     "join_salted_skew": join_salted_skew,
     "grouping_sets_type_date": grouping_sets_type_date,
     "asof_latest_click": asof_latest_click,
+    "asof_next_purchase": asof_next_purchase,
     "range_join_next_hour": range_join_next_hour,
     "user_value_trend": user_value_trend,
     "bloom_semi_join_stats": bloom_semi_join_stats,
@@ -544,6 +574,7 @@ ORACLES = {
     "join_salted_skew": JOIN_SALTED_SKEW_SQL,
     "grouping_sets_type_date": GROUPING_SETS_TYPE_DATE_SQL,
     "asof_latest_click": ASOF_LATEST_CLICK_SQL,
+    "asof_next_purchase": ASOF_NEXT_PURCHASE_SQL,
     "range_join_next_hour": RANGE_JOIN_NEXT_HOUR_SQL,
     "user_value_trend": USER_VALUE_TREND_SQL,
     "bloom_semi_join_stats": BLOOM_SEMI_JOIN_STATS_SQL,

@@ -239,9 +239,42 @@ FROM ordered WHERE rn >= 7
 """
 
 
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions over per-nation balance order:
+    ntile(4) quartile assignment, percent_rank and cume_dist — the
+    remaining rank-family operators (rank/dense_rank/row_number live in
+    ``rank_customers_by_balance``). Partitioned by nation so no window
+    sees more than one nation's customers (never a global sort);
+    (c_acctbal, c_custkey) ordering makes every rank deterministic
+    under ties."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+CUSTOMER_BALANCE_QUARTILES_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       ntile(4) OVER w AS balance_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 QUERIES = {
     "dedup_keep_first": dedup_keep_first,
     "wma_user_value": wma_user_value,
+    "customer_balance_quartiles": customer_balance_quartiles,
     "daily_lag_trend": daily_lag_trend,
     "running_total_per_user": running_total_per_user,
     "rank_customers_by_balance": rank_customers_by_balance,
@@ -252,6 +285,7 @@ QUERIES = {
 ORACLES = {
     "dedup_keep_first": DEDUP_KEEP_FIRST_SQL,
     "wma_user_value": WMA_USER_VALUE_SQL,
+    "customer_balance_quartiles": CUSTOMER_BALANCE_QUARTILES_SQL,
     "daily_lag_trend": DAILY_LAG_TREND_SQL,
     "running_total_per_user": RUNNING_TOTAL_PER_USER_SQL,
     "rank_customers_by_balance": RANK_CUSTOMERS_BY_BALANCE_SQL,

@@ -27,9 +27,9 @@ _ORACLES: dict[str, str] = {}
 # verification rows and no stale green row shields a changed plan.
 # Round 4 composition: 25 new (3 early-round + 9 tpch_deep + linkage /
 # wma / mixture / kmeans / snapshots / stats / attribution / relational)
-# + 5 changed + 21 of the 25 whose latest row is r1 (timestamp_normalize,
-# text_token_stats, text_quality_score and text_langid bump to round 5 —
-# new queries MUST verify this round; an old green row only ages).
+# + 5 changed + 19 of the 25 whose latest row is r1 (the last six
+# alphabetical r1 rows bump to round 5 — new queries MUST verify this
+# round; an old green row only ages).
 # The full set is always registered — only iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- new in round 4 -------------------------------------------------
@@ -57,6 +57,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "attribution_first_last_touch",  # windowed struct-extrema credit
     "metric_unpivot",  # wide->long stack generator
     "join_null_safe_buckets",  # IS NOT DISTINCT FROM equi-join
+    "customer_balance_quartiles",  # ntile / percent_rank / cume_dist
+    "asof_next_purchase",  # forward as-of (union + first window)
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -83,8 +85,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "similarity_cosine_topk",
     "similarity_embedding_neardup",
     "string_cleaning",
-    "surrogate_key_md5",
-    "text_fingerprint",
 )
 
 
