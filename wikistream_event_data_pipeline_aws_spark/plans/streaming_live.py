@@ -233,6 +233,86 @@ FROM events c JOIN events v
 """
 
 
+def streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantics the inner
+    variant can't show: a click with no purchase in its hour emits a
+    NULL row only once the GLOBAL watermark proves no match can still
+    arrive. The oracle encodes the actual emission rule, which is
+    subtler than "end of stream": Spark's global watermark is the MIN
+    over both input watermarks, each ``max event time − delay``
+    truncated to milliseconds — so unmatched clicks emit iff
+    ``click_ts + 1h < min(max_click_ts, max_purchase_ts)_ms − 10min``.
+    (Discovered the hard way: the overall-last click never evicts,
+    because its own stream's watermark pins the global one below its
+    join-window close.) Watermarks bound both sides' state at scale;
+    the 10-minute delay is the late-purchase tolerance."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delta_us"),
+    )
+    return _run_to_memory(joined, "mem_streaming_interval_join_left", "append")
+
+
+STREAMING_INTERVAL_JOIN_LEFT_SQL = """
+WITH wm AS (
+  -- Spark's global watermark: min over the two stream watermarks, each
+  -- the stream's max event time truncated to MILLISECONDS minus the
+  -- 10-minute delay
+  SELECT least((epoch_us(max(ts) FILTER (event_type = 'click')) // 1000) * 1000,
+               (epoch_us(max(ts) FILTER (event_type = 'purchase')) // 1000) * 1000)
+         - 600000000 AS us
+  FROM events
+),
+matched AS (
+  SELECT c.event_id AS click_id, v.event_id AS purchase_id, c.user_id,
+         epoch_us(v.ts) - epoch_us(c.ts) AS delta_us
+  FROM events c JOIN events v
+    ON c.user_id = v.user_id
+   AND c.event_type = 'click' AND v.event_type = 'purchase'
+   AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+  SELECT c.event_id AS click_id, NULL::BIGINT AS purchase_id, c.user_id,
+         NULL::BIGINT AS delta_us
+  FROM events c, wm
+  WHERE c.event_type = 'click'
+    AND NOT EXISTS (SELECT 1 FROM events v
+                    WHERE v.user_id = c.user_id AND v.event_type = 'purchase'
+                      AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR)
+    AND epoch_us(c.ts) + 3600000000 < wm.us
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session-window aggregation (``F.session_window``,
     30-minute gap, per user) — the dynamic-window stateful operator:
@@ -296,6 +376,7 @@ QUERIES = {
     "streaming_stateful_running_count": streaming_stateful_running_count,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_interval_join": streaming_interval_join,
+    "streaming_interval_join_left": streaming_interval_join_left,
     "streaming_session_window": streaming_session_window,
 }
 
@@ -305,5 +386,6 @@ ORACLES = {
     "streaming_stateful_running_count": STREAMING_STATEFUL_RUNNING_COUNT_SQL,
     "streaming_static_enrich": STREAMING_STATIC_ENRICH_SQL,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN_SQL,
+    "streaming_interval_join_left": STREAMING_INTERVAL_JOIN_LEFT_SQL,
     "streaming_session_window": STREAMING_SESSION_WINDOW_SQL,
 }

@@ -59,6 +59,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "join_null_safe_buckets",  # IS NOT DISTINCT FROM equi-join
     "customer_balance_quartiles",  # ntile / percent_rank / cume_dist
     "asof_next_purchase",  # forward as-of (union + first window)
+    "streaming_interval_join_left",  # watermark-gated NULL emission
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -84,7 +85,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "similarity_ann_lsh",
     "similarity_cosine_topk",
     "similarity_embedding_neardup",
-    "string_cleaning",
 )
 
 
