@@ -289,8 +289,66 @@ LIMIT {INVIDX_TOPK}
 """
 
 
+N_HASH_BUCKETS = 32
+
+
+def text_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): tokens fold into a fixed
+    N_HASH_BUCKETS-dim count vector via an md5-derived bucket — the
+    vectorization step between raw text and the ANN/k-means family,
+    with no vocabulary to build, broadcast, or keep consistent across
+    a 100 TB corpus (that's the trick's point: the 'vocabulary' is a
+    pure function). Emits per-doc vector fingerprints (nnz, exact-int
+    L2 norm under one sqrt, deterministic argmax bucket) rather than
+    the dense vector, so the output stays narrow at any dimension.
+    One explode + one (doc, bucket) hash agg + one doc-keyed window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        % N_HASH_BUCKETS
+    )
+    counts = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bucket").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias("l2norm"),
+            F.min(F.when(F.col("rk") == 1, F.col("bucket"))).alias("top_bucket"),
+        )
+    )
+
+
+TEXT_HASHING_VECTORIZE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+),
+bucketed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % {N_HASH_BUCKETS} AS bucket,
+         COUNT(*) AS cnt
+  FROM toks GROUP BY doc_id, bucket
+),
+ranked AS (
+  SELECT doc_id, bucket, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bucket ASC) AS rk
+  FROM bucketed
+)
+SELECT doc_id,
+       COUNT(*) AS nnz,
+       sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS l2norm,
+       MIN(CASE WHEN rk = 1 THEN bucket END) AS top_bucket
+FROM ranked GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_hashing_vectorize": text_hashing_vectorize,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -300,6 +358,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_hashing_vectorize": TEXT_HASHING_VECTORIZE_SQL,
     "text_quality_score": TEXT_QUALITY_SCORE_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

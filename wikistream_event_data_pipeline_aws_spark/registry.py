@@ -60,6 +60,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "customer_balance_quartiles",  # ntile / percent_rank / cume_dist
     "asof_next_purchase",  # forward as-of (union + first window)
     "streaming_interval_join_left",  # watermark-gated NULL emission
+    "text_hashing_vectorize",  # hashing-trick vectorization
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -84,7 +85,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "similarity_ann_ivf",
     "similarity_ann_lsh",
     "similarity_cosine_topk",
-    "similarity_embedding_neardup",
 )
 
 
