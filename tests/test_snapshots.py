@@ -101,3 +101,54 @@ def test_expire_keeps_files_shared_with_survivors(spark, table):
     assert removed["manifests"] == ["v000001"]
     assert removed["data_files"] == []  # every v1 file is live in v2
     assert snap.read_snapshot(spark, table).count() == 15
+
+
+class TestWriteAuditPublish:
+    def test_staged_invisible_until_publish(self, spark, table):
+        snap.snapshot_write(spark, table, _df(spark, 0, 10))
+        snap.snapshot_stage(spark, table, _df(spark, 10, 14), "s1")
+        # readers see only v1 while the audit runs
+        assert snap.current_version(table) == 1
+        assert snap.read_snapshot(spark, table).count() == 10
+        assert snap.read_staged(spark, table, "s1").count() == 4
+        v = snap.snapshot_publish(table, "s1")
+        assert v == 2
+        assert snap.read_snapshot(spark, table).count() == 14
+
+    def test_publish_composes_with_parent_at_publish_time(self, spark, table):
+        snap.snapshot_write(spark, table, _df(spark, 0, 5))
+        snap.snapshot_stage(spark, table, _df(spark, 100, 102), "s1")
+        # a concurrent writer lands v2 while the audit is running
+        snap.snapshot_write(spark, table, _df(spark, 5, 8))
+        v = snap.snapshot_publish(table, "s1")
+        assert v == 3
+        # append composed against v2 (8 rows), not the stage-time v1
+        assert snap.read_snapshot(spark, table).count() == 10
+
+    def test_gate_pass_publishes_and_fail_aborts(self, spark, table):
+        from wikistream_event_data_pipeline_aws_spark.dq.checks import Completeness, DQSuite
+
+        snap.snapshot_write(spark, table, _df(spark, 0, 5))
+        good = DQSuite("snap", [Completeness("k", min_rate=1.0)])
+        v, gate = snap.write_audit_publish(
+            spark, table, _df(spark, 5, 9), "ok1", good, "run1"
+        )
+        assert v == 2 and gate.passed
+        assert snap.read_snapshot(spark, table).count() == 9
+
+        bad_rows = spark.createDataFrame([(None,), (1,)], "k long")
+        v2, gate2 = snap.write_audit_publish(
+            spark, table, bad_rows, "bad1", good, "run2"
+        )
+        assert v2 is None and not gate2.passed
+        # aborted: no new version, staged files gone, table unchanged
+        assert snap.current_version(table) == 2
+        assert snap.read_snapshot(spark, table).count() == 9
+        import os as _os
+
+        assert not _os.path.exists(snap._staged_path(table, "bad1"))
+
+    def test_duplicate_staging_id_conflicts(self, spark, table):
+        snap.snapshot_stage(spark, table, _df(spark, 0, 3), "dup")
+        with pytest.raises(snap.SnapshotConflictError):
+            snap.snapshot_stage(spark, table, _df(spark, 3, 6), "dup")

@@ -200,6 +200,125 @@ def snapshot_history(path: str) -> list[dict[str, Any]]:
     return out
 
 
+STAGING_DIR = "staging"
+
+
+def snapshot_stage(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    staging_id: str,
+    mode: str = "append",
+) -> str:
+    """Write-Audit-Publish step 1: write ``df``'s data files and a
+    STAGED manifest under ``manifests/staging/`` — invisible to
+    ``current_version`` / ``read_snapshot`` until published. The staged
+    manifest records only the NEW files and the intended mode; the
+    parent is resolved at PUBLISH time, so audits can run for as long
+    as they like while other writers commit (Iceberg's WAP branch
+    semantics)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    sdir = os.path.join(path, MANIFEST_DIR, STAGING_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    target = os.path.join(sdir, f"{staging_id}.json")
+    if os.path.exists(target):
+        raise SnapshotConflictError(f"staging id {staging_id!r} already exists")
+    commit_dir = os.path.join(path, DATA_DIR, f"staged-{staging_id}")
+    df.write.mode("overwrite").parquet(commit_dir)
+    new_files = _data_files(commit_dir)
+    n_rows = spark.read.parquet(*new_files).count() if new_files else 0
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"staging_id": staging_id, "mode": mode, "files": new_files, "n_rows": n_rows},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    os.replace(tmp, target)
+    return staging_id
+
+
+def _staged_path(path: str, staging_id: str) -> str:
+    return os.path.join(path, MANIFEST_DIR, STAGING_DIR, f"{staging_id}.json")
+
+
+def read_staged(spark: SparkSession, path: str, staging_id: str) -> DataFrame:
+    """The audit target: exactly the rows the staged commit would add."""
+    with open(_staged_path(path, staging_id)) as f:
+        staged = json.load(f)
+    return spark.read.parquet(*staged["files"])
+
+
+def snapshot_publish(path: str, staging_id: str) -> int:
+    """WAP step 3a: promote the staged manifest to the next version,
+    composing with whatever parent exists NOW (not at stage time)."""
+    with open(_staged_path(path, staging_id)) as f:
+        staged = json.load(f)
+    parent = current_version(path)
+    version = (parent or 0) + 1
+    files = list(staged["files"])
+    n_rows = staged["n_rows"]
+    if staged["mode"] == "append" and parent is not None:
+        pm = read_manifest(path, parent)
+        files = pm["files"] + files
+        n_rows += pm["n_rows"]
+    _commit_manifest(
+        path,
+        version,
+        {
+            "version": version,
+            "parent": parent,
+            "operation": f"publish-{staging_id}",
+            "files": files,
+            "n_rows": n_rows,
+        },
+    )
+    os.remove(_staged_path(path, staging_id))
+    return version
+
+
+def snapshot_abort(path: str, staging_id: str) -> list[str]:
+    """WAP step 3b: drop the staged manifest and its (never-visible)
+    data files; returns what was deleted."""
+    with open(_staged_path(path, staging_id)) as f:
+        staged = json.load(f)
+    os.remove(_staged_path(path, staging_id))
+    removed = []
+    for f in staged["files"]:
+        if os.path.exists(f):
+            os.remove(f)
+            removed.append(f)
+    commit_dir = os.path.join(path, DATA_DIR, f"staged-{staging_id}")
+    if os.path.isdir(commit_dir) and not os.listdir(commit_dir):
+        os.rmdir(commit_dir)
+    return removed
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    staging_id: str,
+    suite,
+    run_id: str,
+    mode: str = "append",
+):
+    """The full WAP gate: stage, audit the staged rows with a DQSuite
+    (``dq/checks.py`` — the reference's between-layer gate,
+    ``dq_utils.py:125-152``, applied at the snapshot boundary), publish
+    on pass / abort on fail. Returns ``(published_version | None,
+    DQGateResult)``. Readers NEVER observe unaudited data: the staged
+    snapshot is invisible until the gate passes."""
+    snapshot_stage(spark, path, df, staging_id, mode=mode)
+    gate = suite.run(read_staged(spark, path, staging_id), run_id)
+    if gate.passed:
+        return snapshot_publish(path, staging_id), gate
+    snapshot_abort(path, staging_id)
+    return None, gate
+
+
 def expire_snapshots(path: str, keep_last: int) -> dict[str, list[str]]:
     """Garbage-collect history: drop all but the newest ``keep_last``
     manifests, then delete every data file no surviving manifest
