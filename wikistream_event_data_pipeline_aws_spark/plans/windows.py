@@ -271,10 +271,78 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
 """
 
 
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (event-time interval) frame — the frame kind every other
+    window here doesn't use: per user, the trailing-1-hour sum/count
+    bounded by VALUE distance, not row count, so sparse and dense hours
+    aggregate correctly. The order key is exact epoch microseconds
+    (Spark's rangeBetween needs a numeric key; micros match DuckDB's
+    INTERVAL arithmetic on microsecond timestamps with no truncation).
+    Sum in DECIMAL: the frame's float order-independence is the same
+    discipline as every other money sum here."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+ROLLING_1H_USER_VALUE_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h
+FROM events
+"""
+
+
+def running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregate over a running window — an operator neither
+    engine supports natively (no DISTINCT inside window functions):
+    both sides build the running set explicitly (``collect_set`` /
+    ``list_distinct(list(...))``) and take its size. Per-user state is
+    bounded by |event types|, so the set never grows past a constant."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+    )
+
+
+RUNNING_DISTINCT_TYPES_SQL = """
+SELECT event_id, user_id,
+       CAST(len(list_distinct(list(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS INTEGER) AS n_types_seen
+FROM events
+"""
+
+
 QUERIES = {
     "dedup_keep_first": dedup_keep_first,
     "wma_user_value": wma_user_value,
     "customer_balance_quartiles": customer_balance_quartiles,
+    "rolling_1h_user_value": rolling_1h_user_value,
+    "running_distinct_types": running_distinct_types,
     "daily_lag_trend": daily_lag_trend,
     "running_total_per_user": running_total_per_user,
     "rank_customers_by_balance": rank_customers_by_balance,
@@ -286,6 +354,8 @@ ORACLES = {
     "dedup_keep_first": DEDUP_KEEP_FIRST_SQL,
     "wma_user_value": WMA_USER_VALUE_SQL,
     "customer_balance_quartiles": CUSTOMER_BALANCE_QUARTILES_SQL,
+    "rolling_1h_user_value": ROLLING_1H_USER_VALUE_SQL,
+    "running_distinct_types": RUNNING_DISTINCT_TYPES_SQL,
     "daily_lag_trend": DAILY_LAG_TREND_SQL,
     "running_total_per_user": RUNNING_TOTAL_PER_USER_SQL,
     "rank_customers_by_balance": RANK_CUSTOMERS_BY_BALANCE_SQL,
