@@ -152,3 +152,55 @@ class TestWriteAuditPublish:
         snap.snapshot_stage(spark, table, _df(spark, 0, 3), "dup")
         with pytest.raises(snap.SnapshotConflictError):
             snap.snapshot_stage(spark, table, _df(spark, 3, 6), "dup")
+
+
+class TestMergeOnRead:
+    def test_delete_is_metadata_write_and_time_travel_sees_history(self, spark, table):
+        snap.snapshot_write(spark, table, _df(spark, 0, 10))
+        data_dirs = set(os.listdir(os.path.join(table, snap.DATA_DIR)))
+        keys = spark.createDataFrame([(2,), (5,), (7,)], "k long")
+        v = snap.snapshot_delete(spark, table, keys, ["k"])
+        assert v == 2
+        # only a delete-file dir appeared; no data file was rewritten
+        new_dirs = set(os.listdir(os.path.join(table, snap.DATA_DIR))) - data_dirs
+        assert all(d.startswith("deletes-") for d in new_dirs)
+        assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == [
+            0, 1, 3, 4, 6, 8, 9,
+        ]
+        # v1 time travel still sees the deleted keys
+        assert snap.read_snapshot(spark, table, 1).count() == 10
+
+    def test_reinserted_key_survives_older_delete(self, spark, table):
+        """Sequence semantics: a delete applies only to files OLDER than
+        its commit — re-inserting key 3 after deleting it must stick."""
+        snap.snapshot_write(spark, table, _df(spark, 0, 5))
+        snap.snapshot_delete(spark, table, spark.createDataFrame([(3,)], "k long"), ["k"])
+        assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == [0, 1, 2, 4]
+        snap.snapshot_write(spark, table, _df(spark, 3, 4))  # re-insert 3
+        assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == [0, 1, 2, 3, 4]
+
+    def test_materialize_folds_deletes_into_data(self, spark, table):
+        snap.snapshot_write(spark, table, _df(spark, 0, 8))
+        snap.snapshot_delete(spark, table, spark.createDataFrame([(0,), (1,)], "k long"), ["k"])
+        before = sorted(r.k for r in snap.read_snapshot(spark, table).collect())
+        v = snap.materialize_deletes(spark, table)
+        m = snap.read_manifest(table, v)
+        assert not m.get("deletes")
+        assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == before
+        assert m["n_rows"] == len(before)
+
+    def test_gc_keeps_referenced_delete_files(self, spark, table):
+        snap.snapshot_write(spark, table, _df(spark, 0, 6))
+        snap.snapshot_delete(spark, table, spark.createDataFrame([(4,)], "k long"), ["k"])
+        removed = snap.expire_snapshots(table, keep_last=1)
+        # v2 (survivor) still references both the data files AND the
+        # delete file, so nothing is deletable
+        assert removed["data_files"] == []
+        assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == [0, 1, 2, 3, 5]
+
+    def test_mismatched_delete_keys_rejected(self, spark, table):
+        base = _df(spark, 0, 3)
+        snap.snapshot_write(spark, table, base.withColumn("v", base.k * 2))
+        snap.snapshot_delete(spark, table, spark.createDataFrame([(1,)], "k long"), ["k"])
+        with pytest.raises(ValueError):
+            snap.snapshot_delete(spark, table, spark.createDataFrame([(2,)], "v long"), ["v"])

@@ -36,9 +36,11 @@ from __future__ import annotations
 import json
 import os
 import re
+from functools import reduce
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
@@ -126,21 +128,30 @@ def snapshot_write(
     # count only the NEW files (footer-level metadata scan); the total
     # folds in the parent's committed count — no full-table re-read
     n_rows = spark.read.parquet(*new_files).count() if new_files else 0
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": operation or mode,
+        "files": files,
+        "file_seqs": {f: version for f in new_files},
+        "n_rows": n_rows,
+    }
     if mode == "append" and parent is not None:
         parent_manifest = read_manifest(path, parent)
-        files = parent_manifest["files"] + new_files
-        n_rows += parent_manifest["n_rows"]
-    _commit_manifest(
-        path,
-        version,
-        {
-            "version": version,
-            "parent": parent,
-            "operation": operation or mode,
-            "files": files,
-            "n_rows": n_rows,
-        },
-    )
+        manifest["files"] = parent_manifest["files"] + new_files
+        manifest["file_seqs"] = {
+            **parent_manifest.get("file_seqs", {}),
+            **manifest["file_seqs"],
+        }
+        manifest["n_rows"] = parent_manifest["n_rows"] + n_rows
+        # MoR: an append must carry the parent's delete files forward —
+        # dropping them would resurrect deleted rows (sequence numbers
+        # keep them from touching the NEW files)
+        if parent_manifest.get("deletes"):
+            manifest["deletes"] = parent_manifest["deletes"]
+            manifest["delete_keys"] = parent_manifest["delete_keys"]
+            manifest["delete_seqs"] = parent_manifest.get("delete_seqs", {})
+    _commit_manifest(path, version, manifest)
     return version
 
 
@@ -153,13 +164,48 @@ def committed_operations(path: str) -> set[str]:
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Time-travel read: the table as of ``version`` (default: latest)."""
+    """Time-travel read: the table as of ``version`` (default: latest).
+    Merge-on-read: any equality-delete files committed by
+    :func:`snapshot_delete` apply as a left-anti join on the delete
+    keys at scan time — the deleted-key side is tiny relative to the
+    data, so Spark broadcasts it and the merge costs one scan."""
     if version is None:
         version = current_version(path)
     if version is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    files = read_manifest(path, version)["files"]
-    return spark.read.parquet(*files)
+    m = read_manifest(path, version)
+    deletes = m.get("deletes") or []
+    if not deletes:
+        return spark.read.parquet(*m["files"])
+    # sequence-aware merge (Iceberg v2 semantics): a delete kills a row
+    # only in data files OLDER than the delete's commit — a key
+    # re-inserted after its delete survives
+    data = _read_with_seq(spark, m["files"], m.get("file_seqs", {}), "__seq")
+    dk = (
+        _read_with_seq(spark, deletes, m.get("delete_seqs", {}), "__dseq")
+        .select(*m["delete_keys"], "__dseq")
+        .distinct()
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [data[k] == dk[k] for k in m["delete_keys"]] + [dk["__dseq"] > data["__seq"]],
+    )
+    return data.join(dk, cond, "left_anti").drop("__seq")
+
+
+def _read_with_seq(
+    spark: SparkSession, paths: list[str], seqs: dict[str, int], col: str
+) -> DataFrame:
+    """Read parquet files annotated with their commit sequence number
+    (0 for files from manifests predating sequence tracking)."""
+    groups: dict[int, list[str]] = {}
+    for p in paths:
+        groups.setdefault(int(seqs.get(p, 0)), []).append(p)
+    parts = [
+        spark.read.parquet(*ps).withColumn(col, F.lit(s).cast("long"))
+        for s, ps in sorted(groups.items())
+    ]
+    return reduce(DataFrame.unionByName, parts)
 
 
 def rollback(path: str, to_version: int) -> int:
@@ -169,17 +215,19 @@ def rollback(path: str, to_version: int) -> int:
     target = read_manifest(path, to_version)
     parent = current_version(path)
     version = (parent or 0) + 1
-    _commit_manifest(
-        path,
-        version,
-        {
-            "version": version,
-            "parent": parent,
-            "operation": f"rollback-to-v{to_version}",
-            "files": target["files"],
-            "n_rows": target["n_rows"],
-        },
-    )
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": f"rollback-to-v{to_version}",
+        "files": target["files"],
+        "n_rows": target["n_rows"],
+    }
+    manifest["file_seqs"] = target.get("file_seqs", {})
+    if target.get("deletes"):
+        manifest["deletes"] = target["deletes"]
+        manifest["delete_keys"] = target["delete_keys"]
+        manifest["delete_seqs"] = target.get("delete_seqs", {})
+    _commit_manifest(path, version, manifest)
     return version
 
 
@@ -198,6 +246,82 @@ def snapshot_history(path: str) -> list[dict[str, Any]]:
             }
         )
     return out
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    path: str,
+    delete_keys: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE-ON-READ equality delete (the reference's Iceberg v2 write
+    mode, ``bronze_schema.py:246-254``): instead of rewriting data
+    files, commit a tiny DELETE file holding just the keys; readers
+    apply it as a left-anti join at scan time. Deletes against a 100 TB
+    table cost O(|deleted keys|) write — the whole point of MoR — at
+    the price of a read-time anti join that accumulates until
+    :func:`materialize_deletes` folds them back into data files
+    (Iceberg's rewrite_data_files)."""
+    parent = current_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    pm = read_manifest(path, parent)
+    if pm.get("delete_keys") and pm["delete_keys"] != key_cols:
+        raise ValueError(
+            f"existing delete files use keys {pm['delete_keys']}, got {key_cols}"
+        )
+    version = parent + 1
+    ddir = os.path.join(path, DATA_DIR, f"deletes-v{version:06d}")
+    delete_keys.select(*key_cols).write.mode("overwrite").parquet(ddir)
+    new_deletes = _data_files(ddir)
+    _commit_manifest(
+        path,
+        version,
+        {
+            "version": version,
+            "parent": parent,
+            "operation": "delete",
+            "files": pm["files"],
+            "file_seqs": pm.get("file_seqs", {}),
+            "deletes": pm.get("deletes", []) + new_deletes,
+            "delete_keys": key_cols,
+            "delete_seqs": {
+                **pm.get("delete_seqs", {}),
+                **{f: version for f in new_deletes},
+            },
+            "n_rows": pm["n_rows"],  # logical rows pre-merge; reads subtract
+        },
+    )
+    return version
+
+
+def materialize_deletes(spark: SparkSession, path: str) -> int:
+    """Fold accumulated delete files into rewritten data files
+    (merge-on-read -> copy-on-write compaction): reads the current
+    snapshot (deletes applied), commits it as a clean overwrite with no
+    delete files. Old versions still time-travel correctly — their
+    manifests keep referencing the original data+delete files."""
+    parent = current_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    merged = read_snapshot(spark, path, parent).localCheckpoint(eager=True)
+    version = parent + 1
+    commit_dir = os.path.join(path, DATA_DIR, f"commit-v{version:06d}")
+    merged.write.mode("overwrite").parquet(commit_dir)
+    files = _data_files(commit_dir)
+    _commit_manifest(
+        path,
+        version,
+        {
+            "version": version,
+            "parent": parent,
+            "operation": "rewrite-materialize-deletes",
+            "files": files,
+            "file_seqs": {f: version for f in files},
+            "n_rows": merged.count(),
+        },
+    )
+    return version
 
 
 STAGING_DIR = "staging"
@@ -258,23 +382,27 @@ def snapshot_publish(path: str, staging_id: str) -> int:
         staged = json.load(f)
     parent = current_version(path)
     version = (parent or 0) + 1
-    files = list(staged["files"])
-    n_rows = staged["n_rows"]
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": f"publish-{staging_id}",
+        "files": list(staged["files"]),
+        "file_seqs": {f: version for f in staged["files"]},
+        "n_rows": staged["n_rows"],
+    }
     if staged["mode"] == "append" and parent is not None:
         pm = read_manifest(path, parent)
-        files = pm["files"] + files
-        n_rows += pm["n_rows"]
-    _commit_manifest(
-        path,
-        version,
-        {
-            "version": version,
-            "parent": parent,
-            "operation": f"publish-{staging_id}",
-            "files": files,
-            "n_rows": n_rows,
-        },
-    )
+        manifest["files"] = pm["files"] + manifest["files"]
+        manifest["file_seqs"] = {
+            **pm.get("file_seqs", {}),
+            **manifest["file_seqs"],
+        }
+        manifest["n_rows"] += pm["n_rows"]
+        if pm.get("deletes"):
+            manifest["deletes"] = pm["deletes"]
+            manifest["delete_keys"] = pm["delete_keys"]
+            manifest["delete_seqs"] = pm.get("delete_seqs", {})
+    _commit_manifest(path, version, manifest)
     os.remove(_staged_path(path, staging_id))
     return version
 
@@ -336,10 +464,17 @@ def expire_snapshots(path: str, keep_last: int) -> dict[str, list[str]]:
     survivors = vs[-keep_last:]
     live_files: set[str] = set()
     for v in survivors:
-        live_files.update(read_manifest(path, v)["files"])
+        m = read_manifest(path, v)
+        live_files.update(m["files"])
+        live_files.update(m.get("deletes") or [])
     dead_files: set[str] = set()
     for v in expired:
-        dead_files.update(f for f in read_manifest(path, v)["files"] if f not in live_files)
+        m = read_manifest(path, v)
+        dead_files.update(
+            f
+            for f in m["files"] + (m.get("deletes") or [])
+            if f not in live_files
+        )
     removed_manifests = []
     for v in expired:
         os.remove(_manifest_path(path, v))

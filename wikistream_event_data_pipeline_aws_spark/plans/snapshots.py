@@ -180,11 +180,88 @@ SELECT 4,
 """
 
 
+N_MOR_VERSIONS = 3
+
+
+def _mor_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.abspath(os.path.join(_WAREHOUSE, f"orders_mor_{tag}"))
+
+
+def build_mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """Merge-on-read history: v1 = orders slice (%10 < 5), v2 =
+    equality-DELETE of keys %9 == 0 (a tiny delete file, no data
+    rewrite), v3 = append that RE-INSERTS the deleted keys ending in 0
+    — the sequence-semantics probe: v3's re-inserted rows must survive
+    v2's older delete."""
+    path = _mor_path(sf_dir)
+    if snap.current_version(path) == N_MOR_VERSIONS:
+        return path
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    v1 = orders.filter(F.col("o_orderkey") % 10 < 5)
+    snap.snapshot_write(spark, path, v1, mode="append")
+    snap.snapshot_delete(
+        spark, path, v1.filter(F.col("o_orderkey") % 9 == 0), ["o_orderkey"]
+    )
+    reinserted = v1.filter(
+        (F.col("o_orderkey") % 9 == 0) & (F.col("o_orderkey") % 10 == 0)
+    )
+    snap.snapshot_write(spark, path, reinserted, mode="append")
+    return path
+
+
+def snapshot_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint every version of the merge-on-read table through the
+    sequence-aware reader. The oracle recomputes each version's
+    REQUIRED contents from the source orders table: v2 must subtract
+    exactly the deleted keys, and v3 must restore exactly the
+    re-inserted ones — a reader that drops delete files, applies them
+    to newer files, or loses them on append diverges immediately."""
+    path = build_mor_table(spark, sf_dir)
+    key_sig = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    per_version = [
+        snap.read_snapshot(spark, path, v).select(
+            F.lit(v).alias("version"), F.col("o_orderkey"), key_sig.alias("ks")
+        )
+        for v in range(1, N_MOR_VERSIONS + 1)
+    ]
+    return (
+        reduce(DataFrame.unionByName, per_version)
+        .groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ks").alias("keyspace_checksum"),
+        )
+    )
+
+
+SNAPSHOT_MOR_READ_SQL = f"""
+WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 5),
+v2 AS (SELECT o_orderkey FROM v1 WHERE o_orderkey % 9 <> 0),
+v3 AS (
+  SELECT o_orderkey FROM v2
+  UNION ALL
+  SELECT o_orderkey FROM v1 WHERE o_orderkey % 9 = 0 AND o_orderkey % 10 = 0
+),
+labeled AS (
+  SELECT 1 AS version, o_orderkey FROM v1
+  UNION ALL SELECT 2, o_orderkey FROM v2
+  UNION ALL SELECT 3, o_orderkey FROM v3
+)
+SELECT version, COUNT(*) AS n_rows, SUM({_KS_SQL}) AS keyspace_checksum
+FROM labeled GROUP BY version
+"""
+
+
 QUERIES = {
     "snapshot_time_travel": snapshot_time_travel,
     "snapshot_changes": snapshot_changes,
+    "snapshot_mor_read": snapshot_mor_read,
 }
 ORACLES = {
     "snapshot_time_travel": SNAPSHOT_TIME_TRAVEL_SQL,
     "snapshot_changes": SNAPSHOT_CHANGES_SQL,
+    "snapshot_mor_read": SNAPSHOT_MOR_READ_SQL,
 }

@@ -25,12 +25,12 @@ _ORACLES: dict[str, str] = {}
 # + (queries new this round) + (queries with the OLDEST driver row),
 # capped at 50 — so every registered query keeps accumulating fresh
 # verification rows and no stale green row shields a changed plan.
-# Round 4 composition: 30 new (3 early-round + 9 tpch_deep + linkage /
-# wma / mixture / kmeans / snapshots / stats / attribution / relational
-# / streaming-outer / hashing / range-frame additions) + 5 changed + 15
-# of the 25 whose latest row is r1 (the last ten alphabetical r1 rows
-# bump to round 5 — new queries MUST verify this round; an old green
-# row only ages).
+# Round 4 composition: 31 new (3 early-round + 9 tpch_deep + linkage /
+# wma / mixture / kmeans / snapshots incl. merge-on-read / stats /
+# attribution / relational / streaming-outer / hashing / range-frame)
+# + 5 changed + 14 of the 25 whose latest row is r1 (the last eleven
+# alphabetical r1 rows bump to round 5 — new queries MUST verify this
+# round; an old green row only ages).
 # The full set is always registered — only iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- new in round 4 -------------------------------------------------
@@ -64,6 +64,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "text_hashing_vectorize",  # hashing-trick vectorization
     "rolling_1h_user_value",  # RANGE (event-time) frame
     "running_distinct_types",  # explicit running-set distinct
+    "snapshot_mor_read",  # merge-on-read sequence-aware reads
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -85,7 +86,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "null_defaulting",
     "pivot_type_counts_by_date",
     "rollup_date_type",
-    "similarity_ann_ivf",
 )
 
 
