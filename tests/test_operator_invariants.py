@@ -368,3 +368,73 @@ class TestKmeans:
         for r in rows:
             assert len(r.c) == kmeans.DIM
             assert all(lo <= v <= hi for v in r.c)
+
+
+class TestCdcChunker:
+    def test_full_coverage_and_contiguous_chunks(self, spark, sf_dir):
+        """Every token lands in exactly one chunk: per doc, chunk sizes
+        sum to the token count and chunk ids run 1..k with no gaps."""
+        import pyspark.sql.functions as F
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans import llmprep
+
+        chunks = llmprep.doc_chunk_cdc(spark, sf_dir)
+        per_doc = (
+            chunks.groupBy("doc_id")
+            .agg(
+                F.sum("n_tokens").alias("covered"),
+                F.count(F.lit(1)).alias("k"),
+                F.min("chunk_id").alias("lo"),
+                F.max("chunk_id").alias("hi"),
+            )
+            .collect()
+        )
+        truth = {
+            r.doc_id: r.n
+            for r in load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+            )
+            .collect()
+        }
+        assert per_doc
+        for r in per_doc:
+            assert r.covered == truth[r.doc_id], r
+            assert (r.lo, r.hi) == (1, r.k), r
+
+    def test_edit_locality_vs_fixed_stride(self, spark):
+        """The CDC property: prepending one token to a document leaves
+        the chunk fingerprints of the tail UNCHANGED once the rolling
+        hash re-synchronizes — a fixed-stride chunker shifts every
+        chunk. Verified by fingerprint-set overlap on a synthetic doc."""
+        import pyspark.sql.functions as F
+
+        from wikistream_event_data_pipeline_aws_spark.plans.llmprep import (
+            CDC_DIVISOR,
+            doc_chunk_cdc,
+        )
+
+        # stand-in corpus: one long doc and its one-token-prepended twin
+        words = " ".join(f"w{i * 37 % 997}" for i in range(400))
+        df = spark.createDataFrame(
+            [(1, words), (2, "inserted " + words)], "doc_id long, text string"
+        )
+        import wikistream_event_data_pipeline_aws_spark.plans.llmprep as L
+        import wikistream_event_data_pipeline_aws_spark.catalog as C
+
+        orig = C.load_table
+        try:
+            C.load_table = lambda spark, sf_dir, name: df  # noqa: ARG005
+            L.load_table = C.load_table
+            chunks = doc_chunk_cdc(spark, "ignored").collect()
+        finally:
+            C.load_table = orig
+            L.load_table = orig
+        fps = {1: set(), 2: set()}
+        for r in chunks:
+            fps[r.doc_id].add(r.chunk_fp)
+        shared = fps[1] & fps[2]
+        # all but the first few chunks re-synchronize and match exactly
+        assert len(shared) >= len(fps[1]) - 2, (len(shared), len(fps[1]))

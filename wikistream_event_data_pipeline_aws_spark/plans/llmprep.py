@@ -602,6 +602,97 @@ WHERE mix_hash < rate_per_mille
 """
 
 
+# -- content-defined chunking ----------------------------------------------------
+
+CDC_DIVISOR = 16  # expected chunk length ~ divisor tokens
+
+
+def doc_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: boundaries where a rolling polynomial
+    hash of the last 4 tokens hits ``rh % CDC_DIVISOR == 0`` — unlike
+    the fixed-stride chunker (``doc_chunk_overlap``), an insertion
+    shifts only the chunks it touches, so chunk fingerprints stay
+    stable across edits and dedup at the chunk grain survives document
+    drift (the FastCDC/Rabin idea on token streams). All arithmetic is
+    exact BIGINT (md5-derived token hashes, integer coefficients), the
+    boundary predicate and segment ids resolve in ONE doc-partitioned
+    window pass (lags + running sum share the frame), and chunks emit
+    as md5 fingerprints + token counts so the output stays narrow."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+    )
+    th = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    rh = (
+        th
+        + F.lit(31) * F.coalesce(F.lag(th, 1).over(w), F.lit(0))
+        + F.lit(961) * F.coalesce(F.lag(th, 2).over(w), F.lit(0))
+        + F.lit(29791) * F.coalesce(F.lag(th, 3).over(w), F.lit(0))
+    )
+    boundary = F.when((F.col("pos") == 0) | (rh % CDC_DIVISOR == 0), 1).otherwise(0)
+    seg = toks.withColumn(
+        "chunk_id",
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        seg.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                        lambda s: s["token"],
+                    ),
+                )
+            ).alias("chunk_fp"),
+        )
+    )
+
+
+DOC_CHUNK_CDC_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, u.i - 1 AS pos, t[u.i] AS token
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+       UNNEST(generate_series(1, len(t))) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, pos, token,
+         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS th
+  FROM toks
+),
+rolled AS (
+  SELECT doc_id, pos, token,
+         th
+         + 31 * COALESCE(lag(th, 1) OVER w, 0)
+         + 961 * COALESCE(lag(th, 2) OVER w, 0)
+         + 29791 * COALESCE(lag(th, 3) OVER w, 0) AS rh
+  FROM hashed
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+flagged AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN pos = 0 OR rh % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END AS boundary
+  FROM rolled
+),
+segmented AS (
+  SELECT doc_id, pos, token,
+         SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+  FROM flagged
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_tokens,
+       md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_fp
+FROM segmented GROUP BY doc_id, chunk_id
+"""
+
+
 # -- temperature-scaled mixture weights -----------------------------------------
 
 
@@ -663,6 +754,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "mixture_temperature_weights": mixture_temperature_weights,
     "doc_chunk_overlap": doc_chunk_overlap,
+    "doc_chunk_cdc": doc_chunk_cdc,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "sample_stratified_hash": sample_stratified_hash,
     "redact_pii": redact_pii,
@@ -678,6 +770,7 @@ ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "mixture_temperature_weights": MIXTURE_TEMPERATURE_SQL,
     "doc_chunk_overlap": DOC_CHUNK_OVERLAP_SQL,
+    "doc_chunk_cdc": DOC_CHUNK_CDC_SQL,
     "decontaminate_ngram_overlap": DECONTAMINATE_SQL,
     "sample_stratified_hash": SAMPLE_STRATIFIED_SQL,
     "redact_pii": REDACT_PII_SQL,
