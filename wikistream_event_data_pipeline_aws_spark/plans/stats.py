@@ -181,12 +181,56 @@ FROM s
 """
 
 
+K_ANON = 5
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    gate a training-data release pipeline runs before publishing: every
+    (nation, segment, balance-band) group with fewer than K members is
+    re-identification risk. Two hash aggregations (group sizes, then
+    the rollup); at 100 TB the first agg is the only shuffle and its
+    map-side partials collapse each group to one row."""
+    c = load_table(spark, sf_dir, "customer")
+    groups = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    risky = F.col("group_size") < K_ANON
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").alias("min_group_size"),
+        F.sum(risky.cast("int")).cast("bigint").alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+    )
+
+
+PRIVACY_K_ANONYMITY_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS group_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT COUNT(*) AS n_groups,
+       MIN(group_size) AS min_group_size,
+       CAST(SUM(CASE WHEN group_size < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+       CAST(SUM(CASE WHEN group_size < {K_ANON} THEN group_size ELSE 0 END) AS BIGINT) AS n_risky_rows
+FROM groups
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
     "stats_corr_ols": stats_corr_ols,
+    "privacy_k_anonymity": privacy_k_anonymity,
 }
 
 ORACLES = {
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
     "stats_corr_ols": STATS_CORR_OLS_SQL,
+    "privacy_k_anonymity": PRIVACY_K_ANONYMITY_SQL,
 }

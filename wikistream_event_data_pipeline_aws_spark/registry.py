@@ -66,6 +66,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "running_distinct_types",  # explicit running-set distinct
     "snapshot_mor_read",  # merge-on-read sequence-aware reads
     "doc_chunk_cdc",  # content-defined (rolling-hash) chunking
+    "privacy_k_anonymity",  # quasi-identifier group-size audit
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -85,7 +86,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_metadata",
     "null_defaulting",
-    "pivot_type_counts_by_date",
 )
 
 
