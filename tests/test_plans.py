@@ -518,3 +518,34 @@ def test_forward_asof_is_window_not_range_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "asof_next_purchase")
     assert "Window" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_mor_read_broadcasts_delete_keys(spark, sf_dir):
+    """Merge-on-read scan: the delete-key side is tiny by construction,
+    so the sequence-scoped anti joins must broadcast it — a sort-merge
+    here would shuffle the data files to delete a handful of keys."""
+    plan = _plan(spark, sf_dir, "snapshot_mor_read")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cdc_chunker_windows_share_one_shuffle(spark, sf_dir):
+    """The rolling-hash lags and the boundary running sum are both
+    doc-partitioned windows over the same ordering — they must share a
+    single exchange, not shuffle the exploded tokens twice."""
+    import re
+
+    plan = _plan(spark, sf_dir, "doc_chunk_cdc")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for w in re.findall(r"Window .*", plan):
+        assert "doc_id" in w, w
+
+
+def test_single_shuffle_window_family(spark, sf_dir):
+    """RANGE-frame and running-distinct queries: one keyed exchange,
+    one window, no join."""
+    for name in ("rolling_1h_user_value", "running_distinct_types"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
