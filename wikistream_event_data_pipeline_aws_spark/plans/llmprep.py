@@ -693,6 +693,89 @@ FROM segmented GROUP BY doc_id, chunk_id
 """
 
 
+CDC_MIN_CHUNK = 8  # chunks below this share trivially; drop from matching
+
+
+def dedup_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain near-dup detection: document pairs sharing
+    content-defined chunks. The candidate join is an EQUI-join on chunk
+    fingerprints (never all-pairs), chunks under CDC_MIN_CHUNK tokens
+    are dropped before pairing (tiny chunks match universally and would
+    reintroduce the quadratic blow-up), and the containment score is
+    shared / min(chunk counts). Because CDC boundaries are edit-local,
+    this catches documents sharing long passages even when their
+    fixed-stride alignments differ — the chunk-level complement of the
+    passage-exact and MinHash doc-level paths (``plans/dedup.py``)."""
+    chunks = doc_chunk_cdc(spark, sf_dir).filter(
+        F.col("n_tokens") >= CDC_MIN_CHUNK
+    )
+    sizes = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = chunks.select(F.col("doc_id").alias("id_a"), F.col("chunk_fp").alias("fp"))
+    b = chunks.select(F.col("doc_id").alias("id_b"), F.col("chunk_fp").alias("fp"))
+    pairs = (
+        a.join(b, (a.fp == b.fp) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_chunks").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_chunks").alias("nb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_chunks",
+            (
+                F.col("shared_chunks")
+                / F.least(F.col("na"), F.col("nb")).cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+DEDUP_CHUNK_SHARED_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, u.i - 1 AS pos, t[u.i] AS token
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+       UNNEST(generate_series(1, len(t))) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, pos, token,
+         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS th
+  FROM toks
+),
+rolled AS (
+  SELECT doc_id, pos, token,
+         th + 31*COALESCE(lag(th,1) OVER w,0) + 961*COALESCE(lag(th,2) OVER w,0)
+            + 29791*COALESCE(lag(th,3) OVER w,0) AS rh
+  FROM hashed WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+segmented AS (
+  SELECT doc_id, pos, token,
+         SUM(CASE WHEN pos = 0 OR rh % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM rolled
+),
+chunks AS (
+  SELECT doc_id, md5(string_agg(token, ' ' ORDER BY pos)) AS fp
+  FROM segmented GROUP BY doc_id, chunk_id
+  HAVING COUNT(*) >= {CDC_MIN_CHUNK}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_chunks
+  FROM chunks a JOIN chunks b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared_chunks,
+       shared_chunks / CAST(least(sa.n_chunks, sb.n_chunks) AS DOUBLE) AS containment
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+"""
+
+
 # -- temperature-scaled mixture weights -----------------------------------------
 
 
@@ -755,6 +838,7 @@ QUERIES = {
     "mixture_temperature_weights": mixture_temperature_weights,
     "doc_chunk_overlap": doc_chunk_overlap,
     "doc_chunk_cdc": doc_chunk_cdc,
+    "dedup_chunk_shared": dedup_chunk_shared,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "sample_stratified_hash": sample_stratified_hash,
     "redact_pii": redact_pii,
@@ -771,6 +855,7 @@ ORACLES = {
     "mixture_temperature_weights": MIXTURE_TEMPERATURE_SQL,
     "doc_chunk_overlap": DOC_CHUNK_OVERLAP_SQL,
     "doc_chunk_cdc": DOC_CHUNK_CDC_SQL,
+    "dedup_chunk_shared": DEDUP_CHUNK_SHARED_SQL,
     "decontaminate_ngram_overlap": DECONTAMINATE_SQL,
     "sample_stratified_hash": SAMPLE_STRATIFIED_SQL,
     "redact_pii": REDACT_PII_SQL,

@@ -67,6 +67,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "snapshot_mor_read",  # merge-on-read sequence-aware reads
     "doc_chunk_cdc",  # content-defined (rolling-hash) chunking
     "privacy_k_anonymity",  # quasi-identifier group-size audit
+    "dedup_chunk_shared",  # chunk-fingerprint containment pairs
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -85,7 +86,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_metadata",
-    "null_defaulting",
 )
 
 
