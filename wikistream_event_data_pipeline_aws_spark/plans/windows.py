@@ -337,12 +337,119 @@ FROM events
 """
 
 
+def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) — the TWAP/TWAB
+    pattern: each observation is weighted by how long it was current
+    (microseconds until the next same-day event, via one lead()).
+    Numerator is DECIMAL × exact integer micros (order-free sum); the
+    single division happens in double at the output edge. The day's
+    last observation has no forward interval and is excluded — the
+    standard right-open TWAP convention."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    w = Window.partitionBy("user_id", day.alias("d")).orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    t = F.unix_micros("ts")
+    seq = e.select(
+        "user_id",
+        day.alias("event_date"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return seq.groupBy("user_id", "event_date").agg(
+        (
+            F.sum(F.col("v") * dt).cast("double")
+            / F.sum(dt).cast("double")
+        )
+        .cast("double")
+        .alias("twap")
+    )
+
+
+# VARCHAR round-trips: see STATS_CORR_OLS_SQL — DuckDB's direct
+# DECIMAL/HUGEINT -> DOUBLE casts double-round past 2^53 unscaled.
+TWAP_USER_DAILY_SQL = """
+WITH seq AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                                  ORDER BY ts, event_id) AS t_next
+  FROM events
+)
+SELECT user_id, event_date,
+       CAST(CAST(CAST(SUM(v * (t_next - t)) AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(SUM(t_next - t) AS VARCHAR) AS DOUBLE) AS DOUBLE) AS twap
+FROM seq WHERE t_next IS NOT NULL
+GROUP BY user_id, event_date
+"""
+
+
+CONCURRENCY_WINDOW_US = 1_800_000_000  # each event "live" for 30 minutes
+
+
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum overlap: how many 30-minute event windows are
+    simultaneously live at the day's busiest instant. Classic interval
+    stabbing as declarative ops: every event contributes a +1 at its
+    start and a -1 at start+30min, a date-partitioned running sum
+    sweeps the (time, start-before-end) order, and the per-day max is
+    the peak. No interval self-join (the naive form is O(n²) stabbing
+    pairs); the partition key is the calendar day, so no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    t = F.unix_micros("ts")
+    starts = e.select(day, t.alias("t"), F.lit(1).alias("delta"), F.lit(0).alias("tie"))
+    ends = e.select(
+        day,
+        (t + CONCURRENCY_WINDOW_US).alias("t"),
+        F.lit(-1).alias("delta"),
+        F.lit(1).alias("tie"),
+    )
+    pts = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_date")
+        .orderBy("t", "tie", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("live", F.sum("delta").over(w))
+        .groupBy("event_date")
+        .agg(F.max("live").cast("long").alias("peak_concurrency"))
+    )
+
+
+PEAK_CONCURRENCY_DAILY_SQL = f"""
+WITH pts AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date, epoch_us(ts) AS t,
+         1 AS delta, 0 AS tie
+  FROM events
+  UNION ALL
+  SELECT strftime(ts, '%Y-%m-%d'), epoch_us(ts) + {CONCURRENCY_WINDOW_US}, -1, 1
+  FROM events
+),
+swept AS (
+  SELECT event_date,
+         SUM(delta) OVER (PARTITION BY event_date ORDER BY t, tie, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM pts
+)
+SELECT event_date, CAST(MAX(live) AS BIGINT) AS peak_concurrency
+FROM swept GROUP BY event_date
+"""
+
+
 QUERIES = {
     "dedup_keep_first": dedup_keep_first,
     "wma_user_value": wma_user_value,
     "customer_balance_quartiles": customer_balance_quartiles,
     "rolling_1h_user_value": rolling_1h_user_value,
     "running_distinct_types": running_distinct_types,
+    "twap_user_daily": twap_user_daily,
+    "peak_concurrency_daily": peak_concurrency_daily,
     "daily_lag_trend": daily_lag_trend,
     "running_total_per_user": running_total_per_user,
     "rank_customers_by_balance": rank_customers_by_balance,
@@ -356,6 +463,8 @@ ORACLES = {
     "customer_balance_quartiles": CUSTOMER_BALANCE_QUARTILES_SQL,
     "rolling_1h_user_value": ROLLING_1H_USER_VALUE_SQL,
     "running_distinct_types": RUNNING_DISTINCT_TYPES_SQL,
+    "twap_user_daily": TWAP_USER_DAILY_SQL,
+    "peak_concurrency_daily": PEAK_CONCURRENCY_DAILY_SQL,
     "daily_lag_trend": DAILY_LAG_TREND_SQL,
     "running_total_per_user": RUNNING_TOTAL_PER_USER_SQL,
     "rank_customers_by_balance": RANK_CUSTOMERS_BY_BALANCE_SQL,

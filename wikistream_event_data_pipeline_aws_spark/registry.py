@@ -68,6 +68,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_chunk_cdc",  # content-defined (rolling-hash) chunking
     "privacy_k_anonymity",  # quasi-identifier group-size audit
     "dedup_chunk_shared",  # chunk-fingerprint containment pairs
+    "twap_user_daily",  # interval-weighted average
+    "peak_concurrency_daily",  # sweep-line max overlap
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -84,8 +86,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_simhash",
     "map_explode_props",
     "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
 )
 
 
