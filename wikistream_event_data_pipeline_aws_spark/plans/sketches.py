@@ -349,7 +349,139 @@ FROM best
 """
 
 
+
+def hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from MERGED sketches — the property
+    that makes HLL a planner tool, not just a counter: the union sketch
+    is the register-wise MAX of the two side sketches (both hashed with
+    the SAME seed), and inclusion-exclusion gives
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` without ever joining the
+    sides. At 100 TB each side's sketch is m registers however large
+    the side, the merge touches 2m rows, and the planner gets an
+    overlap estimate for free; the exact intersection (a real shuffle
+    of every user) rides along only to report error."""
+    e = load_table(spark, sf_dir, "events")
+    h = hex_hash(F.col("user_id").cast("string"), seed="hllj")
+    rho = F.lit(51) - F.length(F.expr("ltrim('0', conv(rest, 10, 2))"))
+
+    def regs(df: DataFrame) -> DataFrame:
+        t = df.select(h.alias("h")).select(
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(f"h div {HLL_M}").alias("rest"),
+        )
+        return (
+            t.select("bucket", rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("M"))
+        )
+
+    ra = regs(e.filter(F.col("event_type") == "click"))
+    rb = regs(e.filter(F.col("event_type") == "purchase"))
+    ru = (
+        ra.select("bucket", F.col("M").alias("Ma"))
+        .join(rb.select("bucket", F.col("M").alias("Mb")), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.greatest(
+                F.coalesce(F.col("Ma"), F.lit(0)), F.coalesce(F.col("Mb"), F.lit(0))
+            ).alias("M"),
+        )
+    )
+
+    def est_row(r: DataFrame, name: str) -> DataFrame:
+        a = r.agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.expr("CAST(shiftleft(1L, 62 - M) AS DECIMAL(38,0))")).alias(
+                "s_obs"
+            ),
+        )
+        s_total = F.expr(
+            f"s_obs + CAST({HLL_M}L - n_obs AS DECIMAL(38,0))"
+            f" * CAST({_POW62} AS DECIMAL(38,0))"
+        )
+        return a.select((F.lit(float(_NUM)) / s_total.cast("double")).alias(name))
+
+    flags = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    exact = flags.agg(
+        F.sum((F.col("c") * F.col("p")).cast("long")).alias("n_exact_intersection")
+    )
+    out = (
+        est_row(ra, "est_clickers")
+        .crossJoin(est_row(rb, "est_purchasers"))
+        .crossJoin(est_row(ru, "est_union"))
+        .crossJoin(exact)
+    )
+    est_i = F.col("est_clickers") + F.col("est_purchasers") - F.col("est_union")
+    n_exact_d = F.col("n_exact_intersection").cast("double")
+    return out.select(
+        "est_clickers",
+        "est_purchasers",
+        "est_union",
+        est_i.alias("est_intersection"),
+        "n_exact_intersection",
+        ((est_i - n_exact_d) / n_exact_d).alias("rel_error"),
+    )
+
+
+_HLL_REGS_SQL = """
+  SELECT h % {m} AS bucket,
+         MAX(51 - length(ltrim(bin(h // {m}), '0'))) AS M
+  FROM (
+    SELECT CAST(concat('0x', substr(md5(concat('hllj', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+    FROM events WHERE event_type = '{t}'
+  ) GROUP BY bucket
+"""
+
+_HLL_EST_SQL = """
+  SELECT {num} / CAST(s_obs + CAST({m} - n_obs AS DECIMAL(38,0))
+                      * CAST({p62} AS DECIMAL(38,0)) AS DOUBLE) AS {name}
+  FROM (SELECT COUNT(*) AS n_obs,
+               SUM(CAST(1::BIGINT << (62 - M) AS DECIMAL(38,0))) AS s_obs
+        FROM {src})
+"""
+
+
+def _hll_join_sql() -> str:
+    ra = _HLL_REGS_SQL.format(m=HLL_M, t="click")
+    rb = _HLL_REGS_SQL.format(m=HLL_M, t="purchase")
+    ea = _HLL_EST_SQL.format(num=_NUM, m=HLL_M, p62=_POW62, name="est_clickers", src="ra")
+    eb = _HLL_EST_SQL.format(num=_NUM, m=HLL_M, p62=_POW62, name="est_purchasers", src="rb")
+    eu = _HLL_EST_SQL.format(num=_NUM, m=HLL_M, p62=_POW62, name="est_union", src="ru")
+    return f"""
+WITH ra AS ({ra}),
+rb AS ({rb}),
+ru AS (
+  SELECT COALESCE(ra.bucket, rb.bucket) AS bucket,
+         greatest(COALESCE(ra.M, 0), COALESCE(rb.M, 0)) AS M
+  FROM ra FULL OUTER JOIN rb ON ra.bucket = rb.bucket
+),
+exact AS (
+  SELECT CAST(SUM(c * p) AS BIGINT) AS n_exact_intersection
+  FROM (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+    FROM events GROUP BY user_id
+  )
+)
+SELECT est_clickers, est_purchasers, est_union,
+       est_clickers + est_purchasers - est_union AS est_intersection,
+       n_exact_intersection,
+       (est_clickers + est_purchasers - est_union
+        - CAST(n_exact_intersection AS DOUBLE))
+         / CAST(n_exact_intersection AS DOUBLE) AS rel_error
+FROM ({ea}), ({eb}), ({eu}), exact
+"""
+
+
+HLL_JOIN_CARDINALITY_SQL = _hll_join_sql()
+
+
 QUERIES = {
+    "hll_join_cardinality": hll_join_cardinality,
     "hll_distinct_events": hll_distinct_events,
     "hll_distinct_users_by_type": hll_distinct_users_by_type,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -357,6 +489,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hll_join_cardinality": HLL_JOIN_CARDINALITY_SQL,
     "hll_distinct_events": HLL_DISTINCT_EVENTS_SQL,
     "hll_distinct_users_by_type": HLL_DISTINCT_USERS_BY_TYPE_SQL,
     "heavy_hitters_cms": HEAVY_HITTERS_CMS_SQL,

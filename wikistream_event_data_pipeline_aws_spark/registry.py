@@ -70,6 +70,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_chunk_shared",  # chunk-fingerprint containment pairs
     "twap_user_daily",  # interval-weighted average
     "peak_concurrency_daily",  # sweep-line max overlap
+    "hll_join_cardinality",  # merged-sketch overlap estimate
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -85,7 +86,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "map_explode_props",
-    "multimodal_decode",
 )
 
 
