@@ -223,14 +223,72 @@ FROM groups
 """
 
 
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point signal per user: the maximum absolute
+    cumulative deviation from the user's own mean — the classic
+    level-shift detector. Exactness by cross-multiplication again:
+    ``cusum_k = Σ_{i≤k} v_i − k·mean`` is scaled by n into
+    ``n·Σ_k − k·S`` (pure DECIMAL×INT — zero float until the single
+    output division). One running-sum window per user + one broadcast
+    join of the per-user totals."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    tot = e.groupBy("user_id").agg(
+        F.sum(v).alias("S"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = e.select("user_id", "ts", "event_id", v.alias("v")).select(
+        "user_id",
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.row_number().over(w).alias("k"),
+    )
+    scaled = F.abs(F.col("n") * F.col("cum") - F.col("k") * F.col("S"))
+    return (
+        run.join(F.broadcast(tot), "user_id")
+        .groupBy("user_id", "n")
+        .agg(
+            (F.max(scaled).cast("double") / F.col("n").cast("double")).alias(
+                "max_cusum"
+            )
+        )
+        .select("user_id", "n", "max_cusum")
+    )
+
+
+STATS_CUSUM_SQL = """
+WITH s AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v, ts, event_id FROM events
+),
+tot AS (
+  SELECT user_id, SUM(v) AS S, COUNT(*) AS n FROM s GROUP BY user_id
+),
+run AS (
+  SELECT s.user_id,
+         SUM(s.v) OVER (PARTITION BY s.user_id ORDER BY s.ts, s.event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         ROW_NUMBER() OVER (PARTITION BY s.user_id ORDER BY s.ts, s.event_id) AS k
+  FROM s
+)
+SELECT r.user_id, t.n,
+       CAST(CAST(MAX(abs(t.n * r.cum - r.k * t.S)) AS VARCHAR) AS DOUBLE)
+         / CAST(t.n AS DOUBLE) AS max_cusum
+FROM run r JOIN tot t USING (user_id)
+GROUP BY r.user_id, t.n
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
     "stats_corr_ols": stats_corr_ols,
     "privacy_k_anonymity": privacy_k_anonymity,
+    "stats_cusum_changepoint": stats_cusum_changepoint,
 }
 
 ORACLES = {
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
     "stats_corr_ols": STATS_CORR_OLS_SQL,
     "privacy_k_anonymity": PRIVACY_K_ANONYMITY_SQL,
+    "stats_cusum_changepoint": STATS_CUSUM_SQL,
 }

@@ -499,6 +499,43 @@ GROUP BY 1, 2
 """
 
 
+def event_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 sequence mining: counts of (e1, e2, e3) event-type
+    trigrams per user timeline — the behavioral-motif extension of the
+    order-2 transition matrix above. Both lags share ONE user window;
+    output is at most |types|³ rows regardless of input size."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.withColumn("p1", F.lag("event_type", 1).over(w))
+        .withColumn("p2", F.lag("event_type", 2).over(w))
+        .filter(F.col("p2").isNotNull())
+    )
+    return (
+        seq.groupBy(
+            F.col("p2").alias("e1"),
+            F.col("p1").alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+EVENT_TRIGRAM_COUNTS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p2 AS e1, p1 AS e2, event_type AS e3, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE p2 IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "hourly_stats": hourly_stats,
     "user_daily_metrics": user_daily_metrics,
@@ -508,6 +545,7 @@ QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "retention_cohorts": retention_cohorts,
     "event_transition_matrix": event_transition_matrix,
+    "event_trigram_counts": event_trigram_counts,
 }
 
 ORACLES = {
@@ -519,4 +557,5 @@ ORACLES = {
     "funnel_view_click_purchase": FUNNEL_SQL,
     "retention_cohorts": RETENTION_COHORTS_SQL,
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
+    "event_trigram_counts": EVENT_TRIGRAM_COUNTS_SQL,
 }

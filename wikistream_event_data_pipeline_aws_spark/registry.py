@@ -71,6 +71,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "twap_user_daily",  # interval-weighted average
     "peak_concurrency_daily",  # sweep-line max overlap
     "hll_join_cardinality",  # merged-sketch overlap estimate
+    "event_trigram_counts",  # order-3 sequence motifs
+    "stats_cusum_changepoint",  # max cumulative deviation
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -84,8 +86,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_minhash_pairs",
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "map_explode_props",
 )
 
 
