@@ -150,5 +150,62 @@ GROUP BY a2.cid
 """
 
 
-QUERIES = {"kmeans_embeddings": kmeans_embeddings}
-ORACLES = {"kmeans_embeddings": KMEANS_EMBEDDINGS_SQL}
+def embedding_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class scatter per label: mean squared distance of each
+    label's vectors to their own centroid — the feature-quality /
+    separability statistic (the within-class half of the Fisher
+    criterion) an embedding pipeline monitors across training runs.
+    Reuses the k-means determinism scaffold: centroid means and the
+    per-class distance sums both fold in vec_id order, distances are
+    left-folds over the dim order, so the whole statistic is
+    value-hash checkable. Broadcast centroid join; one (label, dim)
+    agg + one label agg."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    members = e.select(F.col("label").alias("cid"), "vec_id", "x")
+    cent = update(members).withColumnRenamed("cid", "label")
+    d2 = _sq_dist(F.col("x"), F.col("c"))
+    dists = e.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", d2.alias("d2")
+    )
+    return dists.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("vec_id", "d2"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["d2"],
+            )
+            / F.count(F.lit(1))
+        ).alias("within_scatter"),
+    )
+
+
+EMBEDDING_CLASS_SCATTER_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+cent_dims AS (
+  SELECT label, i, list_sum(list(x[i] ORDER BY vec_id)) / COUNT(*) AS mv
+  FROM e, (SELECT unnest(generate_series(1, {DIM})) AS i)
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(mv ORDER BY i) AS c FROM cent_dims GROUP BY label),
+dists AS (
+  SELECT e.label, e.vec_id,
+         {_DIST_SQL.format(x="e.x", c="cent.c")} AS d2
+  FROM e JOIN cent USING (label)
+)
+SELECT label, COUNT(*) AS n_members,
+       list_sum(list(d2 ORDER BY vec_id)) / COUNT(*) AS within_scatter
+FROM dists GROUP BY label
+"""
+
+
+QUERIES = {
+    "kmeans_embeddings": kmeans_embeddings,
+    "embedding_class_scatter": embedding_class_scatter,
+}
+ORACLES = {
+    "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
+    "embedding_class_scatter": EMBEDDING_CLASS_SCATTER_SQL,
+}

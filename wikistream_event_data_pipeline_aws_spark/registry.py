@@ -73,6 +73,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "hll_join_cardinality",  # merged-sketch overlap estimate
     "event_trigram_counts",  # order-3 sequence motifs
     "stats_cusum_changepoint",  # max cumulative deviation
+    "embedding_class_scatter",  # within-class Fisher scatter
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -85,7 +86,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
 )
 
 
