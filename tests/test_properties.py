@@ -214,3 +214,52 @@ def test_pagerank_converged_is_iteration_count_invariant(spark):
     assert delta <= tol * n_nodes
     # sanity: ranks are positive and bounded by the damping identity
     assert all(0 < v < 100 * PR_SCALE for v in a.values())
+
+
+def test_snapshot_layer_model_based_random_ops(spark, tmp_path):
+    """Model-based check of the snapshot/MoR layer: a deterministic mix
+    of append / overwrite / equality-delete / rollback ops applied to
+    BOTH the real table and a pure-Python model; after every op, every
+    historical version must read back exactly the model's keys (so
+    sequence-scoped deletes, carried delete files, and metadata-only
+    rollbacks are all validated against an independent semantics, not
+    against the implementation's own bookkeeping)."""
+    from wikistream_event_data_pipeline_aws_spark.operators import snapshots as snap
+
+    table = str(tmp_path / "model_t")
+
+    def df_of(keys):
+        return spark.createDataFrame([(int(k),) for k in keys], "k long")
+
+    # deterministic op script exercising every arm, including
+    # delete-then-reinsert (sequence semantics) and rollback-over-delete
+    script = [
+        ("append", {0, 1, 2, 3, 4}),
+        ("delete", {1, 3}),
+        ("append", {3, 5}),          # re-insert 3 after its delete
+        ("rollback", 2),             # back to post-delete state
+        ("append", {6}),
+        ("overwrite", {7, 8}),
+        ("delete", {7}),
+        ("append", {7, 9}),          # re-insert 7
+    ]
+    model_versions = []  # model_versions[v-1] = expected key multiset
+
+    for op, arg in script:
+        if op == "append":
+            snap.snapshot_write(spark, table, df_of(arg))
+            prev = model_versions[-1] if model_versions else set()
+            model_versions.append(set(prev) | set(arg))
+        elif op == "overwrite":
+            snap.snapshot_write(spark, table, df_of(arg), mode="overwrite")
+            model_versions.append(set(arg))
+        elif op == "delete":
+            snap.snapshot_delete(spark, table, df_of(arg), ["k"])
+            model_versions.append(set(model_versions[-1]) - set(arg))
+        elif op == "rollback":
+            snap.rollback(table, arg)
+            model_versions.append(set(model_versions[arg - 1]))
+        # EVERY version must still read back its model state
+        for v, expected in enumerate(model_versions, start=1):
+            got = {r.k for r in snap.read_snapshot(spark, table, v).collect()}
+            assert got == expected, (op, v, got, expected)
