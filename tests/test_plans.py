@@ -549,3 +549,16 @@ def test_single_shuffle_window_family(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
         assert "Join" not in plan, (name, plan)
+
+
+def test_linkage_matches_prunes_via_half_key_joins(spark, sf_dir):
+    """The lev<=1 matcher must generate candidates from per-half
+    EQUI-joins (half string in the hash-join key), not score the full
+    within-block cross — three joins (h1, h2, length-sliver fallback),
+    all hash-based."""
+    plan = _plan(spark, sf_dir, "record_linkage_matches")
+    assert "CartesianProduct" not in plan, plan
+    joins = plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert joins == 3, plan
