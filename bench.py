@@ -113,6 +113,22 @@ def main() -> None:
     _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
     _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
     write_partitioned_events(spark, sf_dir)
+    # Same discipline for the round-4 versioned-table artifacts: the
+    # snapshot history, merge-on-read table and partition-evolution pair
+    # are one-time builds per scale factor (cached behind completion
+    # markers); build them here so a fresh warehouse doesn't charge the
+    # write to the first timed invocation.
+    from wikistream_event_data_pipeline_aws_spark.plans.partitioned import (
+        write_evolution_tables,
+    )
+    from wikistream_event_data_pipeline_aws_spark.plans.snapshots import (
+        build_mor_table,
+        build_snapshot_table,
+    )
+
+    build_snapshot_table(spark, sf_dir)
+    build_mor_table(spark, sf_dir)
+    write_evolution_tables(spark, sf_dir)
     # Warm the streaming engine the same way (MicroBatchExecution,
     # state-store provider, Arrow stateful-worker spin-up) with one tiny
     # run at the smallest SF, so the one-time init cost doesn't distort
