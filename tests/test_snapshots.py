@@ -204,3 +204,35 @@ class TestMergeOnRead:
         snap.snapshot_delete(spark, table, spark.createDataFrame([(1,)], "k long"), ["k"])
         with pytest.raises(ValueError):
             snap.snapshot_delete(spark, table, spark.createDataFrame([(2,)], "v long"), ["v"])
+
+
+def test_empty_overwrite_snapshot_reads_back_empty(spark, table):
+    """An overwrite with zero rows is a legitimate commit (delete-all);
+    reads reconstruct an empty frame with the ancestor's schema."""
+    snap.snapshot_write(spark, table, _df(spark, 0, 5))
+    snap.snapshot_write(spark, table, _df(spark, 0, 5).filter("k < 0"), mode="overwrite")
+    out = snap.read_snapshot(spark, table)
+    assert out.count() == 0
+    assert out.columns == ["k"]
+    # appending onto the empty snapshot works and history reads hold
+    snap.snapshot_write(spark, table, _df(spark, 7, 9))
+    assert snap.read_snapshot(spark, table).count() == 2
+    assert snap.read_snapshot(spark, table, 1).count() == 5
+
+
+def test_remove_orphan_files_collects_uncommitted_data(spark, table):
+    """Files written by a crashed writer (data present, manifest never
+    claimed) are invisible to expire_snapshots by design; the orphan
+    sweep collects them without touching live data."""
+    snap.snapshot_write(spark, table, _df(spark, 0, 5))
+    # simulate a crash: data written into a commit dir, no manifest
+    crash_dir = os.path.join(table, snap.DATA_DIR, "commit-v000099-p0")
+    _df(spark, 100, 105).write.parquet(crash_dir)
+    assert snap.expire_snapshots(table, keep_last=1) == {"manifests": [], "data_files": []}
+    removed = snap.remove_orphan_files(table)
+    assert removed and all("commit-v000099" in f for f in removed)
+    assert not os.path.exists(crash_dir)
+    assert snap.read_snapshot(spark, table).count() == 5
+    # idempotent and live-data-safe
+    assert snap.remove_orphan_files(table) == []
+    assert snap.read_snapshot(spark, table).count() == 5

@@ -16,11 +16,14 @@ plus JSON manifests — the same design Iceberg's metadata layer uses:
   data files visible at that version (append = parent files + new,
   overwrite = new only), so a snapshot read is "load the listed files"
   — O(1) metadata, no directory listing of the whole table.
-- **Atomic, conflict-checked commits.** The manifest is staged and
-  ``os.replace``d into place; a concurrent commit that claimed the
-  same version number first surfaces as ``SnapshotConflictError`` —
-  the caller retries on fresh state exactly like the reference's
-  Iceberg retry loop.
+- **Atomic, conflict-checked commits.** The full manifest is written
+  to a per-writer tmp file and ``os.link``ed into place — an atomic
+  create-with-content, so a mid-write crash can never leave a torn
+  committed manifest, and of two racing writers exactly one claims the
+  version (the loser gets ``SnapshotConflictError`` and retries on
+  fresh state, exactly like the reference's Iceberg retry loop). Each
+  writer stages data into its own pid-suffixed commit dir so the
+  conflict loser never clobbers the winner's files.
 - **Metadata-only rollback.** Rolling back re-points a NEW version at
   an old version's file list; nothing is rewritten (Iceberg's
   ``rollback_to_snapshot``).
@@ -81,16 +84,36 @@ def _commit_manifest(path: str, version: int, manifest: dict[str, Any]) -> None:
     mdir = os.path.join(path, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     target = _manifest_path(path, version)
-    if os.path.exists(target):
-        raise SnapshotConflictError(
-            f"version {version} already committed at {path}"
-        )
-    tmp = target + ".tmp"
+    # Atomic, torn-free claim: the full JSON is written (and fsynced) to
+    # a per-writer tmp file first, then LINKED into place — os.link
+    # fails with FileExistsError if the version is already claimed, so
+    # of two racing writers exactly one commits and the loser gets
+    # SnapshotConflictError on fresh state (a check-then-os.replace
+    # would let both "succeed", and writing through an O_EXCL fd would
+    # leave a torn manifest on a mid-write crash). Data files are safe
+    # under the loser: every writer stages into its own pid-suffixed
+    # commit dir (see _commit_dir).
+    tmp = f"{target}.tmp.p{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    # os.replace is atomic on POSIX; the existence re-check above plus
-    # the atomic rename is the whole optimistic-concurrency protocol
-    os.replace(tmp, target)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"version {version} already committed at {path}"
+        ) from None
+    finally:
+        os.remove(tmp)
+
+
+def _commit_dir(path: str, label: str) -> str:
+    """Per-attempt data directory: the pid suffix keeps concurrent
+    writers (who may race for the same version number) from clobbering
+    each other's staged files before the manifest claim decides the
+    winner."""
+    return os.path.join(path, DATA_DIR, f"{label}-p{os.getpid()}")
 
 
 def _data_files(commit_dir: str) -> list[str]:
@@ -121,7 +144,7 @@ def snapshot_write(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     parent = current_version(path)
     version = (parent or 0) + 1
-    commit_dir = os.path.join(path, DATA_DIR, f"commit-v{version:06d}")
+    commit_dir = _commit_dir(path, f"commit-v{version:06d}")
     df.write.mode("overwrite").parquet(commit_dir)
     new_files = _data_files(commit_dir)
     files = list(new_files)
@@ -174,6 +197,20 @@ def read_snapshot(
     if version is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     m = read_manifest(path, version)
+    if not m["files"]:
+        # a legitimately empty snapshot (overwrite with a no-row frame):
+        # reconstruct an empty frame from the nearest ancestor WITH
+        # files so the schema survives; a table whose entire history is
+        # empty has no schema to offer
+        v = m.get("parent")
+        while v is not None:
+            pm = read_manifest(path, v)
+            if pm["files"]:
+                return spark.read.parquet(*pm["files"]).limit(0)
+            v = pm.get("parent")
+        raise FileNotFoundError(
+            f"snapshot v{version} at {path} is empty and no ancestor has a schema"
+        )
     deletes = m.get("deletes") or []
     if not deletes:
         return spark.read.parquet(*m["files"])
@@ -271,7 +308,7 @@ def snapshot_delete(
             f"existing delete files use keys {pm['delete_keys']}, got {key_cols}"
         )
     version = parent + 1
-    ddir = os.path.join(path, DATA_DIR, f"deletes-v{version:06d}")
+    ddir = _commit_dir(path, f"deletes-v{version:06d}")
     delete_keys.select(*key_cols).write.mode("overwrite").parquet(ddir)
     new_deletes = _data_files(ddir)
     _commit_manifest(
@@ -306,7 +343,7 @@ def materialize_deletes(spark: SparkSession, path: str) -> int:
         raise FileNotFoundError(f"no snapshots at {path}")
     merged = read_snapshot(spark, path, parent).localCheckpoint(eager=True)
     version = parent + 1
-    commit_dir = os.path.join(path, DATA_DIR, f"commit-v{version:06d}")
+    commit_dir = _commit_dir(path, f"commit-v{version:06d}")
     merged.write.mode("overwrite").parquet(commit_dir)
     files = _data_files(commit_dir)
     _commit_manifest(
@@ -346,21 +383,39 @@ def snapshot_stage(
     sdir = os.path.join(path, MANIFEST_DIR, STAGING_DIR)
     os.makedirs(sdir, exist_ok=True)
     target = os.path.join(sdir, f"{staging_id}.json")
-    if os.path.exists(target):
-        raise SnapshotConflictError(f"staging id {staging_id!r} already exists")
-    commit_dir = os.path.join(path, DATA_DIR, f"staged-{staging_id}")
-    df.write.mode("overwrite").parquet(commit_dir)
-    new_files = _data_files(commit_dir)
-    n_rows = spark.read.parquet(*new_files).count() if new_files else 0
-    tmp = target + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {"staging_id": staging_id, "mode": mode, "files": new_files, "n_rows": n_rows},
-            f,
-            indent=1,
-            sort_keys=True,
-        )
-    os.replace(tmp, target)
+    # exclusive-create the claim BEFORE writing data: two stagers racing
+    # on the same id resolve here, before either can clobber the other's
+    # staged directory
+    try:
+        os.close(os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"staging id {staging_id!r} already exists"
+        ) from None
+    try:
+        commit_dir = os.path.join(path, DATA_DIR, f"staged-{staging_id}")
+        df.write.mode("overwrite").parquet(commit_dir)
+        new_files = _data_files(commit_dir)
+        n_rows = spark.read.parquet(*new_files).count() if new_files else 0
+        # sole owner of the claim file now — fill it in place
+        with open(target, "w") as f:
+            json.dump(
+                {
+                    "staging_id": staging_id,
+                    "mode": mode,
+                    "files": new_files,
+                    "n_rows": n_rows,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+    except Exception:
+        if os.path.exists(target):
+            os.remove(target)
+        raise
     return staging_id
 
 
@@ -419,7 +474,11 @@ def snapshot_abort(path: str, staging_id: str) -> list[str]:
             os.remove(f)
             removed.append(f)
     commit_dir = os.path.join(path, DATA_DIR, f"staged-{staging_id}")
-    if os.path.isdir(commit_dir) and not os.listdir(commit_dir):
+    if os.path.isdir(commit_dir):
+        # sweep Spark's _SUCCESS / .crc leftovers so the dir actually
+        # disappears (parquet files are already gone)
+        for leftover in os.listdir(commit_dir):
+            os.remove(os.path.join(commit_dir, leftover))
         os.rmdir(commit_dir)
     return removed
 
@@ -449,12 +508,15 @@ def write_audit_publish(
 
 def expire_snapshots(path: str, keep_last: int) -> dict[str, list[str]]:
     """Garbage-collect history: drop all but the newest ``keep_last``
-    manifests, then delete every data file no surviving manifest
-    references (Iceberg's ``expire_snapshots`` + orphan-file cleanup).
-    Returns what was removed. The current version is never expired;
-    deletion order is manifests first, data second, so a crash mid-GC
-    leaves only unreferenced-but-present files (safe: re-run finishes
-    the job), never a manifest pointing at deleted data."""
+    manifests, then delete every file those expired manifests reference
+    that no surviving manifest still needs (Iceberg's
+    ``expire_snapshots``). TRUE orphans — files written by a crashed
+    writer whose manifest never committed — are by definition in no
+    manifest and are collected by :func:`remove_orphan_files`, not
+    here. Returns what was removed. The current version is never
+    expired; deletion order is manifests first, data second, so a crash
+    mid-GC leaves only unreferenced-but-present files (safe: re-run
+    finishes the job), never a manifest pointing at deleted data."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = versions(path)
@@ -503,3 +565,47 @@ def snapshot_file_diff(path: str, v_from: int, v_to: int) -> dict[str, list[str]
     a = set(read_manifest(path, v_from)["files"])
     b = set(read_manifest(path, v_to)["files"])
     return {"added": sorted(b - a), "removed": sorted(a - b)}
+
+
+def remove_orphan_files(path: str) -> list[str]:
+    """Delete data files referenced by NO manifest — committed, expired
+    or staged (Iceberg's ``remove_orphan_files``): the leftovers of a
+    writer that crashed between its data write and its manifest claim,
+    or of a conflict loser whose pid-suffixed commit dir never won.
+
+    CAUTION (same as Iceberg's): running this concurrently with an
+    in-flight writer can collect files whose manifest claim is about to
+    land; run it from the same single-writer maintenance context that
+    owns compaction. Empty directories are pruned afterwards."""
+    live: set[str] = set()
+    for v in versions(path):
+        m = read_manifest(path, v)
+        live.update(m["files"])
+        live.update(m.get("deletes") or [])
+    sdir = os.path.join(path, MANIFEST_DIR, STAGING_DIR)
+    if os.path.isdir(sdir):
+        for name in os.listdir(sdir):
+            if name.endswith(".json"):
+                try:
+                    with open(os.path.join(sdir, name)) as f:
+                        live.update(json.load(f).get("files", []))
+                except (json.JSONDecodeError, OSError):
+                    continue  # torn staged claim: its files are orphans
+    removed: list[str] = []
+    ddir = os.path.join(path, DATA_DIR)
+    if not os.path.isdir(ddir):
+        return removed
+    for d in sorted(os.listdir(ddir)):
+        full = os.path.join(ddir, d)
+        if not os.path.isdir(full):
+            continue
+        for name in os.listdir(full):
+            fp = os.path.join(full, name)
+            if name.endswith(".parquet") and fp not in live:
+                os.remove(fp)
+                removed.append(fp)
+        if not any(f.endswith(".parquet") for f in os.listdir(full)):
+            for leftover in os.listdir(full):
+                os.remove(os.path.join(full, leftover))
+            os.rmdir(full)
+    return removed

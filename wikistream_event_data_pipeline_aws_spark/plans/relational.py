@@ -55,7 +55,9 @@ UNPIVOT (metric_count FOR metric IN (n_views, n_clicks, n_purchases))
 """
 
 
-def _bucketed(e: DataFrame) -> F.Column:
+def _bucketed() -> F.Column:
+    """Unbound bucket expression over the in-scope ``value`` column
+    (NULL = out-of-range sentinel bucket)."""
     return F.when(F.col("value") >= 50, F.lit(None).cast("bigint")).otherwise(
         F.floor(F.col("value") / 10).cast("bigint")
     )
@@ -66,12 +68,12 @@ def join_null_safe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.lit(SPLIT_TS).cast("timestamp")
     first = (
         e.filter(F.col("ts") < split)
-        .groupBy(_bucketed(e).alias("bucket"))
+        .groupBy(_bucketed().alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_first"))
     )
     second = (
         e.filter(F.col("ts") >= split)
-        .groupBy(_bucketed(e).alias("bucket"))
+        .groupBy(_bucketed().alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_second"))
     )
     return (

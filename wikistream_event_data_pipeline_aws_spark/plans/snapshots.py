@@ -20,6 +20,7 @@ manifest marker):
 from __future__ import annotations
 
 import os
+import shutil
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +35,16 @@ _WAREHOUSE = os.path.join(
     "spark-warehouse",
 )
 
+
+def _key_sig():
+    """Shared md5-prefix keyspace signature (same 8-hex-char convention
+    as the oracle's _KS_SQL; one definition so Spark and SQL twins can't
+    drift independently across the three snapshot fingerprint queries)."""
+    return F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
 N_VERSIONS = 4
 
 
@@ -47,8 +58,15 @@ def build_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
     v4 manifest is the completion marker, same discipline as
     ``plans/partitioned.write_evolution_tables``)."""
     path = _snap_path(sf_dir)
-    if snap.current_version(path) == N_VERSIONS:
+    cur = snap.current_version(path)
+    if cur == N_VERSIONS:
         return path
+    if cur is not None:
+        # a partially built history cannot be resumed — appending the
+        # script onto stale versions would corrupt every later read;
+        # wipe and rebuild from scratch (the _SUCCESS-marker discipline,
+        # adapted to a versioned store where the marker is version N)
+        shutil.rmtree(path, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     snap.snapshot_write(
         spark, path, orders.filter(F.col("o_orderkey") % 10 < 5), mode="append"
@@ -69,9 +87,7 @@ def build_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
 def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One fingerprint row per snapshot version, read by time travel."""
     path = build_snapshot_table(spark, sf_dir)
-    key_sig = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    key_sig = _key_sig()
     per_version = [
         snap.read_snapshot(spark, path, v).select(
             F.lit(v).alias("version"),
@@ -121,9 +137,7 @@ def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``snapshot_file_diff``) to scanning ONLY the added files, which is
     exactly how Iceberg serves incremental consumers."""
     path = build_snapshot_table(spark, sf_dir)
-    key_sig = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    key_sig = _key_sig()
 
     def keys_at(v: int) -> DataFrame:
         return snap.read_snapshot(spark, path, v).select("o_orderkey")
@@ -195,8 +209,12 @@ def build_mor_table(spark: SparkSession, sf_dir: str) -> str:
     — the sequence-semantics probe: v3's re-inserted rows must survive
     v2's older delete."""
     path = _mor_path(sf_dir)
-    if snap.current_version(path) == N_MOR_VERSIONS:
+    cur = snap.current_version(path)
+    if cur == N_MOR_VERSIONS:
         return path
+    if cur is not None:
+        # see build_snapshot_table: partial builds rebuild, never resume
+        shutil.rmtree(path, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
     v1 = orders.filter(F.col("o_orderkey") % 10 < 5)
     snap.snapshot_write(spark, path, v1, mode="append")
@@ -218,9 +236,7 @@ def snapshot_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-inserted ones — a reader that drops delete files, applies them
     to newer files, or loses them on append diverges immediately."""
     path = build_mor_table(spark, sf_dir)
-    key_sig = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    key_sig = _key_sig()
     per_version = [
         snap.read_snapshot(spark, path, v).select(
             F.lit(v).alias("version"), F.col("o_orderkey"), key_sig.alias("ks")

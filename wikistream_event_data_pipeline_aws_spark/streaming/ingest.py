@@ -539,14 +539,24 @@ def start_snapshot_sink(
     from ..operators.snapshots import committed_operations, snapshot_write
 
     spark = stream_df.sparkSession
+    # the committed-tag set is read ONCE at (re)start and maintained
+    # in-memory per commit — without the cache every micro-batch would
+    # re-open all V manifests (O(V) per batch, O(V^2) per stream
+    # lifetime). Valid under the sink's single-writer contract; a
+    # restart rebuilds the set from the manifests.
+    seen: set[str] | None = None
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal seen
+        if seen is None:
+            seen = committed_operations(table_path)
         tag = f"stream-batch-{batch_id}"
-        if tag in committed_operations(table_path):
+        if tag in seen:
             return
         if not batch_df.take(1):
             return
         snapshot_write(spark, table_path, batch_df, mode="append", operation=tag)
+        seen.add(tag)
 
     writer = (
         stream_df.writeStream.foreachBatch(_commit)
