@@ -263,3 +263,51 @@ def test_snapshot_layer_model_based_random_ops(spark, tmp_path):
         for v, expected in enumerate(model_versions, start=1):
             got = {r.k for r in snap.read_snapshot(spark, table, v).collect()}
             assert got == expected, (op, v, got, expected)
+
+
+def test_linkage_half_key_pruning_equals_naive_matcher(spark, monkeypatch):
+    """The half-key candidate pruning must lose NO matches: on a fixture
+    built to hit every arm (substitution in first half, in second half,
+    at the split boundary, insertion/deletion with length diff 1, and
+    non-matches), the optimized matcher equals the naive score-everything
+    form exactly."""
+    import pyspark.sql.functions as F
+
+    import wikistream_event_data_pipeline_aws_spark.plans.linkage as L
+
+    rows = [
+        # (key, name, nation, segment)
+        (1, "alpha-omega-123", 1, "A"),
+        (2, "alpha-omega-124", 1, "A"),   # sub in second half
+        (3, "Xlpha-omega-123", 1, "A"),   # sub in first half
+        (4, "alpha-oXega-123", 1, "A"),   # sub just after split
+        (5, "alpha-omega-1234", 1, "A"),  # insertion (len diff 1)
+        (6, "alpha-omega-12", 1, "A"),    # deletion  (len diff 1)
+        (7, "totally-different", 1, "A"), # same block, no match
+        (8, "alpha-omega-123", 2, "A"),   # other block: never paired
+        (9, "alph-omega-123", 1, "A"),    # deletion in first half
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, c_mktsegment string"
+    )
+    monkeypatch.setattr(L, "load_table", lambda spark, sf_dir, name: df)
+
+    fast = {
+        (r.key_a, r.key_b, r.edit_dist)
+        for r in L.record_linkage_matches(spark, "ignored").collect()
+    }
+    naive = {
+        (r.key_a, r.key_b, r.edit_dist)
+        for r in (
+            L.candidate_pairs(df)
+            .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("edit_dist") <= L.MAX_EDIT_DISTANCE)
+            .select("key_a", "key_b", "edit_dist")
+            .collect()
+        )
+    }
+    assert fast == naive
+    # the fixture really exercises the arms: subs in both halves and
+    # length-diff-1 edits all matched
+    matched_keys = {k for pair in fast for k in pair[:2]}
+    assert {1, 2, 3, 4, 5, 6, 9} <= matched_keys
