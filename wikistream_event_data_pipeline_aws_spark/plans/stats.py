@@ -279,8 +279,120 @@ GROUP BY r.user_id, t.n
 """
 
 
+AB_WINDOW_H = 6
+
+
+def ab_test_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout: users are assigned to an arm
+    by their FIRST click-or-view (the struct-min idiom — no window),
+    converted = any purchase within AB_WINDOW_H hours of that first
+    touch, and the lift significance is the standard pooled two-
+    proportion z — computed from exact integer counts in ONE closed-form
+    double expression, so the statistic is bit-stable however the 100 TB
+    scan is partitioned. One user-keyed agg, one user-keyed join, one
+    2-row agg pivoted to a single readout row."""
+    e = load_table(spark, sf_dir, "events")
+    ft = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("event_type").alias("etype"),
+                )
+            ).alias("f")
+        )
+    )
+    conv = (
+        ft.join(e, "user_id", "left")
+        .groupBy("user_id", F.col("f.etype").alias("arm"))
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("f.ts"))
+                    & (
+                        F.col("ts")
+                        <= F.col("f.ts") + F.expr(f"INTERVAL {AB_WINDOW_H} HOURS")
+                    )
+                ).cast("int")
+            ).alias("converted")
+        )
+    )
+    arms = conv.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conversions"),
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("arm") == "click", F.col("n"))).alias("n_click"),
+        F.max(F.when(F.col("arm") == "click", F.col("conversions"))).alias("conv_click"),
+        F.max(F.when(F.col("arm") == "view", F.col("n"))).alias("n_view"),
+        F.max(F.when(F.col("arm") == "view", F.col("conversions"))).alias("conv_view"),
+    )
+    p1 = F.col("conv_click").cast("double") / F.col("n_click").cast("double")
+    p2 = F.col("conv_view").cast("double") / F.col("n_view").cast("double")
+    pp = (F.col("conv_click") + F.col("conv_view")).cast("double") / (
+        F.col("n_click") + F.col("n_view")
+    ).cast("double")
+    z = (p1 - p2) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_click").cast("double")
+            + F.lit(1.0) / F.col("n_view").cast("double")
+        )
+    )
+    return wide.select(
+        "n_click", "conv_click", "n_view", "conv_view",
+        (p1 - p2).alias("lift"),
+        z.alias("z_score"),
+    )
+
+
+AB_TEST_FIRST_TOUCH_SQL = f"""
+WITH ft AS (
+  SELECT user_id,
+         min({{'ts': ts, 'event_id': event_id, 'etype': event_type}}) AS f
+  FROM events WHERE event_type IN ('click','view')
+  GROUP BY user_id
+),
+conv AS (
+  SELECT ft.user_id, ft.f.etype AS arm,
+         MAX(CASE WHEN e.event_type = 'purchase'
+                   AND e.ts >= ft.f.ts
+                   AND e.ts <= ft.f.ts + INTERVAL {AB_WINDOW_H} HOUR
+                  THEN 1 ELSE 0 END) AS converted
+  FROM ft LEFT JOIN events e ON e.user_id = ft.user_id
+  GROUP BY ft.user_id, ft.f.etype
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conversions
+  FROM conv GROUP BY arm
+),
+wide AS (
+  SELECT MAX(CASE WHEN arm = 'click' THEN n END) AS n_click,
+         MAX(CASE WHEN arm = 'click' THEN conversions END) AS conv_click,
+         MAX(CASE WHEN arm = 'view' THEN n END) AS n_view,
+         MAX(CASE WHEN arm = 'view' THEN conversions END) AS conv_view
+  FROM arms
+)
+SELECT n_click, conv_click, n_view, conv_view,
+       CAST(conv_click AS DOUBLE) / CAST(n_click AS DOUBLE)
+         - CAST(conv_view AS DOUBLE) / CAST(n_view AS DOUBLE) AS lift,
+       (CAST(conv_click AS DOUBLE) / CAST(n_click AS DOUBLE)
+          - CAST(conv_view AS DOUBLE) / CAST(n_view AS DOUBLE))
+         / sqrt(CAST(conv_click + conv_view AS DOUBLE) / CAST(n_click + n_view AS DOUBLE)
+                * (1.0 - CAST(conv_click + conv_view AS DOUBLE) / CAST(n_click + n_view AS DOUBLE))
+                * (1.0 / CAST(n_click AS DOUBLE) + 1.0 / CAST(n_view AS DOUBLE))) AS z_score
+FROM wide
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
+    "ab_test_first_touch": ab_test_first_touch,
     "stats_corr_ols": stats_corr_ols,
     "privacy_k_anonymity": privacy_k_anonymity,
     "stats_cusum_changepoint": stats_cusum_changepoint,
@@ -291,4 +403,5 @@ ORACLES = {
     "stats_corr_ols": STATS_CORR_OLS_SQL,
     "privacy_k_anonymity": PRIVACY_K_ANONYMITY_SQL,
     "stats_cusum_changepoint": STATS_CUSUM_SQL,
+    "ab_test_first_touch": AB_TEST_FIRST_TOUCH_SQL,
 }

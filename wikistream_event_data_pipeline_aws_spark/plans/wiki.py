@@ -536,6 +536,55 @@ GROUP BY 1, 2, 3
 """
 
 
+ACTIVE_WINDOW_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the DAU/WAU grade
+    metric) WITHOUT a spine self-join: each event contributes its user
+    to the 7 day-buckets it keeps alive (a bounded ×7 generator, distinct
+    BEFORE the explode so the expansion is per (user, day), not per
+    event), then one (day, user) distinct count. At 100 TB that's a
+    fixed fan-out plus one hash agg — no per-day range join over the
+    fact table. Days with no events in range simply don't appear (the
+    spine-join gap-fill variant is ``hourly_gapfill``)."""
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    contrib = user_days.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(ACTIVE_WINDOW_DAYS - 1))
+        ).alias("off"),
+        "d",
+        "user_id",
+    ).select(
+        F.date_format(F.date_add(F.col("d"), F.col("off")), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    days = e.select(F.date_format("ts", "yyyy-MM-dd").alias("day")).distinct()
+    return (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = f"""
+WITH user_days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+contrib AS (
+  SELECT DISTINCT strftime(d + INTERVAL (g.o) DAY, '%Y-%m-%d') AS day, user_id
+  FROM user_days, UNNEST(generate_series(0, {ACTIVE_WINDOW_DAYS - 1})) AS g(o)
+),
+days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events)
+SELECT c.day, COUNT(DISTINCT c.user_id) AS active_7d
+FROM contrib c JOIN days dd ON c.day = dd.day
+GROUP BY c.day
+"""
+
+
 QUERIES = {
     "hourly_stats": hourly_stats,
     "user_daily_metrics": user_daily_metrics,
@@ -546,6 +595,7 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_transition_matrix": event_transition_matrix,
     "event_trigram_counts": event_trigram_counts,
+    "rolling_active_users": rolling_active_users,
 }
 
 ORACLES = {
@@ -558,4 +608,5 @@ ORACLES = {
     "retention_cohorts": RETENTION_COHORTS_SQL,
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
     "event_trigram_counts": EVENT_TRIGRAM_COUNTS_SQL,
+    "rolling_active_users": ROLLING_ACTIVE_USERS_SQL,
 }

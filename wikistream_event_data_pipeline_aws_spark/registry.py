@@ -75,6 +75,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "event_trigram_counts",  # order-3 sequence motifs
     "stats_cusum_changepoint",  # max cumulative deviation
     "embedding_class_scatter",  # within-class Fisher scatter
+    "ab_test_first_touch",  # two-proportion experiment readout
+    "rolling_active_users",  # trailing-7d distinct actives
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -85,8 +87,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "conditional_mapping",
     "cube_type_hour",
     "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_minhash_signatures",
 )
 
 
