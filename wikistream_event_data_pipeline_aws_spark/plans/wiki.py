@@ -536,6 +536,78 @@ GROUP BY 1, 2, 3
 """
 
 
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by their first-signup
+    date, purchase revenue accumulated per week-since-signup — the
+    retention economics readout (`retention_cohorts` counts activity;
+    this follows the money). Per-cohort running revenue is a window
+    over at most weeks-in-range rows AFTER the (cohort, week) hash agg,
+    so the cumulative pass never touches event grain; sums stay DECIMAL
+    until the output edge."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("cohort_date"))
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ts").cast("date") >= F.col("cohort_date"))
+        .select(
+            "user_id",
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_date")) / F.lit(7)
+            )
+            .cast("long")
+            .alias("week"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+    )
+    g = purch.groupBy("cohort", "week").agg(
+        F.countDistinct("user_id").alias("n_buyers"),
+        F.sum("v").alias("rev"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort",
+        "week",
+        "n_buyers",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+COHORT_LTV_SQL = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_date
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+purch AS (
+  SELECT f.user_id, strftime(f.cohort_date, '%Y-%m-%d') AS cohort,
+         CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week,
+         CAST(e.value AS DECIMAL(18,6)) AS v
+  FROM firsts f JOIN events e ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= f.cohort_date
+),
+g AS (
+  SELECT cohort, week, COUNT(DISTINCT user_id) AS n_buyers, SUM(v) AS rev
+  FROM purch GROUP BY cohort, week
+)
+SELECT cohort, week, n_buyers,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY week
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cum_revenue
+FROM g
+"""
+
+
 ACTIVE_WINDOW_DAYS = 7
 
 
@@ -596,6 +668,7 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "event_trigram_counts": event_trigram_counts,
     "rolling_active_users": rolling_active_users,
+    "cohort_ltv": cohort_ltv,
 }
 
 ORACLES = {
@@ -609,4 +682,5 @@ ORACLES = {
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
     "event_trigram_counts": EVENT_TRIGRAM_COUNTS_SQL,
     "rolling_active_users": ROLLING_ACTIVE_USERS_SQL,
+    "cohort_ltv": COHORT_LTV_SQL,
 }

@@ -78,6 +78,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "embedding_class_scatter",  # within-class Fisher scatter
     "ab_test_first_touch",  # two-proportion experiment readout
     "rolling_active_users",  # trailing-7d distinct actives
+    "cohort_ltv",  # per-cohort cumulative revenue curves
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -87,7 +88,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # -- oldest driver rows: every query last verified in round 1 -------
     "conditional_mapping",
     "cube_type_hour",
-    "dedup_exact",
 )
 
 
