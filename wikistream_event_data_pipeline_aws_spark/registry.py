@@ -25,12 +25,13 @@ _ORACLES: dict[str, str] = {}
 # + (queries new this round) + (queries with the OLDEST driver row),
 # capped at 50 — so every registered query keeps accumulating fresh
 # verification rows and no stale green row shields a changed plan.
-# Round 4 composition: 42 of the round's new queries (tpch_deep,
+# Round 4 composition: all 43 of the round's new queries (tpch_deep,
 # linkage, wma/mixture, kmeans + scatter, snapshots incl. merge-on-read,
 # stats incl. CUSUM / k-anonymity / A-B readout, attribution,
 # relational, streaming-outer, hashing, range-frame, CDC chunking +
-# chunk dedup, TWAP + sweep-line, HLL-join, trigram, rolling actives)
-# + 5 changed + the 3 oldest r1 rows (the remaining 22 r1 rows bump to
+# chunk dedup, TWAP + sweep-line, HLL-join, trigram, rolling actives,
+# cohort LTV)
+# + 5 changed + the 2 oldest r1 rows (the remaining 23 r1 rows bump to
 # round 5 — new queries MUST verify this round; an old green row only
 # ages).
 # The full set is always registered — only iteration order changes.
