@@ -390,8 +390,80 @@ FROM wide
 """
 
 
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over (user, day) baskets: support,
+    confidence and lift for every event-type pair. The basket grain is
+    deduplicated BEFORE pairing, and the pair join is an equi-join on
+    the basket key with the ``<`` canonical ordering — fan-out bounded
+    by |types|² per basket, never event-grain quadratic. The three
+    probability ratios come from exact integer counts in fixed double
+    expressions (the same partition-stable discipline as the A/B
+    readout above)."""
+    e = load_table(spark, sf_dir, "events")
+    baskets = e.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "d").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.select("user_id", "d", F.col("event_type").alias("item_a"))
+    b = baskets.select("user_id", "d", F.col("event_type").alias("item_b"))
+    pair = (
+        a.join(b, ["user_id", "d"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ia = item.select(F.col("event_type").alias("item_a"), F.col("n_item").alias("na"))
+    ib = item.select(F.col("event_type").alias("item_b"), F.col("n_item").alias("nb_"))
+    out = (
+        pair.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .join(F.broadcast(nb))
+    )
+    np_d = F.col("n_pair").cast("double")
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_pair",
+        (np_d / F.col("n_baskets")).alias("support"),
+        (np_d / F.col("na")).alias("confidence_a_to_b"),
+        (
+            np_d
+            * F.col("n_baskets")
+            / (F.col("na").cast("double") * F.col("nb_").cast("double"))
+        ).alias("lift"),
+    )
+
+
+BASKET_LIFT_PAIRS_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d, event_type FROM events
+),
+nb AS (SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, d FROM baskets)),
+item AS (SELECT event_type, COUNT(*) AS n_item FROM baskets GROUP BY event_type),
+pair AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.d = b.d AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_pair,
+       CAST(p.n_pair AS DOUBLE) / nb.n_baskets AS support,
+       CAST(p.n_pair AS DOUBLE) / ia.n_item AS confidence_a_to_b,
+       CAST(p.n_pair AS DOUBLE) * nb.n_baskets
+         / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS lift
+FROM pair p
+JOIN item ia ON p.item_a = ia.event_type
+JOIN item ib ON p.item_b = ib.event_type
+CROSS JOIN nb
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
+    "basket_lift_pairs": basket_lift_pairs,
     "ab_test_first_touch": ab_test_first_touch,
     "stats_corr_ols": stats_corr_ols,
     "privacy_k_anonymity": privacy_k_anonymity,
@@ -404,4 +476,5 @@ ORACLES = {
     "privacy_k_anonymity": PRIVACY_K_ANONYMITY_SQL,
     "stats_cusum_changepoint": STATS_CUSUM_SQL,
     "ab_test_first_touch": AB_TEST_FIRST_TOUCH_SQL,
+    "basket_lift_pairs": BASKET_LIFT_PAIRS_SQL,
 }

@@ -80,6 +80,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ab_test_first_touch",  # two-proportion experiment readout
     "rolling_active_users",  # trailing-7d distinct actives
     "cohort_ltv",  # per-cohort cumulative revenue curves
+    "basket_lift_pairs",  # association-rule support/confidence/lift
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
@@ -88,7 +89,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "graph_pagerank",  # kernel extracted into _pr_step
     # -- oldest driver rows: every query last verified in round 1 -------
     "conditional_mapping",
-    "cube_type_hour",
 )
 
 
