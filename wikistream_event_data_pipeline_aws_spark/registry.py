@@ -25,15 +25,15 @@ _ORACLES: dict[str, str] = {}
 # + (queries new this round) + (queries with the OLDEST driver row),
 # capped at 50 — so every registered query keeps accumulating fresh
 # verification rows and no stale green row shields a changed plan.
-# Round 4 composition: all 43 of the round's new queries (tpch_deep,
+# Round 4 composition: all 44 of the round's new queries (tpch_deep,
 # linkage, wma/mixture, kmeans + scatter, snapshots incl. merge-on-read,
 # stats incl. CUSUM / k-anonymity / A-B readout, attribution,
 # relational, streaming-outer, hashing, range-frame, CDC chunking +
 # chunk dedup, TWAP + sweep-line, HLL-join, trigram, rolling actives,
-# cohort LTV)
-# + 5 changed + the 2 oldest r1 rows (the remaining 23 r1 rows bump to
-# round 5 — new queries MUST verify this round; an old green row only
-# ages).
+# cohort LTV, basket lift)
+# + 5 changed + the single oldest r1 row (the remaining 24 r1 rows
+# bump to round 5 — new queries MUST verify this round; an old green
+# row only ages).
 # The full set is always registered — only iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- new in round 4 -------------------------------------------------
