@@ -311,3 +311,52 @@ def test_linkage_half_key_pruning_equals_naive_matcher(spark, monkeypatch):
     # length-diff-1 edits all matched
     matched_keys = {k for pair in fast for k in pair[:2]}
     assert {1, 2, 3, 4, 5, 6, 9} <= matched_keys
+
+
+def test_snapshot_model_with_wap_and_mor_interleaved(spark, tmp_path):
+    """Extends the model-based check across the FULL op surface: WAP
+    stage/publish/abort interleaved with appends, equality deletes and
+    a rollback — including a concurrent commit landing between stage
+    and publish (publish must compose with the NEW parent) and an abort
+    that must leave no trace. Every version re-checks against the
+    pure-Python model after every op."""
+    from wikistream_event_data_pipeline_aws_spark.operators import snapshots as snap
+
+    table = str(tmp_path / "wap_model_t")
+
+    def df_of(keys):
+        return spark.createDataFrame([(int(k),) for k in keys], "k long")
+
+    model = []  # expected key set per version
+
+    def check():
+        for v, expected in enumerate(model, start=1):
+            got = {r.k for r in snap.read_snapshot(spark, table, v).collect()}
+            assert got == expected, (v, got, expected)
+
+    snap.snapshot_write(spark, table, df_of({0, 1, 2}))
+    model.append({0, 1, 2}); check()
+
+    # stage s1, then a concurrent append lands BEFORE publish
+    snap.snapshot_stage(spark, table, df_of({10, 11}), "s1")
+    snap.snapshot_write(spark, table, df_of({3}))
+    model.append({0, 1, 2, 3}); check()
+    snap.snapshot_publish(table, "s1")
+    model.append({0, 1, 2, 3, 10, 11}); check()
+
+    # delete two keys, then stage s2 and ABORT it — nothing changes
+    snap.snapshot_delete(spark, table, df_of({1, 10}), ["k"])
+    model.append({0, 2, 3, 11}); check()
+    snap.snapshot_stage(spark, table, df_of({99}), "s2")
+    snap.snapshot_abort(table, "s2")
+    check()  # no new version, all history intact
+
+    # publish after a delete must carry the delete files forward,
+    # and a re-insert of a deleted key via staging must survive
+    snap.snapshot_stage(spark, table, df_of({1}), "s3")
+    snap.snapshot_publish(table, "s3")
+    model.append({0, 1, 2, 3, 11}); check()
+
+    # rollback over the whole tangle re-points exactly
+    snap.rollback(table, 3)
+    model.append({0, 1, 2, 3, 10, 11}); check()
