@@ -390,6 +390,55 @@ FROM wide
 """
 
 
+def gini_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of positive balances per nation — the
+    inequality readout (Lorenz-curve form
+    ``G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)`` over ascending
+    ranks). The rank-weighted sums are DECIMAL × INT — exact under any
+    partitioning — so the only float op is the final division; ties
+    rank deterministically by (balance, key). One nation-partitioned
+    window + one hash agg."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    ranked = c.select(
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    s = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    num = (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+    den = F.col("n") * F.col("sx").cast("double")
+    return s.select("c_nationkey", "n", (num / den).alias("gini"))
+
+
+# VARCHAR round-trips: see STATS_CORR_OLS_SQL (DuckDB decimal->double
+# double-rounding past 2^53 unscaled)
+GINI_BALANCE_BY_NATION_SQL = """
+WITH ranked AS (
+  SELECT c_nationkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS x,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS i
+  FROM customer WHERE c_acctbal > 0
+),
+s AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(i * x) AS six
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT c_nationkey, n,
+       CAST(CAST(2 * six - (n + 1) * sx AS VARCHAR) AS DOUBLE)
+         / (n * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS gini
+FROM s
+"""
+
+
 def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-rule mining over (user, day) baskets: support,
     confidence and lift for every event-type pair. The basket grain is
@@ -464,6 +513,7 @@ CROSS JOIN nb
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
     "basket_lift_pairs": basket_lift_pairs,
+    "gini_balance_by_nation": gini_balance_by_nation,
     "ab_test_first_touch": ab_test_first_touch,
     "stats_corr_ols": stats_corr_ols,
     "privacy_k_anonymity": privacy_k_anonymity,
@@ -477,4 +527,5 @@ ORACLES = {
     "stats_cusum_changepoint": STATS_CUSUM_SQL,
     "ab_test_first_touch": AB_TEST_FIRST_TOUCH_SQL,
     "basket_lift_pairs": BASKET_LIFT_PAIRS_SQL,
+    "gini_balance_by_nation": GINI_BALANCE_BY_NATION_SQL,
 }

@@ -25,15 +25,14 @@ _ORACLES: dict[str, str] = {}
 # + (queries new this round) + (queries with the OLDEST driver row),
 # capped at 50 — so every registered query keeps accumulating fresh
 # verification rows and no stale green row shields a changed plan.
-# Round 4 composition: all 44 of the round's new queries (tpch_deep,
+# Round 4 composition: all 45 of the round's new queries (tpch_deep,
 # linkage, wma/mixture, kmeans + scatter, snapshots incl. merge-on-read,
 # stats incl. CUSUM / k-anonymity / A-B readout, attribution,
 # relational, streaming-outer, hashing, range-frame, CDC chunking +
 # chunk dedup, TWAP + sweep-line, HLL-join, trigram, rolling actives,
-# cohort LTV, basket lift)
-# + 5 changed + the single oldest r1 row (the remaining 24 r1 rows
-# bump to round 5 — new queries MUST verify this round; an old green
-# row only ages).
+# cohort LTV, basket lift, Gini)
+# + 5 changed fill all 50 slots (the 25 r1 rows bump to round 5 — new
+# queries MUST verify this round; an old green row only ages).
 # The full set is always registered — only iteration order changes.
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- new in round 4 -------------------------------------------------
@@ -81,14 +80,13 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "rolling_active_users",  # trailing-7d distinct actives
     "cohort_ltv",  # per-cohort cumulative revenue curves
     "basket_lift_pairs",  # association-rule support/confidence/lift
+    "gini_balance_by_nation",  # Lorenz-form exact inequality
     # -- changed in round 4 (plan or oracle) ----------------------------
     "similarity_ann_sweep",  # + IVF axis, generalized schema
     "scd2_customer_dim",  # oracle gained the insert arm
     "scd2_point_in_time",  # embeds the scd2_customer_dim oracle
     "dq_referential_integrity",  # plant now derived max(parent)+1
     "graph_pagerank",  # kernel extracted into _pr_step
-    # -- oldest driver rows: every query last verified in round 1 -------
-    "conditional_mapping",
 )
 
 
