@@ -438,3 +438,65 @@ class TestCdcChunker:
         shared = fps[1] & fps[2]
         # all but the first few chunks re-synchronize and match exactly
         assert len(shared) >= len(fps[1]) - 2, (len(shared), len(fps[1]))
+
+
+class TestLateRound4Analytics:
+    def test_basket_lift_bounds_and_canonical_pairs(self, spark, sf_dir):
+        """Association rules: support in (0, 1], confidence in (0, 1],
+        lift positive, pairs canonically ordered and unique."""
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            basket_lift_pairs,
+        )
+
+        rows = basket_lift_pairs(spark, sf_dir).collect()
+        assert rows
+        seen = set()
+        for r in rows:
+            assert r.item_a < r.item_b
+            assert (r.item_a, r.item_b) not in seen
+            seen.add((r.item_a, r.item_b))
+            assert 0 < r.support <= 1
+            assert 0 < r.confidence_a_to_b <= 1
+            assert r.lift > 0
+
+    def test_cohort_ltv_cumulative_is_monotone(self, spark, sf_dir):
+        """Per cohort, cumulative revenue is non-decreasing in week and
+        the final cumulative equals the sum of weekly revenues."""
+        from collections import defaultdict
+
+        from wikistream_event_data_pipeline_aws_spark.plans.wiki import cohort_ltv
+
+        by_cohort = defaultdict(list)
+        for r in cohort_ltv(spark, sf_dir).collect():
+            by_cohort[r.cohort].append(r)
+        assert by_cohort
+        for rows in by_cohort.values():
+            rows.sort(key=lambda r: r.week)
+            cum = 0.0
+            last = 0.0
+            for r in rows:
+                cum += r.revenue
+                assert r.cum_revenue >= last - 1e-9
+                last = r.cum_revenue
+            assert abs(cum - rows[-1].cum_revenue) < 1e-6
+
+    def test_gini_bounds_and_equality_edge(self, spark, sf_dir):
+        """Gini lies in [0, 1); a degenerate all-equal group scores 0."""
+        import pyspark.sql.functions as F
+
+        import wikistream_event_data_pipeline_aws_spark.plans.stats as S
+
+        for r in S.gini_balance_by_nation(spark, sf_dir).collect():
+            assert 0 <= r.gini < 1, r
+        # equality edge: identical balances -> G == 0 exactly
+        df = spark.createDataFrame(
+            [(i, 100.0, 1, "A") for i in range(6)],
+            "c_custkey long, c_acctbal double, c_nationkey int, c_mktsegment string",
+        )
+        orig = S.load_table
+        try:
+            S.load_table = lambda spark, sf_dir, name: df  # noqa: ARG005
+            out = S.gini_balance_by_nation(spark, "ignored").collect()
+        finally:
+            S.load_table = orig
+        assert len(out) == 1 and out[0].gini == 0.0
