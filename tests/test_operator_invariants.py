@@ -500,3 +500,106 @@ class TestLateRound4Analytics:
         finally:
             S.load_table = orig
         assert len(out) == 1 and out[0].gini == 0.0
+
+
+class TestSessionContinuationAnalytics:
+    """Invariants for the post-front round-4 additions: KM life table,
+    TV mixture distance, 2-hop graph features, split leakage audit."""
+
+    def test_km_life_table_accounting(self, spark, sf_dir):
+        """n_at_risk is the exact tail sum of (events + censored), every
+        subject exits exactly once, and hazard = d/n row by row."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            survival_km_order_gaps,
+        )
+
+        rows = sorted(
+            survival_km_order_gaps(spark, sf_dir).collect(), key=lambda r: r.t_week
+        )
+        assert rows
+        n_orders = load_table(spark, sf_dir, "orders").count()
+        # one observation per order: each order is either followed by a
+        # next order (event) or censored at the corpus max date
+        total_exits = sum(r.n_events + r.n_censored for r in rows)
+        assert total_exits == n_orders
+        tail = 0
+        for r in reversed(rows):
+            tail += r.n_events + r.n_censored
+            assert r.n_at_risk == tail, r
+            assert r.hazard == r.n_events / r.n_at_risk
+        # at-risk is non-increasing in t
+        for a, b in zip(rows, rows[1:]):
+            assert a.n_at_risk >= b.n_at_risk
+
+    def test_tv_distance_bounds_and_self_consistency(self, spark, sf_dir):
+        """TVD lies in [0, 1]; per-source doc counts sum to the corpus;
+        the exact integer numerator reproduces the float edge value."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            tv_distance_source_mix,
+        )
+
+        rows = tv_distance_source_mix(spark, sf_dir).collect()
+        assert rows
+        m = load_table(spark, sf_dir, "documents").count()
+        assert sum(r.n_docs for r in rows) == m
+        for r in rows:
+            assert 0.0 <= r.tv_distance <= 1.0, r
+            assert r.tv_distance == r.tv_num / (2.0 * r.n_docs * m)
+
+    def test_khop_reach_contains_direct_neighbors(self, spark, sf_dir):
+        """2-hop reach is a superset of the 1-hop neighborhood, and the
+        neighborhood price mean lies within the global price envelope."""
+        from pyspark.sql import functions as F
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.graph import (
+            graph_khop_features,
+        )
+
+        rows = graph_khop_features(spark, sf_dir).collect()
+        assert rows
+        env = (
+            load_table(spark, sf_dir, "part")
+            .agg(F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi"))
+            .first()
+        )
+        for r in rows:
+            assert r.n_reach_2hop >= r.n_1hop, r
+            assert env.lo - 1e-9 <= r.price_mean <= env.hi + 1e-9, r
+
+    def test_split_leakage_partitions_the_pair_list(self, spark, sf_dir):
+        """Cell counts partition the verified near-dup pairs exactly;
+        is_leak marks precisely the off-diagonal cells; split labels of
+        the planted clones are reproducible from the hash definition."""
+        import hashlib
+
+        from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+            dedup_minhash_pairs,
+        )
+        from wikistream_event_data_pipeline_aws_spark.plans.llmprep import (
+            _SPLIT_SEED,
+            split_leakage_audit,
+        )
+
+        pairs = dedup_minhash_pairs(spark, sf_dir).collect()
+        cells = split_leakage_audit(spark, sf_dir).collect()
+        assert sum(c.n_pairs for c in cells) == len(pairs)
+        for c in cells:
+            assert c.split_a <= c.split_b
+            assert c.is_leak == (c.split_a != c.split_b)
+
+        def split_of(i: int) -> str:
+            h = hashlib.md5(f"{_SPLIT_SEED}{i}".encode()).hexdigest()
+            u = int(h[:15], 16) % 10
+            return "train" if u < 8 else ("val" if u == 8 else "test")
+
+        # python-recomputed cell histogram must match the engine's
+        from collections import Counter
+
+        expected = Counter(
+            tuple(sorted((split_of(p.id_a), split_of(p.id_b)))) for p in pairs
+        )
+        got = {(c.split_a, c.split_b): c.n_pairs for c in cells}
+        assert got == dict(expected)

@@ -325,12 +325,118 @@ ORDER BY pr DESC, node ASC LIMIT {PR_TOP}
 GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+KHOP_TOP = 25
+
+
+def graph_khop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood feature aggregation — the GraphSAGE-style
+    feature-prep kernel (per node: how many distinct parts are reachable
+    within 2 hops, and the mean retail price over that neighborhood).
+    The frontier expansion is one keyed equi-join (frontier dst = edge
+    src) followed by a DISTINCT on (origin, reached) — hash-partitioned
+    on origin, never a cross join; fan-out is bounded by the same
+    shipdate window + degree profile the triangle kernel documents
+    (wedge-count O(Σ deg²), window-bounded). Price mass accumulates in
+    DECIMAL(18,2) (order-free exact), the mean is the single float
+    division at the edge. Top-{KHOP_TOP} via TakeOrderedAndProject —
+    no global sort."""
+    edges = _cooccurrence_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    # 1-hop pairs + 2-hop pairs (excluding the origin itself), deduped at
+    # (origin, reached) grain: the distance<=2 reachability set.
+    hop1 = sym.select(F.col("src").alias("origin"), F.col("dst").alias("reached"))
+    e2 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("reached"))
+    hop2 = (
+        hop1.withColumnRenamed("reached", "mid")
+        .join(e2, "mid")
+        .filter(F.col("origin") != F.col("reached"))
+        .select("origin", "reached")
+    )
+    reach = hop1.unionAll(hop2).distinct()
+    price = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("reached"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+    )
+    agg = (
+        reach.join(price, "reached")
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_reach_2hop"),
+            F.sum("price").alias("price_sum"),
+        )
+    )
+    deg = hop1.groupBy("origin").agg(F.count(F.lit(1)).alias("n_1hop"))
+    return (
+        agg.join(deg, "origin")
+        .select(
+            "origin",
+            "n_1hop",
+            "n_reach_2hop",
+            # exact DECIMAL accumulation; the output edge casts to double
+            # (unscaled cents < 2^53, so the cast is exact on both engines)
+            F.col("price_sum").cast("double").alias("price_sum"),
+            (
+                F.col("price_sum").cast("double") / F.col("n_reach_2hop").cast("double")
+            ).alias("price_mean"),
+        )
+        .orderBy(F.col("n_reach_2hop").desc(), F.col("origin").asc())
+        .limit(KHOP_TOP)
+    )
+
+
+GRAPH_KHOP_FEATURES_SQL = f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT pa AS src, pb AS dst FROM e
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM e
+),
+hop1 AS (SELECT src AS origin, dst AS reached FROM sym),
+hop2 AS (
+  SELECT h.origin, s.dst AS reached
+  FROM hop1 h JOIN sym s ON h.reached = s.src
+  WHERE h.origin <> s.dst
+),
+reach AS (
+  SELECT DISTINCT origin, reached FROM (
+    SELECT * FROM hop1 UNION ALL SELECT * FROM hop2
+  )
+),
+agg AS (
+  SELECT r.origin, COUNT(*) AS n_reach_2hop,
+         SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS price_sum
+  FROM reach r JOIN part p ON r.reached = p.p_partkey
+  GROUP BY r.origin
+),
+deg AS (SELECT origin, COUNT(*) AS n_1hop FROM hop1 GROUP BY origin)
+SELECT a.origin, d.n_1hop, a.n_reach_2hop,
+       CAST(CAST(a.price_sum AS VARCHAR) AS DOUBLE) AS price_sum,
+       CAST(CAST(a.price_sum AS VARCHAR) AS DOUBLE)
+         / CAST(a.n_reach_2hop AS DOUBLE) AS price_mean
+FROM agg a JOIN deg d ON a.origin = d.origin
+ORDER BY a.n_reach_2hop DESC, a.origin ASC LIMIT {KHOP_TOP}
+"""
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
+    "graph_khop_features": graph_khop_features,
 }
 
 ORACLES = {
     "graph_triangle_count": GRAPH_TRIANGLE_COUNT_SQL,
     "graph_pagerank": GRAPH_PAGERANK_SQL,
+    "graph_khop_features": GRAPH_KHOP_FEATURES_SQL,
 }

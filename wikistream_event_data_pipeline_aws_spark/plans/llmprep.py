@@ -45,7 +45,7 @@ parallel row maps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -833,8 +833,77 @@ FROM counts c, tot t
 """
 
 
+_SPLIT_SEED = "split"
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split leakage audit — the step a benchmark-honest
+    corpus pipeline runs AFTER near-dup detection: assign every doc a
+    deterministic md5-uniform split (8/1/1 per mille-free: buckets 0-7
+    train, 8 val, 9 test), then count verified near-dup pairs
+    (``dedup_minhash_pairs``: LSH candidates → exact Jaccard ≥ 0.5) by
+    the canonical (split, split) cell. Any off-diagonal cell is
+    contamination: a near-duplicate straddling a split boundary leaks
+    eval content into training. Hash-based splits are exactly what make
+    this auditable — re-runs and backfills land every doc in the same
+    split, so the audit is reproducible on any engine.
+
+    Scale: the pair list is the already-bounded LSH output (never
+    all-pairs); the split label is a per-row expression; the final agg
+    has ≤ 6 cells."""
+    from .dedup import dedup_minhash_pairs
+
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+
+    def split_of(c: Column) -> Column:
+        u = hex_hash(c.cast("string"), seed=_SPLIT_SEED) % 10
+        return (
+            F.when(u < 8, F.lit("train"))
+            .when(u == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    sa, sb = split_of(F.col("id_a")), split_of(F.col("id_b"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_a"), F.greatest(sa, sb).alias("split_b")
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def _split_case_sql(idcol: str) -> str:
+    h = (
+        f"CAST(concat('0x', substr(md5(concat('{_SPLIT_SEED}', "
+        f"CAST({idcol} AS VARCHAR))), 1, 15)) AS BIGINT) % 10"
+    )
+    return f"CASE WHEN {h} < 8 THEN 'train' WHEN {h} = 8 THEN 'val' ELSE 'test' END"
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import DEDUP_MINHASH_PAIRS_SQL
+
+    return f"""
+WITH pairs AS ({DEDUP_MINHASH_PAIRS_SQL}),
+lab AS (
+  SELECT {_split_case_sql("id_a")} AS s_a, {_split_case_sql("id_b")} AS s_b
+  FROM pairs
+)
+SELECT least(s_a, s_b) AS split_a, greatest(s_a, s_b) AS split_b,
+       COUNT(*) AS n_pairs,
+       least(s_a, s_b) <> greatest(s_a, s_b) AS is_leak
+FROM lab GROUP BY 1, 2
+"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
+    "split_leakage_audit": split_leakage_audit,
     "mixture_temperature_weights": mixture_temperature_weights,
     "doc_chunk_overlap": doc_chunk_overlap,
     "doc_chunk_cdc": doc_chunk_cdc,
@@ -852,6 +921,7 @@ QUERIES = {
 
 ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "split_leakage_audit": SPLIT_LEAKAGE_SQL,
     "mixture_temperature_weights": MIXTURE_TEMPERATURE_SQL,
     "doc_chunk_overlap": DOC_CHUNK_OVERLAP_SQL,
     "doc_chunk_cdc": DOC_CHUNK_CDC_SQL,

@@ -510,8 +510,167 @@ CROSS JOIN nb
 """
 
 
+def survival_km_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier life table of customer inter-order gaps (reorder
+    "survival"): each consecutive-order gap is an observed event, the
+    tail from a customer's last order to the corpus max date is a
+    right-censored observation. Durations bucket to weeks; the life
+    table carries ``n_at_risk`` (subjects still unexpired entering the
+    week, via a DESCENDING cumulative sum so no total-count scalar is
+    needed), the event/censor counts, and the discrete hazard
+    ``d_t / n_t`` — the table's only float op, a single division, so
+    the output stays exactly hash-comparable. The survival curve itself
+    is the running product of ``(1 - hazard)``, deliberately left to
+    the consumer: a float cumulative product is order-fragile across
+    engines, while this table is not.
+
+    Scale: the per-customer ``lead`` window shuffles once on the
+    natural key; the life-table window is a single-partition sort over
+    at most (date-range / 7) rows — bounded by calendar span, not data
+    volume."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.col("d").asc(), F.col("o_orderkey").asc())
+    mx = o.agg(F.max("d").alias("max_d"))
+    obs = (
+        o.withColumn("nd", F.lead("d").over(w))
+        .join(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("nd").isNotNull(), F.datediff(F.col("nd"), F.col("d"))
+            )
+            .otherwise(F.datediff(F.col("max_d"), F.col("d")))
+            .alias("days"),
+            F.when(F.col("nd").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_event"),
+        )
+    )
+    lt = (
+        obs.select(F.expr("days div 7").alias("t_week"), "is_event")
+        .groupBy("t_week")
+        .agg(
+            F.sum("is_event").cast("bigint").alias("n_events"),
+            F.sum(1 - F.col("is_event")).cast("bigint").alias("n_censored"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    # n_at_risk(t) = sum of observations with duration >= t: descending
+    # cumulative over the (tiny) life table.
+    wd = Window.orderBy(F.col("t_week").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return lt.select(
+        "t_week",
+        F.sum("n_obs").over(wd).alias("n_at_risk"),
+        "n_events",
+        "n_censored",
+    ).withColumn(
+        "hazard",
+        F.col("n_events").cast("double") / F.col("n_at_risk").cast("double"),
+    )
+
+
+SURVIVAL_KM_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+),
+mx AS (SELECT MAX(d) AS max_d FROM o),
+seq AS (
+  SELECT o_custkey, d,
+         LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS nd
+  FROM o
+),
+obs AS (
+  SELECT CASE WHEN nd IS NOT NULL THEN date_diff('day', d, nd)
+              ELSE date_diff('day', d, (SELECT max_d FROM mx)) END AS days,
+         CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM seq
+),
+lt AS (
+  SELECT CAST(days // 7 AS BIGINT) AS t_week,
+         CAST(SUM(is_event) AS BIGINT) AS n_events,
+         CAST(SUM(1 - is_event) AS BIGINT) AS n_censored,
+         COUNT(*) AS n_obs
+  FROM obs GROUP BY 1
+)
+SELECT t_week,
+       SUM(n_obs) OVER (ORDER BY t_week DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk,
+       n_events, n_censored,
+       CAST(n_events AS DOUBLE)
+         / CAST(SUM(n_obs) OVER (ORDER BY t_week DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS hazard
+FROM lt
+"""
+
+
+def tv_distance_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between each source's language mix and
+    the corpus-wide mix — the drift statistic a data-mixture curator
+    watches per shard/source. TVD = ½·Σ|p_l − q_l| is computed on the
+    COMMON DENOMINATOR: the numerator Σ|c_{s,l}·M − d_l·n_s| is an
+    exact BIGINT (no per-cell float division, so the sum is
+    partition-order-free), and the one float op is the final division.
+    Chosen over KL divergence precisely because KL needs per-cell
+    log() — a libm call with no cross-engine bit guarantee.
+
+    Scale: two bounded-cardinality hash aggs (|source|, |source|×|lang|)
+    plus broadcast joins of the tiny marginals; nothing row-scale ever
+    shuffles twice."""
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cell = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    n_s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    d_l = d.groupBy("lang").agg(F.count(F.lit(1)).alias("d_lang"))
+    m = d.agg(F.count(F.lit(1)).alias("m_total"))
+    grid = n_s.crossJoin(F.broadcast(d_l)).crossJoin(F.broadcast(m))
+    terms = grid.join(F.broadcast(cell), ["source", "lang"], "left").select(
+        "source",
+        "n_source",
+        "m_total",
+        F.abs(
+            F.coalesce(F.col("c"), F.lit(0)) * F.col("m_total")
+            - F.col("d_lang") * F.col("n_source")
+        ).alias("term"),
+    )
+    out = terms.groupBy("source", "n_source", "m_total").agg(
+        F.sum("term").cast("bigint").alias("tv_num")
+    )
+    return out.select(
+        "source",
+        F.col("n_source").alias("n_docs"),
+        "tv_num",
+        (
+            F.col("tv_num").cast("double")
+            / (F.lit(2.0) * F.col("n_source").cast("double") * F.col("m_total").cast("double"))
+        ).alias("tv_distance"),
+    )
+
+
+TV_DISTANCE_SOURCE_MIX_SQL = """
+WITH cell AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+),
+ns AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source),
+dl AS (SELECT lang, COUNT(*) AS d_lang FROM documents GROUP BY lang),
+m AS (SELECT COUNT(*) AS m_total FROM documents),
+terms AS (
+  SELECT ns.source, ns.n_source, m.m_total,
+         abs(COALESCE(cell.c, 0) * m.m_total - dl.d_lang * ns.n_source) AS term
+  FROM ns CROSS JOIN dl CROSS JOIN m
+  LEFT JOIN cell ON cell.source = ns.source AND cell.lang = dl.lang
+)
+SELECT source, n_source AS n_docs,
+       CAST(SUM(term) AS BIGINT) AS tv_num,
+       CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+         / (2.0 * CAST(n_source AS DOUBLE) * CAST(m_total AS DOUBLE)) AS tv_distance
+FROM terms GROUP BY source, n_source, m_total
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
+    "survival_km_order_gaps": survival_km_order_gaps,
+    "tv_distance_source_mix": tv_distance_source_mix,
     "basket_lift_pairs": basket_lift_pairs,
     "gini_balance_by_nation": gini_balance_by_nation,
     "ab_test_first_touch": ab_test_first_touch,
@@ -522,6 +681,8 @@ QUERIES = {
 
 ORACLES = {
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
+    "survival_km_order_gaps": SURVIVAL_KM_SQL,
+    "tv_distance_source_mix": TV_DISTANCE_SOURCE_MIX_SQL,
     "stats_corr_ols": STATS_CORR_OLS_SQL,
     "privacy_k_anonymity": PRIVACY_K_ANONYMITY_SQL,
     "stats_cusum_changepoint": STATS_CUSUM_SQL,
