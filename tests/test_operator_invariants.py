@@ -603,3 +603,25 @@ class TestSessionContinuationAnalytics:
         )
         got = {(c.split_a, c.split_b): c.n_pairs for c in cells}
         assert got == dict(expected)
+
+    def test_cluster_keepers_one_max_quality_per_cluster(self, spark, sf_dir):
+        """Exactly one keeper per cluster; the keeper attains the cluster
+        max quality; membership matches dedup_clusters exactly."""
+        from collections import defaultdict
+
+        from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+            dedup_cluster_keepers,
+            dedup_clusters,
+        )
+
+        rows = dedup_cluster_keepers(spark, sf_dir).collect()
+        assert rows
+        by_cluster = defaultdict(list)
+        for r in rows:
+            by_cluster[r.cluster_id].append(r)
+        for members in by_cluster.values():
+            keepers = [m for m in members if m.is_keeper_quality]
+            assert len(keepers) == 1
+            assert keepers[0].quality_score == max(m.quality_score for m in members)
+        base = {(r.doc_id, r.cluster_id) for r in dedup_clusters(spark, sf_dir).collect()}
+        assert {(r.doc_id, r.cluster_id) for r in rows} == base

@@ -16,6 +16,7 @@ from ..operators.clusters import connected_components
 from ..operators.textops import (
     MINHASH_PRIME,
     MINHASH_SEEDS,
+    STOPWORDS,
     fingerprint,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -262,6 +263,87 @@ FROM reach
 GROUP BY node
 """
 
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical-document selection — the policy refinement
+    of ``dedup_clusters``: within each near-dup cluster keep the HIGHEST
+    quality-score member (min doc_id only breaks exact ties), which is
+    what a curation pipeline actually wants — dropping the cleaner copy
+    because it has a larger id throws away signal. The score is the
+    ``text_quality_score`` heuristic evaluated over the augmented corpus
+    with the identical expression tree on both engines, so even the
+    float ordering is reproducible; the keeper flag is a row_number over
+    a cluster-partitioned window (clusters are tiny by construction —
+    LSH-verified near-dups — so the window never skews)."""
+    d = _docs_augmented(spark, sf_dir)
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs, "id_a", "id_b")
+    toks = tokenize(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    diversity = n_distinct / n_tokens
+    stop_ratio = n_stop / n_tokens
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        * (F.lit(0.5) + F.lit(0.5) * diversity)
+        * (F.lit(1.0) - F.lit(0.5) * stop_ratio)
+    )
+    q = d.select("doc_id", score.alias("quality_score"))
+    j = labels.join(q, labels["node"] == q["doc_id"]).select(
+        "doc_id", F.col("label").alias("cluster_id"), "quality_score"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return j.withColumn("is_keeper_quality", F.row_number().over(w) == 1)
+
+
+# SQL quality expression over the augmented corpus: same token split and
+# stopword list as plans/text.py's TEXT_QUALITY_SCORE_SQL (kept literal
+# here because the source relation differs: docs_aug, not documents).
+_TOKS_AUG_SQL = r"string_split_regex(trim(text), '\s+')"
+_STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+DEDUP_CLUSTER_KEEPERS_SQL = rf"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+  SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+),
+docs_aug AS ({_DOCS_AUG_SQL}),
+m AS (
+  SELECT doc_id,
+         CAST(len({_TOKS_AUG_SQL}) AS INTEGER) AS n_tokens,
+         len(list_filter({_TOKS_AUG_SQL}, x -> list_contains({_STOP_LIST_SQL}, x))) AS n_stop,
+         len(list_distinct({_TOKS_AUG_SQL})) AS n_distinct
+  FROM docs_aug
+),
+q AS (
+  SELECT doc_id,
+         LEAST(CAST(1.0 AS DOUBLE), n_tokens / CAST(50.0 AS DOUBLE))
+           * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * (n_distinct / CAST(n_tokens AS DOUBLE)))
+           * (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) * (n_stop / CAST(n_tokens AS DOUBLE))) AS quality_score
+  FROM m
+)
+SELECT l.node AS doc_id, l.cluster_id, q.quality_score,
+       ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                          ORDER BY q.quality_score DESC, l.node ASC) = 1
+         AS is_keeper_quality
+FROM labels l JOIN q ON q.doc_id = l.node
+"""
+
+
 # -- simhash --------------------------------------------------------------------
 
 
@@ -382,6 +464,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_keepers": dedup_cluster_keepers,
 }
 
 ORACLES = {
@@ -392,4 +475,5 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_cluster_keepers": DEDUP_CLUSTER_KEEPERS_SQL,
 }
