@@ -625,3 +625,43 @@ class TestSessionContinuationAnalytics:
             assert keepers[0].quality_score == max(m.quality_score for m in members)
         base = {(r.doc_id, r.cluster_id) for r in dedup_clusters(spark, sf_dir).collect()}
         assert {(r.doc_id, r.cluster_id) for r in rows} == base
+
+    def test_funnel_quartiles_ordered_and_counts_match_funnel(self, spark, sf_dir):
+        """p25 <= p50 <= p75 per cohort, and n_converted agrees with the
+        base funnel's n_purchased for every cohort that converts."""
+        from wikistream_event_data_pipeline_aws_spark.plans.wiki import (
+            funnel_time_to_convert,
+            funnel_view_click_purchase,
+        )
+
+        quart = {r.cohort_date: r for r in funnel_time_to_convert(spark, sf_dir).collect()}
+        assert quart
+        for r in quart.values():
+            assert r.p25_us <= r.p50_us <= r.p75_us, r
+            assert r.p25_us >= 0
+        base = {r.cohort_date: r for r in funnel_view_click_purchase(spark, sf_dir).collect()}
+        for cohort, r in quart.items():
+            assert base[cohort].n_purchased == r.n_converted
+        converting = {c for c, r in base.items() if r.n_purchased > 0}
+        assert set(quart) == converting
+
+    def test_decontamination_fraction_refines_the_flag_set(self, spark, sf_dir):
+        """Same contaminated-doc set as the flag query; fractions in
+        (0, 1]; every planted leak crosses the 10% removal bar."""
+        from wikistream_event_data_pipeline_aws_spark.plans.llmprep import (
+            DECON_PLANT_OFFSET,
+            decontaminate_ngram_overlap,
+            decontaminate_overlap_fraction,
+        )
+
+        frac = decontaminate_overlap_fraction(spark, sf_dir).collect()
+        flag = decontaminate_ngram_overlap(spark, sf_dir).collect()
+        assert {r.doc_id for r in frac} == {r.doc_id for r in flag}
+        planted = [r for r in frac if r.doc_id >= DECON_PLANT_OFFSET]
+        assert planted
+        for r in frac:
+            assert 0 < r.n_hit_ngrams <= r.n_ngrams
+            assert 0 < r.overlap_frac <= 1
+            assert r.remove_at_10pct == (r.overlap_frac >= 0.1)
+        for r in planted:
+            assert r.remove_at_10pct, r

@@ -833,6 +833,63 @@ FROM counts c, tot t
 """
 
 
+def decontaminate_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: for each contaminated train doc, the
+    FRACTION of its distinct ``DECON_K``-grams found in the held-out
+    set — the policy input for threshold-based removal (a 2% organic
+    collision and a 95% planted leak should not get the same
+    treatment). Same plant + broadcast shingle join as
+    ``decontaminate_ngram_overlap``; adds the per-doc shingle totals
+    (one extra hash agg at doc grain) and flags docs beyond a 10%
+    removal threshold. The fraction is the single float division."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    heldout = d.filter(F.col("doc_id") % DECON_MOD == 0)
+    planted = heldout.select(
+        (F.col("doc_id") + DECON_PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" leaked benchmark copy")).alias("text"),
+    )
+    train = d.filter(F.col("doc_id") % DECON_MOD != 0).unionByName(planted)
+    train_sh = exploded_shingles(train, "doc_id", "text", k=DECON_K).distinct()
+    held_sh = (
+        exploded_shingles(heldout, "doc_id", "text", k=DECON_K)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        train_sh.join(F.broadcast(held_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    frac = F.col("n_hit_ngrams").cast("double") / F.col("n_ngrams").cast("double")
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_ngrams",
+        "n_hit_ngrams",
+        frac.alias("overlap_frac"),
+        (frac >= 0.1).alias("remove_at_10pct"),
+    )
+
+
+DECONTAMINATE_FRACTION_SQL = rf"""
+WITH train_sh AS ({_DECON_SHINGLES_SQL.format(src=_DECON_TRAIN_SQL)}),
+held_sh AS (
+  SELECT DISTINCT shingle FROM ({_DECON_SHINGLES_SQL.format(src=_DECON_HELD_SQL)})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM train_sh GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hit_ngrams
+  FROM train_sh t JOIN held_sh h ON t.shingle = h.shingle
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, s.n_ngrams, h.n_hit_ngrams,
+       CAST(h.n_hit_ngrams AS DOUBLE) / CAST(s.n_ngrams AS DOUBLE) AS overlap_frac,
+       CAST(h.n_hit_ngrams AS DOUBLE) / CAST(s.n_ngrams AS DOUBLE) >= 0.1
+         AS remove_at_10pct
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+"""
+
+
 _SPLIT_SEED = "split"
 
 
@@ -909,6 +966,7 @@ QUERIES = {
     "doc_chunk_cdc": doc_chunk_cdc,
     "dedup_chunk_shared": dedup_chunk_shared,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "decontaminate_overlap_fraction": decontaminate_overlap_fraction,
     "sample_stratified_hash": sample_stratified_hash,
     "redact_pii": redact_pii,
     "vocab_topk": vocab_topk,
@@ -927,6 +985,7 @@ ORACLES = {
     "doc_chunk_cdc": DOC_CHUNK_CDC_SQL,
     "dedup_chunk_shared": DEDUP_CHUNK_SHARED_SQL,
     "decontaminate_ngram_overlap": DECONTAMINATE_SQL,
+    "decontaminate_overlap_fraction": DECONTAMINATE_FRACTION_SQL,
     "sample_stratified_hash": SAMPLE_STRATIFIED_SQL,
     "redact_pii": REDACT_PII_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,

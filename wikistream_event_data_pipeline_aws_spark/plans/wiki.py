@@ -423,6 +423,107 @@ GROUP BY 1
 """
 
 
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency distribution of the funnel: for users completing
+    view→click→purchase, exact rank-based quartiles of the
+    view-to-purchase time per first-view-date cohort. Same chained
+    conditional-min funnel as ``funnel_view_click_purchase`` (inner
+    joins — converters only); quartiles are ORDER STATISTICS
+    (element ``ceil(q·n)`` by ``(delta, user_id)``), not interpolated,
+    so the integer microsecond deltas stay exact. The quantile window
+    partitions on the cohort date — bounded cardinality, no global
+    sort."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    conv = (
+        t1.join(t3, "user_id")
+        .select(
+            "user_id",
+            F.date_format("t_view", "yyyy-MM-dd").alias("cohort_date"),
+            (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias("delta_us"),
+        )
+    )
+    w = Window.partitionBy("cohort_date").orderBy(
+        F.col("delta_us").asc(), F.col("user_id").asc()
+    )
+    nw = Window.partitionBy("cohort_date")
+    ranked = conv.select(
+        "cohort_date",
+        "delta_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    )
+
+    def q_at(q, name):
+        return F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(q)).cast("bigint"),
+                F.col("delta_us"),
+            )
+        ).alias(name)
+
+    return ranked.groupBy("cohort_date").agg(
+        F.max("n").alias("n_converted"),
+        q_at(0.25, "p25_us"),
+        q_at(0.50, "p50_us"),
+        q_at(0.75, "p75_us"),
+    )
+
+
+FUNNEL_TIME_TO_CONVERT_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+  GROUP BY e.user_id
+),
+conv AS (
+  SELECT t1.user_id,
+         strftime(t1.t_view, '%Y-%m-%d') AS cohort_date,
+         epoch_us(t3.t_purchase) - epoch_us(t1.t_view) AS delta_us
+  FROM t1 JOIN t3 ON t1.user_id = t3.user_id
+),
+ranked AS (
+  SELECT cohort_date, delta_us,
+         ROW_NUMBER() OVER (PARTITION BY cohort_date
+                            ORDER BY delta_us, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cohort_date) AS n
+  FROM conv
+)
+SELECT cohort_date,
+       MAX(n) AS n_converted,
+       MIN(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN delta_us END) AS p25_us,
+       MIN(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN delta_us END) AS p50_us,
+       MIN(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN delta_us END) AS p75_us
+FROM ranked GROUP BY cohort_date
+"""
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by their first-activity
     date; for each later day-offset, how many of that cohort were
@@ -664,6 +765,7 @@ QUERIES = {
     "daily_summary": daily_summary,
     "top_risk_alerts": top_risk_alerts,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "funnel_time_to_convert": funnel_time_to_convert,
     "retention_cohorts": retention_cohorts,
     "event_transition_matrix": event_transition_matrix,
     "event_trigram_counts": event_trigram_counts,
@@ -678,6 +780,7 @@ ORACLES = {
     "daily_summary": DAILY_SUMMARY_SQL,
     "top_risk_alerts": TOP_RISK_ALERTS_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
+    "funnel_time_to_convert": FUNNEL_TIME_TO_CONVERT_SQL,
     "retention_cohorts": RETENTION_COHORTS_SQL,
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
     "event_trigram_counts": EVENT_TRIGRAM_COUNTS_SQL,
