@@ -665,3 +665,35 @@ class TestSessionContinuationAnalytics:
             assert r.remove_at_10pct == (r.overlap_frac >= 0.1)
         for r in planted:
             assert r.remove_at_10pct, r
+
+    def test_ks_statistic_matches_pure_python(self, spark, sf_dir):
+        """The bucketed distributed-ECDF KS equals a direct single-node
+        recomputation over the raw values, and lies in [0, 1]."""
+        from collections import Counter
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            stats_ks_value_drift,
+        )
+
+        r = stats_ks_value_drift(spark, sf_dir).collect()
+        assert len(r) == 1
+        r = r[0]
+        assert 0.0 <= r.ks_stat <= 1.0
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .filter("event_type IN ('purchase', 'view')")
+            .select("event_type", "value")
+            .collect()
+        )
+        p = Counter(x.value for x in rows if x.event_type == "purchase")
+        v = Counter(x.value for x in rows if x.event_type == "view")
+        n_p, n_v = sum(p.values()), sum(v.values())
+        assert (n_p, n_v) == (r.n_purchase, r.n_view)
+        c_p = c_v = best = 0
+        for val in sorted(set(p) | set(v)):
+            c_p += p.get(val, 0)
+            c_v += v.get(val, 0)
+            best = max(best, abs(c_p * n_v - c_v * n_p))
+        assert best == r.ks_num
+        assert r.ks_stat == best / (float(n_p) * float(n_v))

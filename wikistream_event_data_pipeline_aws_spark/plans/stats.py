@@ -667,10 +667,136 @@ FROM terms GROUP BY source, n_source, m_total
 """
 
 
+def stats_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``purchase`` and ``view`` value distributions — the continuous
+    complement of ``tv_distance_source_mix`` (and of ``dq_drift_halves``'
+    moment deltas): D = sup|F₁−F₂|, which for step ECDFs is attained at
+    an observed value evaluated inclusively.
+
+    Distributed-ECDF shape: counts are collapsed to the (bucket, value)
+    grain first, so ties are handled by construction; within-bucket
+    running counts come from BUCKET-partitioned windows, and only the
+    per-bucket totals (≤ ~500 rows — the value domain is bounded, and a
+    production caller sizes the bucket width from a range scan) pass
+    through the tiny ordered prefix window. The sup comparison runs on
+    the common denominator: ``|c₁·n₂ − c₂·n₁|`` is exact BIGINT, the
+    final division is the only float op. No global sort over data-scale
+    rows anywhere."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = (
+        e.select(
+            F.floor("value").cast("bigint").alias("bucket"),
+            "value",
+            (F.col("event_type") == "purchase").cast("bigint").alias("is_p"),
+        )
+        .groupBy("bucket", "value")
+        .agg(
+            F.sum("is_p").alias("k_p"),
+            F.sum(1 - F.col("is_p")).alias("k_v"),
+        )
+    )
+    bt = g.groupBy("bucket").agg(
+        F.sum("k_p").alias("t_p"), F.sum("k_v").alias("t_v")
+    )
+    wpre = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    pre = bt.select(
+        "bucket",
+        F.coalesce(F.sum("t_p").over(wpre), F.lit(0)).alias("pre_p"),
+        F.coalesce(F.sum("t_v").over(wpre), F.lit(0)).alias("pre_v"),
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "bucket",
+        "value",
+        F.sum("k_p").over(win).alias("cum_p"),
+        F.sum("k_v").over(win).alias("cum_v"),
+    ).join(F.broadcast(pre), "bucket")
+    n = e.agg(
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("n_p"),
+        F.sum((F.col("event_type") == "view").cast("bigint")).alias("n_v"),
+    )
+    diffs = cum.join(F.broadcast(n)).select(
+        "n_p",
+        "n_v",
+        F.abs(
+            (F.col("pre_p") + F.col("cum_p")) * F.col("n_v")
+            - (F.col("pre_v") + F.col("cum_v")) * F.col("n_p")
+        ).alias("d"),
+    )
+    return diffs.groupBy("n_p", "n_v").agg(
+        F.max("d").cast("bigint").alias("ks_num")
+    ).select(
+        F.col("n_p").alias("n_purchase"),
+        F.col("n_v").alias("n_view"),
+        "ks_num",
+        (
+            F.col("ks_num").cast("double")
+            / (F.col("n_p").cast("double") * F.col("n_v").cast("double"))
+        ).alias("ks_stat"),
+    )
+
+
+STATS_KS_VALUE_DRIFT_SQL = """
+WITH e AS (
+  SELECT value, CAST(floor(value) AS BIGINT) AS bucket,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+g AS (
+  SELECT bucket, value,
+         CAST(SUM(is_p) AS BIGINT) AS k_p,
+         CAST(SUM(1 - is_p) AS BIGINT) AS k_v
+  FROM e GROUP BY bucket, value
+),
+bt AS (
+  SELECT bucket, SUM(k_p) AS t_p, SUM(k_v) AS t_v FROM g GROUP BY bucket
+),
+pre AS (
+  SELECT bucket,
+         COALESCE(SUM(t_p) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_p,
+         COALESCE(SUM(t_v) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_v
+  FROM bt
+),
+cum AS (
+  SELECT g.bucket, g.value,
+         SUM(k_p) OVER (PARTITION BY g.bucket ORDER BY g.value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+         SUM(k_v) OVER (PARTITION BY g.bucket ORDER BY g.value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v
+  FROM g
+),
+n AS (
+  SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_v
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+diffs AS (
+  SELECT n.n_p, n.n_v,
+         abs((p.pre_p + c.cum_p) * n.n_v - (p.pre_v + c.cum_v) * n.n_p) AS d
+  FROM cum c JOIN pre p ON c.bucket = p.bucket CROSS JOIN n
+)
+SELECT n_p AS n_purchase, n_v AS n_view,
+       CAST(MAX(d) AS BIGINT) AS ks_num,
+       CAST(CAST(MAX(d) AS BIGINT) AS DOUBLE)
+         / (CAST(n_p AS DOUBLE) * CAST(n_v AS DOUBLE)) AS ks_stat
+FROM diffs GROUP BY n_p, n_v
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
     "survival_km_order_gaps": survival_km_order_gaps,
     "tv_distance_source_mix": tv_distance_source_mix,
+    "stats_ks_value_drift": stats_ks_value_drift,
     "basket_lift_pairs": basket_lift_pairs,
     "gini_balance_by_nation": gini_balance_by_nation,
     "ab_test_first_touch": ab_test_first_touch,
@@ -683,6 +809,7 @@ ORACLES = {
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
     "survival_km_order_gaps": SURVIVAL_KM_SQL,
     "tv_distance_source_mix": TV_DISTANCE_SOURCE_MIX_SQL,
+    "stats_ks_value_drift": STATS_KS_VALUE_DRIFT_SQL,
     "stats_corr_ols": STATS_CORR_OLS_SQL,
     "privacy_k_anonymity": PRIVACY_K_ANONYMITY_SQL,
     "stats_cusum_changepoint": STATS_CUSUM_SQL,
