@@ -697,3 +697,55 @@ class TestSessionContinuationAnalytics:
             best = max(best, abs(c_p * n_v - c_v * n_p))
         assert best == r.ks_num
         assert r.ks_stat == best / (float(n_p) * float(n_v))
+
+    def test_pq_residual_accounting(self, spark, sf_dir):
+        """Block grid complete per cluster; member counts sum to the
+        corpus; energies non-negative; mean = sum / n row by row."""
+        from collections import defaultdict
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.kmeans import (
+            PQ_M,
+            embedding_pq_residuals,
+        )
+
+        rows = embedding_pq_residuals(spark, sf_dir).collect()
+        assert rows
+        n_vecs = load_table(spark, sf_dir, "embeddings").count()
+        by_cluster = defaultdict(dict)
+        for r in rows:
+            assert r.energy_sum >= 0
+            assert abs(r.mean_energy - r.energy_sum / r.n_vectors) < 1e-12
+            by_cluster[r.cluster_id][r.block] = r
+        for blocks in by_cluster.values():
+            assert set(blocks) == set(range(PQ_M))
+            ns = {b.n_vectors for b in blocks.values()}
+            assert len(ns) == 1  # every block sees the same members
+        assert sum(next(iter(b.values())).n_vectors for b in by_cluster.values()) == n_vecs
+
+    def test_merkle_sync_finds_exactly_the_planted_divergences(self, spark, sf_dir):
+        """in_sync partitions report zero drill-down keys; the drilled
+        key total equals the planted bump+drop count; checksums agree
+        exactly on partitions without planted keys."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.merge import (
+            _MERKLE_BUMP_MOD,
+            _MERKLE_DROP_MOD,
+            table_merkle_sync,
+        )
+        from pyspark.sql import functions as F
+
+        rows = table_merkle_sync(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            if r.in_sync:
+                assert r.n_divergent_keys == 0
+                assert (r.n_source, r.cs_source) == (r.n_replica, r.cs_replica)
+            else:
+                assert r.n_divergent_keys > 0
+        o = load_table(spark, sf_dir, "orders")
+        planted = o.filter(
+            ((F.col("o_orderkey") % _MERKLE_BUMP_MOD) == 0)
+            | ((F.col("o_orderkey") % _MERKLE_DROP_MOD) == 0)
+        ).count()
+        assert sum(r.n_divergent_keys for r in rows) == planted

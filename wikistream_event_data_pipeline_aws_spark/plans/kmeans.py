@@ -201,11 +201,111 @@ FROM dists GROUP BY label
 """
 
 
+PQ_M = 4  # product-quantization sub-vector blocks
+_PQ_BLK = DIM // PQ_M
+
+
+def embedding_pq_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization prep over the IVF coarse quantizer: assign
+    each vector to its nearest coarse centroid (the k-means init
+    centroids — the same broadcast-argmin kernel), split the RESIDUAL
+    ``x − c`` into ``PQ_M`` sub-vector blocks, and report per
+    (cluster, block) the residual energy — exactly the statistic that
+    sizes per-block PQ codebooks (a block carrying 10× the energy of
+    another needs more codewords, or the quantization error
+    concentrates there).
+
+    Determinism: residual block energies are per-row left-folds over
+    the dim order (bit-stable), and the cross-row accumulation casts to
+    DECIMAL(28,12) BEFORE summing — order-free exact, so no ordered
+    collect_list fold is needed at all (the scalable alternative to the
+    kmeans-update fold; the cast's 1e-12 truncation is the documented
+    price). One broadcast argmin + one (cluster, block) hash agg."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cent0 = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    a1 = assign(e, cent0)
+    res = F.zip_with(F.col("x"), F.col("c"), lambda a, b: a - b)
+    withres = a1.join(F.broadcast(cent0), "cid").select(
+        "cid", "vec_id", res.alias("r")
+    )
+
+    def block_energy(m: int) -> Column:
+        return F.aggregate(
+            F.slice(F.col("r"), m * _PQ_BLK + 1, _PQ_BLK),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+
+    energies = withres.select(
+        "cid",
+        "vec_id",
+        F.posexplode(F.array(*[block_energy(m) for m in range(PQ_M)])).alias(
+            "block", "energy"
+        ),
+    )
+    agg = energies.groupBy("cid", "block").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("energy").cast("decimal(28,12)")).alias("esum"),
+    )
+    return agg.select(
+        F.col("cid").alias("cluster_id"),
+        "block",
+        "n_vectors",
+        F.col("esum").cast("double").alias("energy_sum"),
+        (F.col("esum").cast("double") / F.col("n_vectors").cast("double")).alias(
+            "mean_energy"
+        ),
+    )
+
+
+_ESUM_D = "CAST(CAST(SUM(CAST(energy AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)"
+
+EMBEDDING_PQ_RESIDUALS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+),
+cent0 AS (
+  SELECT vec_id AS cid, x AS c FROM e WHERE vec_id < {K}
+),
+d1 AS (
+  SELECT e.vec_id, c0.cid, {_DIST_SQL.format(x="e.x", c="c0.c")} AS dist
+  FROM e CROSS JOIN cent0 c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1
+  ) WHERE rk = 1
+),
+withres AS (
+  SELECT a1.cid, a1.vec_id,
+         list_transform(list_zip(e.x, c0.c), t -> t[1] - t[2]) AS r
+  FROM a1 JOIN e USING (vec_id) JOIN cent0 c0 ON a1.cid = c0.cid
+),
+energies AS (
+  SELECT cid, vec_id, b.block,
+         list_sum(list_transform(
+           list_slice(r, b.block * {_PQ_BLK} + 1, b.block * {_PQ_BLK} + {_PQ_BLK}),
+           v -> v * v)) AS energy
+  FROM withres, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS block) b
+)
+SELECT cid AS cluster_id, block, COUNT(*) AS n_vectors,
+       {_ESUM_D} AS energy_sum,
+       {_ESUM_D} / CAST(COUNT(*) AS DOUBLE) AS mean_energy
+FROM energies GROUP BY cid, block
+"""
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "embedding_class_scatter": embedding_class_scatter,
+    "embedding_pq_residuals": embedding_pq_residuals,
 }
 ORACLES = {
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
     "embedding_class_scatter": EMBEDDING_CLASS_SCATTER_SQL,
+    "embedding_pq_residuals": EMBEDDING_PQ_RESIDUALS_SQL,
 }

@@ -500,8 +500,175 @@ FROM j GROUP BY 1
 """
 
 
+_MERKLE_BUMP_MOD = 5000  # every 5000th key gets a planted price drift
+_MERKLE_DROP_MOD = 7000  # every 7000th key is missing from the replica
+
+
+def _merkle_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Source orders + a replica with planted divergences (price drift
+    on key % BUMP_MOD, missing rows on key % DROP_MOD). Prices stay
+    DECIMAL end-to-end so the canonical row string is engine-stable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d_str"),
+    )
+    replica = o.filter((F.col("o_orderkey") % _MERKLE_DROP_MOD) != 0).withColumn(
+        "price",
+        F.when(
+            (F.col("o_orderkey") % _MERKLE_BUMP_MOD) == 0,
+            F.col("price") + F.lit("1.00").cast("decimal(3,2)"),
+        ).otherwise(F.col("price")),
+    )
+    return o, replica
+
+
+def _merkle_sig(df: DataFrame) -> DataFrame:
+    sig = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("price").cast("string"),
+                    F.col("d_str"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.select("part_month", "o_orderkey", sig.alias("sig"))
+
+
+def table_merkle_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation between a table and its replica, the
+    Merkle-tree way: compare per-PARTITION order-free checksums first
+    (a sum of per-row md5-prefix integers — exact BIGINT, so any
+    row-level divergence flips the partition checksum), then drill into
+    per-key diffs ONLY for partitions whose summaries disagree. At
+    100 TB this is the difference between shipping |partitions| summary
+    rows between replicas and re-scanning both tables key-by-key: the
+    second pass's key join is gated by a broadcast semi-join on the
+    (tiny) divergent-partition list, so in the common all-in-sync case
+    it scans nothing. Planted drift: every {BUMP}th key's price bumped,
+    every {DROP}th key missing — partitions without a planted key MUST
+    report in_sync with zero drill-down keys."""
+    src, rep = _merkle_sides(spark, sf_dir)
+    ssum = (
+        _merkle_sig(src)
+        .groupBy("part_month")
+        .agg(F.count(F.lit(1)).alias("n_source"), F.sum("sig").alias("cs_source"))
+    )
+    rsum = (
+        _merkle_sig(rep)
+        .groupBy("part_month")
+        .agg(F.count(F.lit(1)).alias("n_replica"), F.sum("sig").alias("cs_replica"))
+    )
+    summary = ssum.join(rsum, "part_month", "full_outer").select(
+        "part_month",
+        F.coalesce("n_source", F.lit(0)).alias("n_source"),
+        F.coalesce("n_replica", F.lit(0)).alias("n_replica"),
+        F.coalesce("cs_source", F.lit(0)).alias("cs_source"),
+        F.coalesce("cs_replica", F.lit(0)).alias("cs_replica"),
+    )
+    in_sync = (F.col("n_source") == F.col("n_replica")) & (
+        F.col("cs_source") == F.col("cs_replica")
+    )
+    divergent = summary.filter(~in_sync).select("part_month")
+    skeys = _merkle_sig(src).join(F.broadcast(divergent), "part_month")
+    rkeys = _merkle_sig(rep).join(F.broadcast(divergent), "part_month")
+    drill = (
+        skeys.withColumnRenamed("sig", "s_sig")
+        .join(
+            rkeys.withColumnRenamed("sig", "r_sig"),
+            ["part_month", "o_orderkey"],
+            "full_outer",
+        )
+        .filter(
+            F.col("s_sig").isNull()
+            | F.col("r_sig").isNull()
+            | (F.col("s_sig") != F.col("r_sig"))
+        )
+        .groupBy("part_month")
+        .agg(F.count(F.lit(1)).alias("n_divergent_keys"))
+    )
+    return summary.join(drill, "part_month", "left").select(
+        "part_month",
+        "n_source",
+        "n_replica",
+        "cs_source",
+        "cs_replica",
+        in_sync.alias("in_sync"),
+        F.coalesce("n_divergent_keys", F.lit(0)).alias("n_divergent_keys"),
+    )
+
+
+_MERKLE_SRC_SQL = """
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         strftime(o_orderdate, '%Y-%m') AS part_month,
+         strftime(o_orderdate, '%Y-%m-%d') AS d_str
+  FROM orders
+"""
+
+_MERKLE_REP_SQL = f"""
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % {_MERKLE_BUMP_MOD} = 0
+              THEN price + CAST('1.00' AS DECIMAL(3,2)) ELSE price END AS price,
+         part_month, d_str
+  FROM ({_MERKLE_SRC_SQL})
+  WHERE o_orderkey % {_MERKLE_DROP_MOD} != 0
+"""
+
+_MERKLE_SIG_SQL = (
+    "CAST(concat('0x', substr(md5(concat_ws(chr(31), CAST(o_orderkey AS VARCHAR), "
+    "o_orderstatus, CAST(price AS VARCHAR), d_str)), 1, 8)) AS BIGINT)"
+)
+
+TABLE_MERKLE_SYNC_SQL = f"""
+WITH s AS (SELECT part_month, o_orderkey, {_MERKLE_SIG_SQL} AS sig FROM ({_MERKLE_SRC_SQL})),
+r AS (SELECT part_month, o_orderkey, {_MERKLE_SIG_SQL} AS sig FROM ({_MERKLE_REP_SQL})),
+ssum AS (SELECT part_month, COUNT(*) AS n_source, SUM(sig) AS cs_source FROM s GROUP BY part_month),
+rsum AS (SELECT part_month, COUNT(*) AS n_replica, SUM(sig) AS cs_replica FROM r GROUP BY part_month),
+summary AS (
+  SELECT COALESCE(ssum.part_month, rsum.part_month) AS part_month,
+         COALESCE(n_source, 0) AS n_source,
+         COALESCE(n_replica, 0) AS n_replica,
+         CAST(COALESCE(cs_source, 0) AS BIGINT) AS cs_source,
+         CAST(COALESCE(cs_replica, 0) AS BIGINT) AS cs_replica
+  FROM ssum FULL OUTER JOIN rsum ON ssum.part_month = rsum.part_month
+),
+divergent AS (
+  SELECT part_month FROM summary
+  WHERE NOT (n_source = n_replica AND cs_source = cs_replica)
+),
+drill AS (
+  SELECT part_month, COUNT(*) AS n_divergent_keys FROM (
+    SELECT COALESCE(sk.part_month, rk.part_month) AS part_month,
+           sk.sig AS s_sig, rk.sig AS r_sig
+    FROM (SELECT s.* FROM s JOIN divergent USING (part_month)) sk
+    FULL OUTER JOIN (SELECT r.* FROM r JOIN divergent USING (part_month)) rk
+      ON sk.part_month = rk.part_month AND sk.o_orderkey = rk.o_orderkey
+  )
+  WHERE s_sig IS NULL OR r_sig IS NULL OR s_sig != r_sig
+  GROUP BY part_month
+)
+SELECT summary.part_month, n_source, n_replica, cs_source, cs_replica,
+       (n_source = n_replica AND cs_source = cs_replica) AS in_sync,
+       CAST(COALESCE(n_divergent_keys, 0) AS BIGINT) AS n_divergent_keys
+FROM summary LEFT JOIN drill ON summary.part_month = drill.part_month
+"""
+
+
 QUERIES = {
     "merge_insert_only_orders": merge_insert_only_orders,
+    "table_merkle_sync": table_merkle_sync,
     "merge_upsert_orders": merge_upsert_orders,
     "scd2_customer_dim": scd2_customer_dim,
     "scd2_point_in_time": scd2_point_in_time,
@@ -511,6 +678,7 @@ QUERIES = {
 
 ORACLES = {
     "merge_insert_only_orders": MERGE_INSERT_ONLY_SQL,
+    "table_merkle_sync": TABLE_MERKLE_SYNC_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "scd2_customer_dim": SCD2_CUSTOMER_DIM_SQL,
     "scd2_point_in_time": SCD2_POINT_IN_TIME_SQL,
