@@ -749,3 +749,30 @@ class TestSessionContinuationAnalytics:
             | ((F.col("o_orderkey") % _MERKLE_DROP_MOD) == 0)
         ).count()
         assert sum(r.n_divergent_keys for r in rows) == planted
+
+    def test_hll_rolling_window_dominates_single_day(self, spark, sf_dir):
+        """One row per event day; registers bounded by m; the trailing
+        window's exact distinct dominates each single day's distinct;
+        rel_error is exactly (est - exact) / exact."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.sketches import (
+            HLL_M,
+            hll_rolling_distinct,
+        )
+        from pyspark.sql import functions as F
+
+        rows = {r.window_end_day: r for r in hll_rolling_distinct(spark, sf_dir).collect()}
+        assert rows
+        daily = {
+            str(r.d): r.n
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("d"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(rows) == set(daily)
+        for day, r in rows.items():
+            assert 0 < r.n_nonzero_registers <= HLL_M
+            assert r.n_exact_distinct >= daily[day]
+            assert r.hll_estimate > 0
+            assert r.rel_error == (r.hll_estimate - r.n_exact_distinct) / r.n_exact_distinct

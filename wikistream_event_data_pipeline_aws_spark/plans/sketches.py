@@ -480,8 +480,123 @@ FROM ({ea}), ({eb}), ({eu}), exact
 HLL_JOIN_CARDINALITY_SQL = _hll_join_sql()
 
 
+ROLL_DAYS = 7  # trailing window width
+
+
+def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{ROLL_DAYS}-day distinct users per day answered by
+    MERGING daily HLL sketches — the production shape that makes
+    ``rolling_active_users`` (the exact twin, kept as the yardstick)
+    cheap at scale: each day's 1024 registers are built ONCE from that
+    day's events; every window is then a register-wise MAX over
+    {ROLL_DAYS} sketch rows. The rolling merge joins the (days ×
+    registers) sketch table against the day spine — sketch-size ×
+    calendar work, independent of event volume, which is exactly why
+    mergeable sketches exist. Same fixed-point register arithmetic as
+    the other HLL queries (DECIMAL sums, one float division), so the
+    approximate path is value-hash-checked; the exact trailing count
+    rides along to report the realized error."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    h = hex_hash(F.col("user_id").cast("string"), seed="hllr")
+    # integer div, not float: h spans 60 bits, beyond double precision
+    t = e.select("d", h.alias("h")).select(
+        "d",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rest"),
+    )
+    rho = F.lit(51) - F.length(F.expr("ltrim('0', conv(rest, 10, 2))"))
+    daily = (
+        t.select("d", "bucket", rho.alias("rho"))
+        .groupBy("d", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    days = e.select("d").distinct()
+    spine = days.select(F.col("d").alias("win_end"))
+    merged = (
+        daily.join(
+            F.broadcast(spine),
+            (F.col("d") <= F.col("win_end"))
+            & (F.col("d") >= F.date_sub(F.col("win_end"), ROLL_DAYS - 1)),
+        )
+        .groupBy("win_end", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    a = merged.groupBy("win_end").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.expr("CAST(shiftleft(1L, 62 - M) AS DECIMAL(38,0))")).alias("s_obs"),
+    )
+    exact = (
+        e.distinct()
+        .join(
+            F.broadcast(spine),
+            (F.col("d") <= F.col("win_end"))
+            & (F.col("d") >= F.date_sub(F.col("win_end"), ROLL_DAYS - 1)),
+        )
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    s_total = F.expr(
+        f"s_obs + CAST({HLL_M}L - n_obs AS DECIMAL(38,0))"
+        f" * CAST({_POW62} AS DECIMAL(38,0))"
+    )
+    est = F.lit(float(_NUM)) / s_total.cast("double")
+    n_exact_d = F.col("n_exact").cast("double")
+    return a.join(exact, "win_end").select(
+        F.col("win_end").cast("string").alias("window_end_day"),
+        F.col("n_obs").alias("n_nonzero_registers"),
+        F.col("n_exact").alias("n_exact_distinct"),
+        est.alias("hll_estimate"),
+        ((est - n_exact_d) / n_exact_d).alias("rel_error"),
+    )
+
+
+HLL_ROLLING_DISTINCT_SQL = f"""
+WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+h AS (
+  SELECT d,
+         CAST(concat('0x', substr(md5(concat('hllr', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM e
+),
+t AS (SELECT d, h % {HLL_M} AS bucket, h // {HLL_M} AS rest FROM h),
+daily AS (
+  SELECT d, bucket, MAX(51 - length(ltrim(bin(rest), '0'))) AS M
+  FROM t GROUP BY d, bucket
+),
+spine AS (SELECT DISTINCT d AS win_end FROM e),
+merged AS (
+  SELECT s.win_end, daily.bucket, MAX(daily.M) AS M
+  FROM daily JOIN spine s
+    ON daily.d <= s.win_end AND daily.d >= s.win_end - {ROLL_DAYS - 1}
+  GROUP BY s.win_end, daily.bucket
+),
+a AS (
+  SELECT win_end, COUNT(*) AS n_obs,
+         SUM(CAST(1::BIGINT << (62 - M) AS DECIMAL(38,0))) AS s_obs
+  FROM merged GROUP BY win_end
+),
+x AS (
+  SELECT s.win_end, COUNT(DISTINCT p.user_id) AS n_exact
+  FROM (SELECT DISTINCT d, user_id FROM e) p JOIN spine s
+    ON p.d <= s.win_end AND p.d >= s.win_end - {ROLL_DAYS - 1}
+  GROUP BY s.win_end
+)
+SELECT CAST(a.win_end AS VARCHAR) AS window_end_day,
+       n_obs AS n_nonzero_registers,
+       n_exact AS n_exact_distinct,
+       {_NUM} / CAST(s_obs + CAST({HLL_M} - n_obs AS DECIMAL(38,0))
+                     * CAST({_POW62} AS DECIMAL(38,0)) AS DOUBLE) AS hll_estimate,
+       ({_NUM} / CAST(s_obs + CAST({HLL_M} - n_obs AS DECIMAL(38,0))
+                      * CAST({_POW62} AS DECIMAL(38,0)) AS DOUBLE)
+        - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
+FROM a JOIN x ON a.win_end = x.win_end
+"""
+
+
 QUERIES = {
     "hll_join_cardinality": hll_join_cardinality,
+    "hll_rolling_distinct": hll_rolling_distinct,
     "hll_distinct_events": hll_distinct_events,
     "hll_distinct_users_by_type": hll_distinct_users_by_type,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -490,6 +605,7 @@ QUERIES = {
 
 ORACLES = {
     "hll_join_cardinality": HLL_JOIN_CARDINALITY_SQL,
+    "hll_rolling_distinct": HLL_ROLLING_DISTINCT_SQL,
     "hll_distinct_events": HLL_DISTINCT_EVENTS_SQL,
     "hll_distinct_users_by_type": HLL_DISTINCT_USERS_BY_TYPE_SQL,
     "heavy_hitters_cms": HEAVY_HITTERS_CMS_SQL,
