@@ -776,3 +776,17 @@ class TestSessionContinuationAnalytics:
             assert r.n_exact_distinct >= daily[day]
             assert r.hll_estimate > 0
             assert r.rel_error == (r.hll_estimate - r.n_exact_distinct) / r.n_exact_distinct
+
+    def test_kcore_peeling_is_monotone(self, spark, sf_dir):
+        """Survivor counts never increase across peel rounds, and every
+        round-1 survivor has full-graph degree >= K (peeling can only
+        remove; the first round filters on raw degree)."""
+        from wikistream_event_data_pipeline_aws_spark.plans.graph import (
+            KCORE_ROUNDS,
+            graph_kcore_peel,
+        )
+
+        rows = sorted(graph_kcore_peel(spark, sf_dir).collect(), key=lambda r: r.round)
+        assert [r.round for r in rows] == list(range(1, KCORE_ROUNDS + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a.n_survivors >= b.n_survivors

@@ -429,14 +429,100 @@ ORDER BY a.n_reach_2hop DESC, a.origin ASC LIMIT {KHOP_TOP}
 """
 
 
+KCORE_K = 8
+KCORE_ROUNDS = 3
+
+
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling, {KCORE_ROUNDS} rounds unrolled: repeatedly drop
+    vertices with degree < {KCORE_K} in the surviving subgraph — the
+    standard densest-region extractor (community cores, spam/bot
+    subgraph mining). Each round is one hash-agg (degrees of the
+    surviving edge set) + two semi joins (restrict edges to surviving
+    endpoints) — the Pregel-as-joins lowering again, no driver state.
+    A fixed unroll keeps it SQL-expressible exactly like the fixed
+    PageRank iterations (the oracle builds the same CTE chain); the
+    converged variant would loop until the survivor count fixes, the
+    same stop the connected-components operator uses. Output: one row
+    per round with survivor counts — plan-invariant, so oracle parity
+    checks every intermediate peel, not just the final core."""
+    edges = _cooccurrence_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    rounds = []
+    cur = sym
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("src")
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        stats = keep.agg(
+            F.lit(rnd).alias("round"),
+            F.count(F.lit(1)).alias("n_survivors"),
+        )
+        rounds.append(stats)
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _kcore_oracle_sql() -> str:
+    ctes = []
+    prev = "sym"
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        ctes.append(f"""
+keep{rnd} AS (
+  SELECT src FROM (SELECT src, COUNT(*) AS deg FROM {prev} GROUP BY src)
+  WHERE deg >= {KCORE_K}
+),
+e{rnd} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  WHERE EXISTS (SELECT 1 FROM keep{rnd} k WHERE k.src = e.src)
+    AND EXISTS (SELECT 1 FROM keep{rnd} k WHERE k.src = e.dst)
+)""")
+        prev = f"e{rnd}"
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {rnd} AS round, COUNT(*) AS n_survivors FROM keep{rnd}"
+        for rnd in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT pa AS src, pb AS dst FROM e
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM e
+),{",".join(ctes)}
+{selects}
+"""
+
+
+GRAPH_KCORE_PEEL_SQL = _kcore_oracle_sql()
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
     "graph_khop_features": graph_khop_features,
+    "graph_kcore_peel": graph_kcore_peel,
 }
 
 ORACLES = {
     "graph_triangle_count": GRAPH_TRIANGLE_COUNT_SQL,
     "graph_pagerank": GRAPH_PAGERANK_SQL,
     "graph_khop_features": GRAPH_KHOP_FEATURES_SQL,
+    "graph_kcore_peel": GRAPH_KCORE_PEEL_SQL,
 }
