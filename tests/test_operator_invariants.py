@@ -790,3 +790,25 @@ class TestSessionContinuationAnalytics:
         assert [r.round for r in rows] == list(range(1, KCORE_ROUNDS + 1))
         for a, b in zip(rows, rows[1:]):
             assert a.n_survivors >= b.n_survivors
+
+    def test_sequence_patterns_bounded_by_user_days(self, spark, sf_dir):
+        """Pattern counts never exceed the day's user-day count and the
+        user-day totals match the exact distinct (user, day) grain."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.wiki import (
+            sequence_pattern_match,
+        )
+        from pyspark.sql import functions as F
+
+        rows = sequence_pattern_match(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            for c in ("n_browse_then_buy", "n_repeat_errors", "n_bounces"):
+                assert 0 <= r[c] <= r.n_user_days, (c, r)
+        total = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id", F.to_date("ts").alias("d"))
+            .distinct()
+            .count()
+        )
+        assert sum(r.n_user_days for r in rows) == total

@@ -637,6 +637,61 @@ GROUP BY 1, 2, 3
 """
 
 
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: encode each (user, day) timeline as a
+    compact string of event-type initials (deterministically ordered by
+    (ts, event_id)) and match behavioral patterns with plain regexes —
+    ordered-subsequence detection (view … click … purchase), repeated
+    errors, single-event bounces. Encoding collapses the row-pattern
+    problem to per-group string ops: one (user, day) aggregation builds
+    the sequence, then every pattern is a JVM-side ``rlike`` — no
+    iterative joins, no per-pattern window passes, and adding a pattern
+    costs one column. Daily sequences are bounded by per-user daily
+    activity, so the encoded string stays small by construction."""
+    e = load_table(spark, sf_dir, "events")
+    per_day = (
+        e.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias(
+                "ev"
+            ),
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("ev")), lambda s: s["c"]), ""
+            ).alias("seq")
+        )
+    )
+    return per_day.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.sum(F.col("seq").rlike("v.*c.*p").cast("int")).cast("bigint").alias(
+            "n_browse_then_buy"
+        ),
+        F.sum(F.col("seq").rlike("e.*e").cast("int")).cast("bigint").alias(
+            "n_repeat_errors"
+        ),
+        F.sum((F.length("seq") == 1).cast("int")).cast("bigint").alias("n_bounces"),
+    )
+
+
+SEQUENCE_PATTERN_MATCH_SQL = """
+WITH per_day AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS d,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+)
+SELECT d, COUNT(*) AS n_user_days,
+       CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_browse_then_buy,
+       CAST(SUM(CASE WHEN regexp_matches(seq, 'e.*e') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat_errors,
+       CAST(SUM(CASE WHEN length(seq) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+FROM per_day GROUP BY d
+"""
+
+
 def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: users grouped by their first-signup
     date, purchase revenue accumulated per week-since-signup — the
@@ -766,6 +821,7 @@ QUERIES = {
     "top_risk_alerts": top_risk_alerts,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "funnel_time_to_convert": funnel_time_to_convert,
+    "sequence_pattern_match": sequence_pattern_match,
     "retention_cohorts": retention_cohorts,
     "event_transition_matrix": event_transition_matrix,
     "event_trigram_counts": event_trigram_counts,
@@ -781,6 +837,7 @@ ORACLES = {
     "top_risk_alerts": TOP_RISK_ALERTS_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
     "funnel_time_to_convert": FUNNEL_TIME_TO_CONVERT_SQL,
+    "sequence_pattern_match": SEQUENCE_PATTERN_MATCH_SQL,
     "retention_cohorts": RETENTION_COHORTS_SQL,
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
     "event_trigram_counts": EVENT_TRIGRAM_COUNTS_SQL,
