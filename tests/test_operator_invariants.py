@@ -812,3 +812,20 @@ class TestSessionContinuationAnalytics:
             .count()
         )
         assert sum(r.n_user_days for r in rows) == total
+
+    def test_ivm_join_delta_algebra_is_exact(self, spark, sf_dir):
+        """checksum(view_new) == checksum(view_old) + Σ checksum(delta
+        arms), and likewise for row counts — the IVM correctness law."""
+        from wikistream_event_data_pipeline_aws_spark.plans.relational import (
+            incremental_join_delta,
+        )
+
+        rows = {r.arm: r for r in incremental_join_delta(spark, sf_dir).collect()}
+        assert set(rows) == {"view_old", "arm_dc_o", "arm_c_do", "arm_dc_do", "view_new"}
+        arms = ("arm_dc_o", "arm_c_do", "arm_dc_do")
+        assert rows["view_new"].n_rows == rows["view_old"].n_rows + sum(
+            rows[a].n_rows for a in arms
+        )
+        assert rows["view_new"].checksum == rows["view_old"].checksum + sum(
+            rows[a].checksum for a in arms
+        )

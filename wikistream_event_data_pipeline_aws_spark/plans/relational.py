@@ -100,12 +100,107 @@ FROM first_half f JOIN second_half s ON f.bucket IS NOT DISTINCT FROM s.bucket
 """
 
 
+_IVM_CUT = "1997-06-01 00:00:00"  # orders before = base, after = delta
+
+
+def _ivm_rel(spark: SparkSession, sf_dir: str):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c_base = c.filter(F.col("c_custkey") % 10 != 0)
+    c_delta = c.filter(F.col("c_custkey") % 10 == 0)
+    cut = F.lit(_IVM_CUT).cast("timestamp")
+    o_base = o.filter(F.col("o_orderdate") < cut)
+    o_delta = o.filter(F.col("o_orderdate") >= cut)
+    return c_base, c_delta, o_base, o_delta
+
+
+def _ivm_arm(cust: DataFrame, orders: DataFrame, arm: str) -> DataFrame:
+    j = cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+    sig = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("c_custkey").cast("string"), F.col("o_orderkey").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return j.select(sig.alias("sig")).agg(
+        F.lit(arm).alias("arm"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("sig"), F.lit(0)).alias("checksum"),
+    )
+
+
+def incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the delta algebra
+    a lakehouse materialized view runs instead of recomputing:
+    for insert-only deltas, Δ(C ⋈ O) = ΔC⋈O ∪ C⋈ΔO ∪ ΔC⋈ΔO. One row
+    per maintenance arm plus the old and new full views, each carrying
+    a row count and an order-free BIGINT row checksum, so the output
+    itself PROVES the algebra: checksum(view_new) = checksum(view_old)
+    + Σ checksum(arms) — verified by the invariant test and the oracle
+    alike. At 100 TB the three delta arms touch |Δ|-proportional data
+    (the base-side probes are keyed equi-joins that prune to delta
+    keys); the full views here exist only as the audit yardstick."""
+    c_base, c_delta, o_base, o_delta = _ivm_rel(spark, sf_dir)
+    c_full = c_base.unionByName(c_delta)
+    o_full = o_base.unionByName(o_delta)
+    arms = [
+        _ivm_arm(c_base, o_base, "view_old"),
+        _ivm_arm(c_delta, o_base, "arm_dc_o"),
+        _ivm_arm(c_base, o_delta, "arm_c_do"),
+        _ivm_arm(c_delta, o_delta, "arm_dc_do"),
+        _ivm_arm(c_full, o_full, "view_new"),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+_IVM_SIG = (
+    "CAST(concat('0x', substr(md5(concat_ws('|', CAST(c_custkey AS VARCHAR), "
+    "CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT)"
+)
+
+
+def _ivm_arm_sql(cust: str, orders: str, arm: str) -> str:
+    return f"""
+SELECT '{arm}' AS arm, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM({_IVM_SIG}), 0) AS BIGINT) AS checksum
+FROM ({cust}) c JOIN ({orders}) o ON c.c_custkey = o.o_custkey
+"""
+
+
+_IVM_CB = "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 != 0"
+_IVM_CD = "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 = 0"
+_IVM_CF = "SELECT c_custkey, c_mktsegment FROM customer"
+_IVM_OB = f"SELECT o_orderkey, o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '{_IVM_CUT}'"
+_IVM_OD = f"SELECT o_orderkey, o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{_IVM_CUT}'"
+_IVM_OF = "SELECT o_orderkey, o_custkey FROM orders"
+
+INCREMENTAL_JOIN_DELTA_SQL = "\nUNION ALL\n".join(
+    [
+        _ivm_arm_sql(_IVM_CB, _IVM_OB, "view_old"),
+        _ivm_arm_sql(_IVM_CD, _IVM_OB, "arm_dc_o"),
+        _ivm_arm_sql(_IVM_CB, _IVM_OD, "arm_c_do"),
+        _ivm_arm_sql(_IVM_CD, _IVM_OD, "arm_dc_do"),
+        _ivm_arm_sql(_IVM_CF, _IVM_OF, "view_new"),
+    ]
+)
+
+
 QUERIES = {
     "metric_unpivot": metric_unpivot,
     "join_null_safe_buckets": join_null_safe_buckets,
+    "incremental_join_delta": incremental_join_delta,
 }
 
 ORACLES = {
     "metric_unpivot": METRIC_UNPIVOT_SQL,
     "join_null_safe_buckets": JOIN_NULL_SAFE_BUCKETS_SQL,
+    "incremental_join_delta": INCREMENTAL_JOIN_DELTA_SQL,
 }
