@@ -563,3 +563,39 @@ def test_linkage_matches_prunes_via_half_key_joins(spark, sf_dir):
         "ShuffledHashJoin"
     )
     assert joins == 3, plan
+
+
+def test_merkle_drilldown_is_broadcast_gated(spark, sf_dir):
+    """The per-key drill-down must be gated by a broadcast of the tiny
+    divergent-partition list, never a shuffle of the full key space
+    against it."""
+    plan = _plan(spark, sf_dir, "table_merkle_sync")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decon_fraction_broadcasts_heldout_shingles(spark, sf_dir):
+    """Decontamination joins the train shingles against the (small)
+    held-out shingle set — that side must broadcast."""
+    plan = _plan(spark, sf_dir, "decontaminate_overlap_fraction")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hll_rolling_merge_broadcasts_day_spine(spark, sf_dir):
+    """The rolling sketch merge range-joins daily registers against the
+    calendar spine: the spine is broadcast (nested-loop against a
+    ~30-row side), never a cartesian shuffle."""
+    plan = _plan(spark, sf_dir, "hll_rolling_distinct")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_khop_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_khop_features")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ks_prefix_and_totals_broadcast(spark, sf_dir):
+    """KS joins the (bucket, value) grain against the <=500-row bucket
+    prefix table and the 1-row totals — both must broadcast."""
+    plan = _plan(spark, sf_dir, "stats_ks_value_drift")
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan
