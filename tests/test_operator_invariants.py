@@ -829,3 +829,52 @@ class TestSessionContinuationAnalytics:
         assert rows["view_new"].checksum == rows["view_old"].checksum + sum(
             rows[a].checksum for a in arms
         )
+
+    def test_chi2_cells_match_pure_python(self, spark, sf_dir):
+        """Every cell's observed/expected/contribution reproduces a
+        single-node recomputation from raw counts."""
+        from collections import Counter
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            stats_chi2_dow_type,
+        )
+        from pyspark.sql import functions as F
+
+        cells = stats_chi2_dow_type(spark, sf_dir).collect()
+        assert cells
+        raw = Counter(
+            (r.dow, r.event_type)
+            for r in load_table(spark, sf_dir, "events")
+            .select((F.dayofweek("ts") - 1).alias("dow"), "event_type")
+            .collect()
+        )
+        t = sum(raw.values())
+        rtot = Counter()
+        ctot = Counter()
+        for (dow, et), o in raw.items():
+            rtot[dow] += o
+            ctot[et] += o
+        assert {(c.dow, c.event_type) for c in cells} == set(raw)
+        for c in cells:
+            o = raw[(c.dow, c.event_type)]
+            r, cc = rtot[c.dow], ctot[c.event_type]
+            assert c.observed == o
+            assert c.expected == float(r * cc) / float(t)
+            assert c.chi2_contribution == float((o * t - r * cc) ** 2) / (
+                float(r * cc) * float(t)
+            )
+
+    def test_l_diversity_flag_matches_counts(self, spark, sf_dir):
+        """Sensitive-diversity counts are bounded by the priority domain
+        and the l-flag is exactly the threshold comparison."""
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            L_DIVERSITY,
+            privacy_l_diversity,
+        )
+
+        rows = privacy_l_diversity(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.n_distinct_sensitive <= r.n_rows
+            assert r.meets_l_diversity == (r.n_distinct_sensitive >= L_DIVERSITY)

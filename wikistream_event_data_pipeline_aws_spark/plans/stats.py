@@ -792,11 +792,109 @@ FROM diffs GROUP BY n_p, n_v
 """
 
 
+def stats_chi2_dow_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for the (day-of-week × event-type)
+    contingency table — "is traffic mix independent of weekday?", the
+    categorical complement of the KS test above. Emitted at CELL grain
+    (≤ 7×|types| rows): observed count, expected ``r·c/T``, and the
+    χ² contribution ``(o·T − r·c)²/(r·c·T)``. The squared numerator is
+    exact DECIMAL(38,0) (``o·T`` reaches ~1e10 at sf0.1, its square
+    overflows BIGINT), marginals come from two broadcast-joined hash
+    aggs, and each float column is one fixed expression — the same
+    common-denominator discipline as the TVD/KS statistics. Day-of-week
+    is normalized to 0=Sunday on both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).alias("dow"), "event_type"
+    )
+    cell = e.groupBy("dow", "event_type").agg(F.count(F.lit(1)).alias("o"))
+    rtot = e.groupBy("dow").agg(F.count(F.lit(1)).alias("r"))
+    ctot = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = e.agg(F.count(F.lit(1)).alias("t"))
+    j = (
+        cell.join(F.broadcast(rtot), "dow")
+        .join(F.broadcast(ctot), "event_type")
+        .join(F.broadcast(tot))
+    )
+    num = (F.col("o") * F.col("t") - F.col("r") * F.col("c")).cast("decimal(19,0)")
+    sq = (num * num).cast("decimal(38,0)")
+    rc = F.col("r") * F.col("c")
+    return j.select(
+        "dow",
+        "event_type",
+        F.col("o").alias("observed"),
+        (rc.cast("double") / F.col("t").cast("double")).alias("expected"),
+        (
+            sq.cast("double")
+            / (rc.cast("double") * F.col("t").cast("double"))
+        ).alias("chi2_contribution"),
+    )
+
+
+STATS_CHI2_DOW_TYPE_SQL = """
+WITH e AS (SELECT dayofweek(ts) AS dow, event_type FROM events),
+cell AS (SELECT dow, event_type, COUNT(*) AS o FROM e GROUP BY dow, event_type),
+rtot AS (SELECT dow, COUNT(*) AS r FROM e GROUP BY dow),
+ctot AS (SELECT event_type, COUNT(*) AS c FROM e GROUP BY event_type),
+tot AS (SELECT COUNT(*) AS t FROM e)
+SELECT cell.dow, cell.event_type, o AS observed,
+       CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE) AS expected,
+       CAST(CAST(CAST(CAST(o * t - r * c AS DECIMAL(19,0))
+                      * CAST(o * t - r * c AS DECIMAL(19,0)) AS DECIMAL(38,0))
+                 AS VARCHAR) AS DOUBLE)
+         / (CAST(r * c AS DOUBLE) * CAST(t AS DOUBLE)) AS chi2_contribution
+FROM cell
+JOIN rtot ON cell.dow = rtot.dow
+JOIN ctot ON cell.event_type = ctot.event_type
+CROSS JOIN tot
+"""
+
+
+L_DIVERSITY = 3
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the follow-up to ``privacy_k_anonymity``: a
+    group can be k-anonymous yet still leak if everyone in it shares the
+    same SENSITIVE value. Quasi-identifier = (order month, status);
+    sensitive attribute = order priority; groups whose distinct
+    sensitive count falls below l={L_DIVERSITY} are homogeneity-attack
+    prone. One (QI, sensitive) distinct collapse + one QI hash agg —
+    the same two-shuffle shape as the k-anonymity gate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    return (
+        o.groupBy("order_month", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderpriority").alias("n_distinct_sensitive"),
+        )
+        .withColumn(
+            "meets_l_diversity", F.col("n_distinct_sensitive") >= L_DIVERSITY
+        )
+    )
+
+
+PRIVACY_L_DIVERSITY_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       o_orderstatus,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_orderpriority) AS n_distinct_sensitive,
+       COUNT(DISTINCT o_orderpriority) >= {L_DIVERSITY} AS meets_l_diversity
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
     "survival_km_order_gaps": survival_km_order_gaps,
     "tv_distance_source_mix": tv_distance_source_mix,
     "stats_ks_value_drift": stats_ks_value_drift,
+    "stats_chi2_dow_type": stats_chi2_dow_type,
+    "privacy_l_diversity": privacy_l_diversity,
     "basket_lift_pairs": basket_lift_pairs,
     "gini_balance_by_nation": gini_balance_by_nation,
     "ab_test_first_touch": ab_test_first_touch,
@@ -810,6 +908,8 @@ ORACLES = {
     "survival_km_order_gaps": SURVIVAL_KM_SQL,
     "tv_distance_source_mix": TV_DISTANCE_SOURCE_MIX_SQL,
     "stats_ks_value_drift": STATS_KS_VALUE_DRIFT_SQL,
+    "stats_chi2_dow_type": STATS_CHI2_DOW_TYPE_SQL,
+    "privacy_l_diversity": PRIVACY_L_DIVERSITY_SQL,
     "stats_corr_ols": STATS_CORR_OLS_SQL,
     "privacy_k_anonymity": PRIVACY_K_ANONYMITY_SQL,
     "stats_cusum_changepoint": STATS_CUSUM_SQL,
