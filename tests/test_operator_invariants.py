@@ -878,3 +878,28 @@ class TestSessionContinuationAnalytics:
         for r in rows:
             assert 1 <= r.n_distinct_sensitive <= r.n_rows
             assert r.meets_l_diversity == (r.n_distinct_sensitive >= L_DIVERSITY)
+
+    def test_kmv_estimates_bracket_exact_counts(self, spark, sf_dir):
+        """KMV sanity: sketch sizes bounded by k, exact intersection
+        bounded by the smaller side, estimates positive, ordered
+        (∩-est <= ∪-est), and within 50% of the exact values."""
+        from wikistream_event_data_pipeline_aws_spark.plans.sketches import (
+            KMV_K,
+            kmv_set_operations,
+        )
+
+        r = kmv_set_operations(spark, sf_dir).collect()
+        assert len(r) == 1
+        r = r[0]
+        assert r.k <= KMV_K
+        assert r.n_both <= r.k
+        assert r.n_inter_exact <= min(r.n_a_exact, r.n_b_exact)
+        assert 0 < r.est_intersection or r.n_inter_exact == 0
+        assert r.est_intersection <= r.est_union + 1e-9
+        for est, exact in (
+            (r.est_a, r.n_a_exact),
+            (r.est_b, r.n_b_exact),
+            (r.est_intersection, r.n_inter_exact),
+        ):
+            if exact:
+                assert abs(est - exact) / exact < 0.5, (est, exact)

@@ -594,9 +594,140 @@ FROM a JOIN x ON a.win_end = x.win_end
 """
 
 
+KMV_K = 256
+_KMV_DOMAIN = float(1 << 60)  # hex_hash is uniform on [0, 2^60)
+
+
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values sketches with MERGEABLE set-operation
+    estimates — the sketch family member HLL lacks: because a KMV
+    sketch is literally the k smallest hash values of a set, the union
+    sketch is computable FROM THE TWO SKETCHES (k smallest of their
+    union — demonstrated here by merging the sketch rows, not
+    rescanning the data), and the intersection follows from the
+    matching-hash fraction within the union sketch (ρ = |union-sketch
+    members present in both sides| / k, ∩-estimate = ρ·∪-estimate).
+    Everything except the final estimates is EXACT integer data — the
+    k smallest values of a deterministic md5 hash — so the whole
+    sketch state is value-hash-checkable; estimates are single float
+    expressions ((k−1)·2⁶⁰/h₍ₖ₎). Each sketch is a TakeOrdered top-k
+    (never a global sort); exact distinct counts ride along as the
+    error yardstick."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def members(year: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("user_id"))
+            .distinct()
+        )
+
+    def hashes(year: int) -> DataFrame:
+        return members(year).select(
+            hex_hash(F.col("user_id").cast("string"), seed="kmv").alias("h")
+        )
+
+    def sketch(h: DataFrame) -> DataFrame:
+        return h.orderBy("h").limit(KMV_K)
+
+    ha, hb = hashes(1995), hashes(1997)
+    sa = sketch(ha).localCheckpoint(eager=True)
+    sb = sketch(hb).localCheckpoint(eager=True)
+    su = sketch(sa.unionByName(sb).distinct())
+    ka = sa.agg(F.max("h").alias("hk_a"), F.count(F.lit(1)).alias("k_a"))
+    kb = sb.agg(F.max("h").alias("hk_b"), F.count(F.lit(1)).alias("k_b"))
+    both = (
+        su.join(sa.withColumnRenamed("h", "h_a"), su["h"] == F.col("h_a"), "left")
+        .join(sb.withColumnRenamed("h", "h_b"), su["h"] == F.col("h_b"), "left")
+        .agg(
+            F.max("h").alias("hk_u"),
+            F.count(F.lit(1)).alias("k_u"),
+            F.sum(
+                (F.col("h_a").isNotNull() & F.col("h_b").isNotNull()).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_both"),
+        )
+    )
+    xa = members(1995).agg(F.count(F.lit(1)).alias("n_a_exact"))
+    xb = members(1997).agg(F.count(F.lit(1)).alias("n_b_exact"))
+    xab = (
+        members(1995)
+        .intersect(members(1997))
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+
+    def est(k: str, hk: str) -> F.Column:
+        return (F.col(k) - 1).cast("double") * F.lit(_KMV_DOMAIN) / F.col(
+            hk
+        ).cast("double")
+
+    out = (
+        ka.crossJoin(kb).crossJoin(both).crossJoin(xa).crossJoin(xb).crossJoin(xab)
+    )
+    est_u = est("k_u", "hk_u")
+    return out.select(
+        F.col("k_a").alias("k"),
+        "n_a_exact",
+        "n_b_exact",
+        "n_inter_exact",
+        "n_both",
+        est("k_a", "hk_a").alias("est_a"),
+        est("k_b", "hk_b").alias("est_b"),
+        est_u.alias("est_union"),
+        (F.col("n_both").cast("double") / F.col("k_u").cast("double") * est_u).alias(
+            "est_intersection"
+        ),
+    )
+
+
+_KMV_HASH = (
+    "CAST(concat('0x', substr(md5(concat('kmv', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+_KMV_A = "SELECT DISTINCT o_custkey AS user_id FROM orders WHERE year(o_orderdate) = 1995"
+_KMV_B = "SELECT DISTINCT o_custkey AS user_id FROM orders WHERE year(o_orderdate) = 1997"
+
+KMV_SET_OPERATIONS_SQL = f"""
+WITH ha AS (
+  SELECT {_KMV_HASH} AS h FROM ({_KMV_A})
+),
+hb AS (
+  SELECT {_KMV_HASH} AS h FROM ({_KMV_B})
+),
+sa AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+sb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+su AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT {KMV_K}
+),
+ka AS (SELECT MAX(h) AS hk_a, COUNT(*) AS k_a FROM sa),
+kb AS (SELECT MAX(h) AS hk_b, COUNT(*) AS k_b FROM sb),
+bth AS (
+  SELECT MAX(su.h) AS hk_u, COUNT(*) AS k_u,
+         CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM su LEFT JOIN sa a ON su.h = a.h LEFT JOIN sb b ON su.h = b.h
+),
+xa AS (SELECT COUNT(*) AS n_a_exact FROM ({_KMV_A})),
+xb AS (SELECT COUNT(*) AS n_b_exact FROM ({_KMV_B})),
+xab AS (
+  SELECT COUNT(*) AS n_inter_exact FROM (
+    SELECT user_id FROM ({_KMV_A}) INTERSECT SELECT user_id FROM ({_KMV_B})
+  )
+)
+SELECT k_a AS k, n_a_exact, n_b_exact, n_inter_exact, n_both,
+       CAST(k_a - 1 AS DOUBLE) * {_KMV_DOMAIN!r} / CAST(hk_a AS DOUBLE) AS est_a,
+       CAST(k_b - 1 AS DOUBLE) * {_KMV_DOMAIN!r} / CAST(hk_b AS DOUBLE) AS est_b,
+       CAST(k_u - 1 AS DOUBLE) * {_KMV_DOMAIN!r} / CAST(hk_u AS DOUBLE) AS est_union,
+       CAST(n_both AS DOUBLE) / CAST(k_u AS DOUBLE)
+         * (CAST(k_u - 1 AS DOUBLE) * {_KMV_DOMAIN!r} / CAST(hk_u AS DOUBLE))
+         AS est_intersection
+FROM ka, kb, bth, xa, xb, xab
+"""
+
+
 QUERIES = {
     "hll_join_cardinality": hll_join_cardinality,
     "hll_rolling_distinct": hll_rolling_distinct,
+    "kmv_set_operations": kmv_set_operations,
     "hll_distinct_events": hll_distinct_events,
     "hll_distinct_users_by_type": hll_distinct_users_by_type,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -606,6 +737,7 @@ QUERIES = {
 ORACLES = {
     "hll_join_cardinality": HLL_JOIN_CARDINALITY_SQL,
     "hll_rolling_distinct": HLL_ROLLING_DISTINCT_SQL,
+    "kmv_set_operations": KMV_SET_OPERATIONS_SQL,
     "hll_distinct_events": HLL_DISTINCT_EVENTS_SQL,
     "hll_distinct_users_by_type": HLL_DISTINCT_USERS_BY_TYPE_SQL,
     "heavy_hitters_cms": HEAVY_HITTERS_CMS_SQL,
