@@ -903,3 +903,30 @@ class TestSessionContinuationAnalytics:
         ):
             if exact:
                 assert abs(est - exact) / exact < 0.5, (est, exact)
+
+    def test_lpm_resolution_partitions_events(self, spark, sf_dir):
+        """Every event resolves to exactly one rule (counts partition
+        the event table) and nested prefixes win by specificity: a
+        python recomputation over user ids reproduces the counts."""
+        from collections import Counter
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.relational import (
+            _LPM_RULES,
+            join_longest_prefix_match,
+        )
+
+        got = {r.label: r.n_events for r in join_longest_prefix_match(spark, sf_dir).collect()}
+        uids = [
+            str(r.user_id)
+            for r in load_table(spark, sf_dir, "events").select("user_id").collect()
+        ]
+        assert sum(got.values()) == len(uids)
+        by_prefix = {p: lbl for p, lbl in _LPM_RULES}
+        expected = Counter()
+        for uid in uids:
+            best = max(
+                (p for p in by_prefix if uid.startswith(p)), key=len
+            )
+            expected[by_prefix[best]] += 1
+        assert got == dict(expected)

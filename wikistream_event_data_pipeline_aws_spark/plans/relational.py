@@ -193,14 +193,88 @@ INCREMENTAL_JOIN_DELTA_SQL = "\nUNION ALL\n".join(
 )
 
 
+# Longest-prefix-match rule table: (prefix, label). Nested prefixes on
+# purpose — '1' < '10' < '104' — so specificity resolution is exercised.
+_LPM_RULES = (
+    ("", "default"),
+    ("1", "seg_1"),
+    ("10", "seg_10"),
+    ("104", "seg_104"),
+    ("7", "seg_7"),
+    ("9", "seg_9"),
+    ("99", "seg_99"),
+)
+_LPM_MAX_LEN = max(len(p) for p, _ in _LPM_RULES)
+
+
+def join_longest_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match dimension resolution — the hierarchical
+    rules join (IP→network, category path→policy, MCC prefix→fee tier)
+    that naive SQL writes as a ``LIKE`` theta-join (a cross product).
+    The scalable lowering: each row expands to its ≤ L+1 candidate
+    prefixes (a bounded generator, no shuffle), equi-joins the
+    broadcast rule table on the prefix, and keeps the most specific
+    match per row with ``max_by(label, prefix_len)`` — one hash agg,
+    ties impossible since prefix lengths are distinct per row. Output
+    rolls up to per-rule match counts. At 100 TB: |rows|·(L+1)
+    candidate grain, broadcast rules, zero inequality joins."""
+    rules = spark.createDataFrame(
+        [(p, lbl, len(p)) for p, lbl in _LPM_RULES],
+        "prefix string, label string, plen int",
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("uid")
+    )
+    cands = e.select(
+        "event_id",
+        F.explode(
+            F.array(
+                *[F.substring("uid", 1, n) for n in range(0, _LPM_MAX_LEN + 1)]
+            )
+        ).alias("prefix"),
+    ).distinct()
+    matched = cands.join(F.broadcast(rules), "prefix")
+    resolved = matched.groupBy("event_id").agg(
+        F.expr("max_by(label, plen)").alias("label")
+    )
+    return resolved.groupBy("label").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def _lpm_rules_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{p}' AS prefix, '{lbl}' AS label, {len(p)} AS plen"
+        for p, lbl in _LPM_RULES
+    )
+
+
+JOIN_LONGEST_PREFIX_MATCH_SQL = f"""
+WITH rules AS ({_lpm_rules_sql()}),
+e AS (SELECT event_id, CAST(user_id AS VARCHAR) AS uid FROM events),
+cands AS (
+  SELECT DISTINCT event_id, substr(uid, 1, n.n) AS prefix
+  FROM e, (SELECT unnest(generate_series(0, {_LPM_MAX_LEN})) AS n) n
+),
+matched AS (
+  SELECT c.event_id, r.label, r.plen
+  FROM cands c JOIN rules r ON c.prefix = r.prefix
+),
+resolved AS (
+  SELECT event_id, arg_max(label, plen) AS label FROM matched GROUP BY event_id
+)
+SELECT label, COUNT(*) AS n_events FROM resolved GROUP BY label
+"""
+
+
 QUERIES = {
     "metric_unpivot": metric_unpivot,
     "join_null_safe_buckets": join_null_safe_buckets,
     "incremental_join_delta": incremental_join_delta,
+    "join_longest_prefix_match": join_longest_prefix_match,
 }
 
 ORACLES = {
     "metric_unpivot": METRIC_UNPIVOT_SQL,
     "join_null_safe_buckets": JOIN_NULL_SAFE_BUCKETS_SQL,
     "incremental_join_delta": INCREMENTAL_JOIN_DELTA_SQL,
+    "join_longest_prefix_match": JOIN_LONGEST_PREFIX_MATCH_SQL,
 }
