@@ -930,3 +930,31 @@ class TestSessionContinuationAnalytics:
             )
             expected[by_prefix[best]] += 1
         assert got == dict(expected)
+
+    def test_decayed_value_bounded_by_raw_sum(self, spark, sf_dir):
+        """Decay weights never exceed 1, so each user's decayed score is
+        bounded by the raw value sum (and is positive when events are)."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.extensions import (
+            decayed_user_value,
+        )
+        from pyspark.sql import functions as F
+
+        rows = decayed_user_value(spark, sf_dir).collect()
+        assert rows
+        raw = {
+            r.user_id: r.s
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("s"))
+            .collect()
+        }
+        prev = None
+        for r in rows:
+            assert r.decayed_value <= raw[r.user_id] + 1e-6
+            if prev is not None:  # registry ordering: strictly ranked output
+                assert (prev.decayed_value, -prev.user_id) >= (
+                    r.decayed_value,
+                    -r.user_id,
+                )
+            prev = r

@@ -548,8 +548,82 @@ FROM per_key
 """
 
 
+DECAY_KMAX = 5  # decay floor: weights below 2^-KMAX clamp to 2^-KMAX
+DECAY_TOP = 20
+
+
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score: per user, Σ value·2^(−age_weeks)
+    with the half-life fixed at one week — the ranking signal a
+    freshness-aware feed/featurization job maintains. Exponential decay
+    is float-hostile (pow() has no cross-engine bit guarantee), so the
+    weight is PIECEWISE-CONSTANT per week and a POWER OF TWO: every
+    term is ``value · 2^(KMAX − k)`` in exact DECIMAL (shiftleft — no
+    float until the end), the aggregate is order-free, and the single
+    closing division by 2^KMAX is exact-denominator. Ages beyond KMAX
+    weeks clamp to the floor weight rather than vanishing (documented
+    trade: keeps the shift exponent bounded). One hash agg + broadcast
+    max-date; top-{DECAY_TOP} via TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    mx = e.agg(F.max("d").alias("max_d"))
+    t = e.join(F.broadcast(mx)).select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.least(
+            F.expr("datediff(max_d, d) div 7"), F.lit(DECAY_KMAX).cast("long")
+        ).alias("k"),
+    )
+    scaled = t.select(
+        "user_id",
+        (
+            F.col("v")
+            * F.expr(f"CAST(shiftleft(1L, {DECAY_KMAX} - k) AS DECIMAL(18,0))")
+        ).alias("term"),
+    )
+    agg = scaled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("term").alias("scaled_sum"),
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_events",
+            (F.col("scaled_sum").cast("double") / F.lit(float(1 << DECAY_KMAX))).alias(
+                "decayed_value"
+            ),
+        )
+        .orderBy(F.col("decayed_value").desc(), F.col("user_id").asc())
+        .limit(DECAY_TOP)
+    )
+
+
+DECAYED_USER_VALUE_SQL = f"""
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+mx AS (SELECT MAX(d) AS max_d FROM e),
+t AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+         LEAST(date_diff('day', d, (SELECT max_d FROM mx)) // 7,
+               {DECAY_KMAX}) AS k
+  FROM e
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(v * CAST(1::BIGINT << ({DECAY_KMAX} - k) AS DECIMAL(18,0))) AS scaled_sum
+  FROM t GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(CAST(scaled_sum AS VARCHAR) AS DOUBLE) / {float(1 << DECAY_KMAX)!r}
+         AS decayed_value
+FROM agg
+ORDER BY decayed_value DESC, user_id ASC LIMIT {DECAY_TOP}
+"""
+
+
 QUERIES = {
     "incremental_agg_merge": incremental_agg_merge,
+    "decayed_user_value": decayed_user_value,
     "skew_profile": skew_profile,
     "pivot_type_counts_by_date": pivot_type_counts_by_date,
     "rollup_date_type": rollup_date_type,
@@ -566,6 +640,7 @@ QUERIES = {
 
 ORACLES = {
     "incremental_agg_merge": INCREMENTAL_AGG_MERGE_SQL,
+    "decayed_user_value": DECAYED_USER_VALUE_SQL,
     "skew_profile": SKEW_PROFILE_SQL,
     "pivot_type_counts_by_date": PIVOT_TYPE_COUNTS_SQL,
     "rollup_date_type": ROLLUP_DATE_TYPE_SQL,
