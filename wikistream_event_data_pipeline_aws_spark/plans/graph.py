@@ -341,9 +341,14 @@ def graph_khop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     division at the edge. Top-{KHOP_TOP} via TakeOrderedAndProject —
     no global sort."""
     edges = _cooccurrence_edges(spark, sf_dir)
-    sym = edges.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    sym = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        # fenced: hop1, the frontier join's probe side and the degree agg
+        # all branch from here — without this the order-pair self-join
+        # runs three times
+        .localCheckpoint(eager=False)
+    )
     # 1-hop pairs + 2-hop pairs (excluding the origin itself), deduped at
     # (origin, reached) grain: the distance<=2 reachability set.
     hop1 = sym.select(F.col("src").alias("origin"), F.col("dst").alias("reached"))
@@ -447,9 +452,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round with survivor counts — plan-invariant, so oracle parity
     checks every intermediate peel, not just the final core."""
     edges = _cooccurrence_edges(spark, sf_dir)
-    sym = edges.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    sym = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        # fence the co-occurrence self-join: each peel round's degree agg
+        # and two semi joins branch from this relation, and without the
+        # checkpoint every branch re-executes the order-pair join
+        .localCheckpoint(eager=False)
+    )
     rounds = []
     cur = sym
     for rnd in range(1, KCORE_ROUNDS + 1):

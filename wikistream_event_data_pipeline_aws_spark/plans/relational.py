@@ -225,14 +225,19 @@ def join_longest_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", F.col("user_id").cast("string").alias("uid")
     )
+    # array_distinct dedupes short uids' repeated prefixes PER ROW
+    # (substr('42',1,2) == substr('42',1,3)) — a free projection, where a
+    # relational .distinct() here would shuffle |rows|·(L+1) candidates
     cands = e.select(
         "event_id",
         F.explode(
-            F.array(
-                *[F.substring("uid", 1, n) for n in range(0, _LPM_MAX_LEN + 1)]
+            F.array_distinct(
+                F.array(
+                    *[F.substring("uid", 1, n) for n in range(0, _LPM_MAX_LEN + 1)]
+                )
             )
         ).alias("prefix"),
-    ).distinct()
+    )
     matched = cands.join(F.broadcast(rules), "prefix")
     resolved = matched.groupBy("event_id").agg(
         F.expr("max_by(label, plen)").alias("label")
