@@ -958,3 +958,51 @@ class TestSessionContinuationAnalytics:
                     -r.user_id,
                 )
             prev = r
+
+    def test_streaming_hll_merge_is_idempotent_and_matches_batch(self, spark, sf_dir):
+        """Replaying the whole stream a second time (fresh checkpoint,
+        same register table) leaves the registers bit-identical — the
+        max-merge algebra, not the checkpoint, carries exactly-once.
+        And the streamed registers equal the one-pass batch registers."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+            file_stream,
+            hll_batch_registers,
+            start_hll_sink,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="hll_idem_")
+        src, regs_path = f"{tmp}/src", f"{tmp}/regs"
+        e = load_table(spark, sf_dir, "events").select("user_id")
+        for parity in (0, 1):
+            e.filter(F.col("user_id") % 2 == parity).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        def run(ckpt: str) -> dict:
+            q = start_hll_sink(
+                file_stream(spark, src, "user_id bigint", max_files_per_trigger=1),
+                regs_path,
+                key_col="user_id",
+                seed="hlls",
+                checkpoint_dir=ckpt,
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination(300)
+            assert not q.isActive
+            return {
+                r.bucket: r.M for r in spark.read.parquet(regs_path).collect()
+            }
+
+        first = run(f"{tmp}/ckpt1")
+        second = run(f"{tmp}/ckpt2")  # full replay into the same table
+        assert first == second
+        batch = {
+            r.bucket: r.M
+            for r in hll_batch_registers(e, "user_id", seed="hlls").collect()
+        }
+        assert first == batch

@@ -724,10 +724,95 @@ FROM ka, kb, bth, xa, xb, xab
 """
 
 
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch materialization end-to-end: the events table is
+    replayed as TWO micro-batches (deterministic even/odd user split,
+    one file each) through ``streaming.ingest.start_hll_sink``, whose
+    foreachBatch MAX-merges each batch's registers into a persistent
+    ≤1024-row register table — then the final estimate is read back
+    from that table. Because register max-merge is associative and
+    idempotent, the streamed two-batch sketch is BIT-IDENTICAL to the
+    batch sketch over all events, which is exactly what the DuckDB
+    oracle checks (same construction, one pass). Replay idempotency is
+    pinned separately in the invariant tests."""
+    import tempfile
+
+    from ..streaming.ingest import file_stream, start_hll_sink
+
+    tmp = tempfile.mkdtemp(prefix="hll_stream_")
+    src, regs_path, ckpt = f"{tmp}/src", f"{tmp}/regs", f"{tmp}/ckpt"
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    for parity in (0, 1):
+        e.filter(F.col("user_id") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = file_stream(spark, src, "user_id bigint", max_files_per_trigger=1)
+    q = start_hll_sink(
+        stream,
+        regs_path,
+        key_col="user_id",
+        seed="hlls",
+        checkpoint_dir=ckpt,
+        m=HLL_M,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("hll stream did not finish in 300s")
+
+    regs = spark.read.parquet(regs_path)
+    a = regs.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.expr("CAST(shiftleft(1L, 62 - M) AS DECIMAL(38,0))")).alias("s_obs"),
+    )
+    x = e.agg(F.countDistinct("user_id").alias("n_exact"))
+    s_total = F.expr(
+        f"s_obs + CAST({HLL_M}L - n_obs AS DECIMAL(38,0))"
+        f" * CAST({_POW62} AS DECIMAL(38,0))"
+    )
+    est = F.lit(float(_NUM)) / s_total.cast("double")
+    n_exact_d = F.col("n_exact").cast("double")
+    return a.crossJoin(x).select(
+        F.col("n_obs").alias("n_nonzero_registers"),
+        F.col("n_exact").alias("n_exact_distinct"),
+        est.alias("hll_estimate"),
+        ((est - n_exact_d) / n_exact_d).alias("rel_error"),
+    )
+
+
+STREAMING_HLL_USERS_SQL = f"""
+WITH h AS (
+  SELECT CAST(concat('0x', substr(md5(concat('hlls', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+t AS (SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS rest FROM h),
+r AS (
+  SELECT bucket, MAX(51 - length(ltrim(bin(rest), '0'))) AS M
+  FROM t GROUP BY bucket
+),
+a AS (
+  SELECT COUNT(*) AS n_obs,
+         SUM(CAST(1::BIGINT << (62 - M) AS DECIMAL(38,0))) AS s_obs
+  FROM r
+),
+x AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+SELECT n_obs AS n_nonzero_registers,
+       n_exact AS n_exact_distinct,
+       {_NUM} / CAST(s_obs + CAST({HLL_M} - n_obs AS DECIMAL(38,0))
+                     * CAST({_POW62} AS DECIMAL(38,0)) AS DOUBLE) AS hll_estimate,
+       ({_NUM} / CAST(s_obs + CAST({HLL_M} - n_obs AS DECIMAL(38,0))
+                      * CAST({_POW62} AS DECIMAL(38,0)) AS DOUBLE)
+        - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
+FROM a, x
+"""
+
+
 QUERIES = {
     "hll_join_cardinality": hll_join_cardinality,
     "hll_rolling_distinct": hll_rolling_distinct,
     "kmv_set_operations": kmv_set_operations,
+    "streaming_hll_users": streaming_hll_users,
     "hll_distinct_events": hll_distinct_events,
     "hll_distinct_users_by_type": hll_distinct_users_by_type,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -738,6 +823,7 @@ ORACLES = {
     "hll_join_cardinality": HLL_JOIN_CARDINALITY_SQL,
     "hll_rolling_distinct": HLL_ROLLING_DISTINCT_SQL,
     "kmv_set_operations": KMV_SET_OPERATIONS_SQL,
+    "streaming_hll_users": STREAMING_HLL_USERS_SQL,
     "hll_distinct_events": HLL_DISTINCT_EVENTS_SQL,
     "hll_distinct_users_by_type": HLL_DISTINCT_USERS_BY_TYPE_SQL,
     "heavy_hitters_cms": HEAVY_HITTERS_CMS_SQL,

@@ -566,3 +566,66 @@ def start_snapshot_sink(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def hll_batch_registers(
+    df: DataFrame, key_col: str, seed: str, m: int = 1024
+) -> DataFrame:
+    """One micro-batch's HyperLogLog registers over ``key_col`` — the
+    same engine-neutral construction as ``plans/sketches.py`` (md5
+    60-bit uniform, low bits = bucket, rho via binary-string leading
+    zeros): (bucket, M) rows, at most ``m`` of them."""
+    from ..operators.textops import hex_hash
+
+    h = hex_hash(F.col(key_col).cast("string"), seed=seed)
+    t = df.select(h.alias("h")).select(
+        (F.col("h") % m).alias("bucket"),
+        F.expr(f"h div {m}").alias("rest"),
+    )
+    rho = F.lit(51) - F.length(F.expr("ltrim('0', conv(rest, 10, 2))"))
+    return (
+        t.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def start_hll_sink(
+    stream_df: DataFrame,
+    registers_path: str,
+    key_col: str,
+    seed: str,
+    checkpoint_dir: str,
+    m: int = 1024,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming sketch materialization: each micro-batch's registers
+    MAX-merge into a persistent register table — the production pattern
+    where a distinct-count over an unbounded stream costs O(m) state
+    instead of an unbounded dedup. The merge is naturally idempotent
+    (max is), so replayed batches cannot corrupt the sketch — the
+    exactly-once guarantee falls out of the algebra rather than the
+    checkpoint. The register table is sketch-sized (≤ m rows) by
+    construction, so the driver-side materialization before the
+    overwrite-in-place is bounded and safe."""
+    spark = stream_df.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_batch_registers(batch_df, key_col, seed, m)
+        if path_exists(spark, registers_path):
+            regs = regs.unionByName(spark.read.parquet(registers_path))
+        merged = regs.groupBy("bucket").agg(F.max("M").alias("M"))
+        rows = merged.collect()  # <= m rows: sketch-sized by construction
+        if not rows:
+            return
+        out = spark.createDataFrame(rows, merged.schema)
+        out.coalesce(1).write.mode("overwrite").parquet(registers_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
