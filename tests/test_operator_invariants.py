@@ -1006,3 +1006,64 @@ class TestSessionContinuationAnalytics:
             for r in hll_batch_registers(e, "user_id", seed="hlls").collect()
         }
         assert first == batch
+
+    def test_seasonal_outlier_counts_match_float_recompute(self, spark, sf_dir):
+        """The exact-decimal 3σ decision agrees with a float recompute
+        (no observation in this corpus sits on the boundary), and every
+        (type, hour) cell is bounded by its event count."""
+        from collections import defaultdict
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            stats_seasonal_outliers,
+        )
+        from pyspark.sql import functions as F
+
+        rows = stats_seasonal_outliers(spark, sf_dir).collect()
+        assert rows
+        cells = defaultdict(list)
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .select("event_type", F.hour("ts").alias("h"), "value")
+            .collect()
+        ):
+            cells[(r.event_type, r.h)].append(r.value)
+        assert {(r.event_type, r.hour) for r in rows} == set(cells)
+        for r in rows:
+            xs = cells[(r.event_type, r.hour)]
+            assert r.n_events == len(xs)
+            n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+            expected = sum(1 for x in xs if (n * x - s) ** 2 > 9 * (n * q - s * s))
+            assert r.n_outliers == expected, (r, expected)
+
+    def test_churn_labels_are_temporally_sound(self, spark, sf_dir):
+        """Both classes populated; every labeled user has observation-
+        window features; the label matches a direct outcome recompute."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.wiki import (
+            _CHURN_SPLIT,
+            _CHURN_VALUE_MIN,
+            churn_label_features,
+        )
+        from pyspark.sql import functions as F
+
+        rows = churn_label_features(spark, sf_dir).collect()
+        assert rows
+        churned = [r for r in rows if r.churned]
+        retained = [r for r in rows if not r.churned]
+        assert churned and retained
+        e = load_table(spark, sf_dir, "events")
+        qual = {
+            r.user_id
+            for r in e.filter(
+                (F.col("ts") >= F.lit(_CHURN_SPLIT).cast("timestamp"))
+                & (F.col("event_type") == "purchase")
+                & (F.col("value") > _CHURN_VALUE_MIN)
+            )
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for r in rows:
+            assert r.churned == (r.user_id not in qual)
+            assert r.n_events > 0 and r.recency_days >= 0

@@ -888,8 +888,71 @@ GROUP BY 1, 2
 """
 
 
+def stats_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted outlier counts: events compared against
+    their own (event_type, hour-of-day) cell — the profile a metrics
+    monitor keeps so a nightly-batch spike isn't judged against the
+    daytime mean. The 3σ decision is evaluated WITHOUT computing σ as a
+    float: ``|x − μ| > 3σ`` cross-multiplies to
+    ``(n·x − S)² > 9·(n·Q − S²)`` with S=Σx, Q=Σx² in DECIMAL — both
+    sides exact, so the outlier COUNT is integer-deterministic even
+    though variance itself is irrational. Two passes over the cell:
+    one agg for (n, S, Q), one broadcast join back + conditional count.
+    Cells are |types|×24 — bounded state, broadcastable forever."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h"), F.col("value").cast("decimal(18,6)").alias("x")
+    )
+    prof = e.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    j = e.join(F.broadcast(prof), ["event_type", "h"])
+    # (n·x − S)² > 9·(n·Q − S²)  — all DECIMAL, exact comparison
+    lhs = (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,6)")
+    rhs = (
+        F.col("n") * F.col("q") - (F.col("s") * F.col("s")).cast("decimal(38,12)")
+    ).cast("decimal(38,12)")
+    is_out = (lhs.cast("decimal(38,3)") * lhs.cast("decimal(38,3)")).cast(
+        "decimal(38,6)"
+    ) > (F.lit(9) * rhs).cast("decimal(38,6)")
+    return (
+        j.groupBy("event_type", "h")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum(is_out.cast("int")).cast("bigint").alias("n_outliers"),
+        )
+        .withColumn("hour", F.col("h"))
+        .drop("h")
+    )
+
+
+STATS_SEASONAL_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS h,
+         CAST(value AS DECIMAL(18,6)) AS x
+  FROM events
+),
+prof AS (
+  SELECT event_type, h, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+  FROM e GROUP BY event_type, h
+)
+SELECT e.event_type,
+       MAX(n) AS n_events,
+       CAST(SUM(CASE WHEN
+           CAST(CAST(CAST(n * x - s AS DECIMAL(38,6)) AS DECIMAL(38,3))
+                * CAST(CAST(n * x - s AS DECIMAL(38,6)) AS DECIMAL(38,3)) AS DECIMAL(38,6))
+           > CAST(9 * CAST(n * q - CAST(s * s AS DECIMAL(38,12)) AS DECIMAL(38,12)) AS DECIMAL(38,6))
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       e.h AS hour
+FROM e JOIN prof ON e.event_type = prof.event_type AND e.h = prof.h
+GROUP BY e.event_type, e.h
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
+    "stats_seasonal_outliers": stats_seasonal_outliers,
     "survival_km_order_gaps": survival_km_order_gaps,
     "tv_distance_source_mix": tv_distance_source_mix,
     "stats_ks_value_drift": stats_ks_value_drift,
@@ -905,6 +968,7 @@ QUERIES = {
 
 ORACLES = {
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
+    "stats_seasonal_outliers": STATS_SEASONAL_OUTLIERS_SQL,
     "survival_km_order_gaps": SURVIVAL_KM_SQL,
     "tv_distance_source_mix": TV_DISTANCE_SOURCE_MIX_SQL,
     "stats_ks_value_drift": STATS_KS_VALUE_DRIFT_SQL,

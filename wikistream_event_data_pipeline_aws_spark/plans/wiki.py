@@ -692,6 +692,82 @@ FROM per_day GROUP BY d
 """
 
 
+_CHURN_SPLIT = "2024-01-24 00:00:00"  # observation window | outcome window
+_CHURN_VALUE_MIN = 50  # qualifying-purchase threshold for the retention label
+
+
+def churn_label_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set assembly for churn prediction — the label-builder
+    shape every supervised pipeline runs: FEATURES from the observation
+    window (activity counts, purchase counts, exact decimal spend,
+    active days, recency at the split), LABEL from the disjoint outcome
+    window (churned = no qualifying purchase after the split), joined with a left
+    anti-ish pattern (left join + null flag, so retained users keep
+    their outcome row). The time split — never a random split — is what
+    prevents leakage in temporal prediction; features can only see
+    pre-split data by construction. One agg per window + one keyed
+    left join."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_CHURN_SPLIT).cast("timestamp")
+    w1 = e.filter(F.col("ts") < split)
+    feats = w1.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+        F.datediff(F.to_date(split), F.max(F.to_date("ts"))).alias("recency_days"),
+    )
+    # retention event: a QUALIFYING purchase (value > threshold) in the
+    # outcome window — raw activity is near-universal in the synthetic
+    # corpus, so labels would be degenerate; a value-gated conversion
+    # keeps both classes populated at every scale factor
+    active2 = (
+        e.filter(
+            (F.col("ts") >= split)
+            & (F.col("event_type") == "purchase")
+            & (F.col("value") > _CHURN_VALUE_MIN)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("seen_after", F.lit(1))
+    )
+    return feats.join(active2, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "total_value",
+        "n_active_days",
+        "recency_days",
+        F.col("seen_after").isNull().alias("churned"),
+    )
+
+
+CHURN_LABEL_FEATURES_SQL = f"""
+WITH w1 AS (SELECT * FROM events WHERE ts < TIMESTAMP '{_CHURN_SPLIT}'),
+feats AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+         CAST(date_diff('day', MAX(CAST(ts AS DATE)),
+                        CAST(TIMESTAMP '{_CHURN_SPLIT}' AS DATE)) AS INTEGER) AS recency_days
+  FROM w1 GROUP BY user_id
+),
+active2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_CHURN_SPLIT}'
+    AND event_type = 'purchase' AND value > {_CHURN_VALUE_MIN}
+)
+SELECT f.user_id, f.n_events, f.n_purchases, f.total_value,
+       f.n_active_days, f.recency_days,
+       a.user_id IS NULL AS churned
+FROM feats f LEFT JOIN active2 a ON f.user_id = a.user_id
+"""
+
+
 def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: users grouped by their first-signup
     date, purchase revenue accumulated per week-since-signup — the
@@ -822,6 +898,7 @@ QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "funnel_time_to_convert": funnel_time_to_convert,
     "sequence_pattern_match": sequence_pattern_match,
+    "churn_label_features": churn_label_features,
     "retention_cohorts": retention_cohorts,
     "event_transition_matrix": event_transition_matrix,
     "event_trigram_counts": event_trigram_counts,
@@ -838,6 +915,7 @@ ORACLES = {
     "funnel_view_click_purchase": FUNNEL_SQL,
     "funnel_time_to_convert": FUNNEL_TIME_TO_CONVERT_SQL,
     "sequence_pattern_match": SEQUENCE_PATTERN_MATCH_SQL,
+    "churn_label_features": CHURN_LABEL_FEATURES_SQL,
     "retention_cohorts": RETENTION_COHORTS_SQL,
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
     "event_trigram_counts": EVENT_TRIGRAM_COUNTS_SQL,
