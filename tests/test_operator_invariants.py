@@ -1067,3 +1067,24 @@ class TestSessionContinuationAnalytics:
         for r in rows:
             assert r.churned == (r.user_id not in qual)
             assert r.n_events > 0 and r.recency_days >= 0
+
+    def test_revenue_shares_sum_to_one(self, spark, sf_dir):
+        """Within each region the nation shares sum to 1; the distinct
+        region shares sum to 1; all revenues positive."""
+        from collections import defaultdict
+
+        from wikistream_event_data_pipeline_aws_spark.plans.tpch_deep import (
+            revenue_share_hierarchy,
+        )
+
+        rows = revenue_share_hierarchy(spark, sf_dir).collect()
+        assert rows
+        by_region = defaultdict(list)
+        region_pct = {}
+        for r in rows:
+            assert r.nation_revenue > 0
+            by_region[r.region].append(r.pct_of_region)
+            region_pct[r.region] = r.region_pct_of_total
+        for shares in by_region.values():
+            assert abs(sum(shares) - 1.0) < 1e-9
+        assert abs(sum(region_pct.values()) - 1.0) < 1e-9

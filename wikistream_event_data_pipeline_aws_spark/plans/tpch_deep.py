@@ -552,8 +552,81 @@ FROM j GROUP BY o_year
 """
 
 
+def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup across the geography hierarchy: order
+    revenue per (region, nation) with each nation's share of its region
+    and each region's share of the total — the contribution readout
+    every BI drill-down renders. Revenue accumulates in exact DECIMAL
+    once at order grain; the two parent totals come from re-aggregating
+    the 25-row nation table (never a second fact scan) and join back
+    broadcast. Shares are single float divisions on the common
+    denominator. Shape at 100 TB: ONE fact-table aggregation to 25
+    rows, then bounded-size arithmetic."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("rev")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("rev").alias("nation_rev"))
+    )
+    per_region = per_nation.groupBy("r_name").agg(
+        F.sum("nation_rev").alias("region_rev")
+    )
+    total = per_nation.agg(F.sum("nation_rev").alias("total_rev"))
+    return (
+        per_nation.join(F.broadcast(per_region), "r_name")
+        .join(F.broadcast(total))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("nation_rev").cast("double").alias("nation_revenue"),
+            (
+                F.col("nation_rev").cast("double") / F.col("region_rev").cast("double")
+            ).alias("pct_of_region"),
+            (
+                F.col("region_rev").cast("double") / F.col("total_rev").cast("double")
+            ).alias("region_pct_of_total"),
+        )
+    )
+
+
+REVENUE_SHARE_HIERARCHY_SQL = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nation_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+per_region AS (
+  SELECT r_name, SUM(nation_rev) AS region_rev FROM per_nation GROUP BY r_name
+),
+total AS (SELECT SUM(nation_rev) AS total_rev FROM per_nation)
+SELECT pn.r_name AS region, pn.n_name AS nation,
+       CAST(CAST(pn.nation_rev AS VARCHAR) AS DOUBLE) AS nation_revenue,
+       CAST(CAST(pn.nation_rev AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(pr.region_rev AS VARCHAR) AS DOUBLE) AS pct_of_region,
+       CAST(CAST(pr.region_rev AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(t.total_rev AS VARCHAR) AS DOUBLE) AS region_pct_of_total
+FROM per_nation pn
+JOIN per_region pr ON pn.r_name = pr.r_name
+CROSS JOIN total t
+"""
+
+
 QUERIES = {
     "tpch_volume_shipping": volume_shipping,
+    "tpch_revenue_share_hierarchy": revenue_share_hierarchy,
     "tpch_national_market_share": national_market_share,
     "tpch_returned_item_customers": returned_item_customers,
     "tpch_order_count_distribution": order_count_distribution,
@@ -566,6 +639,7 @@ QUERIES = {
 
 ORACLES = {
     "tpch_volume_shipping": VOLUME_SHIPPING_SQL,
+    "tpch_revenue_share_hierarchy": REVENUE_SHARE_HIERARCHY_SQL,
     "tpch_national_market_share": NATIONAL_MARKET_SHARE_SQL,
     "tpch_returned_item_customers": RETURNED_ITEM_CUSTOMERS_SQL,
     "tpch_order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
