@@ -1088,3 +1088,28 @@ class TestSessionContinuationAnalytics:
         for shares in by_region.values():
             assert abs(sum(shares) - 1.0) < 1e-9
         assert abs(sum(region_pct.values()) - 1.0) < 1e-9
+
+    def test_ngram_novelty_first_doc_is_fully_novel(self, spark, sf_dir):
+        """The lowest doc_id is 100% novel; fractions lie in [0, 1];
+        novel counts are bounded by the shingle counts; corpus-wide,
+        novel n-grams sum to the distinct shingle vocabulary."""
+        from wikistream_event_data_pipeline_aws_spark.plans.text import (
+            text_ngram_novelty,
+        )
+
+        rows = sorted(text_ngram_novelty(spark, sf_dir).collect(), key=lambda r: r.doc_id)
+        assert rows
+        assert rows[0].novelty_frac == 1.0
+        total_novel = 0
+        for r in rows:
+            assert 0 <= r.n_novel <= r.n_ngrams
+            assert r.novelty_frac == r.n_novel / r.n_ngrams
+            total_novel += r.n_novel
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.operators.textops import (
+            exploded_shingles,
+        )
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        vocab = exploded_shingles(d, "doc_id", "text", k=3).select("shingle").distinct().count()
+        assert total_novel == vocab

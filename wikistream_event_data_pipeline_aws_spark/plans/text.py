@@ -346,8 +346,69 @@ FROM ranked GROUP BY doc_id
 """
 
 
+NOVELTY_K = 3
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty — the redundancy curve a curation
+    pipeline watches while assembling training data: for each doc (in
+    doc_id ingestion order), what fraction of its distinct
+    {NOVELTY_K}-grams has never appeared in any EARLIER doc. Computed
+    without any ordered scan: the first-seen owner of every shingle is
+    a ``min(doc_id)`` hash agg, joined back to the per-doc shingle
+    sets — two keyed shuffles total, fully parallel, no window over the
+    corpus order. A novelty collapse across ingestion time is the
+    earliest near-dup / crawl-loop signal, visible before any pairwise
+    dedup runs."""
+    from ..operators.textops import exploded_shingles
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = exploded_shingles(d, "doc_id", "text", k=NOVELTY_K).distinct()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first, "shingle")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_frac",
+            F.col("n_novel").cast("double") / F.col("n_ngrams").cast("double"),
+        )
+    )
+
+
+TEXT_NGRAM_NOVELTY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= {NOVELTY_K}
+                     THEN list_transform(range(1, len(t) - 1),
+                                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                     ELSE [] END) AS shingle
+  FROM toks
+),
+first_seen AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id,
+       COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+FROM sh JOIN first_seen f ON sh.shingle = f.shingle
+GROUP BY sh.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_ngram_novelty": text_ngram_novelty,
     "text_hashing_vectorize": text_hashing_vectorize,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -358,6 +419,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,
     "text_hashing_vectorize": TEXT_HASHING_VECTORIZE_SQL,
     "text_quality_score": TEXT_QUALITY_SCORE_SQL,
     "text_langid": TEXT_LANGID_SQL,
