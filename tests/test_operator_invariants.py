@@ -1113,3 +1113,17 @@ class TestSessionContinuationAnalytics:
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         vocab = exploded_shingles(d, "doc_id", "text", k=3).select("shingle").distinct().count()
         assert total_novel == vocab
+
+    def test_leadtime_order_statistics_are_ordered(self, spark, sf_dir):
+        """min <= median <= p90 <= max per supplier, and every reported
+        supplier meets the minimum line count."""
+        from wikistream_event_data_pipeline_aws_spark.plans.tpch_deep import (
+            LEADTIME_MIN_LINES,
+            supplier_leadtime,
+        )
+
+        rows = supplier_leadtime(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.n_lines >= LEADTIME_MIN_LINES
+            assert r.min_days <= r.median_days <= r.p90_days <= r.max_days, r

@@ -624,9 +624,87 @@ CROSS JOIN total t
 """
 
 
+LEADTIME_MIN_LINES = 40
+
+
+def supplier_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time distribution per supplier — the ops SLA
+    readout: exact integer day gaps (l_shipdate − o_orderdate), with
+    median and p90 as RANK order statistics (element ``ceil(q·n)`` by
+    ``(gap, l_orderkey, l_partkey)``) so no interpolation float ever
+    enters; suppliers under {MIN} lines are dropped (their order
+    statistics are noise). One orderkey equi-join + one
+    supplier-partitioned window + one hash agg; at scale the window
+    partitions on the supplier key (high cardinality — no skew
+    concern) and the join is the natural fact-fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", F.to_date("l_shipdate").alias("ship")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("placed")
+    )
+    g = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_partkey",
+        F.datediff("ship", "placed").alias("gap_days"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_suppkey").orderBy("gap_days", "l_orderkey", "l_partkey")
+    nw = Window.partitionBy("l_suppkey")
+    ranked = g.select(
+        "l_suppkey",
+        "gap_days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    ).filter(F.col("n") >= LEADTIME_MIN_LINES)
+
+    def q_at(q: float, name: str):
+        return F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(q)).cast("bigint"),
+                F.col("gap_days"),
+            )
+        ).alias(name)
+
+    return ranked.groupBy("l_suppkey").agg(
+        F.max("n").alias("n_lines"),
+        F.min("gap_days").alias("min_days"),
+        q_at(0.5, "median_days"),
+        q_at(0.9, "p90_days"),
+        F.max("gap_days").alias("max_days"),
+    )
+
+
+SUPPLIER_LEADTIME_SQL = f"""
+WITH g AS (
+  SELECT l_suppkey, l_orderkey, l_partkey,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS gap_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ranked AS (
+  SELECT l_suppkey, gap_days,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY gap_days, l_orderkey, l_partkey) AS rn,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+  FROM g
+)
+SELECT l_suppkey,
+       MAX(n) AS n_lines,
+       MIN(gap_days) AS min_days,
+       MIN(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN gap_days END) AS median_days,
+       MIN(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN gap_days END) AS p90_days,
+       MAX(gap_days) AS max_days
+FROM ranked WHERE n >= {LEADTIME_MIN_LINES}
+GROUP BY l_suppkey
+"""
+
+
 QUERIES = {
     "tpch_volume_shipping": volume_shipping,
     "tpch_revenue_share_hierarchy": revenue_share_hierarchy,
+    "tpch_supplier_leadtime": supplier_leadtime,
     "tpch_national_market_share": national_market_share,
     "tpch_returned_item_customers": returned_item_customers,
     "tpch_order_count_distribution": order_count_distribution,
@@ -640,6 +718,7 @@ QUERIES = {
 ORACLES = {
     "tpch_volume_shipping": VOLUME_SHIPPING_SQL,
     "tpch_revenue_share_hierarchy": REVENUE_SHARE_HIERARCHY_SQL,
+    "tpch_supplier_leadtime": SUPPLIER_LEADTIME_SQL,
     "tpch_national_market_share": NATIONAL_MARKET_SHARE_SQL,
     "tpch_returned_item_customers": RETURNED_ITEM_CUSTOMERS_SQL,
     "tpch_order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
