@@ -1127,3 +1127,34 @@ class TestSessionContinuationAnalytics:
         for r in rows:
             assert r.n_lines >= LEADTIME_MIN_LINES
             assert r.min_days <= r.median_days <= r.p90_days <= r.max_days, r
+
+    def test_cv_folds_partition_each_stratum(self, spark, sf_dir):
+        """Per language, fold counts sum to the stratum size, shares sum
+        to 1, folds range over 0..K-1, assignment is hash-reproducible."""
+        import hashlib
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.llmprep import (
+            CV_FOLDS,
+            _CV_SEED,
+            cv_fold_assignment,
+        )
+        from collections import Counter
+
+        rows = cv_fold_assignment(spark, sf_dir).collect()
+        assert rows
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+        expected = Counter()
+        for d in docs:
+            h = int(hashlib.md5(f"{_CV_SEED}{d.doc_id}".encode()).hexdigest()[:15], 16)
+            expected[(d.lang, h % CV_FOLDS)] += 1
+        got = {(r.lang, r.fold): r.n_docs for r in rows}
+        assert got == dict(expected)
+        from collections import defaultdict
+
+        shares = defaultdict(float)
+        for r in rows:
+            assert 0 <= r.fold < CV_FOLDS
+            shares[r.lang] += r.share_of_stratum
+        for v in shares.values():
+            assert abs(v - 1.0) < 1e-9

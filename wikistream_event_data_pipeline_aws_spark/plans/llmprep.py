@@ -890,6 +890,52 @@ FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
 """
 
 
+CV_FOLDS = 5
+_CV_SEED = "cvfold"
+
+
+def cv_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment with a
+    stratification audit: every doc lands in fold ``md5-uniform mod
+    {CV_FOLDS}``, and the output reports per (fold, lang) doc counts
+    plus each fold's share of its language stratum — the balance check
+    that decides whether hash folding is acceptable or per-stratum
+    round-robin is needed. Folds are reproducible across engines,
+    reruns and backfills (the same property as the train/val/test
+    splitter above); the share is the single float division."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    fold = (hex_hash(F.col("doc_id").cast("string"), seed=_CV_SEED) % CV_FOLDS).alias(
+        "fold"
+    )
+    cells = d.select("lang", fold).groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    strata = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return cells.join(F.broadcast(strata), "lang").select(
+        "lang",
+        "fold",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_lang").cast("double")).alias(
+            "share_of_stratum"
+        ),
+    )
+
+
+CV_FOLD_ASSIGNMENT_SQL = f"""
+WITH cells AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(concat('{_CV_SEED}', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % {CV_FOLDS} AS fold,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+),
+strata AS (SELECT lang, SUM(n_docs) AS n_lang FROM cells GROUP BY lang)
+SELECT c.lang, c.fold, c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / CAST(s.n_lang AS DOUBLE) AS share_of_stratum
+FROM cells c JOIN strata s ON c.lang = s.lang
+"""
+
+
 _SPLIT_SEED = "split"
 
 
@@ -961,6 +1007,7 @@ SPLIT_LEAKAGE_SQL = _split_leakage_sql()
 QUERIES = {
     "pack_sequences": pack_sequences,
     "split_leakage_audit": split_leakage_audit,
+    "cv_fold_assignment": cv_fold_assignment,
     "mixture_temperature_weights": mixture_temperature_weights,
     "doc_chunk_overlap": doc_chunk_overlap,
     "doc_chunk_cdc": doc_chunk_cdc,
@@ -980,6 +1027,7 @@ QUERIES = {
 ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "split_leakage_audit": SPLIT_LEAKAGE_SQL,
+    "cv_fold_assignment": CV_FOLD_ASSIGNMENT_SQL,
     "mixture_temperature_weights": MIXTURE_TEMPERATURE_SQL,
     "doc_chunk_overlap": DOC_CHUNK_OVERLAP_SQL,
     "doc_chunk_cdc": DOC_CHUNK_CDC_SQL,
