@@ -34,9 +34,14 @@ _ORACLES: dict[str, str] = {}
 # + 5 changed fill all 50 slots (the 25 r1 rows bump to round 5 — new
 # queries MUST verify this round; an old green row only ages).
 # The full set is always registered — only iteration order changes.
-# Queries added AFTER the round-4 front froze at 50 (survival_km,
-# tv_distance, graph_khop, split_leakage, …) are pytest-parity-verified
-# now (tests/test_oracle_parity.py replays the driver check) and head
+# Queries added AFTER the round-4 front froze at 50 — the continuation
+# session's 26 additions (survival/KS/chi2/TVD/seasonal exact stats,
+# KM life table, graph khop/kcore, split-leakage + CV folds + decon
+# fractions + n-gram novelty, PQ residuals, KMV + rolling/streaming
+# HLL sketches, Merkle sync, IVM join delta, LPM join, sequence
+# patterns, churn labels, revenue shares, supplier lead time, decayed
+# scores, cluster keepers, funnel latency) — are pytest-parity-verified
+# (tests/test_oracle_parity.py replays the driver check) and MUST head
 # the round-5 front together with the displaced r1 rows.
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- new in round 4 -------------------------------------------------
