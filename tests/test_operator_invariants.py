@@ -1158,3 +1158,36 @@ class TestSessionContinuationAnalytics:
             shares[r.lang] += r.share_of_stratum
         for v in shares.values():
             assert abs(v - 1.0) < 1e-9
+
+    def test_knn_predictions_match_pure_python(self, spark, sf_dir):
+        """Every held-out vector classified exactly once; the (neighbor,
+        vote, tie-break) pipeline reproduces a NumPy recomputation."""
+        import numpy as np
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.kmeans import (
+            KNN_K,
+            _KNN_TEST_MOD,
+            knn_classify_embeddings,
+        )
+        from collections import Counter
+
+        got = {r.vec_id: r for r in knn_classify_embeddings(spark, sf_dir).collect()}
+        assert got
+        rows = load_table(spark, sf_dir, "embeddings").collect()
+        test = [(r.vec_id, r.label, np.array(r.embedding, dtype=np.float64))
+                for r in rows if r.vec_id % _KNN_TEST_MOD == 0]
+        train = [(r.vec_id, r.label, np.array(r.embedding, dtype=np.float64))
+                 for r in rows if r.vec_id % _KNN_TEST_MOD != 0]
+        assert set(got) == {t[0] for t in test}
+        for t_id, true_label, tx in test:
+            scored = sorted(
+                (float(((tx - nx) ** 2).sum()), n_id, n_label)
+                for n_id, n_label, nx in train
+            )[:KNN_K]
+            votes = Counter(lbl for _, _, lbl in scored)
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            r = got[t_id]
+            assert r.true_label == true_label
+            assert r.predicted_label == best[0], (t_id, r, votes)
+            assert r.n_votes == best[1]

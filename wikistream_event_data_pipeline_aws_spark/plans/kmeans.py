@@ -299,13 +299,103 @@ FROM energies GROUP BY cid, block
 """
 
 
+KNN_K = 5
+_KNN_TEST_MOD = 5  # vec_id % MOD == 0 -> held-out test vector
+
+
+def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding space: every 5th vector
+    is held out, classified by majority label among its {KNN_K} nearest
+    labeled neighbors (exact squared-L2 via the deterministic dim-order
+    fold; neighbor ties break on vec_id, vote ties on the smaller
+    label) — the label-quality / embedding-quality probe an ML data
+    pipeline runs after every re-embedding. This exact all-pairs path
+    is the YARDSTICK at corpus scale the same candidate generation
+    moves to the LSH/IVF buckets of ``plans/similarity.py`` — only the
+    scoring set changes, the vote logic is identical. Output: one row
+    per held-out vector with its true label, prediction and vote count.
+    On THIS synthetic corpus accuracy sits at chance (~1/|labels|):
+    the labels are assigned independently of the vector geometry
+    (``embedding_class_scatter`` shows the same — within-class scatter
+    ≈ global scatter), and the probe reporting exactly that is the
+    point: it is the instrument that catches a broken re-embedding."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    test = e.filter(F.col("vec_id") % _KNN_TEST_MOD == 0).select(
+        F.col("vec_id").alias("t_id"), F.col("label").alias("true_label"), F.col("x").alias("tx")
+    )
+    train = e.filter(F.col("vec_id") % _KNN_TEST_MOD != 0).select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"), F.col("x").alias("nx")
+    )
+    scored = test.join(F.broadcast(train)).select(
+        "t_id", "true_label", "n_id", "n_label", _sq_dist(F.col("tx"), F.col("nx")).alias("dist")
+    )
+    wk = Window.partitionBy("t_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
+    topk = scored.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= KNN_K)
+    votes = topk.groupBy("t_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("t_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("t_id").alias("vec_id"),
+            "true_label",
+            F.col("n_label").alias("predicted_label"),
+            "n_votes",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+KNN_CLASSIFY_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+test AS (
+  SELECT vec_id AS t_id, label AS true_label, x AS tx
+  FROM e WHERE vec_id % {_KNN_TEST_MOD} = 0
+),
+train AS (
+  SELECT vec_id AS n_id, label AS n_label, x AS nx
+  FROM e WHERE vec_id % {_KNN_TEST_MOD} != 0
+),
+scored AS (
+  SELECT t_id, true_label, n_id, n_label,
+         {_DIST_SQL.format(x="tx", c="nx")} AS dist
+  FROM test CROSS JOIN train
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id ORDER BY dist, n_id) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_K}
+),
+votes AS (
+  SELECT t_id, true_label, n_label, COUNT(*) AS n_votes
+  FROM topk GROUP BY t_id, true_label, n_label
+)
+SELECT t_id AS vec_id, true_label, n_label AS predicted_label, n_votes,
+       n_label = true_label AS correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id
+                               ORDER BY n_votes DESC, n_label ASC) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "embedding_class_scatter": embedding_class_scatter,
     "embedding_pq_residuals": embedding_pq_residuals,
+    "knn_classify_embeddings": knn_classify_embeddings,
 }
 ORACLES = {
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
     "embedding_class_scatter": EMBEDDING_CLASS_SCATTER_SQL,
     "embedding_pq_residuals": EMBEDDING_PQ_RESIDUALS_SQL,
+    "knn_classify_embeddings": KNN_CLASSIFY_SQL,
 }
