@@ -1191,3 +1191,26 @@ class TestSessionContinuationAnalytics:
             assert r.true_label == true_label
             assert r.predicted_label == best[0], (t_id, r, votes)
             assert r.n_votes == best[1]
+
+    def test_priority_sla_counts_partition_orders(self, spark, sf_dir):
+        """SLA counts bounded by order counts; rates consistent; every
+        order with at least one line appears in exactly one priority."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.tpch_deep import (
+            priority_sla,
+        )
+        from pyspark.sql import functions as F
+
+        rows = priority_sla(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r.n_met <= r.n_orders
+            assert r.sla_rate == r.n_met / r.n_orders
+        shipped = (
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+        )
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        n_with_lines = o.join(
+            shipped, o["o_orderkey"] == shipped["l_orderkey"]
+        ).count()
+        assert sum(r.n_orders for r in rows) == n_with_lines

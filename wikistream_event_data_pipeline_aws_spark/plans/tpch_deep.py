@@ -701,10 +701,62 @@ GROUP BY l_suppkey
 """
 
 
+SLA_DAYS = 30
+
+
+def priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA attainment per order priority: an order meets SLA when its
+    FIRST line ships within {SLA_DAYS} days of placement. First-ship is
+    a min-agg at order grain (collapsing lineitem BEFORE the priority
+    rollup, so the wide join output never carries line-grain rows into
+    the second shuffle); attainment-rate is exact counts + one float
+    division. The managerial readout behind Q4's semantics, adapted to
+    the synthetic schema (no l_commitdate)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship")
+    )
+    first_ship = li.groupBy("l_orderkey").agg(F.min("ship").alias("first_ship"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("placed")
+    )
+    j = o.join(first_ship, o["o_orderkey"] == first_ship["l_orderkey"]).select(
+        "o_orderpriority",
+        (F.datediff("first_ship", "placed") <= SLA_DAYS).alias("met"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("met").cast("int")).cast("bigint").alias("n_met"),
+        (
+            F.sum(F.col("met").cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("sla_rate"),
+    )
+
+
+PRIORITY_SLA_SQL = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE), first_ship) <= {SLA_DAYS} AS met
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN met THEN 1 ELSE 0 END) AS BIGINT) AS n_met,
+       CAST(SUM(CASE WHEN met THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS sla_rate
+FROM j GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "tpch_volume_shipping": volume_shipping,
     "tpch_revenue_share_hierarchy": revenue_share_hierarchy,
     "tpch_supplier_leadtime": supplier_leadtime,
+    "tpch_priority_sla": priority_sla,
     "tpch_national_market_share": national_market_share,
     "tpch_returned_item_customers": returned_item_customers,
     "tpch_order_count_distribution": order_count_distribution,
@@ -719,6 +771,7 @@ ORACLES = {
     "tpch_volume_shipping": VOLUME_SHIPPING_SQL,
     "tpch_revenue_share_hierarchy": REVENUE_SHARE_HIERARCHY_SQL,
     "tpch_supplier_leadtime": SUPPLIER_LEADTIME_SQL,
+    "tpch_priority_sla": PRIORITY_SLA_SQL,
     "tpch_national_market_share": NATIONAL_MARKET_SHARE_SQL,
     "tpch_returned_item_customers": RETURNED_ITEM_CUSTOMERS_SQL,
     "tpch_order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
