@@ -360,3 +360,91 @@ def test_snapshot_model_with_wap_and_mor_interleaved(spark, tmp_path):
     # rollback over the whole tangle re-points exactly
     snap.rollback(table, 3)
     model.append({0, 1, 2, 3, 10, 11}); check()
+
+
+# -- anti-entropy reconciliation ------------------------------------------------
+
+recon_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 60), st.integers(-100, 100)),
+    min_size=0,
+    max_size=50,
+    unique_by=lambda t: (t[0], t[1]),  # one signature per (part, key)
+)
+mutations = st.lists(st.integers(0, 60), max_size=8)
+
+
+@SLOW
+@given(rows=recon_rows, dropped=mutations, bumped=mutations)
+def test_merkle_compare_finds_exactly_the_mutations(spark, rows, dropped, bumped):
+    """For ANY keyed table and ANY drop/modify mutation set, the
+    two-level comparison flags exactly the partitions containing a
+    mutation, counts exactly the mutated keys, and reports everything
+    else in_sync."""
+    from wikistream_event_data_pipeline_aws_spark.operators.reconcile import (
+        merkle_compare,
+    )
+
+    def df(data):
+        return spark.createDataFrame(
+            data or [(0, 0, 0)], "part int, key int, sig long"
+        ).limit(len(data))
+
+    src = rows
+    rep = [
+        (p, k, sig + 7 if k in set(bumped) else sig)
+        for (p, k, sig) in rows
+        if k not in set(dropped)
+    ]
+    out = {r.part: r for r in merkle_compare(df(src), df(rep)).collect()}
+    mutated_keys = {
+        (p, k)
+        for (p, k, sig) in src
+        if k in set(dropped) or (k in set(bumped) and sig + 7 != sig)
+    }
+    divergent_parts = {p for p, _ in mutated_keys}
+    assert set(out) == {p for (p, _, _) in src}
+    for p, r in out.items():
+        assert r.in_sync == (p not in divergent_parts), (p, r)
+        expect_keys = sum(1 for (pp, _) in mutated_keys if pp == p)
+        assert r.n_divergent_keys == expect_keys, (p, r)
+
+
+# -- incremental view maintenance algebra --------------------------------------
+
+ivm_keys = st.lists(st.integers(0, 25), min_size=0, max_size=30)
+
+
+@SLOW
+@given(cust=ivm_keys, orders=ivm_keys, cmod=st.integers(2, 5), omod=st.integers(2, 5))
+def test_ivm_join_delta_algebra_holds_for_any_split(spark, cust, orders, cmod, omod):
+    """Δ(C ⋈ O) = ΔC⋈O ∪ C⋈ΔO ∪ ΔC⋈ΔO for ANY insert-only split of
+    both sides: counts and checksums add exactly."""
+    from wikistream_event_data_pipeline_aws_spark.plans.relational import _ivm_arm
+
+    cdf = spark.createDataFrame(
+        [(k, f"c{k}") for k in set(cust)] or [(0, "z")], "c_custkey int, c_mktsegment string"
+    ).limit(len(set(cust)))
+    odf = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(orders)] or [(0, 0)], "o_orderkey int, o_custkey int"
+    ).limit(len(orders))
+    cb = cdf.filter(F.col("c_custkey") % cmod != 0)
+    cd = cdf.filter(F.col("c_custkey") % cmod == 0)
+    ob = odf.filter(F.col("o_orderkey") % omod != 0)
+    od = odf.filter(F.col("o_orderkey") % omod == 0)
+    arms = {
+        name: _ivm_arm(c, o, name).collect()[0]
+        for name, c, o in (
+            ("view_old", cb, ob),
+            ("arm_dc_o", cd, ob),
+            ("arm_c_do", cb, od),
+            ("arm_dc_do", cd, od),
+            ("view_new", cdf, odf),
+        )
+    }
+    deltas = ("arm_dc_o", "arm_c_do", "arm_dc_do")
+    assert arms["view_new"].n_rows == arms["view_old"].n_rows + sum(
+        arms[a].n_rows for a in deltas
+    )
+    assert arms["view_new"].checksum == arms["view_old"].checksum + sum(
+        arms[a].checksum for a in deltas
+    )

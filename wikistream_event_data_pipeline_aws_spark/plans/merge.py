@@ -559,53 +559,19 @@ def table_merkle_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     it scans nothing. Planted drift: every {BUMP}th key's price bumped,
     every {DROP}th key missing — partitions without a planted key MUST
     report in_sync with zero drill-down keys."""
+    from ..operators.reconcile import merkle_compare
+
     src, rep = _merkle_sides(spark, sf_dir)
-    ssum = (
-        _merkle_sig(src)
-        .groupBy("part_month")
-        .agg(F.count(F.lit(1)).alias("n_source"), F.sum("sig").alias("cs_source"))
-    )
-    rsum = (
-        _merkle_sig(rep)
-        .groupBy("part_month")
-        .agg(F.count(F.lit(1)).alias("n_replica"), F.sum("sig").alias("cs_replica"))
-    )
-    summary = ssum.join(rsum, "part_month", "full_outer").select(
-        "part_month",
-        F.coalesce("n_source", F.lit(0)).alias("n_source"),
-        F.coalesce("n_replica", F.lit(0)).alias("n_replica"),
-        F.coalesce("cs_source", F.lit(0)).alias("cs_source"),
-        F.coalesce("cs_replica", F.lit(0)).alias("cs_replica"),
-    )
-    in_sync = (F.col("n_source") == F.col("n_replica")) & (
-        F.col("cs_source") == F.col("cs_replica")
-    )
-    divergent = summary.filter(~in_sync).select("part_month")
-    skeys = _merkle_sig(src).join(F.broadcast(divergent), "part_month")
-    rkeys = _merkle_sig(rep).join(F.broadcast(divergent), "part_month")
-    drill = (
-        skeys.withColumnRenamed("sig", "s_sig")
-        .join(
-            rkeys.withColumnRenamed("sig", "r_sig"),
-            ["part_month", "o_orderkey"],
-            "full_outer",
+
+    def sig_grain(df: DataFrame) -> DataFrame:
+        return _merkle_sig(df).select(
+            F.col("part_month").alias("part"),
+            F.col("o_orderkey").alias("key"),
+            "sig",
         )
-        .filter(
-            F.col("s_sig").isNull()
-            | F.col("r_sig").isNull()
-            | (F.col("s_sig") != F.col("r_sig"))
-        )
-        .groupBy("part_month")
-        .agg(F.count(F.lit(1)).alias("n_divergent_keys"))
-    )
-    return summary.join(drill, "part_month", "left").select(
-        "part_month",
-        "n_source",
-        "n_replica",
-        "cs_source",
-        "cs_replica",
-        in_sync.alias("in_sync"),
-        F.coalesce("n_divergent_keys", F.lit(0)).alias("n_divergent_keys"),
+
+    return merkle_compare(sig_grain(src), sig_grain(rep)).withColumnRenamed(
+        "part", "part_month"
     )
 
 
