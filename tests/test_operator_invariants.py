@@ -1214,3 +1214,37 @@ class TestSessionContinuationAnalytics:
             shipped, o["o_orderkey"] == shipped["l_orderkey"]
         ).count()
         assert sum(r.n_orders for r in rows) == n_with_lines
+
+    def test_audio_energy_windows_cover_audio_payloads(self, spark, sf_dir):
+        """Every audio payload yields exactly 16/window windows; RMS is
+        bounded by the peak; a python recompute from the md5 hex agrees."""
+        import hashlib
+        import math
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.multimodal import (
+            _AUDIO_WINDOW,
+            multimodal_audio_energy,
+        )
+
+        rows = multimodal_audio_energy(spark, sf_dir).collect()
+        assert rows
+        docs = {
+            r.doc_id: r.text
+            for r in load_table(spark, sf_dir, "documents").collect()
+            if r.doc_id % 3 == 1
+        }
+        by_media = {}
+        for r in rows:
+            assert 0 <= r.rms <= r.peak
+            by_media.setdefault(r.media_id, {})[r.window_idx] = r
+        assert set(by_media) == set(docs)
+        for media_id, wins in by_media.items():
+            assert set(wins) == set(range(16 // _AUDIO_WINDOW))
+            b = hashlib.md5(docs[media_id].encode()).digest()
+            for w, r in wins.items():
+                seg = b[w * _AUDIO_WINDOW : (w + 1) * _AUDIO_WINDOW]
+                assert r.peak == max(seg)
+                assert r.rms == math.sqrt(
+                    sum(float(x * x) for x in seg) / float(_AUDIO_WINDOW)
+                )

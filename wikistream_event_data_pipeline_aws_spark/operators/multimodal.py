@@ -117,3 +117,39 @@ def synthetic_media(docs: DataFrame) -> DataFrame:
             F.col("source").alias("source"), F.col("n_chars").alias("declared_bytes")
         ).alias("meta"),
     )
+
+
+AUDIO_ENERGY_SCHEMA = "media_id long, window_idx int, rms double, peak int"
+
+
+def audio_window_energy(df: DataFrame, window: int = 4) -> DataFrame:
+    """Windowed audio feature extraction via mapInPandas: treat the
+    payload bytes as PCM-ish samples, emit per-window RMS energy and
+    peak amplitude — the feature-grain an audio training pipeline
+    extracts before filtering/captioning. Arrow-batched like
+    ``decode_media`` (never per-row Python); the fake waveform (payload
+    bytes) keeps every emitted float reproducible byte-for-byte from
+    the payload hex, so even this Python-side path is value-checked by
+    a SQL oracle. RMS is ``sqrt(mean(b²))`` with the sum folded in
+    sample order — the identical IEEE op sequence the oracle runs."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, widx, rms, peak = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                for w in range(len(b) // window):
+                    seg = b[w * window : (w + 1) * window]
+                    acc = 0.0
+                    for x in seg:
+                        acc += float(x * x)
+                    ids.append(media_id)
+                    widx.append(w)
+                    rms.append(math.sqrt(acc / float(window)))
+                    peak.append(max(seg))
+            yield pd.DataFrame(
+                {"media_id": ids, "window_idx": widx, "rms": rms, "peak": peak}
+            )
+
+    return df.mapInPandas(batches, AUDIO_ENERGY_SCHEMA)

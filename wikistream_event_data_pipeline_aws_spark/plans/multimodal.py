@@ -105,14 +105,49 @@ WHERE frame_idx % 2 = 0
 """
 
 
+_AUDIO_WINDOW = 4  # bytes (samples) per analysis window
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS/peak features over the audio slice of the media
+    corpus (``operators.multimodal.audio_window_energy`` — Arrow-batched
+    mapInPandas over the deterministic fake waveform). The oracle
+    reconstructs every float from the payload hex with the identical
+    IEEE op order, so the Python feature extractor is value-checked."""
+    from ..operators.multimodal import audio_window_energy
+
+    audio = _media(spark, sf_dir).filter(F.col("media_type") == "audio")
+    return audio_window_energy(audio, window=_AUDIO_WINDOW)
+
+
+def _audio_energy_sql() -> str:
+    selects = []
+    n_windows = 16 // _AUDIO_WINDOW  # md5 payload = 16 bytes
+    for w in range(n_windows):
+        bs = [_BYTE.format(pos=2 * (w * _AUDIO_WINDOW + i) + 1) for i in range(_AUDIO_WINDOW)]
+        sq = " + ".join(f"CAST({b} AS DOUBLE) * CAST({b} AS DOUBLE)" for b in bs)
+        peak = f"GREATEST({', '.join(bs)})"
+        selects.append(f"""
+SELECT doc_id AS media_id, {w} AS window_idx,
+       sqrt(({sq}) / {float(_AUDIO_WINDOW)!r}) AS rms,
+       {peak} AS peak
+FROM documents WHERE doc_id % 3 = 1""")
+    return "\nUNION ALL\n".join(selects)
+
+
+MULTIMODAL_AUDIO_ENERGY_SQL = _audio_energy_sql()
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_energy": multimodal_audio_energy,
 }
 
 ORACLES = {
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
+    "multimodal_audio_energy": MULTIMODAL_AUDIO_ENERGY_SQL,
 }
