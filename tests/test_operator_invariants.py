@@ -1248,3 +1248,25 @@ class TestSessionContinuationAnalytics:
                 assert r.rms == math.sqrt(
                     sum(float(x * x) for x in seg) / float(_AUDIO_WINDOW)
                 )
+
+    def test_lsh_sweep_frontier_is_monotone(self, spark, sf_dir):
+        """More rows per band → fewer (or equal) candidates and lower
+        (or equal) recall; hits bounded by both sides; shared ground
+        truth across configs."""
+        from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+            dedup_lsh_sweep,
+        )
+
+        rows = sorted(
+            dedup_lsh_sweep(spark, sf_dir).collect(), key=lambda r: r.rows_per_band
+        )
+        assert rows
+        truths = {r.n_truth for r in rows}
+        assert len(truths) == 1
+        for r in rows:
+            assert r.n_hits <= min(r.n_truth, r.n_candidates)
+            assert r.recall == r.n_hits / r.n_truth
+            assert r.precision == r.n_hits / r.n_candidates
+        for a, b in zip(rows, rows[1:]):
+            assert a.n_candidates >= b.n_candidates
+            assert a.recall >= b.recall

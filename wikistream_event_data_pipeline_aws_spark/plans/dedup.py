@@ -344,6 +344,133 @@ FROM labels l JOIN q ON q.doc_id = l.node
 """
 
 
+_SWEEP_ROWS_PER_BAND = (1, 2, 4, 8)  # over the 8 minhash values
+
+
+def dedup_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-configuration tuning frontier for near-dup DEDUP — the
+    dedup twin of ``similarity_ann_sweep``: for every (bands ×
+    rows-per-band) factorization of the 8-value signature, the
+    candidate volume, recall against the exact-Jaccard ground truth
+    (J ≥ 0.5 over co-shingled pairs — computed ONCE), and precision.
+    More rows per band → higher bucket specificity → fewer candidates
+    but lower recall; this artifact is how the threshold is chosen for
+    a real corpus instead of folklore. Signatures are computed ONCE and
+    checkpoint-fenced; each config re-bands the same 8 values (a
+    projection, not a recompute); ground truth is checkpoint-fenced and
+    reused by all configs. All counts exact; the two rates are single
+    float divisions."""
+    d = _docs_augmented(spark, sf_dir)
+    sigs = minhash_signature(
+        d, "doc_id", "text", n_hashes=N_HASHES, include_all_docs=False
+    ).localCheckpoint(eager=True)
+    truth = (
+        jaccard_pairs(d, "doc_id", "text", k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    parts = []
+    for r in _SWEEP_ROWS_PER_BAND:
+        cands = lsh_candidate_pairs(
+            sigs, "doc_id", n_hashes=N_HASHES, rows_per_band=r
+        ).localCheckpoint(eager=True)
+        n_c = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_h = cands.join(truth, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        parts.append(
+            n_c.crossJoin(n_h)
+            .crossJoin(F.broadcast(n_truth))
+            .select(
+                F.lit(N_HASHES // r).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_candidates",
+                "n_truth",
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.col("n_truth").cast("double")).alias(
+                    "recall"
+                ),
+                (
+                    F.col("n_hits").cast("double")
+                    / F.col("n_candidates").cast("double")
+                ).alias("precision"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _lsh_sweep_sql() -> str:
+    cfg_sql = []
+    for r in _SWEEP_ROWS_PER_BAND:
+        n_bands = N_HASHES // r
+        banded = "\n  UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat_ws('|', "
+            + ", ".join(f"m{b * r + i}" for i in range(r))
+            + ") AS bucket FROM sigs"
+            for b in range(n_bands)
+        )
+        cfg_sql.append(
+            f"""
+SELECT {n_bands} AS n_bands, {r} AS rows_per_band,
+       (SELECT COUNT(*) FROM cands_{r}) AS n_candidates,
+       (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cands_{r} c JOIN truth t
+          ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hits,
+       CAST((SELECT COUNT(*) FROM cands_{r} c JOIN truth t
+          ON c.id_a = t.id_a AND c.id_b = t.id_b) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall,
+       CAST((SELECT COUNT(*) FROM cands_{r} c JOIN truth t
+          ON c.id_a = t.id_a AND c.id_b = t.id_b) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM cands_{r}) AS DOUBLE) AS precision"""
+        )
+    bands_ctes = ",\n".join(
+        f"""banded_{r} AS (
+  {"  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', "
+        + ", ".join(f"m{b * r + i}" for i in range(r))
+        + ") AS bucket FROM sigs"
+        for b in range(N_HASHES // r)
+    )}
+),
+cands_{r} AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded_{r} l JOIN banded_{r} r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)"""
+        for r in _SWEEP_ROWS_PER_BAND
+    )
+    return rf"""
+WITH docs_aug AS ({_DOCS_AUG_SQL}),
+sh_all AS ({_SHINGLES_SQL.format(src="docs_aug")}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+sigs AS ({_SIGS_SQL.format(shingles="SELECT * FROM sh_all")}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.n_shared / CAST(sa.n_shingles + sb.n_shingles - s.n_shared AS DOUBLE)
+        >= CAST(0.5 AS DOUBLE)
+),
+{bands_ctes}
+{" UNION ALL ".join(cfg_sql)}
+"""
+
+
+DEDUP_LSH_SWEEP_SQL = _lsh_sweep_sql()
+
+
 # -- simhash --------------------------------------------------------------------
 
 
@@ -465,6 +592,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_keepers": dedup_cluster_keepers,
+    "dedup_lsh_sweep": dedup_lsh_sweep,
 }
 
 ORACLES = {
@@ -476,4 +604,5 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_cluster_keepers": DEDUP_CLUSTER_KEEPERS_SQL,
+    "dedup_lsh_sweep": DEDUP_LSH_SWEEP_SQL,
 }
