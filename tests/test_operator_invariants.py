@@ -1270,3 +1270,22 @@ class TestSessionContinuationAnalytics:
         for a, b in zip(rows, rows[1:]):
             assert a.n_candidates >= b.n_candidates
             assert a.recall >= b.recall
+
+    def test_benford_shares_partition_orders(self, spark, sf_dir):
+        """Digits 1-9 all present, observed shares sum to 1, expected
+        shares are the exact log10(1+1/d) literals summing to 1."""
+        import math
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            stats_benford_prices,
+        )
+
+        rows = {r.leading_digit: r for r in stats_benford_prices(spark, sf_dir).collect()}
+        assert set(rows) == set(range(1, 10))
+        n_orders = load_table(spark, sf_dir, "orders").count()
+        assert sum(r.n for r in rows.values()) == n_orders
+        assert abs(sum(r.observed_share for r in rows.values()) - 1.0) < 1e-9
+        for d, r in rows.items():
+            assert r.benford_share == math.log10(1.0 + 1.0 / d)
+            assert r.deviation == r.observed_share - r.benford_share

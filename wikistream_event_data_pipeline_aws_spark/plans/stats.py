@@ -950,8 +950,71 @@ GROUP BY e.event_type, e.h
 """
 
 
+import math as _math
+
+# log10(1 + 1/d) for d = 1..9, precomputed once in Python so BOTH
+# engines consume the identical double literals — no libm call in
+# either plan (the repo's standing rule for log-shaped constants)
+_BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def stats_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classical fabricated-numbers screen: observed leading-digit shares
+    vs the Benford expectation log₁₀(1+1/d). The expectations enter as
+    nine PRECOMPUTED double literals (identical text in both engines),
+    so no logarithm is ever evaluated at query time; counts are exact
+    and the share/deviation are single float ops. One narrow projection
+    + one 9-key hash agg. (The synthetic uniform-ish prices are NOT
+    Benford-distributed — the audit flagging that loudly is the
+    demonstration.)"""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), r"[0.\-]", ""), 1, 1
+    ).cast("int")
+    counts = o.select(digit.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = o.agg(F.count(F.lit(1)).alias("t"))
+    expected = F.lit(0.0)
+    for d, p in _BENFORD.items():
+        expected = F.when(F.col("d") == d, F.lit(p)).otherwise(expected)
+    share = F.col("n").cast("double") / F.col("t").cast("double")
+    return counts.join(F.broadcast(total)).select(
+        F.col("d").alias("leading_digit"),
+        "n",
+        share.alias("observed_share"),
+        expected.alias("benford_share"),
+        (share - expected).alias("deviation"),
+    )
+
+
+def _benford_sql() -> str:
+    cases = " ".join(
+        f"WHEN d = {d} THEN {p!r}" for d, p in _BENFORD.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT CAST(substr(regexp_replace(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                     '[0.\\-]', '', 'g'), 1, 1) AS INTEGER) AS d
+  FROM orders
+),
+counts AS (SELECT d, COUNT(*) AS n FROM t GROUP BY d),
+total AS (SELECT COUNT(*) AS tt FROM t)
+SELECT d AS leading_digit, n,
+       CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS observed_share,
+       CASE {cases} ELSE 0.0 END AS benford_share,
+       CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) - (CASE {cases} ELSE 0.0 END) AS deviation
+FROM counts CROSS JOIN total
+"""
+
+
+STATS_BENFORD_PRICES_SQL = _benford_sql()
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
+    "stats_benford_prices": stats_benford_prices,
     "stats_seasonal_outliers": stats_seasonal_outliers,
     "survival_km_order_gaps": survival_km_order_gaps,
     "tv_distance_source_mix": tv_distance_source_mix,
@@ -968,6 +1031,7 @@ QUERIES = {
 
 ORACLES = {
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
+    "stats_benford_prices": STATS_BENFORD_PRICES_SQL,
     "stats_seasonal_outliers": STATS_SEASONAL_OUTLIERS_SQL,
     "survival_km_order_gaps": SURVIVAL_KM_SQL,
     "tv_distance_source_mix": TV_DISTANCE_SOURCE_MIX_SQL,
