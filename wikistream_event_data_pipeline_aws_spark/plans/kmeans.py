@@ -300,11 +300,11 @@ FROM energies GROUP BY cid, block
 
 
 KNN_K = 5
-_KNN_TEST_MOD = 5  # vec_id % MOD == 0 -> held-out test vector
+_KNN_TEST_MOD = 20  # vec_id % MOD == 0 -> held-out test vector
 
 
 def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN classification over the embedding space: every 5th vector
+    """k-NN classification over the embedding space: every 20th vector
     is held out, classified by majority label among its {KNN_K} nearest
     labeled neighbors (exact squared-L2 via the deterministic dim-order
     fold; neighbor ties break on vec_id, vote ties on the smaller

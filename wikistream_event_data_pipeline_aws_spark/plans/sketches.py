@@ -742,8 +742,13 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="hll_stream_")
     src, regs_path, ckpt = f"{tmp}/src", f"{tmp}/regs", f"{tmp}/ckpt"
     e = load_table(spark, sf_dir, "events").select("user_id")
+    # replay the DISTINCT user set: HLL registers are duplicate-
+    # insensitive (max of identical rho), so streaming the deduped keys
+    # is register-identical to streaming every event — and the fixture
+    # write drops from |events| to |users| rows
+    users = e.distinct()
     for parity in (0, 1):
-        e.filter(F.col("user_id") % 2 == parity).coalesce(1).write.mode(
+        users.filter(F.col("user_id") % 2 == parity).coalesce(1).write.mode(
             "append"
         ).parquet(src)
     stream = file_stream(spark, src, "user_id bigint", max_files_per_trigger=1)
