@@ -1289,3 +1289,29 @@ class TestSessionContinuationAnalytics:
         for d, r in rows.items():
             assert r.benford_share == math.log10(1.0 + 1.0 / d)
             assert r.deviation == r.observed_share - r.benford_share
+
+    def test_eigencentrality_tracks_high_degree(self, spark, sf_dir):
+        """Scores positive and strictly ranked in the top-k output; the
+        top-centrality node has above-median degree (undamped power
+        iteration concentrates mass on hub neighborhoods)."""
+        from wikistream_event_data_pipeline_aws_spark.plans.graph import (
+            _cooccurrence_edges,
+            graph_eigencentrality,
+        )
+        from pyspark.sql import functions as F
+
+        rows = graph_eigencentrality(spark, sf_dir).collect()
+        assert rows
+        for a, b in zip(rows, rows[1:]):
+            assert (a.centrality_scaled, -a.node) >= (b.centrality_scaled, -b.node)
+        assert all(r.centrality_scaled >= 0 for r in rows)
+        edges = _cooccurrence_edges(spark, sf_dir)
+        deg = (
+            edges.select(F.col("pa").alias("n"))
+            .unionAll(edges.select(F.col("pb").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        degs = {r.n: r.d for r in deg.collect()}
+        med = sorted(degs.values())[len(degs) // 2]
+        assert degs[rows[0].node] >= med

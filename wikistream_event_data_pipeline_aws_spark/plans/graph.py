@@ -523,11 +523,93 @@ sym AS (
 GRAPH_KCORE_PEEL_SQL = _kcore_oracle_sql()
 
 
+EC_ITERS = 3
+EC_INIT = 1000  # scaled-integer starting mass per node
+EC_RESCALE = 4  # per-iteration div (~mean degree) bounding growth
+EC_TOP = 20
+
+
+def graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality by integer power iteration — the undamped
+    companion to the PageRank kernel: v ← (A·v) div RESCALE, where A is
+    the 0/1 co-occurrence adjacency. Every iteration is one keyed
+    equi-join (edge src = score node) + one hash agg on dst — pure
+    BIGINT sums with an integer-div rescale, so unlike textbook
+    float-normalized power iteration the whole fixed point is exactly
+    reproducible on any engine (the same trick as the fixed-point
+    PageRank above, minus even the div-by-degree). Nodes shed to zero
+    by rescaling simply drop out of the top-k; ranking ties break on
+    node id. Top-{EC_TOP} via TakeOrderedAndProject."""
+    edges = _cooccurrence_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    v = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(EC_INIT).cast("long").alias("score")
+    )
+    for _ in range(EC_ITERS):
+        v = (
+            sym.join(v, sym["src"] == v["node"])
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.sum("score").alias("s"))
+            .select(
+                F.col("n2").alias("node"),
+                F.expr(f"s div {EC_RESCALE}").cast("long").alias("score"),
+            )
+        )
+    return (
+        v.orderBy(F.col("score").desc(), F.col("node").asc())
+        .limit(EC_TOP)
+        .select("node", F.col("score").alias("centrality_scaled"))
+    )
+
+
+def _eigencentrality_sql() -> str:
+    iters = []
+    for i in range(EC_ITERS):
+        iters.append(f"""
+v{i + 1} AS (
+  SELECT sym.dst AS node,
+         CAST(SUM(v{i}.score) // {EC_RESCALE} AS BIGINT) AS score
+  FROM sym JOIN v{i} ON sym.src = v{i}.node
+  GROUP BY sym.dst
+)""")
+    return f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT pa AS src, pb AS dst FROM e
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM e
+),
+v0 AS (
+  SELECT DISTINCT src AS node, CAST({EC_INIT} AS BIGINT) AS score FROM sym
+),{",".join(iters)}
+SELECT node, score AS centrality_scaled
+FROM v{EC_ITERS}
+ORDER BY score DESC, node ASC LIMIT {EC_TOP}
+"""
+
+
+GRAPH_EIGENCENTRALITY_SQL = _eigencentrality_sql()
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
     "graph_khop_features": graph_khop_features,
     "graph_kcore_peel": graph_kcore_peel,
+    "graph_eigencentrality": graph_eigencentrality,
 }
 
 ORACLES = {
@@ -535,4 +617,5 @@ ORACLES = {
     "graph_pagerank": GRAPH_PAGERANK_SQL,
     "graph_khop_features": GRAPH_KHOP_FEATURES_SQL,
     "graph_kcore_peel": GRAPH_KCORE_PEEL_SQL,
+    "graph_eigencentrality": GRAPH_EIGENCENTRALITY_SQL,
 }
