@@ -1315,3 +1315,26 @@ class TestSessionContinuationAnalytics:
         degs = {r.n: r.d for r in deg.collect()}
         med = sorted(degs.values())[len(degs) // 2]
         assert degs[rows[0].node] >= med
+
+    def test_tokenizer_metrics_are_consistent(self, spark, sf_dir):
+        """Fertility >= 1 (pieces never fewer than words for this
+        piece grammar: every word splits into >= 1 piece); window-fit
+        fractions are monotone in the window size and bounded by 1;
+        language doc counts agree across the two metrics."""
+        from wikistream_event_data_pipeline_aws_spark.plans.text import (
+            _CTX_WINDOWS,
+            context_window_fit,
+            tokenizer_fertility_by_lang,
+        )
+
+        fert = {r.lang: r for r in tokenizer_fertility_by_lang(spark, sf_dir).collect()}
+        fit = {r.lang: r for r in context_window_fit(spark, sf_dir).collect()}
+        assert set(fert) == set(fit)
+        for lang, r in fert.items():
+            assert r.fertility >= 1.0, r
+            assert r.total_pieces >= r.total_tokens
+            assert fit[lang].n_docs == r.n_docs
+        for r in fit.values():
+            fracs = [r[f"frac_fit_{w}"] for w in _CTX_WINDOWS]
+            assert all(0.0 <= x <= 1.0 for x in fracs)
+            assert fracs == sorted(fracs)

@@ -406,9 +406,95 @@ GROUP BY sh.doc_id
 """
 
 
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish pieces per whitespace
+    word, the metric that tells a multilingual pipeline which languages
+    a tokenizer fragments (fertility ≫ 1 → that language pays more
+    context budget per word, informing mixture and vocab decisions).
+    Exact integer sums per language; the two ratios are single float
+    divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(tokenize(F.col("text"))).cast("long")
+    pieces = bpe_piece_count(F.col("text")).cast("long")
+    agg = d.select("lang", toks.alias("t"), pieces.alias("p")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("t").alias("total_tokens"),
+        F.sum("p").alias("total_pieces"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_pieces",
+        (F.col("total_pieces").cast("double") / F.col("total_tokens").cast("double")).alias(
+            "fertility"
+        ),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = rf"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
+         AS total_pieces,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
+         / CAST(SUM(len({_TOKS_SQL})) AS DOUBLE) AS fertility
+FROM documents GROUP BY lang
+"""
+
+
+_CTX_WINDOWS = (32, 64, 128)  # token budgets probed (synthetic docs are short)
+
+
+def context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget planning: per language, the fraction of documents
+    whose BPE-piece count fits each candidate window size — the
+    truncation-loss readout that picks sequence lengths before packing.
+    One pass, conditional sums; fractions are single divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = bpe_piece_count(F.col("text")).cast("long")
+    base = d.select("lang", pieces.alias("p"))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for w in _CTX_WINDOWS:
+        aggs.append(
+            F.sum((F.col("p") <= w).cast("int")).cast("bigint").alias(f"fit_{w}")
+        )
+    out = base.groupBy("lang").agg(*aggs)
+    for w in _CTX_WINDOWS:
+        out = out.withColumn(
+            f"frac_fit_{w}",
+            F.col(f"fit_{w}").cast("double") / F.col("n_docs").cast("double"),
+        )
+    return out
+
+
+def _context_fit_sql() -> str:
+    pieces = r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))"
+    fit_cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN {pieces} <= {w} THEN 1 ELSE 0 END) AS BIGINT) AS fit_{w}"
+        for w in _CTX_WINDOWS
+    )
+    frac_cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN {pieces} <= {w} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE) AS frac_fit_{w}"
+        for w in _CTX_WINDOWS
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_docs,
+       {fit_cols},
+       {frac_cols}
+FROM documents GROUP BY lang
+"""
+
+
+CONTEXT_WINDOW_FIT_SQL = _context_fit_sql()
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_ngram_novelty": text_ngram_novelty,
+    "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
+    "context_window_fit": context_window_fit,
     "text_hashing_vectorize": text_hashing_vectorize,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -420,6 +506,8 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,
+    "tokenizer_fertility_by_lang": TOKENIZER_FERTILITY_SQL,
+    "context_window_fit": CONTEXT_WINDOW_FIT_SQL,
     "text_hashing_vectorize": TEXT_HASHING_VECTORIZE_SQL,
     "text_quality_score": TEXT_QUALITY_SCORE_SQL,
     "text_langid": TEXT_LANGID_SQL,
