@@ -1338,3 +1338,40 @@ class TestSessionContinuationAnalytics:
             fracs = [r[f"frac_fit_{w}"] for w in _CTX_WINDOWS]
             assert all(0.0 <= x <= 1.0 for x in fracs)
             assert fracs == sorted(fracs)
+
+    def test_km_life_table_matches_pure_python(self, spark, sf_dir):
+        """The distributed KM life table reproduces a single-node
+        recomputation from raw order dates (gaps, censoring, weekly
+        bucketing, tail-sum at-risk, hazard)."""
+        from collections import Counter, defaultdict
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            survival_km_order_gaps,
+        )
+
+        got = {r.t_week: r for r in survival_km_order_gaps(spark, sf_dir).collect()}
+        orders = defaultdict(list)
+        max_d = None
+        for r in load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_orderdate"
+        ).collect():
+            d = r.o_orderdate.date()
+            orders[r.o_custkey].append((d, r.o_orderkey))
+            max_d = d if max_d is None or d > max_d else max_d
+        events, censored = Counter(), Counter()
+        for seq in orders.values():
+            seq.sort()
+            for (d, _), (nd, _) in zip(seq, seq[1:]):
+                events[(nd - d).days // 7] += 1
+            last = seq[-1][0]
+            censored[(max_d - last).days // 7] += 1
+        assert set(got) == set(events) | set(censored)
+        tail = 0
+        for t in sorted(got, reverse=True):
+            r = got[t]
+            assert r.n_events == events.get(t, 0)
+            assert r.n_censored == censored.get(t, 0)
+            tail += r.n_events + r.n_censored
+            assert r.n_at_risk == tail
+            assert r.hazard == r.n_events / r.n_at_risk
