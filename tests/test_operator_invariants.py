@@ -1375,3 +1375,35 @@ class TestSessionContinuationAnalytics:
             tail += r.n_events + r.n_censored
             assert r.n_at_risk == tail
             assert r.hazard == r.n_events / r.n_at_risk
+
+    def test_decile_bands_are_near_uniform_and_complete(self, spark, sf_dir):
+        """Per type: 10 bands, counts partition the events, every band
+        within ±2 of n/10 (exact rank banding), bounds non-decreasing."""
+        from collections import defaultdict
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            value_decile_assignment,
+        )
+
+        rows = value_decile_assignment(spark, sf_dir).collect()
+        assert rows
+        totals = {
+            r.event_type: r.n
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        by_type = defaultdict(dict)
+        for r in rows:
+            by_type[r.event_type][r.decile] = r
+        for et, bands in by_type.items():
+            assert set(bands) == set(range(10)), (et, sorted(bands))
+            assert sum(b.n_events for b in bands.values()) == totals[et]
+            n = totals[et]
+            for b in bands.values():
+                assert abs(b.n_events - n / 10) <= 2, (et, b)
+            bounds = [bands[d].lower_bound for d in range(1, 10)]
+            assert bounds == sorted(bounds)

@@ -1012,8 +1012,95 @@ FROM counts CROSS JOIN total
 STATS_BENFORD_PRICES_SQL = _benford_sql()
 
 
+N_DECILES = 10
+
+
+def value_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile banding per event type: boundaries are RANK order
+    statistics (element ``ceil(q·n)`` by ``(value, event_id)`` — the
+    same no-interpolation discipline as the rank medians above), and
+    every event is then assigned its band by counting how many
+    boundaries it exceeds — a broadcast join against the ≤|types|×9
+    boundary table, never a second window pass over the data. Output:
+    per (type, decile) the member count and the band's lower boundary;
+    by construction each band holds ~n/10 events, so the output doubles
+    as a uniformity audit of the banding itself."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    nw = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    )
+    qs = [q / N_DECILES for q in range(1, N_DECILES)]
+    bounds = ranked.filter(
+        F.array_contains(
+            F.array(
+                *[F.ceil(F.col("n") * F.lit(q)).cast("bigint") for q in qs]
+            ),
+            F.col("rn"),
+        )
+    ).select("event_type", F.col("value").alias("bound"))
+    assigned = e.join(F.broadcast(bounds), "event_type").groupBy(
+        "event_type", "event_id", "value"
+    ).agg(
+        F.sum((F.col("value") > F.col("bound")).cast("int")).alias("decile")
+    )
+    lower = bounds.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("bound")).alias("bs")
+    )
+    return (
+        assigned.groupBy("event_type", "decile")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(F.broadcast(lower), "event_type")
+        .select(
+            "event_type",
+            "decile",
+            "n_events",
+            F.when(F.col("decile") == 0, F.lit(None).cast("double"))
+            .otherwise(F.element_at(F.col("bs"), F.col("decile").cast("int")))
+            .alias("lower_bound"),
+        )
+    )
+
+
+VALUE_DECILE_ASSIGNMENT_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type, value AS bound
+  FROM ranked
+  WHERE list_contains(
+          [{", ".join(f"CAST(ceil(n * {q / 10}) AS BIGINT)" for q in range(1, 10))}],
+          rn)
+),
+assigned AS (
+  SELECT e.event_type, e.event_id, e.value,
+         CAST(SUM(CASE WHEN e.value > b.bound THEN 1 ELSE 0 END) AS BIGINT) AS decile
+  FROM events e JOIN bounds b ON e.event_type = b.event_type
+  GROUP BY e.event_type, e.event_id, e.value
+),
+lower AS (
+  SELECT event_type, list_sort(list(bound)) AS bs FROM bounds GROUP BY event_type
+)
+SELECT a.event_type, a.decile, COUNT(*) AS n_events,
+       CASE WHEN a.decile = 0 THEN NULL
+            ELSE l.bs[CAST(a.decile AS INTEGER)] END AS lower_bound
+FROM assigned a JOIN lower l ON a.event_type = l.event_type
+GROUP BY a.event_type, a.decile, CASE WHEN a.decile = 0 THEN NULL
+            ELSE l.bs[CAST(a.decile AS INTEGER)] END
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
+    "value_decile_assignment": value_decile_assignment,
     "stats_benford_prices": stats_benford_prices,
     "stats_seasonal_outliers": stats_seasonal_outliers,
     "survival_km_order_gaps": survival_km_order_gaps,
@@ -1031,6 +1118,7 @@ QUERIES = {
 
 ORACLES = {
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
+    "value_decile_assignment": VALUE_DECILE_ASSIGNMENT_SQL,
     "stats_benford_prices": STATS_BENFORD_PRICES_SQL,
     "stats_seasonal_outliers": STATS_SEASONAL_OUTLIERS_SQL,
     "survival_km_order_gaps": SURVIVAL_KM_SQL,
