@@ -1407,3 +1407,21 @@ class TestSessionContinuationAnalytics:
                 assert abs(b.n_events - n / 10) <= 2, (et, b)
             bounds = [bands[d].lower_bound for d in range(1, 10)]
             assert bounds == sorted(bounds)
+
+    def test_substitute_pairs_are_valid_jaccards(self, spark, sf_dir):
+        """Canonical pairs, shared-count bounded by both degrees, the
+        Jaccard formula holds row by row, ranking is strict."""
+        from wikistream_event_data_pipeline_aws_spark.plans.graph import (
+            SUBST_JACCARD,
+            SUBST_MIN_SHARED,
+            graph_substitutes,
+        )
+
+        rows = graph_substitutes(spark, sf_dir).collect()
+        for r in rows:
+            assert r.a < r.b
+            assert SUBST_MIN_SHARED <= r.n_shared <= min(r.deg_a, r.deg_b)
+            assert r.jaccard >= SUBST_JACCARD
+            assert r.jaccard == r.n_shared / (r.deg_a + r.deg_b - r.n_shared)
+        for x, y in zip(rows, rows[1:]):
+            assert (x.jaccard, -x.a, -x.b) >= (y.jaccard, -y.a, -y.b)

@@ -604,12 +604,102 @@ ORDER BY score DESC, node ASC LIMIT {EC_TOP}
 GRAPH_EIGENCENTRALITY_SQL = _eigencentrality_sql()
 
 
+SUBST_MIN_SHARED = 3
+SUBST_JACCARD = 0.25
+SUBST_TOP = 25
+
+
+def graph_substitutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural equivalence — substitute-part candidates: pairs whose
+    NEIGHBORHOODS overlap (shared-neighbor Jaccard over the
+    co-occurrence graph), the graph-native dedup of roles ("these two
+    parts are bought alongside the same things"). Candidate pairs come
+    only from the wedge join (two parts sharing a neighbor), so the
+    all-pairs space is never touched — the same banding-not-cross-join
+    discipline as minhash dedup, with the shared-neighbor count doubling
+    as the intersection size; a {SUBST_MIN_SHARED}-shared-neighbor floor
+    bounds the verify set before degrees join in. Jaccard is the single
+    float division; top-{SUBST_TOP} by (jaccard, pair) via
+    TakeOrderedAndProject."""
+    edges = _cooccurrence_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # wedge join: neighbor n links (a, b); count shared neighbors per pair
+    a = sym.select(F.col("src").alias("n"), F.col("dst").alias("a"))
+    b = sym.select(F.col("src").alias("n"), F.col("dst").alias("b"))
+    shared = (
+        a.join(b, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= SUBST_MIN_SHARED)
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    scored = shared.join(da, "a").join(db, "b").select(
+        "a",
+        "b",
+        "n_shared",
+        "deg_a",
+        "deg_b",
+        (
+            F.col("n_shared").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("n_shared")).cast("double")
+        ).alias("jaccard"),
+    )
+    return (
+        scored.filter(F.col("jaccard") >= SUBST_JACCARD)
+        .orderBy(F.col("jaccard").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(SUBST_TOP)
+    )
+
+
+GRAPH_SUBSTITUTES_SQL = f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT pa AS src, pb AS dst FROM e
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM e
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+shared AS (
+  SELECT x.dst AS a, y.dst AS b, COUNT(*) AS n_shared
+  FROM sym x JOIN sym y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY x.dst, y.dst
+  HAVING COUNT(*) >= {SUBST_MIN_SHARED}
+)
+SELECT s.a, s.b, s.n_shared, dA.deg AS deg_a, dB.deg AS deg_b,
+       CAST(s.n_shared AS DOUBLE)
+         / CAST(dA.deg + dB.deg - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN deg dA ON s.a = dA.src
+JOIN deg dB ON s.b = dB.src
+WHERE CAST(s.n_shared AS DOUBLE)
+        / CAST(dA.deg + dB.deg - s.n_shared AS DOUBLE) >= {SUBST_JACCARD}
+ORDER BY jaccard DESC, s.a ASC, s.b ASC LIMIT {SUBST_TOP}
+"""
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
     "graph_khop_features": graph_khop_features,
     "graph_kcore_peel": graph_kcore_peel,
     "graph_eigencentrality": graph_eigencentrality,
+    "graph_substitutes": graph_substitutes,
 }
 
 ORACLES = {
@@ -618,4 +708,5 @@ ORACLES = {
     "graph_khop_features": GRAPH_KHOP_FEATURES_SQL,
     "graph_kcore_peel": GRAPH_KCORE_PEEL_SQL,
     "graph_eigencentrality": GRAPH_EIGENCENTRALITY_SQL,
+    "graph_substitutes": GRAPH_SUBSTITUTES_SQL,
 }
