@@ -1425,3 +1425,44 @@ class TestSessionContinuationAnalytics:
             assert r.jaccard == r.n_shared / (r.deg_a + r.deg_b - r.n_shared)
         for x, y in zip(rows, rows[1:]):
             assert (x.jaccard, -x.a, -x.b) >= (y.jaccard, -y.a, -y.b)
+
+    def test_acf_matches_numpy_and_is_bounded(self, spark, sf_dir):
+        """|r_k| <= 1, pair counts shrink with lag, coefficients match a
+        NumPy recomputation over the daily series."""
+        import numpy as np
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            ACF_MAX_LAG,
+            stats_autocorrelation,
+        )
+        from pyspark.sql import functions as F
+
+        rows = {r.lag: r for r in stats_autocorrelation(spark, sf_dir).collect()}
+        assert set(rows) == set(range(1, ACF_MAX_LAG + 1))
+        daily = dict(
+            (r.d, r.y)
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("d"))
+            .agg(F.count(F.lit(1)).alias("y"))
+            .collect()
+        )
+        days = sorted(daily)
+        for k, r in rows.items():
+            assert abs(r.acf) <= 1.0 + 1e-12
+            import datetime
+
+            pairs = [
+                (daily[d], daily[d + datetime.timedelta(days=k)])
+                for d in days
+                if d + datetime.timedelta(days=k) in daily
+            ]
+            assert r.n_pairs == len(pairs)
+            x = np.array([p[0] for p in pairs], dtype=np.float64)
+            z = np.array([p[1] for p in pairs], dtype=np.float64)
+            n = float(len(pairs))
+            num = n * float((x * z).sum()) - float(x.sum()) * float(z.sum())
+            den = np.sqrt(n * float((x * x).sum()) - float(x.sum()) ** 2) * np.sqrt(
+                n * float((z * z).sum()) - float(z.sum()) ** 2
+            )
+            assert abs(r.acf - num / den) < 1e-12

@@ -1098,8 +1098,79 @@ GROUP BY a.event_type, a.decile, CASE WHEN a.decile = 0 THEN NULL
 """
 
 
+ACF_MAX_LAG = 7
+
+
+def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-volume series at lags
+    1..{ACF_MAX_LAG} — the seasonality detector (a weekly cycle shows
+    as a lag-7 peak). The series is daily COUNTS (exact integers), so
+    every power sum in the lag-k Pearson correlation is exact BIGINT
+    arithmetic and the coefficient is one closed-form double expression
+    — the same discipline as ``stats_corr_ols``. The lag join is a
+    self-equi-join on the (tiny, one-row-per-day) aggregate, expanded
+    over a broadcast lag spine; nothing event-grain touches the lag
+    logic."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("d").alias("d1"), F.col("y").alias("x"))
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("z"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("date_add(d1, lag) = d2"))
+        .select("lag", "x", "z")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sz = F.col("sx").cast("double"), F.col("sz").cast("double")
+    sxz = F.col("sxz").cast("double")
+    sxx, szz = F.col("sxx").cast("double"), F.col("szz").cast("double")
+    r = (n * sxz - sx * sz) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * szz - sz * sz)
+    )
+    return s.select("lag", "n_pairs", r.alias("acf"))
+
+
+STATS_AUTOCORRELATION_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS y FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT l.lag, a.y AS x, b.y AS z
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON a.d + CAST(l.lag AS INTEGER) = b.d
+),
+s AS (
+  SELECT lag, COUNT(*) AS n_pairs,
+         SUM(x) AS sx, SUM(z) AS sz, SUM(x * z) AS sxz,
+         SUM(x * x) AS sxx, SUM(z * z) AS szz
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+       (CAST(n_pairs AS DOUBLE) * CAST(sxz AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+         / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n_pairs AS DOUBLE) * CAST(szz AS DOUBLE)
+                   - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS acf
+FROM s
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
+    "stats_autocorrelation": stats_autocorrelation,
     "value_decile_assignment": value_decile_assignment,
     "stats_benford_prices": stats_benford_prices,
     "stats_seasonal_outliers": stats_seasonal_outliers,
@@ -1118,6 +1189,7 @@ QUERIES = {
 
 ORACLES = {
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
+    "stats_autocorrelation": STATS_AUTOCORRELATION_SQL,
     "value_decile_assignment": VALUE_DECILE_ASSIGNMENT_SQL,
     "stats_benford_prices": STATS_BENFORD_PRICES_SQL,
     "stats_seasonal_outliers": STATS_SEASONAL_OUTLIERS_SQL,
