@@ -1466,3 +1466,34 @@ class TestSessionContinuationAnalytics:
                 n * float((z * z).sum()) - float(z.sum()) ** 2
             )
             assert abs(r.acf - num / den) < 1e-12
+
+    def test_simhash_pairs_pigeonhole_is_complete(self, spark, sf_dir):
+        """The banded candidate join loses NO pair at the Hamming
+        threshold: a python all-pairs sweep over the signatures finds
+        exactly the same pair set."""
+        from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+            SIMHASH_HAM_MAX,
+            _docs_augmented,
+            dedup_simhash_pairs,
+        )
+        from wikistream_event_data_pipeline_aws_spark.operators.textops import (
+            simhash16,
+        )
+
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in dedup_simhash_pairs(spark, sf_dir).collect()
+        }
+        sigs = sorted(
+            (r.doc_id, r.simhash)
+            for r in simhash16(
+                _docs_augmented(spark, sf_dir), "doc_id", "text"
+            ).collect()
+        )
+        expected = {}
+        for i, (ida, sa) in enumerate(sigs):
+            for idb, sb in sigs[i + 1 :]:
+                h = bin(sa ^ sb).count("1")
+                if h <= SIMHASH_HAM_MAX:
+                    expected[(ida, idb)] = h
+        assert got == expected

@@ -506,6 +506,104 @@ FROM bit_sums
 """
 
 
+SIMHASH_HAM_MAX = 1  # pairs within this Hamming distance
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup PAIRS via pigeonhole banding — completing the
+    simhash sketch from signature to decision the way minhash completes
+    into LSH: the 16-bit fingerprint splits into two 8-bit bands, and
+    any pair within Hamming distance {HAM} MUST agree on at least one
+    band (pigeonhole), so the candidate join is a band-value equi-join
+    — never all-pairs — with zero false negatives at the threshold.
+    Verification recounts the exact Hamming distance as a 16-term
+    bit-test sum (identical expression both engines). Planted clones
+    (one appended token) perturb few bit majorities, so they surface
+    here just as they do in the LSH path."""
+    d = _docs_augmented(spark, sf_dir)
+    sig = simhash16(d, "doc_id", "text").localCheckpoint(eager=True)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), (F.col("simhash") % 256).alias("bv")),
+                F.struct(
+                    F.lit(1).alias("bi"), F.expr("simhash div 256").alias("bv")
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = None
+    for b in range(16):
+        t = (
+            F.shiftright(F.col("sim_a"), b).bitwiseAND(1)
+            != F.shiftright(F.col("sim_b"), b).bitwiseAND(1)
+        ).cast("int")
+        ham = t if ham is None else (ham + t)
+    return cands.withColumn("hamming", ham).filter(
+        F.col("hamming") <= SIMHASH_HAM_MAX
+    )
+
+
+_HAM_SQL = " + ".join(
+    f"(CASE WHEN ((a.simhash >> {b}) & 1) != ((b2.simhash >> {b}) & 1) THEN 1 ELSE 0 END)"
+    for b in range(16)
+)
+
+DEDUP_SIMHASH_PAIRS_SQL = rf"""
+WITH docs_aug AS ({_DOCS_AUG_SQL}),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM docs_aug
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(token), 1, 4)) AS INTEGER) AS h
+  FROM tok
+),
+bit_sums AS (
+  SELECT doc_id,
+       {_SIMHASH_SUMS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM bit_sums
+),
+banded AS (
+  SELECT doc_id, simhash, 0 AS bi, simhash % 256 AS bv FROM sigs
+  UNION ALL
+  SELECT doc_id, simhash, 1, simhash // 256 FROM sigs
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sim_a, r.simhash AS sim_b
+  FROM banded l JOIN banded r
+    ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, sim_a, sim_b,
+       ({_HAM_SQL.replace("a.simhash", "sim_a").replace("b2.simhash", "sim_b")}) AS hamming
+FROM cands
+WHERE ({_HAM_SQL.replace("a.simhash", "sim_a").replace("b2.simhash", "sim_b")}) <= {SIMHASH_HAM_MAX}
+"""
+
+
 PASSAGE_WORDS = 10
 
 
@@ -593,6 +691,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_keepers": dedup_cluster_keepers,
     "dedup_lsh_sweep": dedup_lsh_sweep,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
 }
 
 ORACLES = {
@@ -605,4 +704,5 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_cluster_keepers": DEDUP_CLUSTER_KEEPERS_SQL,
     "dedup_lsh_sweep": DEDUP_LSH_SWEEP_SQL,
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
 }
