@@ -1497,3 +1497,36 @@ class TestSessionContinuationAnalytics:
                 if h <= SIMHASH_HAM_MAX:
                     expected[(ida, idb)] = h
         assert got == expected
+
+    def test_rfm_cells_partition_customers(self, spark, sf_dir):
+        """Scores lie in 1..5, cells partition the ordering customers,
+        and per (segment, dimension) the band populations are balanced
+        within ntile's ±1 guarantee."""
+        from collections import defaultdict
+
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.tpch_deep import (
+            RFM_BANDS,
+            customer_rfm_segments,
+        )
+        from pyspark.sql import functions as F
+
+        rows = customer_rfm_segments(spark, sf_dir).collect()
+        assert rows
+        o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+        c = load_table(spark, sf_dir, "customer")
+        n_ordering = o.join(
+            c, o["o_custkey"] == c["c_custkey"]
+        ).count()
+        assert sum(r.n_customers for r in rows) == n_ordering
+        for dim in ("r_score", "f_score", "m_score"):
+            per_band = defaultdict(int)
+            for r in rows:
+                assert 1 <= r[dim] <= RFM_BANDS
+                per_band[(r.c_mktsegment, r[dim])] += r.n_customers
+            seg_totals = defaultdict(int)
+            for (seg, _), n in per_band.items():
+                seg_totals[seg] += n
+            for (seg, _), n in per_band.items():
+                lo = seg_totals[seg] // RFM_BANDS
+                assert lo <= n <= lo + 1, (dim, seg, n)

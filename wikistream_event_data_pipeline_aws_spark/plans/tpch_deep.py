@@ -752,11 +752,105 @@ FROM j GROUP BY o_orderpriority
 """
 
 
+RFM_BANDS = 5
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer scoring: per market
+    segment, each customer's Recency (days since last order), Frequency
+    (order count) and Monetary (exact decimal spend) quintile-scored by
+    ``ntile({RFM_BANDS})`` with fully deterministic orderings (ties on
+    the metric break on the key). Output is the aggregate segment map:
+    (mktsegment, r, f, m) cell → customer count + total spend — the
+    marketing-facing artifact ("how many 5-5-5 champions per segment").
+    The rank windows partition on the segment key (bounded
+    cardinality); one custkey aggregation feeds all three scores."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    mx = o.agg(F.max("d").alias("max_d"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("price").alias("monetary"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("max_d", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    from pyspark.sql import Window
+
+    def score(order_cols, name):
+        w = Window.partitionBy("c_mktsegment").orderBy(*order_cols)
+        return F.ntile(RFM_BANDS).over(w).alias(name)
+
+    scored = per_cust.select(
+        "c_mktsegment",
+        "recency_days",
+        "frequency",
+        "monetary",
+        # recent = best: ascending recency gets the HIGH band via reverse
+        score([F.col("recency_days").desc(), F.col("c_custkey").asc()], "r_score"),
+        score([F.col("frequency").asc(), F.col("c_custkey").asc()], "f_score"),
+        score([F.col("monetary").asc(), F.col("c_custkey").asc()], "m_score"),
+    )
+    return scored.groupBy("c_mktsegment", "r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
+    )
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+mx AS (SELECT MAX(d) AS max_d FROM o),
+per_cust AS (
+  SELECT o.o_custkey,
+         date_diff('day', MAX(o.d), (SELECT max_d FROM mx)) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(o.price) AS monetary
+  FROM o GROUP BY o.o_custkey
+),
+j AS (
+  SELECT c.c_mktsegment, c.c_custkey, p.recency_days, p.frequency, p.monetary
+  FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+),
+scored AS (
+  SELECT c_mktsegment, monetary,
+         NTILE({RFM_BANDS}) OVER (PARTITION BY c_mktsegment
+             ORDER BY recency_days DESC, c_custkey ASC) AS r_score,
+         NTILE({RFM_BANDS}) OVER (PARTITION BY c_mktsegment
+             ORDER BY frequency ASC, c_custkey ASC) AS f_score,
+         NTILE({RFM_BANDS}) OVER (PARTITION BY c_mktsegment
+             ORDER BY monetary ASC, c_custkey ASC) AS m_score
+  FROM j
+)
+SELECT c_mktsegment, r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+FROM scored GROUP BY c_mktsegment, r_score, f_score, m_score
+"""
+
+
 QUERIES = {
     "tpch_volume_shipping": volume_shipping,
     "tpch_revenue_share_hierarchy": revenue_share_hierarchy,
     "tpch_supplier_leadtime": supplier_leadtime,
     "tpch_priority_sla": priority_sla,
+    "customer_rfm_segments": customer_rfm_segments,
     "tpch_national_market_share": national_market_share,
     "tpch_returned_item_customers": returned_item_customers,
     "tpch_order_count_distribution": order_count_distribution,
@@ -772,6 +866,7 @@ ORACLES = {
     "tpch_revenue_share_hierarchy": REVENUE_SHARE_HIERARCHY_SQL,
     "tpch_supplier_leadtime": SUPPLIER_LEADTIME_SQL,
     "tpch_priority_sla": PRIORITY_SLA_SQL,
+    "customer_rfm_segments": CUSTOMER_RFM_SEGMENTS_SQL,
     "tpch_national_market_share": NATIONAL_MARKET_SHARE_SQL,
     "tpch_returned_item_customers": RETURNED_ITEM_CUSTOMERS_SQL,
     "tpch_order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
