@@ -1530,3 +1530,28 @@ class TestSessionContinuationAnalytics:
             for (seg, _), n in per_band.items():
                 lo = seg_totals[seg] // RFM_BANDS
                 assert lo <= n <= lo + 1, (dim, seg, n)
+
+    def test_method_agreement_partitions_the_union(self, spark, sf_dir):
+        """Class counts partition the union of the two pair sets, and
+        the 'both' class equals the intersection exactly."""
+        from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+            dedup_method_agreement,
+            dedup_minhash_pairs,
+            dedup_simhash_pairs,
+        )
+
+        cells = {r.agreement: r for r in dedup_method_agreement(spark, sf_dir).collect()}
+        lsh = {(r.id_a, r.id_b) for r in dedup_minhash_pairs(spark, sf_dir).collect()}
+        sim = {(r.id_a, r.id_b) for r in dedup_simhash_pairs(spark, sf_dir).collect()}
+        expect = {
+            "both": lsh & sim,
+            "lsh_only": lsh - sim,
+            "simhash_only": sim - lsh,
+        }
+        for cls, pairs in expect.items():
+            got_n = cells[cls].n_pairs if cls in cells else 0
+            assert got_n == len(pairs), (cls, got_n, len(pairs))
+        total = sum(c.n_pairs for c in cells.values())
+        assert total == len(lsh | sim)
+        for c in cells.values():
+            assert 0 <= c.n_planted_pairs <= c.n_pairs

@@ -604,6 +604,66 @@ WHERE ({_HAM_SQL.replace("a.simhash", "sim_a").replace("b2.simhash", "sim_b")}) 
 """
 
 
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method comparison — the meta-artifact a curator reads
+    before picking a near-dup detector: the verified minhash-LSH pair
+    set and the simhash Hamming pair set, partitioned into agreement
+    classes (both / lsh_only / simhash_only) with, per class, the pair
+    count and how many pairs involve a PLANTED clone (ground truth by
+    construction). Both member sets are the already-registered
+    pipelines' outputs (same plans), full-outer-joined on the pair key;
+    the planted flag is pure id arithmetic. High lsh_only counts mean
+    simhash's 16 bits are too coarse for this corpus; high
+    simhash_only counts mean hash collisions — the artifact quantifies
+    both instead of arguing."""
+    lsh = dedup_minhash_pairs(spark, sf_dir).select("id_a", "id_b").withColumn(
+        "in_lsh", F.lit(1)
+    )
+    sim = dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b").withColumn(
+        "in_sim", F.lit(1)
+    )
+    j = lsh.join(sim, ["id_a", "id_b"], "full_outer")
+    cls = (
+        F.when(F.col("in_lsh").isNotNull() & F.col("in_sim").isNotNull(), "both")
+        .when(F.col("in_lsh").isNotNull(), "lsh_only")
+        .otherwise("simhash_only")
+    )
+    planted = (
+        (F.col("id_a") >= CLONE_OFFSET) | (F.col("id_b") >= CLONE_OFFSET)
+    ).cast("int")
+    return (
+        j.select(cls.alias("agreement"), planted.alias("is_planted"))
+        .groupBy("agreement")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_planted").cast("bigint").alias("n_planted_pairs"),
+        )
+    )
+
+
+DEDUP_METHOD_AGREEMENT_SQL = rf"""
+WITH lsh AS ({DEDUP_MINHASH_PAIRS_SQL}),
+sim AS ({DEDUP_SIMHASH_PAIRS_SQL}),
+j AS (
+  SELECT COALESCE(l.id_a, s.id_a) AS id_a,
+         COALESCE(l.id_b, s.id_b) AS id_b,
+         l.id_a IS NOT NULL AS in_lsh,
+         s.id_a IS NOT NULL AS in_sim
+  FROM (SELECT id_a, id_b FROM lsh) l
+  FULL OUTER JOIN (SELECT id_a, id_b FROM sim) s
+    ON l.id_a = s.id_a AND l.id_b = s.id_b
+)
+SELECT CASE WHEN in_lsh AND in_sim THEN 'both'
+            WHEN in_lsh THEN 'lsh_only'
+            ELSE 'simhash_only' END AS agreement,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN id_a >= {CLONE_OFFSET} OR id_b >= {CLONE_OFFSET}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_pairs
+FROM j
+GROUP BY 1
+"""
+
+
 PASSAGE_WORDS = 10
 
 
@@ -692,6 +752,7 @@ QUERIES = {
     "dedup_cluster_keepers": dedup_cluster_keepers,
     "dedup_lsh_sweep": dedup_lsh_sweep,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_method_agreement": dedup_method_agreement,
 }
 
 ORACLES = {
@@ -705,4 +766,5 @@ ORACLES = {
     "dedup_cluster_keepers": DEDUP_CLUSTER_KEEPERS_SQL,
     "dedup_lsh_sweep": DEDUP_LSH_SWEEP_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
+    "dedup_method_agreement": DEDUP_METHOD_AGREEMENT_SQL,
 }
