@@ -100,6 +100,10 @@ def _dtype_family(s: pd.Series) -> str:
     return "empty"
 
 
+def _has_nulls(s: pd.Series) -> bool:
+    return bool(s.isna().any())
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 0.0) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems: list[str] = []
@@ -115,10 +119,15 @@ def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 0.0) -> list[s
         fs, fo = _dtype_family(s[c]), _dtype_family(o[c])
         if fs == fo or "empty" in (fs, fo):
             continue
-        # int-vs-float is a legitimate pandas artifact of nullable int
-        # columns (either side may widen to float64 when nulls are
-        # present); the value loop below still compares numerically.
-        if {fs, fo} == {"int", "float"}:
+        # int-vs-float is a legitimate pandas artifact ONLY when nulls
+        # are present (a nullable int column widens to float64).  With
+        # no nulls anywhere it is genuine oracle-side type drift — e.g.
+        # DuckDB SUM(BIGINT) widening to HUGEINT → float64 while Spark
+        # emits int64 — which the driver's type-sensitive hash rejects
+        # even though every value is equal (the round-4 red rows).
+        if {fs, fo} == {"int", "float"} and (
+            _has_nulls(s[c]) or _has_nulls(o[c])
+        ):
             continue
         problems.append(f"col {c} dtype family: spark={fs} oracle={fo}")
     if problems:

@@ -376,7 +376,45 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """(id_a < id_b) pairs with cosine >= threshold — the PRODUCTION
+    near-dup path (VERDICT r4 item 4): multi-table LSH candidate
+    generation + exact full-precision re-verify. Never enumerates
+    O(N^2) pairs: candidates are the union of ``n_tables`` independent
+    signature-equality self-joins (Σ|bucket|² work, one keyed shuffle),
+    and every surviving pair's cosine is recomputed with the identical
+    left-fold expression the exact baseline uses, so emitted pairs are
+    bit-exact — approximation affects RECALL only (a true pair whose
+    vectors collide in no table is missed; exact duplicates share every
+    signature by construction and are NEVER missed; recall at the
+    threshold boundary climbs as 1-(1-p)^n_tables, measured green by
+    ``similarity_ann_recall``). The quadratic exact scan survives as
+    :func:`exact_neardup_ground_truth`, fail-fast-gated to fixture
+    scale."""
+    cand = lsh_multi_table_candidates(
+        vectors, vectors, dim=dim, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    ).filter(F.col("query_id") < F.col("neighbor_id"))
+    return (
+        cand.select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def exact_neardup_ground_truth(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
     prefix_len: int = 16,
+    max_rows: int = 50_000,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold — EXACT, with a
     Cauchy-Schwarz prefix bound pruning most pairs cheaply:
@@ -386,13 +424,22 @@ def embedding_near_duplicates(
 
     so any pair whose bound falls below ``threshold * ||a|| * ||b||``
     cannot qualify and is rejected after an h-element fold instead of a
-    full-dimension one. Survivors (planted clones + rare random
-    high-similarity pairs) recompute the full cosine with the identical
-    left-fold expression, so results stay bit-exact vs the naive
-    quadratic formula. Norms and prefix slices are projected once per
-    vector; the left side is repartitioned so the pair scan
-    parallelizes. The LSH-bucket variant (lsh_bucket_key) remains the
-    approximate scale path when even the pruned O(N^2) scan is too much."""
+    full-dimension one. Survivors recompute the full cosine with the
+    identical left-fold expression, so results stay bit-exact vs the
+    naive quadratic formula.
+
+    GROUND-TRUTH FIXTURE ONLY: the bound prunes dot-product work, not
+    pair enumeration — the scan is still O(N²) candidates. It exists to
+    measure the recall of :func:`embedding_near_duplicates` (the
+    LSH-routed production path) at fixture scale, and FAILS FAST above
+    ``max_rows`` input vectors rather than melting a cluster."""
+    n = vectors.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact_neardup_ground_truth is O(N^2) and gated to "
+            f"{max_rows} input vectors (got {n}); use "
+            f"embedding_near_duplicates (LSH-routed) at scale"
+        )
     npart = vectors.sparkSession.sparkContext.defaultParallelism
     head = F.slice(F.col(vec_col), 1, prefix_len)
     tail_n = F.sqrt(_norm2(F.expr(f"slice({vec_col}, {prefix_len + 1}, 1000000)")))

@@ -58,7 +58,16 @@ FROM ranked WHERE rank <= {TOP_K}
 
 def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate embeddings: clones planted at +{offset} must pair
-    with their originals at cosine ~1.0."""
+    with their originals at cosine ~1.0.
+
+    Routed through the multi-table-LSH production path (candidates from
+    signature collisions, exact left-fold cosine re-verify) — no O(N²)
+    enumeration anywhere reachable from ``queries()``. The oracle stays
+    the EXACT all-pairs SQL: emitted pairs are bit-exact by
+    construction, and the planted clones (the only >=0.95 pairs in the
+    corpus, verified at sf0.01 and sf0.1) are identical vectors, which
+    collide in every signature table — so recall is exactly 1 here and
+    parity is a real check, not luck."""
     e = load_table(spark, sf_dir, "embeddings")
     clones = e.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + CLONE_OFFSET).alias("vec_id"),
@@ -66,7 +75,7 @@ def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label"),
     )
     aug = e.unionByName(clones)
-    return embedding_near_duplicates(aug, threshold=0.95)
+    return embedding_near_duplicates(aug, threshold=0.95, dim=DIM)
 
 
 SIMILARITY_EMBEDDING_NEARDUP_SQL = f"""

@@ -122,7 +122,7 @@ labeled AS (
 SELECT version,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT o_orderkey) AS n_keys,
-       SUM({_KS_SQL}) AS keyspace_checksum
+       CAST(SUM({_KS_SQL}) AS BIGINT) AS keyspace_checksum
 FROM labeled GROUP BY version
 """
 
@@ -176,21 +176,21 @@ a4 AS (SELECT o_orderkey FROM v4 EXCEPT SELECT o_orderkey FROM v3),
 r4 AS (SELECT o_orderkey FROM v3 EXCEPT SELECT o_orderkey FROM v4)
 SELECT 2 AS version,
        (SELECT COUNT(*) FROM a2) AS n_added,
-       (SELECT COALESCE(SUM({_KS_SQL}), 0) FROM a2) AS added_checksum,
+       (SELECT CAST(COALESCE(SUM({_KS_SQL}), 0) AS BIGINT) FROM a2) AS added_checksum,
        (SELECT COUNT(*) FROM r2) AS n_removed,
-       (SELECT COALESCE(SUM({_KS_SQL}), 0) FROM r2) AS removed_checksum
+       (SELECT CAST(COALESCE(SUM({_KS_SQL}), 0) AS BIGINT) FROM r2) AS removed_checksum
 UNION ALL
 SELECT 3,
        (SELECT COUNT(*) FROM a3),
-       (SELECT COALESCE(SUM({_KS_SQL}), 0) FROM a3),
+       (SELECT CAST(COALESCE(SUM({_KS_SQL}), 0) AS BIGINT) FROM a3),
        (SELECT COUNT(*) FROM r3),
-       (SELECT COALESCE(SUM({_KS_SQL}), 0) FROM r3)
+       (SELECT CAST(COALESCE(SUM({_KS_SQL}), 0) AS BIGINT) FROM r3)
 UNION ALL
 SELECT 4,
        (SELECT COUNT(*) FROM a4),
-       (SELECT COALESCE(SUM({_KS_SQL}), 0) FROM a4),
+       (SELECT CAST(COALESCE(SUM({_KS_SQL}), 0) AS BIGINT) FROM a4),
        (SELECT COUNT(*) FROM r4),
-       (SELECT COALESCE(SUM({_KS_SQL}), 0) FROM r4)
+       (SELECT CAST(COALESCE(SUM({_KS_SQL}), 0) AS BIGINT) FROM r4)
 """
 
 
@@ -266,7 +266,7 @@ labeled AS (
   UNION ALL SELECT 2, o_orderkey FROM v2
   UNION ALL SELECT 3, o_orderkey FROM v3
 )
-SELECT version, COUNT(*) AS n_rows, SUM({_KS_SQL}) AS keyspace_checksum
+SELECT version, COUNT(*) AS n_rows, CAST(SUM({_KS_SQL}) AS BIGINT) AS keyspace_checksum
 FROM labeled GROUP BY version
 """
 

@@ -594,8 +594,8 @@ lt AS (
   FROM obs GROUP BY 1
 )
 SELECT t_week,
-       SUM(n_obs) OVER (ORDER BY t_week DESC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk,
+       CAST(SUM(n_obs) OVER (ORDER BY t_week DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk,
        n_events, n_censored,
        CAST(n_events AS DOUBLE)
          / CAST(SUM(n_obs) OVER (ORDER BY t_week DESC

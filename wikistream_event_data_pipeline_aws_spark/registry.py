@@ -43,59 +43,64 @@ _ORACLES: dict[str, str] = {}
 # scores, cluster keepers, funnel latency) — are pytest-parity-verified
 # (tests/test_oracle_parity.py replays the driver check) and MUST head
 # the round-5 front together with the displaced r1 rows.
+# Round 5 composition (VERDICT r4 items 1+3): the 40 queries added after
+# the round-4 front froze (never driver-verified — survival_km_order_gaps
+# among them carries this round's oracle BIGINT-cast fix), then the 4
+# queries whose oracle changed this round (the HUGEINT->BIGINT cast:
+# snapshots x3 + record_linkage_blocks), then the 6 oldest r1 rows to
+# fill all 50 slots per the standing rotation policy.  Done = driver
+# union reaches 209/209 with zero red.
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- new in round 4 -------------------------------------------------
-    "scd2_stream_replay",  # CDC stream -> SCD2 foreachBatch composition
-    "partition_evolution_audit",  # layout migration reconciliation
-    "doc_chunk_overlap",  # overlapping RAG/training chunker
-    "tpch_volume_shipping",  # Q7 nation-pair year rollup
-    "tpch_returned_item_customers",  # Q10 negative-flag top-k
-    "tpch_order_count_distribution",  # Q13 agg-of-agg
-    "tpch_top_supplier",  # Q15 scalar MAX subquery
-    "tpch_small_qty_revenue",  # Q17 correlated AVG threshold
-    "tpch_large_volume_customers",  # Q18 HAVING-gated semi join
-    "tpch_disjunctive_revenue",  # Q19 OR-of-conjunctions residual
-    "tpch_idle_customers",  # Q22 scalar AVG + anti join
-    "tpch_national_market_share",  # Q8 two-role nation share
-    "record_linkage_blocks",  # blocked fuzzy entity resolution
-    "record_linkage_matches",  # the matched edge list
-    "wma_user_value",  # weighted moving-average kernel
-    "mixture_temperature_weights",  # temperature-scaled lang mixture
-    "kmeans_embeddings",  # unrolled Lloyd iterations
-    "snapshot_time_travel",  # manifest-versioned reads + rollback
-    "snapshot_changes",  # incremental CDC between versions
-    "stats_mad_outliers",  # robust rank-median outliers
-    "stats_corr_ols",  # decimal-exact correlation + OLS
-    "attribution_first_last_touch",  # windowed struct-extrema credit
-    "metric_unpivot",  # wide->long stack generator
-    "join_null_safe_buckets",  # IS NOT DISTINCT FROM equi-join
-    "customer_balance_quartiles",  # ntile / percent_rank / cume_dist
-    "asof_next_purchase",  # forward as-of (union + first window)
-    "streaming_interval_join_left",  # watermark-gated NULL emission
-    "text_hashing_vectorize",  # hashing-trick vectorization
-    "rolling_1h_user_value",  # RANGE (event-time) frame
-    "running_distinct_types",  # explicit running-set distinct
-    "snapshot_mor_read",  # merge-on-read sequence-aware reads
-    "doc_chunk_cdc",  # content-defined (rolling-hash) chunking
-    "privacy_k_anonymity",  # quasi-identifier group-size audit
-    "dedup_chunk_shared",  # chunk-fingerprint containment pairs
-    "twap_user_daily",  # interval-weighted average
-    "peak_concurrency_daily",  # sweep-line max overlap
-    "hll_join_cardinality",  # merged-sketch overlap estimate
-    "event_trigram_counts",  # order-3 sequence motifs
-    "stats_cusum_changepoint",  # max cumulative deviation
-    "embedding_class_scatter",  # within-class Fisher scatter
-    "ab_test_first_touch",  # two-proportion experiment readout
-    "rolling_active_users",  # trailing-7d distinct actives
-    "cohort_ltv",  # per-cohort cumulative revenue curves
-    "basket_lift_pairs",  # association-rule support/confidence/lift
-    "gini_balance_by_nation",  # Lorenz-form exact inequality
-    # -- changed in round 4 (plan or oracle) ----------------------------
-    "similarity_ann_sweep",  # + IVF axis, generalized schema
-    "scd2_customer_dim",  # oracle gained the insert arm
-    "scd2_point_in_time",  # embeds the scd2_customer_dim oracle
-    "dq_referential_integrity",  # plant now derived max(parent)+1
-    "graph_pagerank",  # kernel extracted into _pr_step
+    "funnel_time_to_convert",
+    "sequence_pattern_match",
+    "churn_label_features",
+    "tpch_revenue_share_hierarchy",
+    "tpch_supplier_leadtime",
+    "tpch_priority_sla",
+    "customer_rfm_segments",
+    "incremental_join_delta",
+    "join_longest_prefix_match",
+    "dedup_cluster_keepers",
+    "dedup_lsh_sweep",
+    "dedup_simhash_pairs",
+    "dedup_method_agreement",
+    "text_ngram_novelty",
+    "tokenizer_fertility_by_lang",
+    "context_window_fit",
+    "split_leakage_audit",
+    "cv_fold_assignment",
+    "decontaminate_overlap_fraction",
+    "hll_rolling_distinct",
+    "kmv_set_operations",
+    "streaming_hll_users",
+    "stats_autocorrelation",
+    "value_decile_assignment",
+    "stats_benford_prices",
+    "stats_seasonal_outliers",
+    "survival_km_order_gaps",
+    "tv_distance_source_mix",
+    "stats_ks_value_drift",
+    "stats_chi2_dow_type",
+    "privacy_l_diversity",
+    "embedding_pq_residuals",
+    "knn_classify_embeddings",
+    "graph_khop_features",
+    "graph_kcore_peel",
+    "graph_eigencentrality",
+    "graph_substitutes",
+    "multimodal_audio_energy",
+    "decayed_user_value",
+    "table_merkle_sync",
+    "snapshot_time_travel",
+    "snapshot_changes",
+    "snapshot_mor_read",
+    "record_linkage_blocks",
+    "hourly_stats",
+    "user_daily_metrics",
+    "risk_scores",
+    "daily_summary",
+    "top_risk_alerts",
+    "tpch_pricing_summary",
 )
 
 
