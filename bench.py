@@ -20,7 +20,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _update_history(repo_dir: str, result: dict) -> None:
+def _regressions(prev_q: dict, cur_q: dict) -> list[dict]:
+    """Hard-gate check (VERDICT r4 item 5): per-query regressions on the
+    common subset that are BOTH >2x the previous timing AND >1s slower
+    in absolute terms — the double condition keeps sub-second noise
+    (worst observed noise ratio 1.67x at 0.3s scale) from tripping the
+    gate while a real plan regression cannot hide."""
+    out = []
+    for k in sorted(set(prev_q) & set(cur_q)):
+        if cur_q[k] > 2.0 * prev_q[k] and cur_q[k] - prev_q[k] > 1.0:
+            out.append({"query": k, "prev_s": prev_q[k], "now_s": cur_q[k]})
+    return out
+
+
+def _update_history(repo_dir: str, result: dict) -> list[dict]:
     """Append this run to BENCH_HISTORY.jsonl and regenerate the
     BENCH_HISTORY.md trend table.
 
@@ -79,6 +92,14 @@ def _update_history(repo_dir: str, result: dict) -> None:
         prev = r
     with open(os.path.join(repo_dir, "BENCH_HISTORY.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
+    comparable = [
+        r
+        for r in runs[:-1]
+        if r["sf"] == entry["sf"] and r["cpus"] == entry["cpus"]
+    ]
+    if not comparable:
+        return []
+    return _regressions(comparable[-1]["queries"], entry["queries"])
 
 
 def main() -> None:
@@ -180,7 +201,9 @@ def main() -> None:
     with open(os.path.join(repo_dir, "BENCH_OUT.json"), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    _update_history(repo_dir, result)
+    regressed = _update_history(repo_dir, result)
+    if regressed:
+        result["regressed"] = regressed
 
     budget = 1950
     printed = dict(result)
@@ -201,6 +224,16 @@ def main() -> None:
             line = json.dumps(printed, separators=(",", ":"))
     print(line)
     spark.stop()
+    if regressed:
+        # failing, not just visible: the driver/CI sees a non-zero rc
+        # whenever a common-subset query regresses >2x AND >1s absolute
+        print(
+            f"BENCH GATE: {len(regressed)} quer{'y' if len(regressed) == 1 else 'ies'}"
+            f" regressed >2x and >1s: "
+            + ", ".join(f"{r['query']} {r['prev_s']:.2f}s->{r['now_s']:.2f}s" for r in regressed),
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -652,3 +652,74 @@ def test_snapshot_sink_checkpoint_restart_no_double_commit(spark, tmp_path, batc
         q3.stop()
     assert len(snap.versions(table)) == 3
     assert snap.read_snapshot(spark, table).count() == 4
+
+
+def test_hll_batch_registers_m_derivation(spark):
+    """ADVICE r4: rho must derive from m, not assume p=10. For any
+    power-of-two m the empty-rest register is (60 - log2(m)) + 1, and a
+    non-power-of-two m is rejected instead of silently skewing."""
+    import pytest as _pytest
+
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        hll_batch_registers,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="power of two"):
+        hll_batch_registers(df, "k", seed="x", m=1000)
+    for m in (256, 1024, 4096):
+        regs = hll_batch_registers(df, "k", seed="x", m=m).collect()
+        assert 0 < len(regs) <= m
+        p = m.bit_length() - 1
+        max_rho = 61 - p
+        assert all(1 <= r.M <= max_rho for r in regs)
+        # registers at different m over the SAME keys estimate the same
+        # cardinality within HLL error (1.04/sqrt(m) ~ 6.5% at m=256),
+        # with the standard linear-counting correction when n << m
+        # (raw HLL is biased upward while empty registers remain)
+        import math
+        alpha = 0.7213 / (1 + 1.079 / m)
+        n_empty = m - len(regs)
+        s = sum(2.0 ** -r.M for r in regs) + n_empty
+        est = alpha * m * m / s
+        if est <= 2.5 * m and n_empty > 0:
+            est = m * math.log(m / n_empty)
+        assert abs(est - 2000) / 2000 < 4 * 1.04 / math.sqrt(m)
+
+
+def test_hll_sink_register_file_is_atomic_single_file(spark, tmp_path):
+    """ADVICE r4: the register table persists as ONE parquet file via
+    temp-write + os.replace — after the stream finishes the target is a
+    plain file, no torn .tmp remains, and a replay MAX-merges into it
+    idempotently."""
+    import os
+
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        start_hll_sink,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(500).select(F.col("id").alias("user_id")).coalesce(1).write.parquet(src)
+    regs_path = str(tmp_path / "regs.parquet")
+
+    def run(ckpt: str) -> None:
+        q = start_hll_sink(
+            file_stream(spark, src, "user_id bigint", max_files_per_trigger=1),
+            regs_path,
+            key_col="user_id",
+            seed="s",
+            checkpoint_dir=str(tmp_path / ckpt),
+            m=1024,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run("ckpt1")
+    assert os.path.isfile(regs_path)
+    assert not [f for f in os.listdir(tmp_path) if ".tmp-" in f]
+    first = {(r.bucket, r.M) for r in spark.read.parquet(regs_path).collect()}
+    run("ckpt2")  # fresh checkpoint = full replay: max-merge must no-op
+    second = {(r.bucket, r.M) for r in spark.read.parquet(regs_path).collect()}
+    assert first == second

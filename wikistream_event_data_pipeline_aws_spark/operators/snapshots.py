@@ -91,9 +91,11 @@ def _commit_manifest(path: str, version: int, manifest: dict[str, Any]) -> None:
     # SnapshotConflictError on fresh state (a check-then-os.replace
     # would let both "succeed", and writing through an O_EXCL fd would
     # leave a torn manifest on a mid-write crash). Data files are safe
-    # under the loser: every writer stages into its own pid-suffixed
-    # commit dir (see _commit_dir).
-    tmp = f"{target}.tmp.p{os.getpid()}"
+    # under the loser: every writer stages into its own pid+thread
+    # suffixed commit dir (see _commit_dir — pid alone is NOT unique:
+    # two driver threads racing commits share a pid, the Iceberg
+    # commit.retry scenario of ``bronze_schema.py:252-253``).
+    tmp = f"{target}.tmp.{_writer_tag()}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
         f.flush()
@@ -108,12 +110,20 @@ def _commit_manifest(path: str, version: int, manifest: dict[str, Any]) -> None:
         os.remove(tmp)
 
 
+def _writer_tag() -> str:
+    """Unique tag per concurrent writer: pid for cross-process races,
+    thread id for same-process driver threads racing commits."""
+    import threading
+
+    return f"p{os.getpid()}-t{threading.get_ident()}"
+
+
 def _commit_dir(path: str, label: str) -> str:
-    """Per-attempt data directory: the pid suffix keeps concurrent
-    writers (who may race for the same version number) from clobbering
-    each other's staged files before the manifest claim decides the
-    winner."""
-    return os.path.join(path, DATA_DIR, f"{label}-p{os.getpid()}")
+    """Per-attempt data directory: the pid+thread suffix keeps
+    concurrent writers (who may race for the same version number) from
+    clobbering each other's staged files before the manifest claim
+    decides the winner."""
+    return os.path.join(path, DATA_DIR, f"{label}-{_writer_tag()}")
 
 
 def _data_files(commit_dir: str) -> list[str]:

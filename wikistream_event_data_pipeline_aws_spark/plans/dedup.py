@@ -408,12 +408,6 @@ def _lsh_sweep_sql() -> str:
     cfg_sql = []
     for r in _SWEEP_ROWS_PER_BAND:
         n_bands = N_HASHES // r
-        banded = "\n  UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band, concat_ws('|', "
-            + ", ".join(f"m{b * r + i}" for i in range(r))
-            + ") AS bucket FROM sigs"
-            for b in range(n_bands)
-        )
         cfg_sql.append(
             f"""
 SELECT {n_bands} AS n_bands, {r} AS rows_per_band,

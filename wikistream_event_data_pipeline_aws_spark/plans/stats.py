@@ -894,9 +894,14 @@ def stats_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor keeps so a nightly-batch spike isn't judged against the
     daytime mean. The 3σ decision is evaluated WITHOUT computing σ as a
     float: ``|x − μ| > 3σ`` cross-multiplies to
-    ``(n·x − S)² > 9·(n·Q − S²)`` with S=Σx, Q=Σx² in DECIMAL — both
-    sides exact, so the outlier COUNT is integer-deterministic even
-    though variance itself is irrational. Two passes over the cell:
+    ``(n·x − S)² > 9·(n·Q − S²)`` with S=Σx, Q=Σx² in DECIMAL. The rhs
+    is exact; the lhs is rounded to DECIMAL(38,3) before squaring (to
+    fit 38-digit precision), so the accepted tolerance is ~5e-4 on
+    |n·x − S| at the 3σ boundary — same discipline as the PQ-residual
+    1e-12 truncation, deterministic on both engines because Spark
+    HALF_UP and DuckDB half-away-from-zero agree on ties (and the
+    invariant test notes no corpus value sits on the boundary). Two
+    passes over the cell:
     one agg for (n, S, Q), one broadcast join back + conditional count.
     Cells are |types|×24 — bounded state, broadcastable forever."""
     e = load_table(spark, sf_dir, "events").select(
@@ -908,7 +913,8 @@ def stats_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("q"),
     )
     j = e.join(F.broadcast(prof), ["event_type", "h"])
-    # (n·x − S)² > 9·(n·Q − S²)  — all DECIMAL, exact comparison
+    # (n·x − S)² > 9·(n·Q − S²) — all DECIMAL; lhs rounds to (38,3)
+    # before squaring (precision budget), tolerance documented above
     lhs = (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,6)")
     rhs = (
         F.col("n") * F.col("q") - (F.col("s") * F.col("s")).cast("decimal(38,12)")

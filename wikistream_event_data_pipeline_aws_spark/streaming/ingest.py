@@ -568,21 +568,52 @@ def start_snapshot_sink(
     return writer.start()
 
 
+def _atomic_write_registers(rows: list, target_path: str) -> None:
+    """Persist (bucket, M) register rows as ONE parquet file via
+    write-temp-then-``os.replace`` — atomic on POSIX, so the register
+    table can never be observed half-written (ADVICE r4: the table is
+    the only copy of the sketch state; committed batches won't replay)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "bucket": pa.array([r["bucket"] for r in rows], type=pa.int64()),
+            "M": pa.array([r["M"] for r in rows], type=pa.int32()),
+        }
+    )
+    tmp = f"{target_path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, target_path)
+
+
 def hll_batch_registers(
     df: DataFrame, key_col: str, seed: str, m: int = 1024
 ) -> DataFrame:
     """One micro-batch's HyperLogLog registers over ``key_col`` — the
     same engine-neutral construction as ``plans/sketches.py`` (md5
     60-bit uniform, low bits = bucket, rho via binary-string leading
-    zeros): (bucket, M) rows, at most ``m`` of them."""
+    zeros): (bucket, M) rows, at most ``m`` of them.
+
+    ``m`` must be a power of two: the hash's low ``p = log2(m)`` bits
+    pick the bucket, the remaining ``60 - p`` bits feed rho, so the
+    empty-rest register value is ``(60 - p) + 1`` — derived from ``m``
+    here rather than hard-coded for p=10, which would silently skew
+    every register for any other size (readers scale by 2^(62-M), which
+    stays integral for any p >= 0 since rho <= 61)."""
     from ..operators.textops import hex_hash
 
+    p = m.bit_length() - 1
+    if m <= 0 or (1 << p) != m:
+        raise ValueError(f"HLL register count m must be a power of two, got {m}")
     h = hex_hash(F.col(key_col).cast("string"), seed=seed)
     t = df.select(h.alias("h")).select(
         (F.col("h") % m).alias("bucket"),
         F.expr(f"h div {m}").alias("rest"),
     )
-    rho = F.lit(51) - F.length(F.expr("ltrim('0', conv(rest, 10, 2))"))
+    rho = F.lit(61 - p) - F.length(F.expr("ltrim('0', conv(rest, 10, 2))"))
     return (
         t.select("bucket", rho.alias("rho"))
         .groupBy("bucket")
@@ -604,10 +635,18 @@ def start_hll_sink(
     where a distinct-count over an unbounded stream costs O(m) state
     instead of an unbounded dedup. The merge is naturally idempotent
     (max is), so replayed batches cannot corrupt the sketch — the
-    exactly-once guarantee falls out of the algebra rather than the
-    checkpoint. The register table is sketch-sized (≤ m rows) by
-    construction, so the driver-side materialization before the
-    overwrite-in-place is bounded and safe."""
+    exactly-once guarantee covers BATCH REPLAY by algebra; STATE
+    durability is covered separately by the atomic persist below. The
+    register table is sketch-sized (≤ m rows) by construction, so the
+    driver-side materialization before the persist is bounded and safe.
+
+    Durability: the register table is the ONLY copy of the sketch state
+    (committed batches will not be replayed), so it is persisted as a
+    single parquet file written to a temp name and ``os.replace``d into
+    place — a crash at any point leaves either the complete previous
+    table or the complete new one, never a torn write. (A non-local
+    ``registers_path`` would need the object store's own atomic-rename
+    or a manifest commit — this sink targets local/driver-side state.)"""
     spark = stream_df.sparkSession
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -618,8 +657,7 @@ def start_hll_sink(
         rows = merged.collect()  # <= m rows: sketch-sized by construction
         if not rows:
             return
-        out = spark.createDataFrame(rows, merged.schema)
-        out.coalesce(1).write.mode("overwrite").parquet(registers_path)
+        _atomic_write_registers(rows, registers_path)
 
     writer = (
         stream_df.writeStream.foreachBatch(_merge)
