@@ -1605,3 +1605,71 @@ class TestNearDupRouting:
         e = load_table(spark, sf_dir, "embeddings")
         with _pytest.raises(ValueError, match="O\\(N\\^2\\)"):
             exact_neardup_ground_truth(e, max_rows=10)
+
+
+class TestRound5NewOps:
+    def test_semdedup_finds_exactly_the_planted_clones(self, spark, sf_dir):
+        """The corpus has no natural >=0.95 cosine pairs (verified in
+        plans/similarity.py), so SemDeDup's within-cluster search must
+        find exactly the 10 planted clone pairs — clustering may split
+        them across cells but can never lose one (identical vectors
+        share a cell deterministically)."""
+        from wikistream_event_data_pipeline_aws_spark.plans.kmeans import (
+            SEM_CLONES,
+            semdedup_embeddings,
+        )
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+
+        rows = semdedup_embeddings(spark, sf_dir).collect()
+        n_vec = load_table(spark, sf_dir, "embeddings").count()
+        assert sum(r.n_members for r in rows) == n_vec + SEM_CLONES
+        assert sum(r.n_dup_pairs for r in rows) == SEM_CLONES
+        assert all(0 <= r.n_removed <= r.n_dup_pairs for r in rows)
+
+    def test_weighted_wor_sample_shape_and_determinism(self, spark, sf_dir):
+        from wikistream_event_data_pipeline_aws_spark.plans.llmprep import (
+            WOR_K,
+            _WOR_MAXB,
+            sample_weighted_wor,
+        )
+
+        rows = sample_weighted_wor(spark, sf_dir).collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, rs in by_lang.items():
+            rs.sort(key=lambda r: r.sample_rank)
+            assert [r.sample_rank for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= WOR_K
+            keys = [r.sample_key for r in rs]
+            assert keys == sorted(keys, reverse=True)
+            assert all(0.0 < k <= 1.0 for k in keys)
+            assert all(1 <= r.weight_exponent <= _WOR_MAXB for r in rs)
+        # deterministic md5 keys: a rerun is bit-identical
+        again = {(r.lang, r.sample_rank): (r.doc_id, r.sample_key)
+                 for r in sample_weighted_wor(spark, sf_dir).collect()}
+        assert again == {(r.lang, r.sample_rank): (r.doc_id, r.sample_key) for r in rows}
+
+    def test_bigram_surprisal_covers_every_bigram_occurrence(self, spark, sf_dir):
+        """The count-join pipeline must not drop occurrences: per doc,
+        n_bigrams == n_tokens - 1 (docs with >= 2 tokens), and the mean
+        sits inside the achievable integer-surprisal band."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.operators.textops import tokenize
+        from wikistream_event_data_pipeline_aws_spark.plans.text import (
+            text_bigram_surprisal,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        ntoks = {
+            r.doc_id: r.n
+            for r in d.select("doc_id", F.size(tokenize(F.col("text"))).alias("n")).collect()
+        }
+        rows = text_bigram_surprisal(spark, sf_dir).collect()
+        assert len(rows) == sum(1 for n in ntoks.values() if n >= 2)
+        for r in rows:
+            assert r.n_bigrams == ntoks[r.doc_id] - 1
+            assert 0 <= r.mean_surprisal <= 64
+            assert r.surprisal_sum == r.mean_surprisal * r.n_bigrams or abs(
+                r.surprisal_sum - r.mean_surprisal * r.n_bigrams
+            ) < 1e-9

@@ -387,15 +387,118 @@ FROM (
 """
 
 
+
+
+SEM_T = 0.95  # within-cluster cosine threshold
+SEM_CLONES = 10
+SEM_OFFSET = 100_000
+
+
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication with the
+    pair search BOUNDED BY CLUSTERS — assign every vector to its
+    nearest coarse centroid (the broadcast-argmin kernel above), then
+    compare ONLY within-cluster pairs with the exact left-fold cosine.
+    Candidate work is sum over clusters of |cluster|^2, never corpus^2;
+    at 100 TB the cluster count K scales with N (K ~ N / target cell
+    size, the IVF sizing rule), so per-cell work stays bounded — same
+    Sigma|bucket|^2 argument as the LSH band join, but driven by the
+    embedding geometry instead of random planes, which is what lets it
+    catch SEMANTIC duplicates LSH-on-text misses. Clones planted at
+    +{SEM_OFFSET} (identical vectors -> identical centroid distances ->
+    same cluster, deterministically) make the dup set non-trivial.
+    Output: per-cluster dedup ledger — members, duplicate pairs found,
+    rows the keep-lowest-id policy would drop."""
+    from ..operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    clones = e.filter(F.col("vec_id") < SEM_CLONES).select(
+        (F.col("vec_id") + SEM_OFFSET).alias("vec_id"), "x"
+    )
+    aug = e.unionByName(clones)
+    cent0 = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    a1 = assign(aug, cent0)
+    left = a1.select("cid", F.col("vec_id").alias("id_a"), F.col("x").alias("xa"))
+    right = a1.select("cid", F.col("vec_id").alias("id_b"), F.col("x").alias("xb"))
+    pairs = (
+        left.join(right, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cid", "id_a", "id_b", cosine(F.col("xa"), F.col("xb")).alias("cos"))
+        .filter(F.col("cos") >= SEM_T)
+    )
+    members = a1.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    dup_stats = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_removed"),
+    )
+    return (
+        members.join(dup_stats, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0).cast("long")).alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+        )
+    )
+
+
+_COS_SQL = """
+  list_sum(list_transform(list_zip({a}, {b}), t -> t[1] * t[2]))
+  / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+     * sqrt(list_sum(list_transform({b}, x -> x * x))))
+"""
+
+SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+aug AS (
+  SELECT vec_id, x FROM e
+  UNION ALL
+  SELECT vec_id + {SEM_OFFSET}, x FROM e WHERE vec_id < {SEM_CLONES}
+),
+cent0 AS (SELECT vec_id AS cid, x AS c FROM e WHERE vec_id < {K}),
+d1 AS (
+  SELECT aug.vec_id, c0.cid, {_DIST_SQL.format(x="aug.x", c="c0.c")} AS dist
+  FROM aug CROSS JOIN cent0 c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1
+  ) WHERE rk = 1
+),
+ax AS (SELECT a1.cid, a1.vec_id, aug.x FROM a1 JOIN aug USING (vec_id)),
+scored AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS_SQL.format(a="a.x", b="b.x")} AS cos
+  FROM ax a JOIN ax b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+pairs AS (SELECT * FROM scored WHERE cos >= {SEM_T}),
+members AS (SELECT cid, COUNT(*) AS n_members FROM a1 GROUP BY cid),
+dup_stats AS (
+  SELECT cid, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT id_b) AS n_removed
+  FROM pairs GROUP BY cid
+)
+SELECT m.cid AS cluster_id, m.n_members,
+       COALESCE(d.n_dup_pairs, CAST(0 AS BIGINT)) AS n_dup_pairs,
+       COALESCE(d.n_removed, CAST(0 AS BIGINT)) AS n_removed
+FROM members m LEFT JOIN dup_stats d ON m.cid = d.cid
+"""
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "embedding_class_scatter": embedding_class_scatter,
     "embedding_pq_residuals": embedding_pq_residuals,
     "knn_classify_embeddings": knn_classify_embeddings,
+    "semdedup_embeddings": semdedup_embeddings,
 }
 ORACLES = {
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
     "embedding_class_scatter": EMBEDDING_CLASS_SCATTER_SQL,
     "embedding_pq_residuals": EMBEDDING_PQ_RESIDUALS_SQL,
     "knn_classify_embeddings": KNN_CLASSIFY_SQL,
+    "semdedup_embeddings": SEMDEDUP_SQL,
 }

@@ -1004,6 +1004,103 @@ FROM lab GROUP BY 1, 2
 SPLIT_LEAKAGE_SQL = _split_leakage_sql()
 
 
+
+
+_WOR_SEED = "wor"
+WOR_K = 10  # sample size per language stratum
+_WOR_MAXB = 16  # weight-exponent cap (docs >= 2^16 chars share the top weight)
+_HEX60 = float(1 << 60)
+
+
+def _iter_sqrt_col(col, n: int):
+    for _ in range(n):
+        col = F.sqrt(col)
+    return col
+
+
+def sample_weighted_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement, per
+    language stratum: each doc draws a deterministic md5-uniform
+    u in (0, 1], forms the key u^(1/w), and the stratum keeps the
+    {WOR_K} largest keys - inclusion probability proportional to
+    weight, no replacement, ONE pass and one per-stratum top-k (the
+    sampler a mixture-builder uses to overweight long/high-quality
+    docs without a second scan).
+
+    Float discipline (same policy as ``decayed_user_value``: pow/ln
+    have no cross-engine bit guarantee, so neither appears): the
+    weight is bucketed to a POWER OF TWO, w = 2^b with
+    b = bitlen(n_chars), which turns the key u^(2^-b) into b ITERATED
+    SQUARE ROOTS. sqrt is IEEE-754 correctly rounded on every engine,
+    so the keys - and therefore the ranking AND the emitted key values
+    - are bit-identical in Spark and DuckDB. b clamps at {_WOR_MAXB}
+    (longer docs share the cap weight), keeping the expression tree
+    bounded. At 100 TB: one narrow projection + one per-stratum
+    window over K-bounded output - no shuffle beyond the stratum
+    partitioning, no RNG state, rerun-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        (hex_hash(F.col("doc_id").cast("string"), seed=_WOR_SEED) + 1).cast("double")
+        / F.lit(_HEX60)
+    ).alias("u")
+    b = F.least(
+        F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)),
+        F.lit(_WOR_MAXB),
+    )
+    t = d.select("doc_id", "lang", b.alias("b"), u)
+    key = _iter_sqrt_col(F.col("u"), _WOR_MAXB)
+    for bb in range(_WOR_MAXB - 1, 0, -1):
+        key = F.when(F.col("b") == bb, _iter_sqrt_col(F.col("u"), bb)).otherwise(key)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("sample_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        t.select(
+            "doc_id",
+            "lang",
+            F.col("b").cast("long").alias("weight_exponent"),
+            key.alias("sample_key"),
+        )
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= WOR_K)
+    )
+
+
+def _wor_key_sql() -> str:
+    def nest(n: int) -> str:
+        e = "u"
+        for _ in range(n):
+            e = f"sqrt({e})"
+        return e
+
+    cases = " ".join(
+        f"WHEN b = {bb} THEN {nest(bb)}" for bb in range(1, _WOR_MAXB)
+    )
+    return f"CASE {cases} ELSE {nest(_WOR_MAXB)} END"
+
+
+SAMPLE_WEIGHTED_WOR_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         LEAST(length(bin(n_chars)), {_WOR_MAXB}) AS b,
+         CAST(CAST(concat('0x', substr(md5(concat('{_WOR_SEED}', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+           / {_HEX60!r} AS u
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, lang, CAST(b AS BIGINT) AS weight_exponent,
+         {{KEY}} AS sample_key
+  FROM t
+)
+SELECT doc_id, lang, weight_exponent, sample_key, sample_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY sample_key DESC, doc_id ASC) AS sample_rank
+  FROM keyed
+) WHERE sample_rank <= {WOR_K}
+""".replace("{KEY}", _wor_key_sql())
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
     "split_leakage_audit": split_leakage_audit,
@@ -1022,6 +1119,7 @@ QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "corpus_shuffle_hash": corpus_shuffle_hash,
     "domain_mixture_sample": domain_mixture_sample,
+    "sample_weighted_wor": sample_weighted_wor,
 }
 
 ORACLES = {
@@ -1042,4 +1140,5 @@ ORACLES = {
     "text_repetition_filter": TEXT_REPETITION_SQL,
     "corpus_shuffle_hash": CORPUS_SHUFFLE_SQL,
     "domain_mixture_sample": DOMAIN_MIXTURE_SQL,
+    "sample_weighted_wor": SAMPLE_WEIGHTED_WOR_SQL,
 }

@@ -490,6 +490,106 @@ FROM documents GROUP BY lang
 CONTEXT_WINDOW_FIT_SQL = _context_fit_sql()
 
 
+
+
+def _bitlen(col: Column) -> Column:
+    """floor(log2(x)) + 1 for a positive integer column, EXACTLY, via
+    the binary-string length (same primitive as the HLL rho) — the
+    integer-quantized logarithm that keeps cross-engine parity where
+    ln()/log() (not correctly rounded, no bit guarantee) would break it."""
+    return F.length(F.conv(col.cast("string"), 10, 2))
+
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprisal per document — the statistical
+    quality/fluency score a curation pipeline uses where a real LM is
+    too expensive: train add-one-smoothed bigram counts on the corpus
+    itself, then score each doc by its total/mean surprisal
+    -log2 P(w2|w1) ~ bitlen(c(w1) + V) - bitlen(c(w1,w2) + 1), the
+    integer-quantized log2 (exact via binary-string length — see
+    ``_bitlen``; the true-log version differs by < 1 bit/bigram and
+    has no cross-engine bit guarantee). High mean surprisal = rare
+    transitions (gibberish or novelty); low = boilerplate. At 100 TB:
+    three hash-aggregated shuffles (doc×bigram occurrences, bigram
+    counts, context counts) + one broadcast scalar (vocab size); count
+    tables are vocabulary-sized, occurrences shrink to distinct
+    (doc, bigram) before any join. No float until the final division
+    of identical integers."""
+    from ..operators.textops import exploded_shingles, tokenize
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = (
+        exploded_shingles(d, "doc_id", "text", k=2)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    c12 = occ.groupBy("shingle").agg(F.sum("n_occ").alias("n12"))
+    w1 = F.split(F.col("shingle"), " ", 2)[0]
+    c1 = (
+        occ.select(w1.alias("w1"), "n_occ")
+        .groupBy("w1")
+        .agg(F.sum("n_occ").alias("n1"))
+    )
+    vocab = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    s = (
+        occ.join(c12, "shingle")
+        .withColumn("w1", w1)
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "n_occ",
+            (_bitlen(F.col("n1") + F.col("v")) - _bitlen(F.col("n12") + 1)).alias("s"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.sum("n_occ").alias("n_bigrams"),
+        F.sum(F.col("n_occ") * F.col("s")).alias("surprisal_sum"),
+        (
+            F.sum(F.col("n_occ") * F.col("s")).cast("double")
+            / F.sum("n_occ").cast("double")
+        ).alias("mean_surprisal"),
+    )
+
+
+TEXT_BIGRAM_SURPRISAL_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+uni AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks)
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(range(1, len(t)),
+                                         i -> concat_ws(' ', t[i], t[i+1]))
+                     ELSE [] END) AS bigram
+  FROM toks
+),
+occ AS (SELECT doc_id, bigram, COUNT(*) AS n_occ FROM bg GROUP BY doc_id, bigram),
+c12 AS (SELECT bigram, CAST(SUM(n_occ) AS BIGINT) AS n12 FROM occ GROUP BY bigram),
+c1 AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(n_occ) AS BIGINT) AS n1
+  FROM occ GROUP BY 1
+),
+s AS (
+  SELECT o.doc_id, o.n_occ,
+         length(bin(c1.n1 + (SELECT v FROM uni))) - length(bin(c12.n12 + 1)) AS s
+  FROM occ o
+  JOIN c12 ON o.bigram = c12.bigram
+  JOIN c1 ON split_part(o.bigram, ' ', 1) = c1.w1
+)
+SELECT doc_id,
+       CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+       CAST(SUM(n_occ * s) AS BIGINT) AS surprisal_sum,
+       CAST(SUM(n_occ * s) AS DOUBLE) / CAST(SUM(n_occ) AS DOUBLE) AS mean_surprisal
+FROM s GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_ngram_novelty": text_ngram_novelty,
@@ -501,6 +601,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_tfidf_topk": text_tfidf_topk,
     "text_inverted_index": text_inverted_index,
+    "text_bigram_surprisal": text_bigram_surprisal,
 }
 
 ORACLES = {
@@ -514,4 +615,5 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
     "text_inverted_index": TEXT_INVERTED_INDEX_SQL,
+    "text_bigram_surprisal": TEXT_BIGRAM_SURPRISAL_SQL,
 }
