@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 209
+EXPECTED_QUERY_COUNT = 213
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -137,7 +137,7 @@ def test_no_unpartitioned_windows_in_plan_sources():
 
     allowed = {
         "windows.py": 2,  # daily_lag_trend's two windows over daily agg
-        "sketches.py": 1,  # histogram cumsum over <= HIST_BINS rows
+        "sketches.py": 2,  # histogram cumsums (batch + streaming reader), each over <= HIST_BINS rows
         "stats.py": 2,  # KM life-table tail-sum; KS bucket-prefix (both calendar/domain-bounded)
     }
     root = pathlib.Path(plans_pkg.__file__).parent

@@ -723,3 +723,42 @@ def test_hll_sink_register_file_is_atomic_single_file(spark, tmp_path):
     run("ckpt2")  # fresh checkpoint = full replay: max-merge must no-op
     second = {(r.bucket, r.M) for r in spark.read.parquet(regs_path).collect()}
     assert first == second
+
+
+def test_histogram_sink_replay_is_idempotent(spark, tmp_path):
+    """Additive state + insert-only merge: a FULL replay (fresh
+    checkpoint, same batches) must not double-count any bin — the
+    (batch_id, bin) key makes the second run a no-op before any
+    write."""
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        start_histogram_sink,
+    )
+
+    src = str(tmp_path / "src")
+    for lo in (0, 500):
+        spark.range(lo, lo + 500).select(
+            (F.col("id") % 97).cast("double").alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+    bins_path = str(tmp_path / "bins")
+
+    def run(ckpt: str) -> None:
+        q = start_histogram_sink(
+            file_stream(spark, src, "v double", max_files_per_trigger=1),
+            bins_path,
+            value_col="v",
+            mn=0.0,
+            mx=96.0,
+            checkpoint_dir=str(tmp_path / ckpt),
+            n_bins=32,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run("c1")
+    first = {(r.batch_id, r.bin): r.cnt for r in spark.read.parquet(bins_path).collect()}
+    assert sum(first.values()) == 1000
+    run("c2")  # full replay
+    second = {(r.batch_id, r.bin): r.cnt for r in spark.read.parquet(bins_path).collect()}
+    assert first == second

@@ -822,6 +822,88 @@ FROM a, x
 """
 
 
+_HIST_STREAM_SRC_CACHE: dict[str, str] = {}
+
+
+def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile sketch end-to-end — the ADDITIVE-state twin
+    of ``streaming_hll_users``: events replay as two micro-batches
+    (even/odd event_id files) through
+    ``streaming.ingest.start_histogram_sink``, whose per-batch bin
+    counts are keyed by (batch_id, bin) and INSERT-ONLY merged, so a
+    replayed batch no-ops before any write — exactly-once by idempotent
+    insert where the HLL sink gets it from max-merge algebra (the two
+    production mechanisms, both now exercised). The bin domain is fixed
+    a priori from the static fixture (the streaming-histogram
+    contract: a stream cannot take the min/max pre-pass). Because
+    binning is per-row and bin sums are associative, the streamed
+    histogram is BIT-IDENTICAL to the one-pass batch histogram, so the
+    oracle is exactly ``HISTOGRAM_QUANTILES_VALUE_SQL``. State:
+    n_batches x B rows, compactable by summing — never data-sized."""
+    import tempfile
+
+    from ..streaming.ingest import file_stream, start_histogram_sink
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    mm = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).first()
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+
+    src = _HIST_STREAM_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="hist_stream_src_") + "/src"
+        for parity in (0, 1):
+            e.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        _HIST_STREAM_SRC_CACHE[sf_dir] = src
+
+    tmp = tempfile.mkdtemp(prefix="hist_stream_")
+    bins_path, ckpt = f"{tmp}/bins", f"{tmp}/ckpt"
+    stream = file_stream(
+        spark, src, "event_id bigint, value double", max_files_per_trigger=1
+    )
+    q = start_histogram_sink(
+        stream,
+        bins_path,
+        value_col="value",
+        mn=mn,
+        mx=mx,
+        checkpoint_dir=ckpt,
+        n_bins=HIST_BINS,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("histogram stream did not finish in 300s")
+
+    hist = (
+        spark.read.parquet(bins_path)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    n_total = hist.agg(F.sum("cnt").alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", F.sum("cnt").over(w).alias("cum")).join(
+        F.broadcast(n_total)
+    )
+    qs = F.explode(F.array(*[F.lit(x) for x in HIST_QS])).alias("q")
+    targets = cum.select("bin", "cum", "n", qs).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
+    )
+    best = targets.groupBy("q").agg(
+        F.min("bin").alias("bin"), F.first("n").alias("n")
+    )
+    est = F.lit(mn) + (F.col("bin") + F.lit(0.5)) / HIST_BINS * F.lit(mx - mn)
+    return best.select(
+        "q",
+        F.ceil(F.col("q") * F.col("n")).alias("target_rank"),
+        "bin",
+        est.alias("est_value"),
+        F.col("n").alias("n_rows"),
+    )
+
+
 QUERIES = {
     "hll_join_cardinality": hll_join_cardinality,
     "hll_rolling_distinct": hll_rolling_distinct,
@@ -831,6 +913,7 @@ QUERIES = {
     "hll_distinct_users_by_type": hll_distinct_users_by_type,
     "heavy_hitters_cms": heavy_hitters_cms,
     "histogram_quantiles_value": histogram_quantiles_value,
+    "streaming_histogram_quantiles": streaming_histogram_quantiles,
 }
 
 ORACLES = {
@@ -842,4 +925,5 @@ ORACLES = {
     "hll_distinct_users_by_type": HLL_DISTINCT_USERS_BY_TYPE_SQL,
     "heavy_hitters_cms": HEAVY_HITTERS_CMS_SQL,
     "histogram_quantiles_value": HISTOGRAM_QUANTILES_VALUE_SQL,
+    "streaming_histogram_quantiles": HISTOGRAM_QUANTILES_VALUE_SQL,
 }

@@ -47,8 +47,10 @@ _ORACLES: dict[str, str] = {}
 # the round-4 front froze (never driver-verified — survival_km_order_gaps
 # among them carries this round's oracle BIGINT-cast fix), then the 4
 # queries whose oracle changed this round (the HUGEINT->BIGINT cast:
-# snapshots x3 + record_linkage_blocks), then the 6 oldest r1 rows to
-# fill all 50 slots per the standing rotation policy.  Done = driver
+# snapshots x3 + record_linkage_blocks), then the 4 queries NEW this
+# round (semdedup, weighted-WOR sampling, bigram surprisal, streaming
+# histogram), then the 2 oldest r1 rows to fill all 50 slots per the
+# standing rotation policy.  Done = driver
 # union reaches 209/209 with zero red.
 _DRIVER_FRONT: tuple[str, ...] = (
     "funnel_time_to_convert",
@@ -95,12 +97,12 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "snapshot_changes",
     "snapshot_mor_read",
     "record_linkage_blocks",
+    "semdedup_embeddings",
+    "sample_weighted_wor",
+    "text_bigram_surprisal",
+    "streaming_histogram_quantiles",
     "hourly_stats",
     "user_daily_metrics",
-    "risk_scores",
-    "daily_summary",
-    "top_risk_alerts",
-    "tpch_pricing_summary",
 )
 
 

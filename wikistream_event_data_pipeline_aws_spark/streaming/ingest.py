@@ -589,6 +589,53 @@ def _atomic_write_registers(rows: list, target_path: str) -> None:
     os.replace(tmp, target_path)
 
 
+def start_histogram_sink(
+    stream_df: DataFrame,
+    bins_path: str,
+    value_col: str,
+    mn: float,
+    mx: float,
+    checkpoint_dir: str,
+    n_bins: int = 256,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming fixed-width histogram sketch — the ADDITIVE-state
+    complement to :func:`start_hll_sink`: bin counts merge by SUM, and
+    sums are NOT idempotent under replay, so exactly-once here comes
+    from the OTHER production mechanism — each micro-batch's bin counts
+    are keyed by (batch_id, bin) and written through the insert-only
+    merge, which makes a replayed batch a no-op before any write. The
+    reader sums across batch rows: state is <= n_batches x n_bins rows
+    (bin-level compaction is a metadata rewrite when n_batches grows).
+    The bin domain [mn, mx) is FIXED a priori — the standing contract
+    of streaming histogram/quantile sketches (a data-dependent domain
+    would need a second pass the stream cannot take)."""
+    from ..operators.merge import insert_only_parquet
+
+    spark = stream_df.sparkSession
+    width_expr = (F.col(value_col) - F.lit(mn)) / F.lit(mx - mn) * n_bins
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        binned = batch_df.select(
+            F.least(F.lit(n_bins - 1), F.floor(width_expr)).alias("bin")
+        )
+        counts = (
+            binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(batch_id).alias("batch_id"), "bin", "cnt")
+        )
+        insert_only_parquet(spark, bins_path, counts, keys=["batch_id", "bin"])
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def hll_batch_registers(
     df: DataFrame, key_col: str, seed: str, m: int = 1024
 ) -> DataFrame:
