@@ -448,3 +448,90 @@ def test_ivm_join_delta_algebra_holds_for_any_split(spark, cust, orders, cmod, o
     assert arms["view_new"].checksum == arms["view_old"].checksum + sum(
         arms[a].checksum for a in deltas
     )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bigram_surprisal_matches_python_reference(spark, docs):
+    """The three-join count pipeline equals a direct per-doc recompute:
+    for every doc, surprisal_sum == sum over bigram occurrences of
+    bitlen(c1(w1) + V) - bitlen(c12(w1,w2) + 1) with corpus-global
+    counts — any join dropping/duplicating an occurrence breaks it."""
+    from wikistream_event_data_pipeline_aws_spark.plans.text import (
+        bigram_surprisal_df,
+    )
+
+    corpus = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    c12, c1, vocab = {}, {}, set()
+    for _, text in corpus:
+        toks = text.split()
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    v = len(vocab)
+    expect = {}
+    for doc_id, text in corpus:
+        toks = text.split()
+        if len(toks) < 2:
+            continue
+        ssum = sum(
+            (c1[a] + v).bit_length() - (c12[(a, b)] + 1).bit_length()
+            for a, b in zip(toks, toks[1:])
+        )
+        expect[doc_id] = (len(toks) - 1, ssum)
+
+    d = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.surprisal_sum)
+        for r in bigram_surprisal_df(d).collect()
+    }
+    assert got == expect
+
+
+def test_weighted_wor_matches_python_md5_reference(spark, sf_dir):
+    """Full python replication of the sampler: md5 60-bit uniform,
+    iterated-sqrt key (math.sqrt is correctly rounded, like the
+    engines'), top-K per lang — doc ids, ranks AND float keys must be
+    bit-equal to the Spark result."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from wikistream_event_data_pipeline_aws_spark.plans.llmprep import (
+        WOR_K,
+        _WOR_MAXB,
+        _WOR_SEED,
+        sample_weighted_wor,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    rows = tbl.to_pylist()
+    by_lang = {}
+    for r in rows:
+        h = int(hashlib.md5(f"{_WOR_SEED}{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        u = float(h + 1) / float(1 << 60)
+        b = min(int(r["n_chars"]).bit_length(), _WOR_MAXB)
+        key = u
+        for _ in range(b):
+            key = math.sqrt(key)
+        by_lang.setdefault(r["lang"], []).append((key, r["doc_id"], b))
+    expect = set()
+    for lang, ks in by_lang.items():
+        ks.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (key, doc_id, b) in enumerate(ks[:WOR_K], start=1):
+            expect.add((doc_id, lang, b, key, rank))
+
+    got = {
+        (r.doc_id, r.lang, r.weight_exponent, r.sample_key, r.sample_rank)
+        for r in sample_weighted_wor(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -515,9 +515,16 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables are vocabulary-sized, occurrences shrink to distinct
     (doc, bigram) before any join. No float until the final division
     of identical integers."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_surprisal_df(d)
+
+
+def bigram_surprisal_df(d: DataFrame) -> DataFrame:
+    """Core of :func:`text_bigram_surprisal` over any (doc_id, text)
+    frame — separated so the property suite can drive it with random
+    corpora against a pure-Python reference."""
     from ..operators.textops import exploded_shingles, tokenize
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     occ = (
         exploded_shingles(d, "doc_id", "text", k=2)
         .groupBy("doc_id", "shingle")
@@ -530,8 +537,12 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1")
         .agg(F.sum("n_occ").alias("n1"))
     )
+    # an empty doc tokenizes to [''] on both engines — exclude the empty
+    # pseudo-token from the vocabulary (caught by the property suite's
+    # pure-Python reference)
     vocab = (
         d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
         .agg(F.countDistinct("tok").alias("v"))
     )
     s = (
@@ -559,7 +570,7 @@ TEXT_BIGRAM_SURPRISAL_SQL = rf"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 uni AS (
   SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
-  FROM (SELECT unnest(t) AS tok FROM toks)
+  FROM (SELECT unnest(t) AS tok FROM toks) WHERE tok <> ''
 ),
 bg AS (
   SELECT doc_id,
