@@ -599,3 +599,31 @@ def test_ks_prefix_and_totals_broadcast(spark, sf_dir):
     prefix table and the 1-row totals — both must broadcast."""
     plan = _plan(spark, sf_dir, "stats_ks_value_drift")
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan
+
+
+def test_semdedup_pair_join_is_keyed_not_cartesian(spark, sf_dir):
+    """The SemDeDup within-cluster pair search must be an equi-join on
+    the cluster id (Sigma|cell|^2 work), never a cross join; the only
+    broadcast-nested-loop allowed is the K-row centroid fan-out."""
+    plan = _plan(spark, sf_dir, "semdedup_embeddings")
+    assert "CartesianProduct" not in plan, plan
+    # K-row centroid fan-outs only (the pair self-join re-plans the
+    # assignment subtree on each side, so the fan-out appears 3x)
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    assert "SortMergeJoin [cid" in plan, plan  # the pair search is keyed
+
+
+def test_weighted_wor_has_no_global_sort(spark, sf_dir):
+    """Per-stratum top-k: the window partitions by lang — a
+    SinglePartition exchange would funnel the corpus through one task."""
+    plan = _plan(spark, sf_dir, "sample_weighted_wor")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_surprisal_is_hash_agg_joins(spark, sf_dir):
+    """Count-table joins only; the sole nested-loop is the broadcast of
+    the 1-row vocabulary scalar."""
+    plan = _plan(spark, sf_dir, "text_bigram_surprisal")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
