@@ -1673,3 +1673,32 @@ class TestRound5NewOps:
             assert r.surprisal_sum == r.mean_surprisal * r.n_bigrams or abs(
                 r.surprisal_sum - r.mean_surprisal * r.n_bigrams
             ) < 1e-9
+
+    def test_t_closeness_bounds_and_exact_gate(self, spark, sf_dir):
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            privacy_t_closeness,
+        )
+
+        rows = privacy_t_closeness(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r.emd <= 1.0
+            # the integer gate must agree with the float readout
+            assert r.meets_t_closeness == (r.emd <= 0.2 + 1e-15)
+
+    def test_seasonal_naive_scores_exactly_the_overlap_days(self, spark, sf_dir):
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+            FORECAST_LAG_DAYS,
+            forecast_seasonal_naive_backtest,
+        )
+
+        e = load_table(spark, sf_dir, "events")
+        n_days = e.select(F.to_date("ts").alias("d")).distinct().count()
+        rows = forecast_seasonal_naive_backtest(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # contiguous calendar at every SF: each type is scoreable on
+            # every day that has a 7-day-earlier counterpart
+            assert r.n_days_scored == n_days - FORECAST_LAG_DAYS
+            assert r.mae_count >= 0.0 and r.mae_value >= 0.0

@@ -1174,6 +1174,175 @@ FROM s
 """
 
 
+_TC_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+# t = 1/5: a group fails when EMD > 0.2 — compared in EXACT integers
+_TC_NUM, _TC_DEN = 1, 5
+
+
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung after ``privacy_k_anonymity``
+    and ``privacy_l_diversity``: a group can be k-anonymous AND
+    l-diverse yet still leak if its SENSITIVE-value distribution skews
+    far from the table's (the attacker learns the skew). Distance is
+    the Earth Mover's Distance over the ORDERED sensitive attribute
+    (order priority, 1-URGENT..5-LOW):
+
+        EMD = (1/(m-1)) * sum_i |CumP_i - CumQ_i|
+
+    computed on the COMMON DENOMINATOR n_g*N (the ``tv_distance``
+    discipline): each cumulative term is the exact BIGINT
+    |sum_j<=i (c_j*N - d_j*n_g)|, the only float op is the final
+    division, and the pass/fail gate never touches float at all —
+    ``EMD <= t`` cross-multiplies to
+    ``(m-1)-sum * DEN <= NUM * n_g * N * (m-1)`` in integers. Plan: one
+    (QI, sensitive) pivot-style conditional agg + one broadcast global
+    row — two shuffles, group count x m cells of state."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+    def counts(df, prefix: str):
+        return [
+            F.sum((F.col("o_orderpriority") == p).cast("long")).alias(f"{prefix}{i}")
+            for i, p in enumerate(_TC_PRIORITIES)
+        ]
+
+    g = o.groupBy("order_month", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_g"), *counts(o, "c")
+    )
+    glob = o.agg(F.count(F.lit(1)).alias("n_tot"), *counts(o, "d"))
+    j = g.join(F.broadcast(glob))
+    m = len(_TC_PRIORITIES)
+    cums = []
+    acc = None
+    for i in range(m - 1):  # the m-th cumulative diff is identically 0
+        term = F.col(f"c{i}") * F.col("n_tot") - F.col(f"d{i}") * F.col("n_g")
+        acc = term if acc is None else acc + term
+        cums.append(F.abs(acc))
+    emd_scaled = cums[0]
+    for c in cums[1:]:
+        emd_scaled = emd_scaled + c
+    denom = F.col("n_g") * F.col("n_tot") * F.lit(m - 1)
+    return j.select(
+        "order_month",
+        "o_orderstatus",
+        F.col("n_g").alias("n_rows"),
+        (emd_scaled.cast("double") / denom.cast("double")).alias("emd"),
+        (emd_scaled * _TC_DEN <= F.lit(_TC_NUM) * denom).alias("meets_t_closeness"),
+    )
+
+
+def _tc_sql() -> str:
+    m = len(_TC_PRIORITIES)
+    c_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i, p in enumerate(_TC_PRIORITIES)
+    )
+    d_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS d{i}"
+        for i, p in enumerate(_TC_PRIORITIES)
+    )
+    cum_terms = []
+    for i in range(m - 1):
+        inner = " + ".join(f"(c{j} * n_tot - d{j} * n_g)" for j in range(i + 1))
+        cum_terms.append(f"ABS({inner})")
+    emd = " + ".join(cum_terms)
+    return f"""
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_orderstatus,
+         o_orderpriority
+  FROM orders
+),
+g AS (
+  SELECT order_month, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_g, {c_cols}
+  FROM o GROUP BY order_month, o_orderstatus
+),
+gtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot, {d_cols} FROM o)
+SELECT order_month, o_orderstatus, n_g AS n_rows,
+       CAST(CAST({emd} AS BIGINT) AS DOUBLE)
+         / CAST(n_g * n_tot * {m - 1} AS DOUBLE) AS emd,
+       CAST({emd} AS BIGINT) * {_TC_DEN}
+         <= {_TC_NUM} * n_g * n_tot * {m - 1} AS meets_t_closeness
+FROM g, gtot
+"""
+
+
+PRIVACY_T_CLOSENESS_SQL = _tc_sql()
+
+
+FORECAST_LAG_DAYS = 7
+
+
+def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every forecasting
+    pipeline must beat and therefore must be able to SCORE: predict each
+    day's per-type volume/value as the value {FORECAST_LAG_DAYS} days
+    earlier, then report MAE over all scoreable days. Exact arithmetic:
+    counts are BIGINT, values fold in DECIMAL(18,2), |errors| sum in
+    DECIMAL before ONE closing division per metric — no float
+    accumulation, so the backtest value-hashes across engines. Plan:
+    one (type, day) hash agg, one self-join on the shifted calendar key
+    (both sides pre-aggregated to |types| x 30 rows), one type-level
+    agg — bounded state everywhere."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    daily = e.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    fc = daily.select(
+        "event_type",
+        F.date_add("d", FORECAST_LAG_DAYS).alias("d"),
+        F.col("n").alias("n_hat"),
+        F.col("sv").alias("sv_hat"),
+    )
+    scored = daily.join(fc, ["event_type", "d"])
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("n_hat"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mae_count"),
+        (
+            F.sum(F.abs(F.col("sv") - F.col("sv_hat"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mae_value"),
+    )
+
+
+FORECAST_SEASONAL_NAIVE_SQL = f"""
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+daily AS (
+  SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv
+  FROM e GROUP BY event_type, d
+),
+fc AS (
+  SELECT event_type, d + INTERVAL {FORECAST_LAG_DAYS} DAY AS d,
+         n AS n_hat, sv AS sv_hat
+  FROM daily
+),
+scored AS (
+  SELECT daily.event_type, ABS(daily.n - fc.n_hat) AS abs_n_err,
+         ABS(daily.sv - fc.sv_hat) AS abs_v_err
+  FROM daily JOIN fc ON daily.event_type = fc.event_type AND daily.d = fc.d
+)
+SELECT event_type,
+       COUNT(*) AS n_days_scored,
+       CAST(CAST(SUM(abs_n_err) AS VARCHAR) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mae_count,
+       CAST(CAST(SUM(abs_v_err) AS VARCHAR) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mae_value
+FROM scored GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": stats_mad_outliers,
     "stats_autocorrelation": stats_autocorrelation,
@@ -1191,6 +1360,8 @@ QUERIES = {
     "stats_corr_ols": stats_corr_ols,
     "privacy_k_anonymity": privacy_k_anonymity,
     "stats_cusum_changepoint": stats_cusum_changepoint,
+    "privacy_t_closeness": privacy_t_closeness,
+    "forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest,
 }
 
 ORACLES = {
@@ -1210,4 +1381,6 @@ ORACLES = {
     "ab_test_first_touch": AB_TEST_FIRST_TOUCH_SQL,
     "basket_lift_pairs": BASKET_LIFT_PAIRS_SQL,
     "gini_balance_by_nation": GINI_BALANCE_BY_NATION_SQL,
+    "privacy_t_closeness": PRIVACY_T_CLOSENESS_SQL,
+    "forecast_seasonal_naive_backtest": FORECAST_SEASONAL_NAIVE_SQL,
 }
