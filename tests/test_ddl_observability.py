@@ -96,3 +96,37 @@ def test_repair_dedup_keeps_earliest(spark, tmp_path):
     assert got == {(1, "keep"), (2, "solo"), (3, "keep")}
     # idempotent: second repair is a no-op
     assert repair_dedup(spark, path, keys=["k"], order_by=["processed_at"]) == (3, 3)
+
+
+def test_observed_write_single_pass_metrics(spark):
+    """The Observation API must report exactly what a second aggregation
+    pass would, while running only the one action."""
+    from pyspark.sql import functions as F
+
+    from wikistream_event_data_pipeline_aws_spark.observability import (
+        CollectingSink,
+        observed_write,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    sink = CollectingSink()
+    n, got = observed_write(
+        df,
+        sink,
+        "bronze",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.col("v").isNull().cast("long")),
+            "sum_v": F.sum("v"),
+        },
+    )
+    assert n == 100
+    assert got["n_rows"] == 100
+    assert got["n_null_v"] == 10
+    assert got["sum_v"] == sum(i for i in range(100) if i % 10 != 0)
+    emitted = {name: v for name, v, _ in sink.metrics}
+    assert emitted["bronze.n_rows"] == 100.0
+    assert emitted["bronze.n_null_v"] == 10.0

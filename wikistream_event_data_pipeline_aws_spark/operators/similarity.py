@@ -394,15 +394,42 @@ def embedding_near_duplicates(
     ``similarity_ann_recall``). The quadratic exact scan survives as
     :func:`exact_neardup_ground_truth`, fail-fast-gated to fixture
     scale."""
-    cand = lsh_multi_table_candidates(
-        vectors, vectors, dim=dim, n_planes=n_planes, n_tables=n_tables,
-        id_col=id_col, vec_col=vec_col,
-    ).filter(F.col("query_id") < F.col("neighbor_id"))
+    # Candidate pairs are deduped as SLIM id pairs (the multi-table
+    # helper carries both vectors through its dedup agg — fine for the
+    # bounded-query-side top-k, wasteful for a corpus self-join where
+    # every row hauls 2 x dim doubles through the shuffle); vectors
+    # join back once per side after the distinct.
+    sigs = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_bucket_key(F.col(vec_col), dim, n_planes, table=t)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("table", "bucket"),
+    ).localCheckpoint(eager=True)  # fence: built once, not once per self-join side
+    pairs = (
+        sigs.join(
+            sigs.select(
+                F.col("vid").alias("vid_b"), "table", "bucket"
+            ),
+            ["table", "bucket"],
+        )
+        .filter(F.col("vid") < F.col("vid_b"))
+        .select(F.col("vid").alias("id_a"), F.col("vid_b").alias("id_b"))
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        cand.select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
