@@ -1702,3 +1702,48 @@ class TestRound5NewOps:
             # every day that has a 7-day-earlier counterpart
             assert r.n_days_scored == n_days - FORECAST_LAG_DAYS
             assert r.mae_count >= 0.0 and r.mae_value >= 0.0
+
+    def test_grouped_histogram_brackets_exact_quantiles(self, spark, sf_dir):
+        """Each per-type estimate must sit within one bin width of the
+        exact quantile — the histogram error bound, now per group."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.sketches import (
+            HIST_BINS,
+            histogram_quantiles_by_type,
+        )
+
+        e = load_table(spark, sf_dir, "events")
+        exact = {
+            (r.event_type, r.q): r.x
+            for r in e.groupBy("event_type")
+            .agg(
+                F.expr("percentile(value, 0.5)").alias("p50"),
+                F.expr("percentile(value, 0.9)").alias("p90"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .selectExpr(
+                "event_type",
+                "stack(2, 0.5D, p50, 0.9D, p90) AS (q, x)",
+                "(mx - mn) / " + str(HIST_BINS) + " AS w",
+            )
+            .selectExpr("event_type", "q", "x", "w")
+            .collect()
+        }
+        widths = {}
+        for r in (
+            e.groupBy("event_type")
+            .agg(((F.max("value") - F.min("value")) / HIST_BINS).alias("w"))
+            .collect()
+        ):
+            widths[r.event_type] = r.w
+        rows = histogram_quantiles_by_type(spark, sf_dir).collect()
+        assert len(rows) == 2 * len(widths)
+        for r in rows:
+            # mid-bin estimate is within w/2 of the ceil-rank order
+            # statistic; percentile() interpolates between ranks, which
+            # can drift up to one more bin — honest bound: 1.5 widths
+            assert (
+                abs(r.est_value - exact[(r.event_type, r.q)])
+                <= 1.5 * widths[r.event_type] + 1e-9
+            )

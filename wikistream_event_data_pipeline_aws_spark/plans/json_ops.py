@@ -238,6 +238,47 @@ FROM events
 """
 
 
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion (P2's modern form): ``parse_json``
+    shreds the JSON payload ONCE into the binary variant encoding, and
+    ``try_variant_get`` does typed-path extraction without re-parsing
+    the string per expression — at 100 TB the difference between
+    variant shredding and N ``get_json_object`` calls over the same
+    column is N-1 full JSON parses per row. Typed extraction feeds a
+    plain hash agg; malformed payloads surface as NULL (the ``try_``
+    contract), counted separately. The oracle replays the same typed
+    extraction with DuckDB's JSON operators — VARIANT is an encoding,
+    not a semantic, so the values must agree exactly."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "long")
+    t = e.select("event_type", k.alias("k"))
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+        (F.sum("k").cast("double") / F.count("k").cast("double")).alias("avg_k"),
+    )
+
+
+VARIANT_PROPS_STATS_SQL = """
+WITH t AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(k) AS n_with_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE) AS avg_k
+FROM t GROUP BY event_type
+"""
+
+
 QUERIES = {
     "json_extract_props": json_extract_props,
     "envelope_parse": envelope_parse,
@@ -247,6 +288,7 @@ QUERIES = {
     "conditional_mapping": conditional_mapping,
     "string_cleaning": string_cleaning,
     "timestamp_normalize": timestamp_normalize,
+    "variant_props_stats": variant_props_stats,
 }
 
 ORACLES = {
@@ -258,4 +300,5 @@ ORACLES = {
     "conditional_mapping": CONDITIONAL_MAPPING_SQL,
     "string_cleaning": STRING_CLEANING_SQL,
     "timestamp_normalize": TIMESTAMP_NORMALIZE_SQL,
+    "variant_props_stats": VARIANT_PROPS_STATS_SQL,
 }

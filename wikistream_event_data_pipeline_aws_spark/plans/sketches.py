@@ -904,6 +904,106 @@ def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def histogram_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED histogram quantile sketch — per event_type P50/P90 in one
+    pass, the shape a metrics backend runs for every (metric, service)
+    pair: per-type (min, max, n) bounds (|types| rows, broadcast back),
+    per (type, bin) counts, then the quantile lookup over each type's
+    <= B rows via a TYPE-PARTITIONED cumulative window (keyed shuffle,
+    never a global sort). State: |types| x B cells however large the
+    input — same argument as the grouped HLL."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    mm = e.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = e.join(F.broadcast(mm), "event_type").select(
+        "event_type",
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * HIST_BINS
+            ),
+        ).alias("bin"),
+        "mn",
+        "mx",
+        "n",
+    )
+    hist = binned.groupBy("event_type", "bin", "mn", "mx", "n").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type", "bin", "mn", "mx", "n", F.sum("cnt").over(w).alias("cum")
+    )
+    qs = F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("q")
+    targets = cum.select("event_type", "bin", "mn", "mx", "n", "cum", qs).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
+    )
+    best = targets.groupBy("event_type", "q").agg(
+        F.min("bin").alias("bin"),
+        F.first("mn").alias("mn"),
+        F.first("mx").alias("mx"),
+        F.first("n").alias("n"),
+    )
+    est = F.col("mn") + (F.col("bin") + F.lit(0.5)) / HIST_BINS * (
+        F.col("mx") - F.col("mn")
+    )
+    return best.select(
+        "event_type",
+        "q",
+        F.ceil(F.col("q") * F.col("n")).alias("target_rank"),
+        "bin",
+        est.alias("est_value"),
+        F.col("n").alias("n_rows"),
+    )
+
+
+HISTOGRAM_QUANTILES_BY_TYPE_SQL = f"""
+WITH mm AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n
+  FROM events GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type,
+         LEAST({HIST_BINS - 1}::BIGINT,
+               CAST(FLOOR((e.value - mm.mn) / (mm.mx - mm.mn) * {HIST_BINS}) AS BIGINT)) AS bin,
+         mm.mn, mm.mx, mm.n
+  FROM events e JOIN mm ON e.event_type = mm.event_type
+),
+hist AS (
+  SELECT event_type, bin, mn, mx, n, COUNT(*) AS cnt
+  FROM binned GROUP BY event_type, bin, mn, mx, n
+),
+cum AS (
+  SELECT event_type, bin, mn, mx, n,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+t AS (
+  SELECT event_type, q, bin, mn, mx, n, cum
+  FROM cum, unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS u(q)
+  WHERE cum >= CEIL(q * n)
+),
+best AS (
+  SELECT event_type, q, MIN(bin) AS bin, MIN(mn) AS mn, MIN(mx) AS mx, MIN(n) AS n
+  FROM t GROUP BY event_type, q
+)
+SELECT event_type, q,
+       CAST(CEIL(q * n) AS BIGINT) AS target_rank,
+       bin,
+       mn + (bin + 0.5) / {HIST_BINS} * (mx - mn) AS est_value,
+       n AS n_rows
+FROM best
+"""
+
+
 QUERIES = {
     "hll_join_cardinality": hll_join_cardinality,
     "hll_rolling_distinct": hll_rolling_distinct,
@@ -913,6 +1013,7 @@ QUERIES = {
     "hll_distinct_users_by_type": hll_distinct_users_by_type,
     "heavy_hitters_cms": heavy_hitters_cms,
     "histogram_quantiles_value": histogram_quantiles_value,
+    "histogram_quantiles_by_type": histogram_quantiles_by_type,
     "streaming_histogram_quantiles": streaming_histogram_quantiles,
 }
 
@@ -925,5 +1026,6 @@ ORACLES = {
     "hll_distinct_users_by_type": HLL_DISTINCT_USERS_BY_TYPE_SQL,
     "heavy_hitters_cms": HEAVY_HITTERS_CMS_SQL,
     "histogram_quantiles_value": HISTOGRAM_QUANTILES_VALUE_SQL,
+    "histogram_quantiles_by_type": HISTOGRAM_QUANTILES_BY_TYPE_SQL,
     "streaming_histogram_quantiles": HISTOGRAM_QUANTILES_VALUE_SQL,
 }
