@@ -1747,3 +1747,43 @@ class TestRound5NewOps:
                 abs(r.est_value - exact[(r.event_type, r.q)])
                 <= 1.5 * widths[r.event_type] + 1e-9
             )
+
+    def test_recursive_reachability_agrees_with_iterative_bfs(self, spark, sf_dir):
+        """The WITH RECURSIVE walk must equal a hand-rolled iterative
+        BFS over the same edges — engine-level recursion vs explicit
+        joins is a plan choice, not a semantics choice."""
+        from wikistream_event_data_pipeline_aws_spark.plans.graph import (
+            _RC_SEED_MOD,
+            _cooccurrence_edges,
+            graph_recursive_reachability,
+        )
+
+        edges = [
+            (r.pa, r.pb) for r in _cooccurrence_edges(spark, sf_dir).collect()
+        ]
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expect = {}
+        for origin in sorted(n for n in adj if n % _RC_SEED_MOD == 0):
+            dist = {origin: 0}
+            frontier = [origin]
+            for d in (1, 2, 3):
+                nxt = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                frontier = nxt
+            ring = [0, 0, 0]
+            for v, d in dist.items():
+                if d > 0:
+                    ring[d - 1] += 1
+            expect[origin] = tuple(ring)
+        got = {
+            r.origin: (r.n_hop1, r.n_hop2, r.n_hop3)
+            for r in graph_recursive_reachability(spark, sf_dir).collect()
+        }
+        assert got == expect

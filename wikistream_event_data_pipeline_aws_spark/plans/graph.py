@@ -693,6 +693,73 @@ ORDER BY jaccard DESC, s.a ASC, s.b ASC LIMIT {SUBST_TOP}
 """
 
 
+_RC_SEED_MOD = 997
+_RC_MAX_DEPTH = 3
+
+_RC_WALK_SQL = f"""
+WITH RECURSIVE
+seeds AS (SELECT DISTINCT src AS origin FROM {{edges}} WHERE src % {_RC_SEED_MOD} = 0),
+walk(origin, node, depth) AS (
+  SELECT origin, origin AS node, 0 AS depth FROM seeds
+  UNION ALL
+  SELECT w.origin, s.dst AS node, w.depth + 1 AS depth
+  FROM walk w JOIN {{edges}} s ON w.node = s.src
+  WHERE w.depth < {_RC_MAX_DEPTH}
+),
+dist AS (SELECT origin, node, MIN(depth) AS d FROM walk GROUP BY origin, node)
+SELECT origin,
+       CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop1,
+       CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop2,
+       CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop3
+FROM dist WHERE d > 0 GROUP BY origin
+"""
+
+
+def graph_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability via a RECURSIVE CTE (Spark 4's WITH
+    RECURSIVE — the SQL-surface twin of the iterative-join
+    ``graph_khop_features``): BFS from a deterministic seed set
+    (partkey % {_RC_SEED_MOD} = 0), depth-capped at {_RC_MAX_DEPTH},
+    min-distance per reached node, then exact counts per hop ring.
+    Engine mechanics worth pinning: the recursion re-evaluates its
+    non-recursive legs each step, so the symmetric edge table is
+    checkpoint-fenced and registered as a temp view BEFORE the SQL —
+    without the fence the order-pair self-join runs once per depth.
+    The oracle runs the IDENTICAL recursive SQL (DuckDB shares the
+    WITH RECURSIVE semantics) with the edge CTEs inlined. Path blowup
+    is bounded by seed count x deg^depth inside the shipdate window;
+    depth-capped UNION ALL + closing MIN-dedup is the plan — per-level
+    DISTINCT would add a shuffle per depth for no asymptotic win at
+    this cap."""
+    edges = _cooccurrence_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    view = "rc_sym_edges"
+    sym.createOrReplaceTempView(view)
+    return spark.sql(_RC_WALK_SQL.format(edges=view))
+
+
+GRAPH_RECURSIVE_REACHABILITY_SQL = f"""
+WITH RECURSIVE pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT pa AS src, pb AS dst FROM e
+  UNION ALL SELECT pb AS src, pa AS dst FROM e
+)
+""" + _RC_WALK_SQL.format(edges="sym").replace("WITH RECURSIVE", ",").lstrip()
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
@@ -700,6 +767,7 @@ QUERIES = {
     "graph_kcore_peel": graph_kcore_peel,
     "graph_eigencentrality": graph_eigencentrality,
     "graph_substitutes": graph_substitutes,
+    "graph_recursive_reachability": graph_recursive_reachability,
 }
 
 ORACLES = {
@@ -709,4 +777,5 @@ ORACLES = {
     "graph_kcore_peel": GRAPH_KCORE_PEEL_SQL,
     "graph_eigencentrality": GRAPH_EIGENCENTRALITY_SQL,
     "graph_substitutes": GRAPH_SUBSTITUTES_SQL,
+    "graph_recursive_reachability": GRAPH_RECURSIVE_REACHABILITY_SQL,
 }
