@@ -762,3 +762,69 @@ def test_histogram_sink_replay_is_idempotent(spark, tmp_path):
     run("c2")  # full replay
     second = {(r.batch_id, r.bin): r.cnt for r in spark.read.parquet(bins_path).collect()}
     assert first == second
+
+
+class TestSSEReplaySource:
+    """Spark 4 Python DataSource over a recorded SSE capture (S2 as an
+    in-engine source): batch fan-out and micro-batched streaming with
+    line-offset bookkeeping."""
+
+    def _capture(self, tmp_path, n=25):
+        import json as _json
+
+        p = str(tmp_path / "capture.ndjson")
+        with open(p, "w") as f:
+            for i in range(n):
+                f.write(_json.dumps({"event_id": i, "event_type": "t" + str(i % 3)}) + "\n")
+        return p
+
+    def test_batch_read_partitions_cover_all_lines(self, spark, tmp_path):
+        from wikistream_event_data_pipeline_aws_spark.plans.pyapi import (
+            ensure_sse_registered,
+        )
+
+        ensure_sse_registered(spark)
+        p = self._capture(tmp_path)
+        df = (
+            spark.read.format("sse_replay")
+            .option("path", p)
+            .option("partitions", "4")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 4
+        rows = df.collect()
+        assert sorted(r.line_no for r in rows) == list(range(25))
+
+    def test_stream_paces_batches_and_loses_nothing(self, spark, tmp_path):
+        from wikistream_event_data_pipeline_aws_spark.plans.pyapi import (
+            ensure_sse_registered,
+        )
+
+        ensure_sse_registered(spark)
+        p = self._capture(tmp_path)
+        stream = (
+            spark.readStream.format("sse_replay")
+            .option("path", p)
+            .option("maxLinesPerBatch", "10")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("sse_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(r.line_no for r in spark.sql("SELECT * FROM sse_out").collect())
+        assert got == list(range(25))  # every line exactly once
+        # pacing proof from the checkpoint's committed offsets: 25 lines
+        # at maxLinesPerBatch=10 need at least 3 micro-batches
+        commits = [
+            f for f in os.listdir(str(tmp_path / "ckpt" / "commits"))
+            if not f.startswith(".")
+        ]
+        assert len(commits) >= 3, commits

@@ -108,12 +108,112 @@ WHERE event_type = 'purchase'
 """
 
 
+_SSE_FIXTURE_CACHE: dict[str, str] = {}
+_SSE_REGISTERED: set[int] = set()
+
+
+def _sse_capture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic SSE capture fixture: the events table serialized
+    as NDJSON in event_id order — what recording the reference's SSE
+    firehose for this corpus would produce. Built once per scale
+    factor."""
+    import tempfile
+
+    path = _SSE_FIXTURE_CACHE.get(sf_dir)
+    if path is not None:
+        return path
+    import pyarrow.parquet as pq
+    import os
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["event_id"])
+    path = tempfile.mkdtemp(prefix="sse_capture_") + "/capture.ndjson"
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": r["event_id"],
+                        "ts": str(r["ts"]),
+                        "event_type": r["event_type"],
+                        "value": r["value"],
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+    _SSE_FIXTURE_CACHE[sf_dir] = path
+    return path
+
+
+def ensure_sse_registered(spark: SparkSession) -> None:
+    from ..sources import SSEReplayDataSource
+
+    key = id(spark)
+    if key not in _SSE_REGISTERED:
+        spark.dataSource.register(SSEReplayDataSource)
+        _SSE_REGISTERED.add(key)
+
+
+def sse_replay_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the custom ``sse_replay`` Python DataSource
+    (S2 as an IN-ENGINE source, not an out-of-engine feeder): the
+    events table round-trips through an NDJSON capture fixture, the
+    Spark 4 DataSource API reads it back (partitioned line ranges
+    planned driver-side), ``from_json`` parses the envelope JVM-side,
+    and the aggregate must match the oracle computed DIRECTLY on the
+    parquet table — any row the source drops, duplicates or mangles
+    breaks the hash. Python touches bytes only (line fan-out); parsing
+    and aggregation stay in codegen."""
+    from pyspark.sql import functions as F
+
+    ensure_sse_registered(spark)
+    path = _sse_capture(spark, sf_dir)
+    raw = (
+        spark.read.format("sse_replay")
+        .option("path", path)
+        .option("partitions", "8")
+        .load()
+    )
+    env = raw.select(
+        F.from_json(
+            F.col("event_json"),
+            "event_id bigint, ts string, event_type string, value double",
+        ).alias("e")
+    )
+    return (
+        env.select("e.*")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SSE_REPLAY_SOURCE_STATS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "user_value_median_pandas": user_value_median_pandas,
     "props_kv_udtf": props_kv_udtf,
+    "sse_replay_source_stats": sse_replay_source_stats,
 }
 
 ORACLES = {
     "user_value_median_pandas": USER_VALUE_MEDIAN_PANDAS_SQL,
     "props_kv_udtf": PROPS_KV_UDTF_SQL,
+    "sse_replay_source_stats": SSE_REPLAY_SOURCE_STATS_SQL,
 }

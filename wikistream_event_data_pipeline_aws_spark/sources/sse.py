@@ -1,0 +1,126 @@
+"""``sse_replay`` — a Spark 4 Python DataSource over a recorded SSE
+event log (NDJSON, one JSON event per line).
+
+Reference parity: the reference's SSE consumer
+(``sse_consumer/consumer.py``) tails the Wikimedia EventStreams
+firehose and forwards envelopes to Kafka; its Spark jobs never see the
+SSE boundary. Here the engine owns it: a recorded capture replays as a
+first-class Spark source — batch for backfills, micro-batched stream
+(line-offset bookkeeping, ``maxLinesPerBatch`` rate control) for the
+live path — so bronze transforms run identically on either.
+
+Design for scale:
+- Batch reads split the file into ``partitions`` line ranges planned
+  ONCE on the driver (a line-index scan, no payload parsing); each
+  task seeks through only its slice, so a large capture fans out
+  across executors instead of funneling through one Python worker.
+- The stream reader's offset is the absolute line index — replayable
+  and checkpoint-friendly exactly like a Kafka (partition, offset)
+  pair; ``commit`` is a no-op because the capture file is immutable.
+- Rows surface RAW (line_no, event_json): parsing stays in Spark SQL
+  (``from_json`` — JVM-side, same envelope contract as
+  ``streaming/ingest.parse_kafka_envelope``), so the Python boundary
+  moves bytes, not a row-at-a-time parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_SCHEMA = "line_no bigint, event_json string"
+
+
+class _LineRange(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def _count_lines(path: str) -> int:
+    n = 0
+    with open(path, "rb") as f:
+        for _ in f:
+            n += 1
+    return n
+
+
+def _read_range(path: str, start: int, end: int):
+    with open(path, "r", encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if i >= end:
+                break
+            if i >= start:
+                line = line.rstrip("\n")
+                if line:
+                    yield (i, line)
+
+
+class SSEReplayReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.n_parts = int(options.get("partitions", "4"))
+
+    def partitions(self):
+        total = _count_lines(self.path)
+        n = max(1, min(self.n_parts, total or 1))
+        step = (total + n - 1) // n if total else 1
+        return [
+            _LineRange(self.path, lo, min(lo + step, total))
+            for lo in range(0, total, step)
+        ] or [_LineRange(self.path, 0, 0)]
+
+    def read(self, partition: _LineRange):
+        yield from _read_range(partition.path, partition.start, partition.end)
+
+
+class SSEReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.max_lines = int(options.get("maxLinesPerBatch", "1000"))
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def latestOffset(self) -> dict:
+        # rate-limited: advance at most max_lines past the last offset —
+        # the engine calls this once per micro-batch planning cycle
+        total = _count_lines(self.path)
+        cur = getattr(self, "_last", 0)
+        nxt = min(total, cur + self.max_lines)
+        self._last = nxt
+        return {"line": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        return [_LineRange(self.path, start["line"], end["line"])]
+
+    def read(self, partition: _LineRange):
+        yield from _read_range(partition.path, partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        pass  # immutable capture: nothing to acknowledge
+
+
+class SSEReplayDataSource(DataSource):
+    """``spark.dataSource.register(SSEReplayDataSource)`` then
+    ``spark.read.format("sse_replay").option("path", ...)`` or
+    ``spark.readStream.format("sse_replay")...``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sse_replay"
+
+    def schema(self) -> str | StructType:
+        return _SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SSEReplayReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return SSEReplayStreamReader(self.options)
