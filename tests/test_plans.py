@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 219
+EXPECTED_QUERY_COUNT = 220
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -627,3 +627,11 @@ def test_bigram_surprisal_is_hash_agg_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_bigram_surprisal")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_sql_udf_is_catalyst_inlined(spark, sf_dir):
+    """A SQL-language UDF must be substituted into the plan — zero
+    Python evaluation nodes, aggregation in whole-stage codegen."""
+    plan = _plan(spark, sf_dir, "sql_udf_value_bands")
+    assert "EvalPython" not in plan, plan
+    assert "HashAggregate" in plan, plan

@@ -621,6 +621,47 @@ ORDER BY decayed_value DESC, user_id ASC LIMIT {DECAY_TOP}
 """
 
 
+def sql_udf_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDF (Spark 4 ``CREATE FUNCTION ... RETURN expr``) —
+    the §2.9 scalar surface's reusable form: unlike a Python UDF the
+    body is INLINED by Catalyst at plan time (no serialization
+    boundary, codegen and pushdown apply — the plan test asserts zero
+    EvalPython nodes), so shared business logic ("the value band") can
+    live as a catalog function without the 10-100x Python-boundary tax.
+    The oracle inlines the identical CASE by hand."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION sg_value_band(v DOUBLE)
+           RETURNS STRING
+           RETURN CASE WHEN v >= 100 THEN 'high'
+                       WHEN v >= 10 THEN 'mid'
+                       WHEN v >= 0 THEN 'low'
+                       ELSE 'negative' END"""
+    )
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sg_events_udf")
+    return spark.sql(
+        """SELECT event_type, sg_value_band(value) AS band,
+                  COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM sg_events_udf GROUP BY event_type, sg_value_band(value)"""
+    )
+
+
+SQL_UDF_VALUE_BANDS_SQL = """
+WITH banded AS (
+  SELECT event_type,
+         CASE WHEN value >= 100 THEN 'high'
+              WHEN value >= 10 THEN 'mid'
+              WHEN value >= 0 THEN 'low'
+              ELSE 'negative' END AS band,
+         value
+  FROM events
+)
+SELECT event_type, band, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM banded GROUP BY event_type, band
+"""
+
+
 QUERIES = {
     "incremental_agg_merge": incremental_agg_merge,
     "decayed_user_value": decayed_user_value,
@@ -636,6 +677,7 @@ QUERIES = {
     "range_join_next_hour": range_join_next_hour,
     "user_value_trend": user_value_trend,
     "bloom_semi_join_stats": bloom_semi_join_stats,
+    "sql_udf_value_bands": sql_udf_value_bands,
 }
 
 ORACLES = {
@@ -653,4 +695,5 @@ ORACLES = {
     "range_join_next_hour": RANGE_JOIN_NEXT_HOUR_SQL,
     "user_value_trend": USER_VALUE_TREND_SQL,
     "bloom_semi_join_stats": BLOOM_SEMI_JOIN_STATS_SQL,
+    "sql_udf_value_bands": SQL_UDF_VALUE_BANDS_SQL,
 }
