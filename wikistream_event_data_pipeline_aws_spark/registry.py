@@ -48,9 +48,12 @@ _ORACLES: dict[str, str] = {}
 # among them carries this round's oracle BIGINT-cast fix), then the 4
 # queries whose oracle changed this round (the HUGEINT->BIGINT cast:
 # snapshots x3 + record_linkage_blocks), then the 4 queries NEW this
-# round (semdedup, weighted-WOR sampling, bigram surprisal, streaming
-# histogram), then the 2 oldest r1 rows to fill all 50 slots per the
-# standing rotation policy.  Done = driver
+# round with the most novel code paths (semdedup, weighted-WOR
+# sampling, bigram surprisal, streaming histogram, VARIANT extraction,
+# the custom SSE DataSource). The round's 5 remaining new queries
+# (t-closeness, forecast backtest, grouped histogram, recursive CTE,
+# SQL UDF) are pytest-parity-verified at sf0.01 under the strict
+# harness and MUST head the round-6 front.  Done = driver
 # union reaches 209/209 with zero red.
 _DRIVER_FRONT: tuple[str, ...] = (
     "funnel_time_to_convert",
@@ -101,8 +104,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "sample_weighted_wor",
     "text_bigram_surprisal",
     "streaming_histogram_quantiles",
-    "hourly_stats",
-    "user_daily_metrics",
+    "variant_props_stats",
+    "sse_replay_source_stats",
 )
 
 
