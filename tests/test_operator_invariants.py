@@ -1787,3 +1787,32 @@ class TestRound5NewOps:
             for r in graph_recursive_reachability(spark, sf_dir).collect()
         }
         assert got == expect
+
+    def test_training_pairs_contract(self, spark, sf_dir):
+        """Every anchor gets exactly one positive at cosine ~1; hard
+        negatives stay inside the band, never duplicate the positive,
+        and rank contiguously from 1."""
+        from wikistream_event_data_pipeline_aws_spark.plans.kmeans import (
+            PAIR_NEG_HI,
+            PAIR_NEG_K,
+            PAIR_NEG_LO,
+            SEM_CLONES,
+            SEM_OFFSET,
+            embedding_training_pairs,
+        )
+
+        rows = embedding_training_pairs(spark, sf_dir).collect()
+        pos = [r for r in rows if r.pair_type == "positive"]
+        neg = [r for r in rows if r.pair_type == "hard_negative"]
+        assert len(pos) == SEM_CLONES
+        for r in pos:
+            assert r.pair_id == r.anchor_id + SEM_OFFSET
+            assert r.cosine_sim > 0.999
+        by_anchor = {}
+        for r in neg:
+            assert PAIR_NEG_LO <= r.cosine_sim <= PAIR_NEG_HI
+            assert r.pair_id != r.anchor_id + SEM_OFFSET
+            by_anchor.setdefault(r.anchor_id, []).append(r.pair_rank)
+        for ranks in by_anchor.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= PAIR_NEG_K

@@ -488,12 +488,135 @@ FROM members m LEFT JOIN dup_stats d ON m.cid = d.cid
 """
 
 
+PAIR_NEG_K = 5
+PAIR_NEG_LO, PAIR_NEG_HI = 0.1, 0.9
+
+
+def embedding_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining — the data deliverable an
+    embedding-training pipeline actually ships: for each anchor (the
+    {SEM_CLONES} clone originals), one POSITIVE (its planted clone,
+    cosine ~1) and the top-{PAIR_NEG_K} HARD NEGATIVES — same coarse
+    k-means cell (so they look close to the index), cosine inside
+    [{PAIR_NEG_LO}, {PAIR_NEG_HI}] (so they are not true duplicates and
+    not trivially far). Hard-negative candidates come from the CLUSTER
+    join, not an all-pairs scan — the SemDeDup bound again; ranking is
+    a per-anchor window over the bounded candidate set. Ties break on
+    (cosine DESC, vec_id ASC); all cosines are the exact left-fold."""
+    from ..operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    clones = e.filter(F.col("vec_id") < SEM_CLONES).select(
+        (F.col("vec_id") + SEM_OFFSET).alias("vec_id"), "x"
+    )
+    aug = e.unionByName(clones)
+    cent0 = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    a1 = assign(aug, cent0)
+    anchors = a1.filter(F.col("vec_id") < SEM_CLONES).select(
+        F.col("cid"), F.col("vec_id").alias("anchor_id"), F.col("x").alias("ax")
+    )
+    positives = (
+        anchors.join(
+            aug.select(F.col("vec_id").alias("pair_id"), F.col("x").alias("px")),
+            F.col("pair_id") == F.col("anchor_id") + SEM_OFFSET,
+        )
+        .select(
+            "anchor_id",
+            "pair_id",
+            F.lit("positive").alias("pair_type"),
+            cosine(F.col("ax"), F.col("px")).alias("cosine_sim"),
+            F.lit(1).cast("long").alias("pair_rank"),
+        )
+    )
+    cands = (
+        anchors.join(
+            a1.select("cid", F.col("vec_id").alias("pair_id"), F.col("x").alias("px")),
+            "cid",
+        )
+        .filter(
+            (F.col("pair_id") != F.col("anchor_id"))
+            & (F.col("pair_id") != F.col("anchor_id") + SEM_OFFSET)
+        )
+        .select(
+            "anchor_id", "pair_id", cosine(F.col("ax"), F.col("px")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim").between(PAIR_NEG_LO, PAIR_NEG_HI))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("pair_id").asc()
+    )
+    negatives = (
+        cands.withColumn("pair_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pair_rank") <= PAIR_NEG_K)
+        .select(
+            "anchor_id",
+            "pair_id",
+            F.lit("hard_negative").alias("pair_type"),
+            "cosine_sim",
+            "pair_rank",
+        )
+    )
+    return positives.unionByName(negatives)
+
+
+EMBEDDING_TRAINING_PAIRS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+aug AS (
+  SELECT vec_id, x FROM e
+  UNION ALL
+  SELECT vec_id + {SEM_OFFSET}, x FROM e WHERE vec_id < {SEM_CLONES}
+),
+cent0 AS (SELECT vec_id AS cid, x AS c FROM e WHERE vec_id < {K}),
+d1 AS (
+  SELECT aug.vec_id, c0.cid, {_DIST_SQL.format(x="aug.x", c="c0.c")} AS dist
+  FROM aug CROSS JOIN cent0 c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1
+  ) WHERE rk = 1
+),
+ax AS (SELECT a1.cid, a1.vec_id, aug.x FROM a1 JOIN aug USING (vec_id)),
+anchors AS (SELECT cid, vec_id AS anchor_id, x AS axv FROM ax WHERE vec_id < {SEM_CLONES}),
+positives AS (
+  SELECT a.anchor_id, p.vec_id AS pair_id, 'positive' AS pair_type,
+         {_COS_SQL.format(a="a.axv", b="p.x")} AS cosine_sim,
+         CAST(1 AS BIGINT) AS pair_rank
+  FROM anchors a JOIN aug p ON p.vec_id = a.anchor_id + {SEM_OFFSET}
+),
+cands AS (
+  SELECT a.anchor_id, c.vec_id AS pair_id,
+         {_COS_SQL.format(a="a.axv", b="c.x")} AS cosine_sim
+  FROM anchors a JOIN ax c ON a.cid = c.cid
+  WHERE c.vec_id <> a.anchor_id AND c.vec_id <> a.anchor_id + {SEM_OFFSET}
+),
+banded AS (
+  SELECT * FROM cands WHERE cosine_sim BETWEEN {PAIR_NEG_LO} AND {PAIR_NEG_HI}
+),
+negatives AS (
+  SELECT anchor_id, pair_id, 'hard_negative' AS pair_type, cosine_sim,
+         CAST(pair_rank AS BIGINT) AS pair_rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY cosine_sim DESC, pair_id ASC) AS pair_rank
+    FROM banded
+  ) WHERE pair_rank <= {PAIR_NEG_K}
+)
+SELECT * FROM positives UNION ALL SELECT * FROM negatives
+"""
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "embedding_class_scatter": embedding_class_scatter,
     "embedding_pq_residuals": embedding_pq_residuals,
     "knn_classify_embeddings": knn_classify_embeddings,
     "semdedup_embeddings": semdedup_embeddings,
+    "embedding_training_pairs": embedding_training_pairs,
 }
 ORACLES = {
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
@@ -501,4 +624,5 @@ ORACLES = {
     "embedding_pq_residuals": EMBEDDING_PQ_RESIDUALS_SQL,
     "knn_classify_embeddings": KNN_CLASSIFY_SQL,
     "semdedup_embeddings": SEMDEDUP_SQL,
+    "embedding_training_pairs": EMBEDDING_TRAINING_PAIRS_SQL,
 }

@@ -270,11 +270,43 @@ SELECT label, COUNT(*) AS n_events FROM resolved GROUP BY label
 """
 
 
+def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface — the per-row
+    "top-N of my children" idiom ANSI added so this stops being a
+    window-function workaround): for each BUILDING-segment customer in
+    a deterministic 1-in-10 slice, the two highest-price orders.
+    Catalyst decorrelates the LIMIT-inside-LATERAL into a partitioned
+    window under the hood — same physical plan family as
+    ``top3_orders_per_customer``, which is exactly the point: the
+    surface is new, the scale story is the proven one. DuckDB shares
+    the LATERAL semantics, so the oracle is the identical query."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sg_lat_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sg_lat_ord")
+    return spark.sql(LATERAL_TOPN_SQL_BODY.format(cust="sg_lat_cust", ord="sg_lat_ord"))
+
+
+LATERAL_TOPN_SQL_BODY = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM (SELECT c_custkey FROM {cust}
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0) c,
+LATERAL (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM {ord}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+) t
+"""
+
+LATERAL_TOPN_ORDERS_SQL = LATERAL_TOPN_SQL_BODY.format(cust="customer", ord="orders")
+
+
 QUERIES = {
     "metric_unpivot": metric_unpivot,
     "join_null_safe_buckets": join_null_safe_buckets,
     "incremental_join_delta": incremental_join_delta,
     "join_longest_prefix_match": join_longest_prefix_match,
+    "lateral_topn_orders": lateral_topn_orders,
 }
 
 ORACLES = {
@@ -282,4 +314,5 @@ ORACLES = {
     "join_null_safe_buckets": JOIN_NULL_SAFE_BUCKETS_SQL,
     "incremental_join_delta": INCREMENTAL_JOIN_DELTA_SQL,
     "join_longest_prefix_match": JOIN_LONGEST_PREFIX_MATCH_SQL,
+    "lateral_topn_orders": LATERAL_TOPN_ORDERS_SQL,
 }
