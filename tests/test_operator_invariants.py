@@ -1816,3 +1816,26 @@ class TestRound5NewOps:
         for ranks in by_anchor.values():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
             assert len(ranks) <= PAIR_NEG_K
+
+    def test_cogroup_lag_covers_every_active_user(self, spark, sf_dir):
+        """One output row per user that clicked OR purchased; counts
+        reconcile with direct filters; lag present iff both sides are."""
+        from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+        from wikistream_event_data_pipeline_aws_spark.plans.pyapi import (
+            cogroup_click_purchase_lag,
+        )
+
+        e = load_table(spark, sf_dir, "events")
+        users = {
+            r.user_id
+            for r in e.filter(F.col("event_type").isin("click", "purchase"))
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        rows = cogroup_click_purchase_lag(spark, sf_dir).collect()
+        assert {r.user_id for r in rows} == users
+        for r in rows:
+            assert (r.first_lag_seconds is not None) == (
+                r.n_clicks > 0 and r.n_purchases > 0
+            )

@@ -31,6 +31,7 @@ import json
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 
@@ -206,14 +207,84 @@ FROM events GROUP BY event_type
 """
 
 
+def cogroup_click_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided grouped-map (``cogroup().applyInPandas``) — the last
+    pandas-API shape in the §2.12 surface: per user, the click slice
+    and the purchase slice arrive as TWO aligned pandas frames in one
+    Arrow batch, and the reconcile (counts + signed first-click to
+    first-purchase lag) happens in plain pandas. The demo semantics are
+    deliberately join-expressible so the DuckDB oracle can replay them
+    exactly — the operator's real use is per-key logic too gnarly for
+    SQL (per-user model scoring, custom sessionizers); the lag is
+    integer seconds (no float), nullable when a side is absent."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(e.event_type == "click").select("user_id", "ts")
+    # the right side gets DISTINCT column names: both branches descend
+    # from the same scan, and Spark's cogroup attribute-dedup silently
+    # PRUNES a right-side column whose attribute id collides with the
+    # left (observed: right arrived as ['user_id'] only) — the same
+    # self-join ambiguity family as SPARK-14948
+    purchases = e.filter(e.event_type == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = (left["user_id"].iloc[0] if len(left) else right["p_user_id"].iloc[0])
+        lag = None
+        if len(left) and len(right):
+            lag = int(
+                (right["p_ts"].min() - left["ts"].min()) // pd.Timedelta(seconds=1)
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "first_lag_seconds": [lag],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("p_user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id long, n_clicks long, n_purchases long, first_lag_seconds long",
+        )
+    )
+
+
+COGROUP_CLICK_PURCHASE_LAG_SQL = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n_clicks, MIN(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, COUNT(*) AS n_purchases, MIN(ts) AS first_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL
+            THEN CAST(FLOOR(date_diff('millisecond', c.first_click, p.first_purchase) / 1000.0) AS BIGINT)
+            ELSE NULL END AS first_lag_seconds
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
 QUERIES = {
     "user_value_median_pandas": user_value_median_pandas,
     "props_kv_udtf": props_kv_udtf,
     "sse_replay_source_stats": sse_replay_source_stats,
+    "cogroup_click_purchase_lag": cogroup_click_purchase_lag,
 }
 
 ORACLES = {
     "user_value_median_pandas": USER_VALUE_MEDIAN_PANDAS_SQL,
     "props_kv_udtf": PROPS_KV_UDTF_SQL,
     "sse_replay_source_stats": SSE_REPLAY_SOURCE_STATS_SQL,
+    "cogroup_click_purchase_lag": COGROUP_CLICK_PURCHASE_LAG_SQL,
 }
