@@ -612,6 +612,72 @@ def _sweep_oracle_sql() -> str:
 SIMILARITY_ANN_SWEEP_SQL = _sweep_oracle_sql()
 
 
+_Q_SCALE = 127.0
+
+
+def embedding_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization via ``mapInArrow`` — the Arrow-native
+    batch transform (one step lower-level than the Pandas UDFs: raw
+    RecordBatches in, zero pandas materialization) that a vector-index
+    build pipeline runs to shrink storage 4x before ANN indexing. The
+    quantizer is ``floor(x * {_Q_SCALE} + 0.5)`` clamped to [-127, 127]
+    — floor/multiply/add are IEEE-exact, so the DuckDB oracle
+    (list_transform with the identical expression) matches bit-for-bit.
+    Per-vector outputs (dims, code sum, min/max code) come from
+    offset-segmented numpy reductions over the FLATTENED list buffer —
+    vectorized per batch, never per row. At 100 TB this is
+    embarrassingly parallel: no shuffle at all."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def quantize(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
+                emb = emb.combine_chunks()
+            offsets = np.asarray(emb.offsets)
+            flat = np.asarray(emb.values.cast(pa.float64()))
+            codes = np.clip(np.floor(flat * _Q_SCALE + 0.5), -127, 127).astype(
+                np.int64
+            )
+            starts = offsets[:-1]
+            n_dims = (offsets[1:] - starts).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_ids,
+                    pa.array(n_dims, type=pa.int64()),
+                    pa.array(np.add.reduceat(codes, starts), type=pa.int64()),
+                    pa.array(np.minimum.reduceat(codes, starts), type=pa.int64()),
+                    pa.array(np.maximum.reduceat(codes, starts), type=pa.int64()),
+                ],
+                names=["vec_id", "n_dims", "code_sum", "min_code", "max_code"],
+            )
+
+    return e.mapInArrow(
+        quantize,
+        "vec_id long, n_dims long, code_sum long, min_code long, max_code long",
+    )
+
+
+EMBEDDING_INT8_CODES_SQL = f"""
+WITH codes AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> LEAST(127.0, GREATEST(-127.0, FLOOR(x * {_Q_SCALE} + 0.5)))) AS c
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(c) AS BIGINT) AS n_dims,
+       CAST(list_sum(c) AS BIGINT) AS code_sum,
+       CAST(list_min(c) AS BIGINT) AS min_code,
+       CAST(list_max(c) AS BIGINT) AS max_code
+FROM codes
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_embedding_neardup": similarity_embedding_neardup,
@@ -620,6 +686,7 @@ QUERIES = {
     "similarity_ann_ivf": similarity_ann_ivf,
     "similarity_ann_recall": similarity_ann_recall,
     "similarity_ann_sweep": similarity_ann_sweep,
+    "embedding_int8_codes": embedding_int8_codes,
 }
 
 ORACLES = {
@@ -630,4 +697,5 @@ ORACLES = {
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
     "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
     "similarity_ann_recall": SIMILARITY_ANN_RECALL_SQL,
+    "embedding_int8_codes": EMBEDDING_INT8_CODES_SQL,
 }
