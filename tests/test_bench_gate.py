@@ -23,3 +23,22 @@ def test_double_condition_required():
 def test_no_regressions_is_empty():
     assert _regressions({"a": 1.0}, {"a": 1.1}) == []
     assert _regressions({}, {"a": 100.0}) == []
+
+
+def test_previous_comparable_reads_last_matching_run(tmp_path):
+    import json
+
+    from bench import _previous_comparable
+
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    rows = [
+        {"sf": 0.1, "cpus": 32, "queries": {"a": 1.0}},
+        {"sf": 0.01, "cpus": 32, "queries": {"a": 9.0}},
+        {"sf": 0.1, "cpus": 32, "queries": {"a": 2.0}},
+        {"sf": 0.1, "cpus": 8, "queries": {"a": 5.0}},
+    ]
+    hist.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    assert _previous_comparable(str(tmp_path), "/x/sf0.1", 32) == {"a": 2.0}
+    assert _previous_comparable(str(tmp_path), "/x/sf0.01", 32) == {"a": 9.0}
+    assert _previous_comparable(str(tmp_path), "/x/sf1", 16) is None
+    assert _previous_comparable(str(tmp_path / "none"), "/x/sf0.1", 32) is None
