@@ -635,3 +635,33 @@ def test_sql_udf_is_catalyst_inlined(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sql_udf_value_bands")
     assert "EvalPython" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_no_cartesian_product_in_any_registered_plan(spark):
+    """Repo-wide scale guard: NO registered query may compile to a
+    CartesianProduct — every pair enumeration must be keyed (equi-join
+    on bucket/cluster/block) or a bounded broadcast nested loop.
+    Queries that execute jobs during plan construction (streaming
+    sinks, versioned-table builders, fixture writers) are exercised by
+    their own tests and skipped here — this sweep is plan-only."""
+    skip_prefixes = (
+        "streaming_",
+        "snapshot_",
+        "partition_evolution",
+        "bucketed_join",
+        "partitioned_scan",
+        "scd2_stream",
+        "hll_rolling",
+        "multimodal_",
+        "sse_replay",
+        "curate_corpus",
+    )
+    sf = "/root/testdata/sf0.001"
+    flagged = []
+    for name, fn in entry.queries().items():
+        if name.startswith(skip_prefixes):
+            continue
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            flagged.append(name)
+    assert not flagged, flagged
