@@ -200,7 +200,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_JACCARD_SQL = rf"""
 WITH docs_aug AS ({_DOCS_AUG_SQL}),
 toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs_aug
+  -- the 2000-doc slice MUST mirror the Spark side: invisible at
+  -- sf<=0.01 (every doc_id falls inside it), a 65-vs-278-row mismatch
+  -- at sf0.1 (caught by the full-parity replay at sf0.1, round 5)
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM docs_aug WHERE doc_id % {CLONE_OFFSET} < 2000
 ),
 sh AS (
   SELECT DISTINCT doc_id,

@@ -52,8 +52,12 @@ _ORACLES: dict[str, str] = {}
 # sampling, bigram surprisal, streaming histogram, VARIANT extraction,
 # the custom SSE DataSource). The round's 5 remaining new queries
 # (t-closeness, forecast backtest, grouped histogram, recursive CTE,
-# SQL UDF) are pytest-parity-verified at sf0.01 under the strict
-# harness and MUST head the round-6 front.  Done = driver
+# SQL UDF) plus the later API-surface batch (lateral, training pairs,
+# cogroup lag, int8 codes) are pytest-parity-verified at sf0.01 under
+# the strict harness and MUST head the round-6 front, together with
+# dedup_ngram_jaccard (oracle gained the Spark side's 2000-doc slice
+# predicate — value-identical at the driver's sf0.01, but a changed
+# oracle re-verifies by policy).  Done = driver
 # union reaches 209/209 with zero red.
 _DRIVER_FRONT: tuple[str, ...] = (
     "funnel_time_to_convert",
