@@ -679,3 +679,20 @@ def test_no_cartesian_product_in_any_registered_plan(spark):
             python_leaks.append(name)
     assert not cartesian, cartesian
     assert not python_leaks, python_leaks
+
+
+def test_knn_broadcasts_probe_side_not_corpus(spark, sf_dir):
+    """The kNN yardstick must broadcast the bounded held-out probe set;
+    a broadcast of the train (corpus-scale) side is a driver OOM at
+    100x."""
+    df = entry.queries()["knn_classify_embeddings"](spark, sf_dir)
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    hinted = [
+        "\n".join(lines[i : i + 6]) for i, ln in enumerate(lines) if "ResolvedHint" in ln
+    ]
+    assert hinted, "broadcast hint disappeared"
+    for subtree in hinted:
+        # the hinted subtree must be the probe slice: aliased t_id with
+        # the (% 20 == 0) filter directly beneath the hint
+        assert "AS t_id" in subtree, subtree
+        assert "% cast(20 as bigint)) = cast(0 as bigint)" in subtree, subtree

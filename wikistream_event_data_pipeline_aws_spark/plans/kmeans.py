@@ -328,7 +328,10 @@ def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = e.filter(F.col("vec_id") % _KNN_TEST_MOD != 0).select(
         F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"), F.col("x").alias("nx")
     )
-    scored = test.join(F.broadcast(train)).select(
+    # broadcast the BOUNDED side: the held-out probe set is 1/20 of the
+    # corpus by construction (and capped in practice); the train side is
+    # corpus-scale and must stream, never sit in a driver broadcast
+    scored = train.join(F.broadcast(test)).select(
         "t_id", "true_label", "n_id", "n_label", _sq_dist(F.col("tx"), F.col("nx")).alias("dist")
     )
     wk = Window.partitionBy("t_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
