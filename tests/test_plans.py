@@ -696,3 +696,24 @@ def test_knn_broadcasts_probe_side_not_corpus(spark, sf_dir):
         # the (% 20 == 0) filter directly beneath the hint
         assert "AS t_id" in subtree, subtree
         assert "% cast(20 as bigint)) = cast(0 as bigint)" in subtree, subtree
+
+
+def test_no_broadcast_hint_on_scaling_names_in_source():
+    """Source-level sweep of the round-1 policy: explicit F.broadcast()
+    hints may wrap only SF-invariant or by-construction-bounded frames —
+    never raw customer/supplier/part/orders/lineitem handles (round-5
+    audit removed ten such hints from the TPC-H deep set and the
+    stream-static enrich)."""
+    import pathlib
+    import re
+
+    import wikistream_event_data_pipeline_aws_spark as pkg
+
+    banned = re.compile(r"F\.broadcast\((cust|supp|part|orders|li|per_part)[,)]")
+    root = pathlib.Path(pkg.__file__).parent
+    hits = []
+    for p in root.rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if banned.search(line):
+                hits.append(f"{p.name}:{i}: {line.strip()}")
+    assert not hits, hits

@@ -163,8 +163,11 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
     )
+    # no explicit broadcast hint: customer SCALES with SF (round-1
+    # policy) — the size-based planner broadcasts it while it fits and
+    # falls back to a shuffled stream-static join when it doesn't
     enriched = s.join(
-        F.broadcast(cust), s["user_id"] + 1 == cust["custkey"], "inner"
+        cust, s["user_id"] + 1 == cust["custkey"], "inner"
     )
     agg = enriched.groupBy("mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -179,7 +179,7 @@ def orders_of_building_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -348,7 +348,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     total = F.sum(disc_price).cast("double")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             promo.alias("promo_revenue"),
             total.alias("total_revenue"),

@@ -85,8 +85,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -140,7 +140,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_disc_price()).alias("revenue_d"))
@@ -238,7 +238,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_d") == F.col("max_d"))
-        .join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .join(supp, F.col("suppkey") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -278,7 +278,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (DPP-style) rather than scanned in full."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey",
         _dec("l_quantity").alias("qty"),
         _dec("l_extendedprice").alias("price"),
@@ -287,7 +287,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
     )
     return (
-        j.join(F.broadcast(per_part), j.l_partkey == per_part.pk)
+        j.join(per_part, j.l_partkey == per_part.pk)
         .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
             (F.sum("price").cast("double") / F.lit(7.0))
@@ -337,7 +337,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return (
         big.join(orders, big.okey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .orderBy(F.col("total_qty_d").desc(), F.col("o_orderkey"))
         .limit(100)
         .select(
@@ -398,7 +398,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(bracket)
         .agg(
             F.sum(_disc_price()).cast("double").alias("revenue"),
@@ -510,10 +510,10 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(17,4)")
     volume = _disc_price()
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_nat, li.l_suppkey == F.col("s_suppkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             (
