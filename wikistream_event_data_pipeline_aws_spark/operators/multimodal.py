@@ -153,3 +153,23 @@ def audio_window_energy(df: DataFrame, window: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(batches, AUDIO_ENERGY_SCHEMA)
+
+
+# Worker-context independence: the mapInPandas closures above reference
+# module-level helpers (``_fake_decode``), which cloudpickle serializes
+# by module reference — workers then need the repo on their import
+# path. By-VALUE registration ships the helpers inside the closure, so
+# decode runs from any driver context (and on a real cluster without
+# --py-files for this leaf module).
+def _ship_by_value() -> None:
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover - best-effort hardening
+        pass
+
+
+_ship_by_value()

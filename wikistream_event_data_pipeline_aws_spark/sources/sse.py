@@ -124,3 +124,23 @@ class SSEReplayDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return SSEReplayStreamReader(self.options)
+
+
+# Worker-context independence: Python workers unpickle the DataSource
+# CLASS by module reference, which breaks whenever the repo root is not
+# on the worker's import path (launch cwd outside the repo; a real
+# cluster without --py-files). Registering this leaf module for
+# by-VALUE cloudpickle serialization ships the class definition inside
+# the task closure itself, so the source works from any driver context.
+def _ship_by_value() -> None:
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover - best-effort hardening
+        pass
+
+
+_ship_by_value()
