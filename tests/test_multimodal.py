@@ -53,3 +53,22 @@ def test_frame_sample_keeps_even_frames(spark, sf_dir):
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
     for mid, idxs in by_media.items():
         assert sorted(idxs) == list(range(0, n_frames[mid], 2))
+
+
+def test_worker_facing_modules_ship_by_value():
+    """Worker-context independence (round 5): the two leaf modules whose
+    code executes inside Python workers must be registered for by-VALUE
+    cloudpickle serialization, so a driver launched outside the repo
+    (or a cluster without --py-files) can still unpickle the DataSource
+    class and the decode helpers. A refactor that drops the
+    registration reintroduces a cwd-dependent ModuleNotFoundError that
+    no in-repo pytest run can see (pytest always runs with the repo on
+    sys.path)."""
+    import wikistream_event_data_pipeline_aws_spark.operators.multimodal  # noqa: F401
+    import wikistream_event_data_pipeline_aws_spark.sources.sse  # noqa: F401
+    from pyspark.cloudpickle.cloudpickle import list_registry_pickle_by_value
+
+    registered = list_registry_pickle_by_value()
+    names = {getattr(m, "__name__", str(m)) for m in registered}
+    assert "wikistream_event_data_pipeline_aws_spark.sources.sse" in names
+    assert "wikistream_event_data_pipeline_aws_spark.operators.multimodal" in names
