@@ -828,3 +828,61 @@ class TestSSEReplaySource:
             if not f.startswith(".")
         ]
         assert len(commits) >= 3, commits
+
+
+    def test_restart_from_checkpoint_is_exactly_once(self, spark, tmp_path):
+        """Round-5 regression: with the partition-planning stream API the
+        in-memory pacing ratchet restarted at zero, latestOffset()
+        regressed below the committed offset, and a restarted query
+        re-emitted 20 of 30 lines (observed duplicates of lines 10-29).
+        The SimpleDataSourceStreamReader port computes pacing from the
+        engine-fed start offset, so a restart over a grown capture must
+        emit every line exactly once — and still in paced micro-batches."""
+        import json as _json
+
+        from wikistream_event_data_pipeline_aws_spark.plans.pyapi import (
+            ensure_sse_registered,
+        )
+
+        ensure_sse_registered(spark)
+        cap = str(tmp_path / "capture.ndjson")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def write_lines(lo, hi, mode):
+            with open(cap, mode) as f:
+                for i in range(lo, hi):
+                    f.write(_json.dumps({"event_id": i}) + "\n")
+
+        def run_once():
+            stream = (
+                spark.readStream.format("sse_replay")
+                .option("path", cap)
+                .option("maxLinesPerBatch", "10")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        write_lines(0, 30, "w")
+        run_once()
+        # the capture grows while the query is down; restart resumes from
+        # the checkpointed line offset
+        write_lines(30, 55, "a")
+        run_once()
+        rows = sorted(r.line_no for r in spark.read.parquet(out).collect())
+        assert rows == list(range(55))  # every line exactly once, no dupes
+        commits = [
+            f for f in os.listdir(os.path.join(ckpt, "commits"))
+            if not f.startswith(".")
+        ]
+        assert len(commits) >= 6, commits  # 55 lines / 10 per batch, 2 runs

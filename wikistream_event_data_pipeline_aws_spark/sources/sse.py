@@ -16,7 +16,21 @@ Design for scale:
   across executors instead of funneling through one Python worker.
 - The stream reader's offset is the absolute line index — replayable
   and checkpoint-friendly exactly like a Kafka (partition, offset)
-  pair; ``commit`` is a no-op because the capture file is immutable.
+  pair; ``commit`` is a no-op because the capture file is immutable
+  (append-only when replaying a live tail).
+- The stream path uses ``SimpleDataSourceStreamReader`` DELIBERATELY:
+  with the partition-planning ``DataSourceStreamReader`` API the engine
+  never tells ``latestOffset()`` where the checkpoint resumed from, so
+  any in-memory pacing ratchet restarts at zero and can hand the engine
+  an offset BELOW the committed one — observed as re-emitted
+  (duplicated) lines after a checkpoint restart. The simple API passes
+  the start offset into ``read(start)``, so ``maxLinesPerBatch`` pacing
+  is computed from durable engine state and restart yields exactly-once
+  by construction (``readBetweenOffsets`` re-reads a WAL-replayed batch
+  deterministically). Driver-side reading matches the semantics: an SSE
+  firehose is a single ordered connection — the paced tail-follow is
+  inherently sequential, while high-throughput backfills belong to the
+  partitioned BATCH reader above.
 - Rows surface RAW (line_no, event_json): parsing stays in Spark SQL
   (``from_json`` — JVM-side, same envelope contract as
   ``streaming/ingest.parse_kafka_envelope``), so the Python boundary
@@ -28,8 +42,8 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -80,7 +94,13 @@ class SSEReplayReader(DataSourceReader):
         yield from _read_range(partition.path, partition.start, partition.end)
 
 
-class SSEReplayStreamReader(DataSourceStreamReader):
+class SSEReplayStreamReader(SimpleDataSourceStreamReader):
+    """Paced tail-follow over the capture. Offsets are absolute line
+    indexes; the engine persists them in its checkpoint and passes the
+    resume point into ``read(start)``, which is what makes the
+    ``maxLinesPerBatch`` pacing restart-safe (see module docstring for
+    why the partition-planning stream API cannot be)."""
+
     def __init__(self, options: dict):
         self.path = options["path"]
         self.max_lines = int(options.get("maxLinesPerBatch", "1000"))
@@ -88,20 +108,20 @@ class SSEReplayStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"line": 0}
 
-    def latestOffset(self) -> dict:
-        # rate-limited: advance at most max_lines past the last offset —
-        # the engine calls this once per micro-batch planning cycle
-        total = _count_lines(self.path)
-        cur = getattr(self, "_last", 0)
-        nxt = min(total, cur + self.max_lines)
-        self._last = nxt
-        return {"line": nxt}
+    def read(self, start: dict):
+        lo = start["line"]
+        # never regress even if the capture was truncated out-of-band
+        hi = max(lo, min(_count_lines(self.path), lo + self.max_lines))
+        # a LIST-iterator, not a generator: the engine's prefetch cache
+        # both copy.copy()s the returned iterator (getCache) and next()s
+        # it (empty-batch validation) — a list iterator supports both, a
+        # generator neither; pacing already bounds it to max_lines rows
+        # of driver memory
+        return iter(list(_read_range(self.path, lo, hi))), {"line": hi}
 
-    def partitions(self, start: dict, end: dict):
-        return [_LineRange(self.path, start["line"], end["line"])]
-
-    def read(self, partition: _LineRange):
-        yield from _read_range(partition.path, partition.start, partition.end)
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic re-read of a WAL-replayed batch after recovery
+        return list(_read_range(self.path, start["line"], end["line"]))
 
     def commit(self, end: dict) -> None:
         pass  # immutable capture: nothing to acknowledge
@@ -122,7 +142,10 @@ class SSEReplayDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return SSEReplayReader(self.options)
 
-    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        # the engine invokes this because streamReader() is NOT
+        # implemented — see the class docstring for why simple-with-
+        # engine-fed-offsets beats partition-planning-with-blind-pacing
         return SSEReplayStreamReader(self.options)
 
 
