@@ -232,12 +232,15 @@ def main() -> None:
     # queries are dropped from the printed dict (never from the file),
     # with the omission counted.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_dir, "BENCH_OUT.json"), "w") as fh:
-        json.dump(result, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    # gate BEFORE the file write so BENCH_OUT.json records the regression
+    # the run exits non-zero for (it documents itself as the full version
+    # of the printed line)
     regressed = _update_history(repo_dir, result)
     if regressed:
         result["regressed"] = regressed
+    with open(os.path.join(repo_dir, "BENCH_OUT.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
 
     budget = 1950
     printed = dict(result)

@@ -1839,3 +1839,34 @@ class TestRound5NewOps:
             assert (r.first_lag_seconds is not None) == (
                 r.n_clicks > 0 and r.n_purchases > 0
             )
+
+
+def test_int8_codes_handle_empty_and_ragged_embeddings(spark):
+    """mapInArrow reduceat hardening: empty embedding lists are undefined
+    segments for np.*.reduceat (they'd grab the next vector's first code,
+    or raise when the empty vector is last) — they must surface NULL
+    sum/min/max (DuckDB's list_sum/min/max on []) with n_dims=0, and
+    ragged neighbors must not absorb each other's codes."""
+    from wikistream_event_data_pipeline_aws_spark.plans.similarity import (
+        embedding_int8_codes,
+    )
+    import tempfile
+
+    rows = [
+        (1, [0.5, -1.0]),          # codes 64, -127
+        (2, []),                   # empty mid-batch
+        (3, [0.25]),               # code 32
+        (4, []),                   # empty LAST vector (reduceat IndexError case)
+    ]
+    sf_dir = tempfile.mkdtemp(prefix="int8_edge_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {r["vec_id"]: r for r in embedding_int8_codes(spark, sf_dir).collect()}
+    assert out[1]["n_dims"] == 2 and out[1]["code_sum"] == -63
+    assert out[1]["min_code"] == -127 and out[1]["max_code"] == 64
+    assert out[3]["n_dims"] == 1 and out[3]["code_sum"] == 32
+    for empty_id in (2, 4):
+        r = out[empty_id]
+        assert r["n_dims"] == 0
+        assert r["code_sum"] is None and r["min_code"] is None and r["max_code"] is None

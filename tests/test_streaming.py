@@ -886,3 +886,30 @@ class TestSSEReplaySource:
             if not f.startswith(".")
         ]
         assert len(commits) >= 6, commits  # 55 lines / 10 per batch, 2 runs
+
+
+    def test_tail_follow_skips_unterminated_final_line(self, spark, tmp_path):
+        """A live writer appends byte-by-byte: an unterminated final line
+        is IN-FLIGHT, not data. Counting it would emit the fragment and
+        commit the offset past it, permanently corrupting that event.
+        The reader must hold position until the newline lands."""
+        from wikistream_event_data_pipeline_aws_spark.sources.sse import (
+            SSEReplayStreamReader,
+        )
+
+        cap = str(tmp_path / "cap.ndjson")
+        with open(cap, "w") as f:
+            f.write('{"event_id": 0}\n{"event_id": 1}\n{"event_id": 2')  # torn tail
+
+        r = SSEReplayStreamReader({"path": cap, "maxLinesPerBatch": "10"})
+        it, end = r.read({"line": 0})
+        rows = list(it)
+        assert [t[0] for t in rows] == [0, 1]  # fragment not emitted
+        assert end == {"line": 2}  # offset holds before the torn line
+        with open(cap, "a") as f:
+            f.write(', "x": 9}\n')  # the rest of the line lands
+        it2, end2 = r.read(end)
+        rows2 = list(it2)
+        assert [t[0] for t in rows2] == [2]
+        assert '"x": 9' in rows2[0][1]  # the COMPLETE line, not a fragment
+        assert end2 == {"line": 3}

@@ -18,3 +18,19 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def ship_by_value(module) -> None:
+    """Register ``module`` for by-VALUE cloudpickle serialization so task
+    closures referencing its symbols carry the definitions with them —
+    Python workers then never need the repo on their import path (launch
+    cwd outside the repo; a real cluster without ``--py-files``). Leaf
+    modules whose code executes inside workers call this on themselves at
+    import time; driver-only failures stay non-fatal because shipping is
+    an optimization of the import contract, not a semantic change."""
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(module)
+    except Exception:  # pragma: no cover - best-effort hardening
+        pass

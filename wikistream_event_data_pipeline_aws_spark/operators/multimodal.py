@@ -157,19 +157,14 @@ def audio_window_energy(df: DataFrame, window: int = 4) -> DataFrame:
 
 # Worker-context independence: the mapInPandas closures above reference
 # module-level helpers (``_fake_decode``), which cloudpickle serializes
-# by module reference — workers then need the repo on their import
-# path. By-VALUE registration ships the helpers inside the closure, so
-# decode runs from any driver context (and on a real cluster without
-# --py-files for this leaf module).
-def _ship_by_value() -> None:
-    try:
-        import sys
+# by module reference unless this leaf module ships by value — see
+# wikistream_event_data_pipeline_aws_spark.ship_by_value.
+def _register_shipping() -> None:
+    import sys
 
-        from pyspark import cloudpickle
+    from .. import ship_by_value
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:  # pragma: no cover - best-effort hardening
-        pass
+    ship_by_value(sys.modules[__name__])
 
 
-_ship_by_value()
+_register_shipping()

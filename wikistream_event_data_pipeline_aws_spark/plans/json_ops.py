@@ -250,7 +250,9 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction with DuckDB's JSON operators — VARIANT is an encoding,
     not a semantic, so the values must agree exactly."""
     e = load_table(spark, sf_dir, "events").select(
-        "event_type", F.parse_json(F.col("props")).alias("v")
+        # try_parse_json, not parse_json: a malformed payload must become
+        # NULL (matching DuckDB's ->> returning NULL), not a runtime error
+        "event_type", F.try_parse_json(F.col("props")).alias("v")
     )
     k = F.try_variant_get(F.col("v"), "$.k", "long")
     t = e.select("event_type", k.alias("k"))

@@ -449,11 +449,11 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_SQL = """
-  list_sum(list_transform(list_zip({a}, {b}), t -> t[1] * t[2]))
-  / (sqrt(list_sum(list_transform({a}, x -> x * x)))
-     * sqrt(list_sum(list_transform({b}, x -> x * x))))
-"""
+# ONE exact-cosine oracle fragment repo-wide (the ::DOUBLE[] casts are
+# no-ops on these already-DOUBLE[] operands): two hand-synced copies of
+# a parity-critical expression would drift on the next association-order
+# tweak
+from .similarity import _COS_SQL  # noqa: E402
 
 SEMDEDUP_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),

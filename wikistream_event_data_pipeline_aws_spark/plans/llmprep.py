@@ -1043,13 +1043,19 @@ def sample_weighted_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hex_hash(F.col("doc_id").cast("string"), seed=_WOR_SEED) + 1).cast("double")
         / F.lit(_HEX60)
     ).alias("u")
-    b = F.least(
-        F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)),
-        F.lit(_WOR_MAXB),
+    # true bit_length: conv/bin render 0 as the one-char string '0',
+    # which would silently give an empty doc b=1 (weight 2) instead of
+    # the documented b=0 (weight 1) — the CASE keeps both engines on the
+    # python int.bit_length() reference the property test replays
+    b = F.when(F.col("n_chars") == 0, F.lit(0)).otherwise(
+        F.least(
+            F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)),
+            F.lit(_WOR_MAXB),
+        )
     )
     t = d.select("doc_id", "lang", b.alias("b"), u)
     key = _iter_sqrt_col(F.col("u"), _WOR_MAXB)
-    for bb in range(_WOR_MAXB - 1, 0, -1):
+    for bb in range(_WOR_MAXB - 1, -1, -1):  # b = 0 -> zero sqrts, key = u
         key = F.when(F.col("b") == bb, _iter_sqrt_col(F.col("u"), bb)).otherwise(key)
     w = Window.partitionBy("lang").orderBy(
         F.col("sample_key").desc(), F.col("doc_id").asc()
@@ -1074,7 +1080,7 @@ def _wor_key_sql() -> str:
         return e
 
     cases = " ".join(
-        f"WHEN b = {bb} THEN {nest(bb)}" for bb in range(1, _WOR_MAXB)
+        f"WHEN b = {bb} THEN {nest(bb)}" for bb in range(0, _WOR_MAXB)
     )
     return f"CASE {cases} ELSE {nest(_WOR_MAXB)} END"
 
@@ -1082,7 +1088,8 @@ def _wor_key_sql() -> str:
 SAMPLE_WEIGHTED_WOR_SQL = rf"""
 WITH t AS (
   SELECT doc_id, lang,
-         LEAST(length(bin(n_chars)), {_WOR_MAXB}) AS b,
+         CASE WHEN n_chars = 0 THEN 0
+              ELSE LEAST(length(bin(n_chars)), {_WOR_MAXB}) END AS b,
          CAST(CAST(concat('0x', substr(md5(concat('{_WOR_SEED}', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
            / {_HEX60!r} AS u
   FROM documents

@@ -169,8 +169,6 @@ def sse_replay_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet table — any row the source drops, duplicates or mangles
     breaks the hash. Python touches bytes only (line fan-out); parsing
     and aggregation stay in codegen."""
-    from pyspark.sql import functions as F
-
     ensure_sse_registered(spark)
     path = _sse_capture(spark, sf_dir)
     raw = (

@@ -638,20 +638,41 @@ def embedding_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb = batch.column("embedding")
             if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
                 emb = emb.combine_chunks()
-            offsets = np.asarray(emb.offsets)
-            flat = np.asarray(emb.values.cast(pa.float64()))
+            if emb.null_count:  # offsets arithmetic below assumes no nulls
+                raise ValueError("embedding column must not contain nulls")
+            # flatten() + rebased offsets, NOT .values: a zero-copy sliced
+            # batch keeps the parent values buffer, where raw offsets start
+            # past 0 and reduceat's implicit to-end last segment would
+            # absorb codes beyond this slice into the final vector
+            offsets = np.asarray(emb.offsets, dtype=np.int64)
+            offsets = offsets - offsets[0]
+            flat = np.asarray(emb.flatten().cast(pa.float64()))
             codes = np.clip(np.floor(flat * _Q_SCALE + 0.5), -127, 127).astype(
                 np.int64
             )
             starts = offsets[:-1]
-            n_dims = (offsets[1:] - starts).astype(np.int64)
+            n_dims = offsets[1:] - starts
+            # reduceat is undefined on empty segments (it returns the next
+            # vector's first code, or raises when start == len): reduce only
+            # the non-empty ones; empty embeddings surface NULL sum/min/max,
+            # matching DuckDB's list_sum/list_min/list_max on [].
+            nonempty = n_dims > 0
+            sums = np.zeros(len(starts), dtype=np.int64)
+            mins = np.zeros(len(starts), dtype=np.int64)
+            maxs = np.zeros(len(starts), dtype=np.int64)
+            ne_starts = starts[nonempty]
+            if ne_starts.size:
+                sums[nonempty] = np.add.reduceat(codes, ne_starts)
+                mins[nonempty] = np.minimum.reduceat(codes, ne_starts)
+                maxs[nonempty] = np.maximum.reduceat(codes, ne_starts)
+            mask = ~nonempty  # numpy bool mask: True marks NULL slots
             yield pa.RecordBatch.from_arrays(
                 [
                     vec_ids,
                     pa.array(n_dims, type=pa.int64()),
-                    pa.array(np.add.reduceat(codes, starts), type=pa.int64()),
-                    pa.array(np.minimum.reduceat(codes, starts), type=pa.int64()),
-                    pa.array(np.maximum.reduceat(codes, starts), type=pa.int64()),
+                    pa.array(sums, type=pa.int64(), mask=mask),
+                    pa.array(mins, type=pa.int64(), mask=mask),
+                    pa.array(maxs, type=pa.int64(), mask=mask),
                 ],
                 names=["vec_id", "n_dims", "code_sum", "min_code", "max_code"],
             )

@@ -284,10 +284,20 @@ def histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     binned = e.crossJoin(F.broadcast(mm)).select(
-        F.least(
-            F.lit(HIST_BINS - 1),
-            F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * HIST_BINS),
-        ).alias("bin"),
+        # degenerate-domain guard (same CASE in the oracle): a constant
+        # value column has mx == mn — bin 0, not a 0/0 NULL-vs-NaN split
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * HIST_BINS
+                ),
+            )
+        )
+        .alias("bin"),
         "mn",
         "mx",
         "n",
@@ -320,8 +330,10 @@ _QS_LIST = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in HIST_QS)
 HISTOGRAM_QUANTILES_VALUE_SQL = f"""
 WITH mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n FROM events),
 binned AS (
-  SELECT LEAST({HIST_BINS - 1}::BIGINT,
-               CAST(FLOOR((value - mn) / (mx - mn) * {HIST_BINS}) AS BIGINT)) AS bin,
+  SELECT CASE WHEN mx = mn THEN 0::BIGINT
+              ELSE LEAST({HIST_BINS - 1}::BIGINT,
+                         CAST(FLOOR((value - mn) / (mx - mn) * {HIST_BINS}) AS BIGINT))
+         END AS bin,
          mn, mx, n
   FROM events, mm
 ),
@@ -920,12 +932,22 @@ def histogram_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = e.join(F.broadcast(mm), "event_type").select(
         "event_type",
-        F.least(
-            F.lit(HIST_BINS - 1),
-            F.floor(
-                (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * HIST_BINS
-            ),
-        ).alias("bin"),
+        # degenerate-domain guard: a type whose values are all equal has
+        # mx == mn; everything lands in bin 0 (the oracle carries the
+        # identical CASE — without it Spark's 0/0 division yields NULL
+        # while DuckDB yields NaN and errors on CAST(FLOOR(NaN) AS BIGINT))
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * HIST_BINS
+                ),
+            )
+        )
+        .alias("bin"),
         "mn",
         "mx",
         "n",
@@ -971,8 +993,10 @@ WITH mm AS (
 ),
 binned AS (
   SELECT e.event_type,
-         LEAST({HIST_BINS - 1}::BIGINT,
-               CAST(FLOOR((e.value - mm.mn) / (mm.mx - mm.mn) * {HIST_BINS}) AS BIGINT)) AS bin,
+         CASE WHEN mm.mx = mm.mn THEN 0::BIGINT
+              ELSE LEAST({HIST_BINS - 1}::BIGINT,
+                         CAST(FLOOR((e.value - mm.mn) / (mm.mx - mm.mn) * {HIST_BINS}) AS BIGINT))
+         END AS bin,
          mm.mn, mm.mx, mm.n
   FROM events e JOIN mm ON e.event_type = mm.event_type
 ),

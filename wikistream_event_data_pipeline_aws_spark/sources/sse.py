@@ -65,6 +65,24 @@ def _count_lines(path: str) -> int:
     return n
 
 
+def _count_complete_lines(path: str) -> int:
+    """Lines terminated by a newline — the tail-follow horizon. A live
+    writer appends byte-by-byte; counting an unterminated final line
+    would emit the fragment and advance the committed offset past it,
+    permanently corrupting that event (the rest of the line lands after
+    the offset and is never read). An unterminated line is simply
+    not-yet-arrived; it is picked up once its newline lands. (The BATCH
+    reader keeps ``_count_lines``: a complete immutable capture may
+    legitimately lack the trailing newline.)"""
+    n = 0
+    last = b"\n"
+    with open(path, "rb") as f:
+        for line in f:
+            n += 1
+            last = line
+    return n if last.endswith(b"\n") else n - 1
+
+
 def _read_range(path: str, start: int, end: int):
     with open(path, "r", encoding="utf-8") as f:
         for i, line in enumerate(f):
@@ -110,8 +128,9 @@ class SSEReplayStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         lo = start["line"]
+        # complete lines only (in-flight tail fragment excluded), and
         # never regress even if the capture was truncated out-of-band
-        hi = max(lo, min(_count_lines(self.path), lo + self.max_lines))
+        hi = max(lo, min(_count_complete_lines(self.path), lo + self.max_lines))
         # a LIST-iterator, not a generator: the engine's prefetch cache
         # both copy.copy()s the returned iterator (getCache) and next()s
         # it (empty-batch validation) — a list iterator supports both, a
@@ -150,20 +169,14 @@ class SSEReplayDataSource(DataSource):
 
 
 # Worker-context independence: Python workers unpickle the DataSource
-# CLASS by module reference, which breaks whenever the repo root is not
-# on the worker's import path (launch cwd outside the repo; a real
-# cluster without --py-files). Registering this leaf module for
-# by-VALUE cloudpickle serialization ships the class definition inside
-# the task closure itself, so the source works from any driver context.
-def _ship_by_value() -> None:
-    try:
-        import sys
+# CLASS by module reference unless this leaf module ships by value —
+# see wikistream_event_data_pipeline_aws_spark.ship_by_value.
+def _register_shipping() -> None:
+    import sys
 
-        from pyspark import cloudpickle
+    from .. import ship_by_value
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:  # pragma: no cover - best-effort hardening
-        pass
+    ship_by_value(sys.modules[__name__])
 
 
-_ship_by_value()
+_register_shipping()

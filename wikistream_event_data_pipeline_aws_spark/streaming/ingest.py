@@ -586,7 +586,22 @@ def _atomic_write_registers(rows: list, target_path: str) -> None:
     )
     tmp = f"{target_path}.tmp-{os.getpid()}"
     pq.write_table(table, tmp)
+    # fsync data before the rename and the directory after it: os.replace
+    # alone only orders METADATA — on power loss the journal can commit
+    # the rename while the file contents are still in page cache, leaving
+    # a torn parquet at target_path (the same discipline as the snapshot
+    # manifest commit in operators/snapshots.py)
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, target_path)
+    dfd = os.open(os.path.dirname(os.path.abspath(target_path)), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def start_histogram_sink(
@@ -612,6 +627,10 @@ def start_histogram_sink(
     would need a second pass the stream cannot take)."""
     from ..operators.merge import insert_only_parquet
 
+    if not mx > mn:
+        # a zero/negative-width domain would make every bin expression
+        # divide by zero (NULL bins) — reject at start, not per batch
+        raise ValueError(f"histogram domain must satisfy mx > mn, got [{mn}, {mx})")
     spark = stream_df.sparkSession
     width_expr = (F.col(value_col) - F.lit(mn)) / F.lit(mx - mn) * n_bins
 
