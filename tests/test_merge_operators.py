@@ -206,3 +206,24 @@ def test_scd2_fully_closed_key_reopens(spark):
     out = scd2_apply(dim, upd, ["k"], ["v"], "2024-06-01")
     rows = {(r.k, r.v, r.is_current) for r in out.collect()}
     assert rows == {(1, 10, False), (1, 12, True)}
+
+
+def test_insert_only_null_keys_replay_idempotent(spark, tmp_path):
+    """Round-5 review: a plain-equality anti-join never matches
+    NULL == NULL, so a replayed micro-batch re-inserted every NULL-keyed
+    row (e.g. a bin=NULL histogram count) on every recovery. The
+    null-safe anti-join must make the replay a complete no-op."""
+    from wikistream_event_data_pipeline_aws_spark.operators.merge import (
+        insert_only_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(1, None, 5), (1, 3, 7)], "batch_id long, bin long, cnt long"
+    )
+    assert insert_only_parquet(spark, path, batch, keys=["batch_id", "bin"]) == 2
+    # full replay of the same batch: zero rows written, table unchanged
+    assert insert_only_parquet(spark, path, batch, keys=["batch_id", "bin"]) == 0
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 2
+    assert {(r.bin, r.cnt) for r in rows} == {(3, 7), (None, 5)}

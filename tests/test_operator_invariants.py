@@ -1870,3 +1870,68 @@ def test_int8_codes_handle_empty_and_ragged_embeddings(spark):
         r = out[empty_id]
         assert r["n_dims"] == 0
         assert r["code_sum"] is None and r["min_code"] is None and r["max_code"] is None
+
+
+def test_zero_norm_embedding_never_ranks_or_matches(spark):
+    """Round-5 review: 0/0 cosine = NaN, and Spark orders NaN above every
+    number (NaN >= t is true), so an all-zeros vector ranked #1 for
+    every query and passed every threshold. The zero-norm guard defines
+    cosine = 0 for a directionless vector on BOTH engines."""
+    from wikistream_event_data_pipeline_aws_spark.operators.similarity import (
+        brute_force_topk,
+        cosine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),  # zero-norm
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = brute_force_topk(df, df, k=1)
+    top = {r.query_id: r for r in out.collect()}
+    # the zero vector is nobody's best neighbor...
+    assert top[1].neighbor_id == 2 and top[2].neighbor_id == 1
+    # ...and its own similarities are 0, not NaN
+    assert top[3].cosine_sim == 0.0
+    row = df.filter("vec_id = 3").select(
+        cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).collect()[0]
+    assert row.c == 0.0  # even self-similarity of a zero vector is defined
+
+
+def test_frame_sample_zero_frames_yields_no_rows(spark):
+    """Round-5 review: sequence(0, -1) defaults to step -1 and yields
+    [0, -1] — a zero-frame asset emitted a phantom frame_idx=0."""
+    from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    decoded = spark.createDataFrame(
+        [(1, 4, 10, 10), (2, 0, 10, 10)],
+        "media_id long, n_frames int, width int, height int",
+    )
+    out = sample_frames(decoded, every_nth=2)
+    got = sorted((r.media_id, r.frame_idx) for r in out.collect())
+    assert got == [(1, 0), (1, 2)]  # media 2 contributes nothing
+
+
+def test_containment_counts_nulls_as_violations(spark):
+    """Round-5 review: avg() over isin() silently EXCLUDED NULL rows, so
+    a 99%-NULL column passed containment at min_rate=1.0. Compliance is
+    over ALL rows (Deequ semantics): NULL is not in the allowed set."""
+    from wikistream_event_data_pipeline_aws_spark.dq import Containment, DQSuite
+
+    df = spark.createDataFrame(
+        [(1, "click"), (2, None), (3, None), (4, None)],
+        "event_id long, event_type string",
+    )
+    gate = DQSuite(
+        "bronze", [Containment("event_type", ["click", "view"])]
+    ).run(df, "run_nulls")
+    res = {r.check_name: r for r in gate.results}
+    r = res["containment(event_type)"]
+    assert r.metric == 0.25  # 1 of 4 rows in-set, NULLs count against
+    assert r.blocking_failure

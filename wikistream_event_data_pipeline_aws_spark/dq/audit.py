@@ -45,10 +45,15 @@ class AuditWriter:
         """Q12/A8: does the most recent run for ``layer`` contain a
         blocking status? None when no runs exist."""
         path = self._path("quality_results")
-        try:
-            df = spark.read.parquet(path)
-        except Exception:
+        # probe absence explicitly instead of a catch-everything around the
+        # read: a transient read failure (torn footer, fs hiccup) must NOT
+        # be mistaken for "no runs exist" — that would silently OPEN the
+        # gate on data whose latest audit may be FAILED
+        from ..operators.merge import path_exists
+
+        if not path_exists(spark, path):
             return None
+        df = spark.read.parquet(path)
         rolled = (
             df.filter(F.col("layer") == layer)
             .groupBy("run_id")

@@ -127,11 +127,15 @@ class Containment(BaseCheck):
         self.column = self.col
 
     def agg_exprs(self, idx: int) -> list[Column]:
-        return [
-            F.avg(F.col(self.col).isin(list(self.allowed)).cast("double")).alias(
-                f"m{idx}_rate"
-            )
-        ]
+        # compliance over ALL rows (Deequ/Glue-DQ semantics): NULL isin
+        # yields NULL, which avg() would silently EXCLUDE — a 99%-NULL
+        # column must not pass containment at min_rate=1.0. A NULL value
+        # is not in the allowed set; completeness remains the separate
+        # dimension that says WHY.
+        in_set = F.coalesce(
+            F.col(self.col).isin(list(self.allowed)), F.lit(False)
+        )
+        return [F.avg(in_set.cast("double")).alias(f"m{idx}_rate")]
 
     def evaluate(self, row: Row, idx: int) -> DQCheckResult:
         rate = row[f"m{idx}_rate"]
@@ -144,6 +148,12 @@ class Containment(BaseCheck):
 
 @dataclass
 class Uniqueness(BaseCheck):
+    """distinct/total over the key columns. NULL keys are DELIBERATELY
+    excluded from countDistinct while total keeps them, so any NULL-keyed
+    row lowers the rate: the reference semantics are "a null id is not
+    unique" (see tests/test_dq_engine.py::test_null_ids_flip_completeness_only),
+    not "nulls are exempt from the key contract"."""
+
     cols: Sequence[str]
     min_rate: float = 1.0
     severity: str = FAILED

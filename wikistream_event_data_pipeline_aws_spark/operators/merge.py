@@ -272,9 +272,17 @@ def insert_only_parquet(
         target = spark.read.parquet(path)
         if partition_by:
             target = target.filter(source_partition_filter(source, partition_by))
-        new_rows = source.join(
-            target.select(*keys).distinct(), list(keys), "left_anti"
-        ).localCheckpoint(eager=True)
+        # NULL-SAFE anti-join: a plain key equi-join never matches
+        # NULL == NULL, so a replayed micro-batch would re-insert every
+        # NULL-keyed row (e.g. a histogram sink bin=NULL count) on every
+        # recovery — breaking the exactly-once contract exactly for the
+        # rows a plain join can't see
+        tgt = target.select(*keys).distinct()
+        cond = None
+        for k in keys:
+            c = source[k].eqNullSafe(tgt[k])
+            cond = c if cond is None else cond & c
+        new_rows = source.join(tgt, cond, "left_anti").localCheckpoint(eager=True)
         if new_rows.count() == 0:
             return 0
         merged_rows = target.unionByName(new_rows).localCheckpoint(eager=True)

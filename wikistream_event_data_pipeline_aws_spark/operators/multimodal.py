@@ -95,8 +95,17 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
 def sample_frames(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
     """Frame-sampling plan shape: explode virtual frame indexes, keep
     every nth — pure column ops downstream of the decode stub."""
+    # guard n_frames = 0: sequence(0, -1) defaults to step -1 and yields
+    # [0, -1], so a zero-frame asset would emit a phantom frame_idx=0;
+    # explode over an empty array yields the correct zero rows instead
     frames = decoded.withColumn(
-        "frame_idx", F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1))
+        "frame_idx",
+        F.explode(
+            F.when(
+                F.col("n_frames") > 0,
+                F.sequence(F.lit(0), F.col("n_frames") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ),
     )
     return frames.filter(F.col("frame_idx") % every_nth == 0).select(
         "media_id", "frame_idx", "width", "height"

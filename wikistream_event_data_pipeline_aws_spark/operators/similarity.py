@@ -39,7 +39,13 @@ def _norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+    # zero-norm guard: 0/0 = NaN, and Spark orders NaN ABOVE every number
+    # (and NaN >= t is true), so an all-zeros vector would rank #1 for
+    # every query and pass every threshold filter. A vector with no
+    # direction has similarity 0 by definition; the DuckDB oracle twin
+    # (_COS_SQL) carries the identical CASE.
+    denom = F.sqrt(_norm2(a)) * F.sqrt(_norm2(b))
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
 
 
 def brute_force_topk(
@@ -71,9 +77,11 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
+            F.when(F.col("__qn") * F.col("__cn") == 0.0, F.lit(0.0))
+            .otherwise(
                 _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-            ).alias("cosine_sim"),
+            )
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

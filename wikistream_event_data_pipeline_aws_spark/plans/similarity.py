@@ -22,10 +22,17 @@ from ..operators.similarity import (
     lsh_multi_table_topk,
 )
 
+# zero-norm guard mirrors operators.similarity.cosine: a zero vector has
+# similarity 0, never NaN (both engines order NaN above every number)
 _COS_SQL = """
+  CASE WHEN sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x * x)))
+            * sqrt(list_sum(list_transform({b}::DOUBLE[], x -> x * x))) = 0.0
+       THEN 0.0
+       ELSE
   list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), t -> t[1] * t[2]))
   / (sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x * x)))
      * sqrt(list_sum(list_transform({b}::DOUBLE[], x -> x * x))))
+  END
 """
 
 N_QUERIES = 5

@@ -15,10 +15,13 @@ plugs in unchanged. The sink keeps the reference's exactly-once
 contract: checkpointed offsets + an insert-only merge that makes
 replayed micro-batches no-ops.
 
-The tumbling/session window aggregations are genuine streaming
+The tumbling/sliding window aggregations are genuine streaming
 ``window()`` operators (the reference approximates them in batch via
 HOUR() group keys — SURVEY §2.10 notes this engine offers the idiomatic
-form); the same functions run in batch mode for oracle checks.
+form); the same functions run in batch mode for oracle checks. The
+per-key session ROLLUP here is batch-only (it chains two aggregations);
+the streaming session-window form is the single-aggregation
+``plans/streaming_live.streaming_session_window``.
 """
 
 from __future__ import annotations
@@ -227,8 +230,18 @@ def session_window_counts(
     gap: str = "30 minutes",
     key: str = "user_id",
 ) -> DataFrame:
-    """Session windows per key; in batch this must agree with the
-    lag-gap sessionization in plans/windows.py."""
+    """Session windows per key, rolled up to per-key session counts; in
+    batch this must agree with the lag-gap sessionization in
+    plans/windows.py. BATCH-ONLY: the rollup chains a second aggregation
+    on top of the session-window agg, which streaming forbids — the
+    single-aggregation streaming form is
+    ``plans/streaming_live.streaming_session_window``."""
+    if df.isStreaming:
+        raise ValueError(
+            "session_window_counts chains two aggregations (per-session, "
+            "then per-key) — unsupported on a streaming DataFrame; use "
+            "plans/streaming_live.streaming_session_window instead"
+        )
     win = F.session_window(F.col(ts_col), gap)
     per_session = df.groupBy(win, key).agg(F.count(F.lit(1)).alias("session_events"))
     return per_session.groupBy(key).agg(
@@ -625,8 +638,6 @@ def start_histogram_sink(
     The bin domain [mn, mx) is FIXED a priori — the standing contract
     of streaming histogram/quantile sketches (a data-dependent domain
     would need a second pass the stream cannot take)."""
-    from ..operators.merge import insert_only_parquet
-
     if not mx > mn:
         # a zero/negative-width domain would make every bin expression
         # divide by zero (NULL bins) — reject at start, not per batch
@@ -635,8 +646,18 @@ def start_histogram_sink(
     width_expr = (F.col(value_col) - F.lit(mn)) / F.lit(mx - mn) * n_bins
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        binned = batch_df.select(
-            F.least(F.lit(n_bins - 1), F.floor(width_expr)).alias("bin")
+        if not batch_df.take(1):  # empty micro-batch: skip the merge pass
+            return
+        # clamp BOTH sides of the a-priori domain: values >= mx were
+        # already folded into the top bin, but values < mn used to emit
+        # NEGATIVE bin ids that shifted every cumulative rank downstream.
+        # NULL measurements are dropped explicitly — least/greatest SKIP
+        # nulls in Spark, so without the filter a NULL would silently
+        # count in a real bin instead of not counting at all
+        binned = batch_df.filter(F.col(value_col).isNotNull()).select(
+            F.greatest(
+                F.lit(0), F.least(F.lit(n_bins - 1), F.floor(width_expr))
+            ).alias("bin")
         )
         counts = (
             binned.groupBy("bin")
