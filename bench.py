@@ -90,11 +90,16 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
         "| run (UTC) | sf | cpus | queries | total s | common prev s | common now s | worst ratio |",
         "|---|---|---|---|---|---|---|---|",
     ]
-    prev = None
+    # compare each row against the most recent PRIOR row at the same
+    # (sf, cpus) — matching the gate's _previous_comparable — so an
+    # interleaved smoke run at another sf doesn't blank the comparison
+    prev_by_cfg: dict = {}
     for r in runs:
         q = r["queries"]
+        prev = prev_by_cfg.get((r["sf"], r["cpus"]))
+        prev_by_cfg[(r["sf"], r["cpus"])] = r
         cells = [r["at"], str(r["sf"]), str(r["cpus"]), str(len(q)), f"{sum(q.values()):.1f}"]
-        if prev is not None and prev["sf"] == r["sf"] and prev["cpus"] == r["cpus"]:
+        if prev is not None:
             common = sorted(set(q) & set(prev["queries"]))
             pq = prev["queries"]
             worst = max(
@@ -108,7 +113,6 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
         else:
             cells += ["—", "—", "—"]
         lines.append("| " + " | ".join(cells) + " |")
-        prev = r
     with open(os.path.join(repo_dir, "BENCH_HISTORY.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     comparable = [

@@ -42,10 +42,11 @@ def cosine(a: Column, b: Column) -> Column:
     # zero-norm guard: 0/0 = NaN, and Spark orders NaN ABOVE every number
     # (and NaN >= t is true), so an all-zeros vector would rank #1 for
     # every query and pass every threshold filter. A vector with no
-    # direction has similarity 0 by definition; the DuckDB oracle twin
-    # (_COS_SQL) carries the identical CASE.
-    denom = F.sqrt(_norm2(a)) * F.sqrt(_norm2(b))
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
+    # direction has similarity 0 by definition. coalesce(dot/nullif(d,0))
+    # rather than when/otherwise so the norm subtree is computed ONCE;
+    # the DuckDB oracle twin (_COS_SQL) carries the identical rewrite.
+    denom = F.nullif(F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)), F.lit(0.0))
+    return F.coalesce(_dot(a, b) / denom, F.lit(0.0))
 
 
 def brute_force_topk(
@@ -77,11 +78,11 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.when(F.col("__qn") * F.col("__cn") == 0.0, F.lit(0.0))
-            .otherwise(
-                _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-            )
-            .alias("cosine_sim"),
+            F.coalesce(
+                _dot(F.col("__qv"), F.col("__cv"))
+                / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

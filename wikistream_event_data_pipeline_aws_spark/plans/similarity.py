@@ -23,16 +23,14 @@ from ..operators.similarity import (
 )
 
 # zero-norm guard mirrors operators.similarity.cosine: a zero vector has
-# similarity 0, never NaN (both engines order NaN above every number)
+# similarity 0, never NaN (both engines order NaN above every number);
+# COALESCE(dot / NULLIF(denom, 0), 0) computes the norm product once
 _COS_SQL = """
-  CASE WHEN sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x * x)))
-            * sqrt(list_sum(list_transform({b}::DOUBLE[], x -> x * x))) = 0.0
-       THEN 0.0
-       ELSE
-  list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), t -> t[1] * t[2]))
-  / (sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x * x)))
-     * sqrt(list_sum(list_transform({b}::DOUBLE[], x -> x * x))))
-  END
+  COALESCE(
+    list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), t -> t[1] * t[2]))
+    / NULLIF(sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x * x)))
+             * sqrt(list_sum(list_transform({b}::DOUBLE[], x -> x * x))), 0.0),
+    0.0)
 """
 
 N_QUERIES = 5
