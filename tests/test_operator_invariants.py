@@ -1935,3 +1935,22 @@ def test_containment_counts_nulls_as_violations(spark):
     r = res["containment(event_type)"]
     assert r.metric == 0.25  # 1 of 4 rows in-set, NULLs count against
     assert r.blocking_failure
+
+
+def test_pagerank_converged_empty_windowed_graph(spark, tmp_path):
+    """Round-5 review: SUM over zero rows is NULL, so the convergence
+    delta check raised TypeError on a slice with no in-window lineitem
+    rows. An empty graph is already converged: (empty ranks, 0 iters)."""
+    import datetime as dt
+
+    from wikistream_event_data_pipeline_aws_spark.plans.graph import (
+        pagerank_converged,
+    )
+
+    spark.createDataFrame(
+        [(1, 2, dt.datetime(1990, 1, 1))],  # far outside the shipdate window
+        "l_orderkey long, l_partkey long, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    ranks, iters = pagerank_converged(spark, str(tmp_path))
+    assert iters == 0
+    assert ranks.count() == 0

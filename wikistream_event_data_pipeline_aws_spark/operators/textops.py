@@ -53,6 +53,35 @@ def tokenize(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def quality_score_parts(text_col: Column) -> dict[str, Column]:
+    """THE quality heuristic, in one place: length saturation x lexical
+    diversity, penalized by stopword density. Shared by
+    ``plans/text.text_quality_score`` (the published metric) and
+    ``plans/dedup.dedup_cluster_keepers`` (keeper selection) so the two
+    cannot drift — keeper choice is defined to use the identical
+    expression tree as the metric it ranks by. Returns the named parts;
+    ratios are NULL (not an ANSI /0 error) for an empty token list."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    denom = F.nullif(n_tokens, F.lit(0))
+    stop_ratio = n_stop / denom
+    diversity = n_distinct / denom
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        * (F.lit(0.5) + F.lit(0.5) * diversity)
+        * (F.lit(1.0) - F.lit(0.5) * stop_ratio)
+    )
+    return {
+        "n_tokens": n_tokens,
+        "stop_ratio": stop_ratio,
+        "diversity": diversity,
+        "score": score,
+    }
+
+
 def bpe_piece_count(col: Column | str) -> Column:
     """BPE-ish piece count: alpha runs, digit runs, single punctuation."""
     c = F.col(col) if isinstance(col, str) else col

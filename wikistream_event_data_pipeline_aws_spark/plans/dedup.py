@@ -281,18 +281,11 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_augmented(spark, sf_dir)
     pairs = dedup_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
     labels = connected_components(pairs, "id_a", "id_b")
-    toks = tokenize(F.col("text"))
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    diversity = n_distinct / n_tokens
-    stop_ratio = n_stop / n_tokens
-    score = (
-        F.least(F.lit(1.0), n_tokens / F.lit(50.0))
-        * (F.lit(0.5) + F.lit(0.5) * diversity)
-        * (F.lit(1.0) - F.lit(0.5) * stop_ratio)
-    )
+    # the SHARED expression tree from operators/textops — keeper choice
+    # is defined to rank by the exact published text_quality_score
+    from ..operators.textops import quality_score_parts
+
+    score = quality_score_parts(F.col("text"))["score"]
     q = d.select("doc_id", score.alias("quality_score"))
     j = labels.join(q, labels["node"] == q["doc_id"]).select(
         "doc_id", F.col("label").alias("cluster_id"), "quality_score"
@@ -336,8 +329,8 @@ m AS (
 q AS (
   SELECT doc_id,
          LEAST(CAST(1.0 AS DOUBLE), n_tokens / CAST(50.0 AS DOUBLE))
-           * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * (n_distinct / CAST(n_tokens AS DOUBLE)))
-           * (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) * (n_stop / CAST(n_tokens AS DOUBLE))) AS quality_score
+           * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * (n_distinct / NULLIF(CAST(n_tokens AS DOUBLE), 0.0)))
+           * (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) * (n_stop / NULLIF(CAST(n_tokens AS DOUBLE), 0.0))) AS quality_score
   FROM m
 )
 SELECT l.node AS doc_id, l.cluster_id, q.quality_score,
@@ -393,12 +386,19 @@ def dedup_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_candidates",
                 "n_truth",
                 "n_hits",
-                (F.col("n_hits").cast("double") / F.col("n_truth").cast("double")).alias(
+                # zero-candidate / zero-truth guards (NULLIF both
+                # engines): a one-band config can yield no candidates,
+                # and a tiny slice no true pairs — 0/0 would RAISE under
+                # Spark ANSI and NaN under DuckDB; undefined rate = NULL
+                (
+                    F.col("n_hits").cast("double")
+                    / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+                ).alias(
                     "recall"
                 ),
                 (
                     F.col("n_hits").cast("double")
-                    / F.col("n_candidates").cast("double")
+                    / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
                 ).alias("precision"),
             )
         )
@@ -421,10 +421,10 @@ SELECT {n_bands} AS n_bands, {r} AS rows_per_band,
           ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hits,
        CAST((SELECT COUNT(*) FROM cands_{r} c JOIN truth t
           ON c.id_a = t.id_a AND c.id_b = t.id_b) AS DOUBLE)
-         / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall,
+         / NULLIF(CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 0.0) AS recall,
        CAST((SELECT COUNT(*) FROM cands_{r} c JOIN truth t
           ON c.id_a = t.id_a AND c.id_b = t.id_b) AS DOUBLE)
-         / CAST((SELECT COUNT(*) FROM cands_{r}) AS DOUBLE) AS precision"""
+         / NULLIF(CAST((SELECT COUNT(*) FROM cands_{r}) AS DOUBLE), 0.0) AS precision"""
         )
     bands_ctes = ",\n".join(
         f"""banded_{r} AS (

@@ -38,6 +38,21 @@ from ..catalog import load_table
 _WIN_LO = "1996-01-01"
 _WIN_HI = "1998-01-01"
 
+# ONE copy of the co-occurrence edge CTEs for every oracle in this file
+# (textual twin of _cooccurrence_edges): the edge definition — shipdate
+# window, both distinct grains — must change in exactly one place or an
+# oracle silently desynchronizes from the Spark graph.
+_EDGE_CTES_SQL = f"""pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+)"""
+
 
 def _oriented_edges(edges: DataFrame) -> DataFrame:
     """Orient canonical undirected edges ``(pa < pb)`` from the
@@ -90,8 +105,12 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cooccurrence_edges(spark, sf_dir)
-    oe = _oriented_edges(edges)
+    # fence the co-occurrence self-join (same discipline as khop/kcore/
+    # eigencentrality): edges feeds the oriented list consumed as
+    # e1/e2/e3 PLUS the degree and edge-count branches — without the
+    # fence the order-pair self-join re-runs in every branch
+    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    oe = _oriented_edges(edges).localCheckpoint(eager=False)
     e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     # Wedge (u; v, w) from the minimum-rank vertex u only, with the two
     # out-neighbours rank-ordered v < w, closed by the oriented edge v→w:
@@ -126,25 +145,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
+            # NULLIF both engines: a wedge-free graph has an undefined
+            # coefficient (ANSI /0 raises on Spark, NaN on DuckDB)
             (
                 F.lit(3.0) * F.col("n_triangles").cast("double")
-                / F.col("n_wedges").cast("double")
+                / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0))
             ).alias("clustering_coeff"),
         )
     )
 
 
 GRAPH_TRIANGLE_COUNT_SQL = f"""
-WITH pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
-    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
-),
-e AS (
-  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-),
+WITH {_EDGE_CTES_SQL},
 deg AS (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e
@@ -163,7 +175,7 @@ tri AS (
 ne AS (SELECT COUNT(*) AS n_edges FROM e)
 SELECT n_nodes, n_edges, n_wedges, n_triangles,
        CAST(3.0 AS DOUBLE) * CAST(n_triangles AS DOUBLE)
-         / CAST(n_wedges AS DOUBLE) AS clustering_coeff
+         / NULLIF(CAST(n_wedges AS DOUBLE), 0.0) AS clustering_coeff
 FROM wedge, ne, tri
 """
 
@@ -227,6 +239,11 @@ def pagerank_converged(
     pr = nodes.select(
         "node", F.lit(PR_SCALE).cast("long").alias("pr")
     ).localCheckpoint(eager=True)
+    if n_nodes == 0:
+        # empty windowed graph (e.g. a slice with no in-window lineitem
+        # rows): SUM over zero rows is NULL, which would TypeError the
+        # delta comparison — an empty rank vector is already converged
+        return pr, 0
     iters = 0
     for _ in range(max_iters):
         nxt = _pr_step(ed, nodes, pr).localCheckpoint(eager=True)
@@ -237,7 +254,7 @@ def pagerank_converged(
             .collect()[0]["d"]
         )
         pr = nxt
-        if delta <= tol_per_node * n_nodes:
+        if delta is None or delta <= tol_per_node * n_nodes:
             break
     return pr, iters
 
@@ -298,16 +315,7 @@ pr{i + 1} AS (
   ) s ON n.node = s.dst
 )""")
     return f"""
-WITH pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
-    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
-),
-e AS (
-  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-),
+WITH {_EDGE_CTES_SQL},
 d AS (
   SELECT pa AS src, pb AS dst FROM e
   UNION ALL
@@ -392,16 +400,7 @@ def graph_khop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRAPH_KHOP_FEATURES_SQL = f"""
-WITH pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
-    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
-),
-e AS (
-  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-),
+WITH {_EDGE_CTES_SQL},
 sym AS (
   SELECT pa AS src, pb AS dst FROM e
   UNION ALL
@@ -501,16 +500,7 @@ e{rnd} AS (
         for rnd in range(1, KCORE_ROUNDS + 1)
     )
     return f"""
-WITH pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
-    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
-),
-e AS (
-  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-),
+WITH {_EDGE_CTES_SQL},
 sym AS (
   SELECT pa AS src, pb AS dst FROM e
   UNION ALL
@@ -577,16 +567,7 @@ v{i + 1} AS (
   GROUP BY sym.dst
 )""")
     return f"""
-WITH pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
-    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
-),
-e AS (
-  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-),
+WITH {_EDGE_CTES_SQL},
 sym AS (
   SELECT pa AS src, pb AS dst FROM e
   UNION ALL
@@ -659,16 +640,7 @@ def graph_substitutes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRAPH_SUBSTITUTES_SQL = f"""
-WITH pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
-    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
-),
-e AS (
-  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-),
+WITH {_EDGE_CTES_SQL},
 sym AS (
   SELECT pa AS src, pb AS dst FROM e
   UNION ALL
@@ -743,16 +715,7 @@ def graph_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRAPH_RECURSIVE_REACHABILITY_SQL = f"""
-WITH RECURSIVE pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '{_WIN_LO} 00:00:00'
-    AND l_shipdate < TIMESTAMP '{_WIN_HI} 00:00:00'
-),
-e AS (
-  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-),
+WITH RECURSIVE {_EDGE_CTES_SQL},
 sym AS (
   SELECT pa AS src, pb AS dst FROM e
   UNION ALL SELECT pb AS src, pa AS dst FROM e

@@ -133,8 +133,12 @@ def stats_corr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
     cov_n = n * sxy - sx * sy
-    var_x_n = n * sxx - sx * sx
-    var_y_n = n * syy - sy * sy
+    # degenerate-variance guard (NULLIF on both engines): a group with
+    # n = 1, or constant x or y, has exactly-zero variance — under
+    # Spark's default ANSI mode an unguarded /0 RAISES, while DuckDB
+    # yields NaN/Inf; NULLIF makes "correlation undefined" NULL on both
+    var_x_n = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    var_y_n = F.nullif(n * syy - sy * sy, F.lit(0.0))
     slope = cov_n / var_x_n
     return s.select(
         "event_type",
@@ -168,14 +172,14 @@ WITH s AS (
 )
 SELECT event_type, n,
        (n * {_SXY} - {_SX} * {_SY})
-         / (sqrt(n * {_SXX} - {_SX} * {_SX})
-            * sqrt(n * {_SYY} - {_SY} * {_SY}))
+         / (sqrt(NULLIF(n * {_SXX} - {_SX} * {_SX}, 0.0))
+            * sqrt(NULLIF(n * {_SYY} - {_SY} * {_SY}, 0.0)))
          AS corr_hour_value,
        (n * {_SXY} - {_SX} * {_SY})
-         / (n * {_SXX} - {_SX} * {_SX}) AS slope,
+         / NULLIF(n * {_SXX} - {_SX} * {_SX}, 0.0) AS slope,
        ({_SY}
           - (n * {_SXY} - {_SX} * {_SY})
-            / (n * {_SXX} - {_SX} * {_SX})
+            / NULLIF(n * {_SXX} - {_SX} * {_SX}, 0.0)
             * {_SX}) / n AS intercept
 FROM s
 """
@@ -336,13 +340,20 @@ def ab_test_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = (F.col("conv_click") + F.col("conv_view")).cast("double") / (
         F.col("n_click") + F.col("n_view")
     ).cast("double")
-    z = (p1 - p2) / F.sqrt(
-        pp
-        * (F.lit(1.0) - pp)
-        * (
-            F.lit(1.0) / F.col("n_click").cast("double")
-            + F.lit(1.0) / F.col("n_view").cast("double")
-        )
+    # pooled-variance guard (NULLIF on both engines): zero conversions
+    # (pp = 0) or universal conversion (pp = 1) zero the pooled variance —
+    # the z statistic is undefined, not infinite (and under ANSI an
+    # unguarded /0 raises)
+    z = (p1 - p2) / F.nullif(
+        F.sqrt(
+            pp
+            * (F.lit(1.0) - pp)
+            * (
+                F.lit(1.0) / F.col("n_click").cast("double")
+                + F.lit(1.0) / F.col("n_view").cast("double")
+            )
+        ),
+        F.lit(0.0),
     )
     return wide.select(
         "n_click", "conv_click", "n_view", "conv_view",
@@ -383,9 +394,9 @@ SELECT n_click, conv_click, n_view, conv_view,
          - CAST(conv_view AS DOUBLE) / CAST(n_view AS DOUBLE) AS lift,
        (CAST(conv_click AS DOUBLE) / CAST(n_click AS DOUBLE)
           - CAST(conv_view AS DOUBLE) / CAST(n_view AS DOUBLE))
-         / sqrt(CAST(conv_click + conv_view AS DOUBLE) / CAST(n_click + n_view AS DOUBLE)
+         / NULLIF(sqrt(CAST(conv_click + conv_view AS DOUBLE) / CAST(n_click + n_view AS DOUBLE)
                 * (1.0 - CAST(conv_click + conv_view AS DOUBLE) / CAST(n_click + n_view AS DOUBLE))
-                * (1.0 / CAST(n_click AS DOUBLE) + 1.0 / CAST(n_view AS DOUBLE))) AS z_score
+                * (1.0 / CAST(n_click AS DOUBLE) + 1.0 / CAST(n_view AS DOUBLE))), 0.0) AS z_score
 FROM wide
 """
 
@@ -616,7 +627,10 @@ def tv_distance_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two bounded-cardinality hash aggs (|source|, |source|×|lang|)
     plus broadcast joins of the tiny marginals; nothing row-scale ever
-    shuffles twice."""
+    shuffles twice. Validity bound: the exact c*m_total products fit
+    BIGINT up to ~3e9 documents; past that BOTH engines fail loudly
+    (Spark ANSI integral overflow raises, DuckDB errors) — widen the
+    term arithmetic to DECIMAL(38,0) before running at that scale."""
     d = load_table(spark, sf_dir, "documents").select("source", "lang")
     cell = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
     n_s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
@@ -682,7 +696,10 @@ def stats_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the tiny ordered prefix window. The sup comparison runs on
     the common denominator: ``|c₁·n₂ − c₂·n₁|`` is exact BIGINT, the
     final division is the only float op. No global sort over data-scale
-    rows anywhere."""
+    rows anywhere. Validity bound: the cumulative-count products fit
+    BIGINT up to ~3e9 rows per arm; past that BOTH engines fail loudly
+    (Spark ANSI integral overflow raises, DuckDB errors) — widen to
+    DECIMAL(38,0) intermediates before running at that scale."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
     )
@@ -815,7 +832,14 @@ def stats_chi2_dow_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ctot), "event_type")
         .join(F.broadcast(tot))
     )
-    num = (F.col("o") * F.col("t") - F.col("r") * F.col("c")).cast("decimal(19,0)")
+    # cast the OPERANDS, not the product: o*t in BIGINT silently wraps
+    # past 2^63 (~sf100+: t ~ 1e10); DECIMAL operands keep the multiply
+    # exact on both engines (the oracle carries the same operand casts)
+    d19 = "decimal(19,0)"
+    num = (
+        F.col("o").cast(d19) * F.col("t").cast(d19)
+        - F.col("r").cast(d19) * F.col("c").cast(d19)
+    ).cast(d19)
     sq = (num * num).cast("decimal(38,0)")
     rc = F.col("r") * F.col("c")
     return j.select(
@@ -838,8 +862,10 @@ ctot AS (SELECT event_type, COUNT(*) AS c FROM e GROUP BY event_type),
 tot AS (SELECT COUNT(*) AS t FROM e)
 SELECT cell.dow, cell.event_type, o AS observed,
        CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE) AS expected,
-       CAST(CAST(CAST(CAST(o * t - r * c AS DECIMAL(19,0))
-                      * CAST(o * t - r * c AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       CAST(CAST(CAST(CAST(CAST(o AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))
+                           - CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)) AS DECIMAL(19,0))
+                      * CAST(CAST(o AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))
+                             - CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)) AS DECIMAL(19,0)) AS DECIMAL(38,0))
                  AS VARCHAR) AS DOUBLE)
          / (CAST(r * c AS DOUBLE) * CAST(t AS DOUBLE)) AS chi2_contribution
 FROM cell
@@ -1141,8 +1167,10 @@ def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sz = F.col("sx").cast("double"), F.col("sz").cast("double")
     sxz = F.col("sxz").cast("double")
     sxx, szz = F.col("sxx").cast("double"), F.col("szz").cast("double")
-    r = (n * sxz - sx * sz) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * szz - sz * sz)
+    # constant-series guard (NULLIF both engines): identical daily counts
+    # zero both variances — ACF undefined, and ANSI /0 raises on Spark
+    r = (n * sxz - sx * sz) / F.nullif(
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * szz - sz * sz), F.lit(0.0)
     )
     return s.select("lag", "n_pairs", r.alias("acf"))
 
@@ -1166,10 +1194,10 @@ s AS (
 SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
        (CAST(n_pairs AS DOUBLE) * CAST(sxz AS DOUBLE)
           - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
-         / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         / NULLIF(sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
             * sqrt(CAST(n_pairs AS DOUBLE) * CAST(szz AS DOUBLE)
-                   - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS acf
+                   - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)), 0.0) AS acf
 FROM s
 """
 

@@ -4,7 +4,7 @@ language-ID heuristic, quality scoring, token counting, fingerprinting).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -38,25 +38,20 @@ FROM documents
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality heuristic: length saturation x lexical
-    diversity, penalized by stopword density."""
+    diversity, penalized by stopword density. The expression tree lives
+    in ``operators/textops.quality_score_parts`` and is shared with
+    ``dedup_cluster_keepers`` so keeper selection can never drift from
+    the published metric."""
+    from ..operators.textops import quality_score_parts
+
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    stop_ratio = n_stop / n_tokens
-    diversity = n_distinct / n_tokens
-    length_sat = F.least(F.lit(1.0), n_tokens / F.lit(50.0))
-    score = length_sat * (F.lit(0.5) + F.lit(0.5) * diversity) * (
-        F.lit(1.0) - F.lit(0.5) * stop_ratio
-    )
+    parts = quality_score_parts(F.col("text"))
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        diversity.alias("lexical_diversity"),
-        score.alias("quality_score"),
+        parts["n_tokens"].alias("n_tokens"),
+        parts["stop_ratio"].alias("stopword_ratio"),
+        parts["diversity"].alias("lexical_diversity"),
+        parts["score"].alias("quality_score"),
     )
 
 
@@ -74,11 +69,11 @@ m AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-       n_stop / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-       n_distinct / CAST(n_tokens AS DOUBLE) AS lexical_diversity,
+       n_stop / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) AS stopword_ratio,
+       n_distinct / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) AS lexical_diversity,
        LEAST(CAST(1.0 AS DOUBLE), n_tokens / CAST(50.0 AS DOUBLE))
-         * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * (n_distinct / CAST(n_tokens AS DOUBLE)))
-         * (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) * (n_stop / CAST(n_tokens AS DOUBLE))) AS quality_score
+         * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * (n_distinct / NULLIF(CAST(n_tokens AS DOUBLE), 0.0)))
+         * (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) * (n_stop / NULLIF(CAST(n_tokens AS DOUBLE), 0.0))) AS quality_score
 FROM m
 """
 
