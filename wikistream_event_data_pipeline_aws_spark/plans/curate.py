@@ -276,13 +276,24 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scores = text_quality_score(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    u = scores.join(d, "doc_id").select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.floor(F.col("quality_score") * _GATE_UNITS).cast("long").alias("units"),
+    # fence the scored corpus: FOUR consumers follow (min/max/sum agg,
+    # histogram collect, threshold lookup, final rollup) and each driver
+    # action would otherwise re-run tokenize + scoring over the whole
+    # documents table — the same multiply-consumed-subtree discipline as
+    # jaccard_pairs / dedup_minhash_pairs
+    u = (
+        scores.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(F.col("quality_score") * _GATE_UNITS).cast("long").alias("units"),
+        )
+        .localCheckpoint(eager=False)
     )
-    counts = u.groupBy("units").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = u.groupBy("units").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=False
+    )
     lo, hi, n = counts.agg(F.min("units"), F.max("units"), F.sum("cnt")).first()
     width = max((hi - lo) // 1024, 1)
     bucketed = counts.withColumn(

@@ -199,6 +199,23 @@ DECON_MOD = 97  # doc_id % DECON_MOD == 0 -> held-out "benchmark" doc
 DECON_PLANT_OFFSET = 200_000
 
 
+def _decon_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """ONE copy of the decontamination plant discipline — (train, heldout)
+    with every held-out doc's text re-entering train under
+    doc_id + DECON_PLANT_OFFSET plus an appended token. Shared by both
+    decontamination queries so a plant-rule tweak cannot make them
+    disagree about what is contaminated (the SQL twins already share
+    _DECON_TRAIN_SQL/_DECON_HELD_SQL the same way)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    heldout = d.filter(F.col("doc_id") % DECON_MOD == 0)
+    planted = heldout.select(
+        (F.col("doc_id") + DECON_PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" leaked benchmark copy")).alias("text"),
+    )
+    train = d.filter(F.col("doc_id") % DECON_MOD != 0).unionByName(planted)
+    return train, heldout
+
+
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train docs contaminated by the held-out slice: any shared
     ``DECON_K``-gram. Shingle sets hash-join on the shingle string with
@@ -208,13 +225,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     text re-enters train under doc_id+offset with a token appended —
     those MUST all surface (same plant-then-find discipline as the
     near-dup queries)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    heldout = d.filter(F.col("doc_id") % DECON_MOD == 0)
-    planted = heldout.select(
-        (F.col("doc_id") + DECON_PLANT_OFFSET).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" leaked benchmark copy")).alias("text"),
-    )
-    train = d.filter(F.col("doc_id") % DECON_MOD != 0).unionByName(planted)
+    train, heldout = _decon_corpus(spark, sf_dir)
     train_sh = exploded_shingles(train, "doc_id", "text", k=DECON_K).distinct()
     held_sh = (
         exploded_shingles(heldout, "doc_id", "text", k=DECON_K)
@@ -621,7 +632,9 @@ def doc_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+        # the SHARED token grain (textops.tokenize): chunk fingerprints
+        # must stay comparable with every other tokenize()-based path
+        F.posexplode(tokenize(F.col("text"))).alias("pos", "token"),
     )
     th = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -655,8 +668,11 @@ def doc_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_CHUNK_CDC_SQL = rf"""
-WITH toks AS (
+# ONE copy of the CDC segmentation CTE chain: the chunking oracle and the
+# chunk-dedup oracle MUST segment identically or chunk-grain dedup
+# silently diverges from the published chunking (a boundary-rule tweak
+# edited in one string but not the other).
+_CDC_SEGMENTED_SQL = rf"""toks AS (
   SELECT doc_id, u.i - 1 AS pos, t[u.i] AS token
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
        UNNEST(generate_series(1, len(t))) AS u(i)
@@ -685,7 +701,11 @@ segmented AS (
          SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
   FROM flagged
-)
+)"""
+
+
+DOC_CHUNK_CDC_SQL = rf"""
+WITH {_CDC_SEGMENTED_SQL}
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        COUNT(*) AS n_tokens,
        md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_fp
@@ -706,8 +726,14 @@ def dedup_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     this catches documents sharing long passages even when their
     fixed-stride alignments differ — the chunk-level complement of the
     passage-exact and MinHash doc-level paths (``plans/dedup.py``)."""
-    chunks = doc_chunk_cdc(spark, sf_dir).filter(
-        F.col("n_tokens") >= CDC_MIN_CHUNK
+    # fence the CDC chain (posexplode + two window passes + collect_list):
+    # it feeds BOTH self-join sides plus the size aggregation, and
+    # exchange reuse across the differently-projected branches is not
+    # guaranteed — same discipline as jaccard_pairs' 3-consumer shingles
+    chunks = (
+        doc_chunk_cdc(spark, sf_dir)
+        .filter(F.col("n_tokens") >= CDC_MIN_CHUNK)
+        .localCheckpoint(eager=False)
     )
     sizes = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     a = chunks.select(F.col("doc_id").alias("id_a"), F.col("chunk_fp").alias("fp"))
@@ -735,28 +761,7 @@ def dedup_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CHUNK_SHARED_SQL = rf"""
-WITH toks AS (
-  SELECT doc_id, u.i - 1 AS pos, t[u.i] AS token
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-       UNNEST(generate_series(1, len(t))) AS u(i)
-),
-hashed AS (
-  SELECT doc_id, pos, token,
-         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS th
-  FROM toks
-),
-rolled AS (
-  SELECT doc_id, pos, token,
-         th + 31*COALESCE(lag(th,1) OVER w,0) + 961*COALESCE(lag(th,2) OVER w,0)
-            + 29791*COALESCE(lag(th,3) OVER w,0) AS rh
-  FROM hashed WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-segmented AS (
-  SELECT doc_id, pos, token,
-         SUM(CASE WHEN pos = 0 OR rh % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk_id
-  FROM rolled
-),
+WITH {_CDC_SEGMENTED_SQL},
 chunks AS (
   SELECT doc_id, md5(string_agg(token, ' ' ORDER BY pos)) AS fp
   FROM segmented GROUP BY doc_id, chunk_id
@@ -842,13 +847,7 @@ def decontaminate_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFram
     ``decontaminate_ngram_overlap``; adds the per-doc shingle totals
     (one extra hash agg at doc grain) and flags docs beyond a 10%
     removal threshold. The fraction is the single float division."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    heldout = d.filter(F.col("doc_id") % DECON_MOD == 0)
-    planted = heldout.select(
-        (F.col("doc_id") + DECON_PLANT_OFFSET).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" leaked benchmark copy")).alias("text"),
-    )
-    train = d.filter(F.col("doc_id") % DECON_MOD != 0).unionByName(planted)
+    train, heldout = _decon_corpus(spark, sf_dir)
     train_sh = exploded_shingles(train, "doc_id", "text", k=DECON_K).distinct()
     held_sh = (
         exploded_shingles(heldout, "doc_id", "text", k=DECON_K)

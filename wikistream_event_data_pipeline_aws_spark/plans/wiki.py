@@ -234,8 +234,6 @@ RISK_SCORES_SQL = _RISK_CORE_SQL
 def daily_summary_df(e: DataFrame, risk: DataFrame) -> DataFrame:
     """A4/W1/J1 over any events-shaped frame + a risk_scores frame."""
     # W1: analytic count per (date, hour) then MAX per date = peak-hour volume
-    from pyspark.sql import Window
-
     w = Window.partitionBy("event_date", "event_hour")
     hour_counts = e.withColumn("hour_events", F.count(F.lit(1)).over(w))
     dec_value = F.col("value").cast("decimal(18,2)")
@@ -371,7 +369,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t1, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
+        .agg(F.min("ts").alias("t_click"))
     )
     t3 = (
         e.filter(F.col("event_type") == "purchase")
