@@ -174,3 +174,38 @@ def test_golden_gold_values(spark, warehouse):
     assert summary["platform_health_score"] == _pytest.approx(
         100.0 - (800.0 / 190.0) * 2.0 - 5.0, rel=1e-12
     )
+
+
+def test_latest_gate_follows_run_order_not_uuid_sort(spark, sf_dir, warehouse):
+    """Round-5 review: run ids were random uuids, and the audit layer
+    picks the 'latest' run by ORDER BY run_id DESC — lexicographic over
+    uuid4 hex is arbitrary, so a past FAILED run could permanently
+    block (or mask) the current run depending on how the ids happened
+    to sort. Pipeline-generated ids are now time-prefixed: 'latest'
+    means latest, and a clean run after a blocked one unblocks the
+    gate (and vice versa, a new failure re-blocks it)."""
+    from wikistream_event_data_pipeline_aws_spark.pipeline import (
+        Pipeline,
+        bronze_gate_suite,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(200)
+    bad = events.withColumn("event_type", F.lit("mystery"))
+    p = Pipeline(spark, warehouse)
+    suite = bronze_gate_suite()
+
+    ids = []
+    for df, date in ((bad, "2024-01-01"), (events, "2024-01-02"), (bad, "2024-01-03")):
+        rid = p._new_run_id()
+        ids.append(rid)
+        from wikistream_event_data_pipeline_aws_spark.plans.wiki import with_time_cols
+        gate = suite.run(with_time_cols(df), rid)
+        p.audit.write_gate(spark, gate, date)
+    assert ids == sorted(ids)  # time-prefixed ids sort in run order
+    # after fail -> pass -> fail, the LATEST verdict must be the last one
+    assert p.audit.latest_gate_blocked(spark, "bronze") is True
+    # and after one more clean run, unblocked — regardless of uuid luck
+    rid = p._new_run_id()
+    gate = suite.run(with_time_cols(events), rid)
+    p.audit.write_gate(spark, gate, "2024-01-04")
+    assert p.audit.latest_gate_blocked(spark, "bronze") is False

@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_table
+from .catalog import DEFAULT_SF_DIR, load_table
 from .dq.audit import AuditWriter
 from .dq.checks import (
     WARNING,
@@ -203,7 +203,19 @@ class Pipeline:
     def read_table(self, layer: str, name: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(layer, name))
 
-    # each _run_* returns a StepReport; gates BLOCK by raising _Blocked
+    # each step returns a StepReport; a gate BLOCKS by returning status
+    # "BLOCKED", which run() turns into skipping the remaining steps
+
+    @staticmethod
+    def _new_run_id(tag: str = "") -> str:
+        """Time-ordered run id: a zero-padded nanosecond prefix makes
+        lexicographic order == start order, which the audit layer's
+        "latest run" lookup (ORDER BY run_id DESC,
+        dq/audit.latest_gate_blocked) depends on. A random uuid here
+        made that lookup pick an arbitrary run: a past FAILED gate
+        could permanently block (or mask) the current run."""
+        suffix = tag or uuid.uuid4().hex[:8]
+        return f"{time.time_ns():020d}-{suffix}"
 
     def run(
         self,
@@ -215,8 +227,8 @@ class Pipeline:
         """One cycle: bronze -> gate -> silver -> gate -> gold -> gate.
         ``source`` overrides the events table (fixture injection)."""
         if source is None:
-            source = load_table(self.spark, sf_dir or "/root/testdata/sf0.001", "events")
-        run_id = run_id or uuid.uuid4().hex[:12]
+            source = load_table(self.spark, sf_dir or DEFAULT_SF_DIR, "events")
+        run_id = run_id or self._new_run_id()
         report = PipelineReport(run_id=run_id)
 
         steps = [
@@ -261,8 +273,17 @@ class Pipeline:
         """Self-looping mode (the Step Functions re-trigger, minus the
         wait state): each cycle gets a fresh run_id; merges make
         re-processing idempotent."""
+        # fresh time-ordered ids per invocation: reusing bare cycle0000
+        # ids across run_loop calls conflated rows from distinct runs in
+        # the append-only audit tables (max(blocked) over merged rows
+        # blocked gold forever after one historical failure)
         return [
-            self.run(source=source, sf_dir=sf_dir, run_id=f"cycle{i:04d}", run_date=run_date)
+            self.run(
+                source=source,
+                sf_dir=sf_dir,
+                run_id=self._new_run_id(f"cycle{i:04d}"),
+                run_date=run_date,
+            )
             for i in range(cycles)
         ]
 

@@ -129,6 +129,15 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "mem_streaming_dedup", "append")
 
 
+# PRECONDITION pinned to the data contract: this raw-projection oracle
+# assumes event_id is UNIQUE in the source parquet (true for every
+# generated sf). If the generator ever emits duplicate event_ids (the
+# bronze gate tolerates up to 5% as legitimate raw input), the Spark
+# side dedups to one row while this returns all copies — and which copy
+# Spark keeps is nondeterministic when non-key columns differ. In that
+# world the oracle must pick a deterministic representative (e.g.
+# min-struct per event_id) and the Spark side must switch to the
+# deterministic keep-first dedup (operators/merge.dedup_keep_one).
 STREAMING_DEDUP_WATERMARK_SQL = """
 SELECT event_id, user_id, event_type FROM events
 """

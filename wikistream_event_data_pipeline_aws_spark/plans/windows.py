@@ -398,7 +398,16 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     start and a -1 at start+30min, a date-partitioned running sum
     sweeps the (time, start-before-end) order, and the per-day max is
     the peak. No interval self-join (the naive form is O(n²) stabbing
-    pairs); the partition key is the calendar day, so no global sort."""
+    pairs); the partition key is the calendar day, so no global sort.
+
+    DAY-SCOPED by design: both endpoints of a window land in the
+    partition of its START day, so a window straddling midnight does
+    not carry into the next day's count — the day-partition locality
+    that avoids a global sweep is bought with that boundary
+    approximation (exact for any workload whose windows close within
+    the day; a production variant would inject per-day carryover
+    offsets from the previous day's still-open windows). The oracle
+    shares the same day-scoped definition."""
     e = load_table(spark, sf_dir, "events")
     day = F.date_format("ts", "yyyy-MM-dd").alias("event_date")
     t = F.unix_micros("ts")

@@ -47,10 +47,10 @@ _ORACLES: dict[str, str] = {}
 # the round-4 front froze (never driver-verified — survival_km_order_gaps
 # among them carries this round's oracle BIGINT-cast fix), then the 4
 # queries whose oracle changed this round (the HUGEINT->BIGINT cast:
-# snapshots x3 + record_linkage_blocks), then the 4 queries NEW this
+# snapshots x3 + record_linkage_blocks), then the 6 queries NEW this
 # round with the most novel code paths (semdedup, weighted-WOR
 # sampling, bigram surprisal, streaming histogram, VARIANT extraction,
-# the custom SSE DataSource). The round's 5 remaining new queries
+# the custom SSE DataSource) — 40 + 4 + 6 = the 50-slot front. The round's 5 remaining new queries
 # (t-closeness, forecast backtest, grouped histogram, recursive CTE,
 # SQL UDF) plus the later API-surface batch (lateral, training pairs,
 # cogroup lag, int8 codes) are pytest-parity-verified at sf0.01 under
