@@ -150,3 +150,51 @@ def test_dq_profile_value_empty_events(spark, tmp_path):
     row = dq_profile_value(spark, str(tmp_path)).collect()[0]
     assert row["n"] == 0
     assert row["min_cents"] is None and row["p95_cents"] is None
+
+
+def test_dq_queries_keep_oracle_parity_on_dirty_data(spark, sf_dir, tmp_path):
+    """Round-5 review: the DQ family is the dirty-data component, yet
+    several of its queries only agreed with their oracles on CLEAN
+    fixtures — NULL value crashed the profile's driver-side histogram
+    sort, NULL keys were dropped by bare multi-column countDistinct
+    (DuckDB counts the tuple), NULL comparisons were skipped by
+    sum((~match)) while the oracle's CASE counted them, and DuckDB
+    concat() skips NULLs where F.concat propagates. This test replays
+    the driver's parity check on a corpus WITH nulls."""
+    import duckdb
+
+    from wikistream_event_data_pipeline_aws_spark.registry import oracles, queries
+    from tests.oracle_harness import compare
+
+    dirty = str(tmp_path)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    (
+        ev.withColumn(
+            "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+        )
+        .withColumn(
+            "user_id", F.when(F.col("event_id") % 11 == 0, None).otherwise(F.col("user_id"))
+        )
+        .coalesce(1)
+        .write.parquet(f"{dirty}/events.parquet")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    (
+        docs.withColumn(
+            "text", F.when(F.col("doc_id") % 13 == 0, None).otherwise(F.col("text"))
+        )
+        .coalesce(1)
+        .write.parquet(f"{dirty}/documents.parquet")
+    )
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        # Spark writes a directory of part files; glob them for DuckDB
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dirty}/{t}.parquet/*.parquet')"
+        )
+    qs, osql = queries(), oracles()
+    for name in ("dq_profile_value", "dq_uniqueness", "dq_accuracy_recompute",
+                 "dq_completeness", "quality_flags"):
+        probs = compare(qs[name](spark, dirty), con.execute(osql[name]).df())
+        assert not probs, f"{name}: {probs}"

@@ -92,7 +92,11 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_rows"),
         F.countDistinct("event_id").alias("distinct_event_ids"),
         (F.countDistinct("event_id") / F.count(F.lit(1))).alias("event_id_uniqueness"),
-        F.countDistinct("user_id", "ts").alias("distinct_user_ts"),
+        # struct() so tuples with a NULL component COUNT (DuckDB's
+        # COUNT(DISTINCT (user_id, ts)) counts them; bare multi-column
+        # countDistinct drops any row with a NULL key — in the check
+        # whose job is auditing exactly those keys)
+        F.countDistinct(F.struct("user_id", "ts")).alias("distinct_user_ts"),
     )
 
 
@@ -139,8 +143,13 @@ def dq_accuracy_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     match = F.col("n_chars") == F.length("text")
     return d.agg(
         F.count(F.lit(1)).alias("total_rows"),
+        # rate: over COMPARABLE rows (avg skips the NULL comparison on
+        # both engines); mismatch count: a row that CANNOT be verified
+        # (NULL on either side) counts as a mismatch — the conservative
+        # DQ stance, and the oracle's CASE-ELSE already said so while
+        # sum((~match)) silently skipped it
         F.avg(match.cast("double")).alias("recompute_match_rate"),
-        F.sum((~match).cast("long")).alias("mismatch_rows"),
+        F.sum(F.when(match, F.lit(0)).otherwise(F.lit(1))).alias("mismatch_rows"),
     )
 
 
@@ -206,8 +215,13 @@ def dq_profile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     cents_col = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    # profile NON-NULL values only (both engines): a NULL value produced
+    # a cents=NULL group whose bucket TypeError'd the driver-side
+    # histogram sort, and even counted in n while excluded from lo/hi —
+    # skewing every target rank. NULL volume is dq_completeness's job.
     counts = (
-        e.select(cents_col.alias("cents"))
+        e.filter(F.col("value").isNotNull())
+        .select(cents_col.alias("cents"))
         .groupBy("cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -290,7 +304,8 @@ def dq_profile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DQ_PROFILE_VALUE_SQL = """
 WITH cents_t AS (
-  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
 ),
 ranked AS (
   SELECT cents,

@@ -203,12 +203,14 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("file_hour")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    binned = files.withColumn(
-        "bin_id",
-        F.expr(
-            f"coalesce(sum(size_bytes) over (partition by event_date order by file_hour"
-            f" rows between unbounded preceding and 1 preceding), 0) div {COMPACT_TARGET_BYTES}"
-        ),
+    # ONE window definition (the spec above), integer-exact div — the
+    # previous hand-written SQL string duplicated the same window inline
+    binned = (
+        files.withColumn(
+            "_pre", F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+        )
+        .withColumn("bin_id", F.expr(f"_pre div {COMPACT_TARGET_BYTES}"))
+        .drop("_pre")
     )
     return binned.groupBy("event_date", "bin_id").agg(
         F.count(F.lit(1)).alias("n_files"),

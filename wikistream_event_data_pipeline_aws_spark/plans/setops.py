@@ -46,9 +46,11 @@ SET_INTERSECT_SQL = f"({_BUILDING_SQL}) INTERSECT ({_ORDERING_SQL})"
 
 
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _building_keys(spark, sf_dir).exceptAll(
-        _ordering_keys(spark, sf_dir)
-    ).distinct()
+    # subtract() IS SQL EXCEPT (set semantics): exceptAll().distinct()
+    # removed only per-occurrence — a left side with duplicate rows kept
+    # a row the oracle's EXCEPT eliminates (invisible while the source
+    # key is unique, red the moment it is not)
+    return _building_keys(spark, sf_dir).subtract(_ordering_keys(spark, sf_dir))
 
 
 SET_EXCEPT_SQL = f"({_BUILDING_SQL}) EXCEPT ({_ORDERING_SQL})"

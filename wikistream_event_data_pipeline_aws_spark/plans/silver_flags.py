@@ -71,7 +71,7 @@ WITH named AS (
                                   CAST((user_id // 7) % 256 AS VARCHAR),
                                   CAST((user_id // 11) % 256 AS VARCHAR),
                                   CAST((user_id // 13) % 256 AS VARCHAR))
-              ELSE concat('User_', CAST(user_id AS VARCHAR)) END AS user_str
+              ELSE 'User_' || CAST(user_id AS VARCHAR) END AS user_str
   FROM events
 )
 SELECT event_id,
