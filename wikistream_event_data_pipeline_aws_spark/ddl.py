@@ -48,9 +48,13 @@ def create_table(
 
 def ensure_column(spark: SparkSession, table: str, column: str, dtype: str) -> bool:
     """S11: add a column if missing; swallow 'already exists' like the
-    reference's try/except ALTER. Returns True when the ALTER ran."""
-    existing = {f.name for f in spark.table(table).schema.fields}
-    if column in existing:
+    reference's try/except ALTER. Returns True when the ALTER ran.
+    The pre-check is case-INsensitive to match Spark's default column
+    resolution (a case-variant of an existing name would otherwise slip
+    past the set check and crash the ALTER with COLUMNS_ALREADY_EXIST —
+    the opposite of the documented swallow)."""
+    existing = {f.name.lower() for f in spark.table(table).schema.fields}
+    if column.lower() in existing:
         return False
     spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({column} {dtype})")
     return True

@@ -88,8 +88,16 @@ def observed_write(
     result = observed.count() if action is None else action(observed)
     got = obs.get
     for name, value in got.items():
+        # fire-and-forget (module contract): the data action above has
+        # already succeeded — neither a non-numeric value NOR a failing
+        # sink (full disk, unwritable path) may fail the job
         try:
             sink.emit(f"{metric_prefix}.{name}", float(value))
         except (TypeError, ValueError):  # non-numeric observed value
-            sink.emit(f"{metric_prefix}.{name}", float("nan"), {"raw": str(value)})
+            try:
+                sink.emit(f"{metric_prefix}.{name}", float("nan"), {"raw": str(value)})
+            except Exception:
+                pass
+        except Exception:
+            pass
     return result, got

@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 
-EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+# the ONE event-type vocabulary (shared with the DQ containment check):
+# a third hand copy here let the pivot schema drift independently
+from .dq import ALLOWED_EVENT_TYPES as EVENT_TYPES
 
 
 # -- pivot --------------------------------------------------------------------
@@ -374,11 +376,20 @@ def bloom_semi_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr = F.array(*[(hex_hash(ks, seed=f"bloom{j}") % BLOOM_M) for j in range(BLOOM_K)])
         return df.select(F.col(key), F.explode(arr).alias("pos")).distinct()
 
-    build = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    # fence the two shared subtrees (repo discipline for multiply-
+    # consumed lineage): the build side feeds bits AND truth, and the
+    # orders-keys distinct — the dominant fact-side shuffle — feeds the
+    # probe AND the truth join; unfenced, each ran twice per execution
+    build = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .localCheckpoint(eager=False)
+    )
+    okeys = o.select("o_custkey").distinct().localCheckpoint(eager=False)
     bits = positions(build, "c_custkey").select("pos").distinct().withColumn(
         "hit", F.lit(1)
     )
-    probe = positions(o.select("o_custkey").distinct(), "o_custkey")
+    probe = positions(okeys, "o_custkey")
     probed = (
         probe.join(F.broadcast(bits), "pos", "left")
         .groupBy("o_custkey")
@@ -388,7 +399,7 @@ def bloom_semi_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    truth = o.select("o_custkey").distinct().join(
+    truth = okeys.join(
         build.withColumnRenamed("c_custkey", "o_custkey").withColumn(
             "true_match", F.lit(1)
         ),

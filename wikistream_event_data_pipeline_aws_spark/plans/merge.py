@@ -16,13 +16,6 @@ from ..operators.merge import merge_insert_only, merge_upsert, scd2_apply
 _T_END = "1998-01-01 00:00:00"
 _S_START = "1997-01-01 00:00:00"
 
-_PROJ = [
-    "o_orderkey",
-    "o_orderstatus",
-    "o_totalprice",
-    "o_orderdate_str",
-]
-
 
 def _target(spark, sf_dir) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -178,7 +171,10 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter prunes."""
     from functools import reduce
 
-    hist = scd2_customer_dim(spark, sf_dir)
+    # fence the SCD2 merge lineage: consumed once per snapshot date, it
+    # would otherwise re-run the full changed-diff/anti-join/tag-union
+    # chain for every as-of branch (repo multiply-consumed-subtree rule)
+    hist = scd2_customer_dim(spark, sf_dir).localCheckpoint(eager=False)
     parts = []
     for asof in _SCD_ASOF:
         snap = hist.filter(
@@ -303,6 +299,7 @@ def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     version row the stream produced is value-checked through the PIT
     lens. Checkpoint-restart idempotency is pinned separately in
     tests/test_streaming.py."""
+    import shutil
     import tempfile
 
     from ..streaming.ingest import file_stream, start_scd2_sink
@@ -357,7 +354,13 @@ def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_acctbal",
             )
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    # materialize the (tiny: |segments| x |snapshots| rows) result so the
+    # temp workspace — CDC files, a full dimension parquet, the streaming
+    # checkpoint — can be deleted NOW instead of leaking one directory
+    # per invocation (this query runs every parity round and every bench)
+    out = reduce(lambda a, b: a.unionByName(b), parts).localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def _scd2_apply_step_sql(i: int, eff: str) -> str:

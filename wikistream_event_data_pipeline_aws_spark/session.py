@@ -77,6 +77,16 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    # Match get_spark's broadcast band: a driver-provided session with the
+    # stock 10MB threshold would silently demote the dimension joins the
+    # local plan tests validate as broadcast into sort-merge joins —
+    # exactly the plan drift this function exists to prevent. Only the
+    # stock default is overridden; an explicitly tuned session is
+    # respected (same policy as shuffle.partitions below).
+    if spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b").rstrip(
+        "b"
+    ) == "10485760":
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     # Right-size task count for this host if the session still carries
     # Spark's stock default; an explicitly tuned session is left alone.
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
