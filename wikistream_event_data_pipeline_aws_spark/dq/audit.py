@@ -62,7 +62,18 @@ class AuditWriter:
                     F.when(F.col("status").isin("FAILED", "ERROR"), 1).otherwise(0)
                 ).alias("blocked")
             )
-            .orderBy(F.col("run_id").desc())
+            # two-level order: time-ordered ids (20-digit ns prefix,
+            # pipeline._new_run_id) always outrank LEGACY ids (random
+            # uuid hex / 'cycleNNNN') — digits sort BELOW letters in
+            # ASCII, so a plain ORDER BY run_id DESC in an upgraded
+            # append-only table would keep picking a stale legacy run
+            # forever; within the new format lexicographic == start
+            # order, and among legacy-only rows order stays what it
+            # always was (arbitrary, as random uuids admit no better)
+            .orderBy(
+                F.col("run_id").rlike("^[0-9]{20}-").desc(),
+                F.col("run_id").desc(),
+            )
             .limit(1)
             .collect()
         )

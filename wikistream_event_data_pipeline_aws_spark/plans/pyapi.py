@@ -110,7 +110,6 @@ WHERE event_type = 'purchase'
 
 
 _SSE_FIXTURE_CACHE: dict[str, str] = {}
-_SSE_REGISTERED: set[int] = set()
 
 
 def _sse_capture(spark: SparkSession, sf_dir: str) -> str:
@@ -151,12 +150,13 @@ def _sse_capture(spark: SparkSession, sf_dir: str) -> str:
 
 
 def ensure_sse_registered(spark: SparkSession) -> None:
+    # Register unconditionally: re-registration is a cheap dict put on
+    # the session's DataSource registry, while memoizing on id(spark)
+    # can skip a NEW session whose id() CPython reused after the old
+    # session was garbage-collected ("data source not found").
     from ..sources import SSEReplayDataSource
 
-    key = id(spark)
-    if key not in _SSE_REGISTERED:
-        spark.dataSource.register(SSEReplayDataSource)
-        _SSE_REGISTERED.add(key)
+    spark.dataSource.register(SSEReplayDataSource)
 
 
 def sse_replay_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,7 +214,11 @@ def cogroup_click_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately join-expressible so the DuckDB oracle can replay them
     exactly — the operator's real use is per-key logic too gnarly for
     SQL (per-user model scoring, custom sessionizers); the lag is
-    integer seconds (no float), nullable when a side is absent."""
+    integer seconds — FLOOR of the exact microsecond delta on BOTH
+    engines (pandas Timedelta floordiv here, FLOOR(date_diff
+    'microsecond'/1e6) in the oracle; fixture ts is timestamp[us], so a
+    coarser ms-granularity date_diff would disagree within ~1ms of an
+    integer second) — nullable when a side is absent."""
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events")
@@ -267,7 +271,7 @@ SELECT COALESCE(c.user_id, p.user_id) AS user_id,
        CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
        CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
        CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL
-            THEN CAST(FLOOR(date_diff('millisecond', c.first_click, p.first_purchase) / 1000.0) AS BIGINT)
+            THEN CAST(FLOOR(date_diff('microsecond', c.first_click, p.first_purchase) / 1000000.0) AS BIGINT)
             ELSE NULL END AS first_lag_seconds
 FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """

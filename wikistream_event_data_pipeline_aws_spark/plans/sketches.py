@@ -360,6 +360,17 @@ SELECT q,
 FROM best
 """
 
+# The streaming sink explicitly DROPS NULL measurements before binning
+# (streaming/ingest.start_histogram_sink: a NULL would otherwise count
+# inside a real bin via least/greatest null-skipping), so the streaming
+# query's oracle must filter them too — n = COUNT(value), not COUNT(*).
+# The batch query bins NULLs into a NULL bin and counts them, so the
+# two oracles differ by exactly this filter; parity on NULL-free
+# fixtures hid the difference, and the dirty-data DQ fixtures show
+# NULL values are in-contract.
+STREAMING_HISTOGRAM_QUANTILES_SQL = HISTOGRAM_QUANTILES_VALUE_SQL.replace(
+    "FROM events", "FROM (SELECT * FROM events WHERE value IS NOT NULL) events"
+)
 
 
 def hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,8 +860,9 @@ def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     a priori from the static fixture (the streaming-histogram
     contract: a stream cannot take the min/max pre-pass). Because
     binning is per-row and bin sums are associative, the streamed
-    histogram is BIT-IDENTICAL to the one-pass batch histogram, so the
-    oracle is exactly ``HISTOGRAM_QUANTILES_VALUE_SQL``. State:
+    histogram is BIT-IDENTICAL to the one-pass batch histogram over
+    the non-NULL values; the oracle is the batch SQL with the sink's
+    NULL filter applied (``STREAMING_HISTOGRAM_QUANTILES_SQL``). State:
     n_batches x B rows, compactable by summing — never data-sized."""
     import tempfile
 
@@ -1051,5 +1063,5 @@ ORACLES = {
     "heavy_hitters_cms": HEAVY_HITTERS_CMS_SQL,
     "histogram_quantiles_value": HISTOGRAM_QUANTILES_VALUE_SQL,
     "histogram_quantiles_by_type": HISTOGRAM_QUANTILES_BY_TYPE_SQL,
-    "streaming_histogram_quantiles": HISTOGRAM_QUANTILES_VALUE_SQL,
+    "streaming_histogram_quantiles": STREAMING_HISTOGRAM_QUANTILES_SQL,
 }

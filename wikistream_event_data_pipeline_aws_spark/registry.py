@@ -43,73 +43,68 @@ _ORACLES: dict[str, str] = {}
 # scores, cluster keepers, funnel latency) — are pytest-parity-verified
 # (tests/test_oracle_parity.py replays the driver check) and MUST head
 # the round-5 front together with the displaced r1 rows.
-# Round 5 composition (VERDICT r4 items 1+3): the 40 queries added after
-# the round-4 front froze (never driver-verified — survival_km_order_gaps
-# among them carries this round's oracle BIGINT-cast fix), then the 4
-# queries whose oracle changed this round (the HUGEINT->BIGINT cast:
-# snapshots x3 + record_linkage_blocks), then the 6 queries NEW this
-# round with the most novel code paths (semdedup, weighted-WOR
-# sampling, bigram surprisal, streaming histogram, VARIANT extraction,
-# the custom SSE DataSource) — 40 + 4 + 6 = the 50-slot front. The round's 5 remaining new queries
-# (t-closeness, forecast backtest, grouped histogram, recursive CTE,
-# SQL UDF) plus the later API-surface batch (lateral, training pairs,
-# cogroup lag, int8 codes) are pytest-parity-verified at sf0.01 under
-# the strict harness and MUST head the round-6 front, together with
-# dedup_ngram_jaccard (oracle gained the Spark side's 2000-doc slice
-# predicate — value-identical at the driver's sf0.01, but a changed
-# oracle re-verifies by policy).  Done = driver
-# union reaches 209/209 with zero red.
+# Round 6 composition (VERDICT r5 item 1): the 9 queries never
+# driver-verified (the post-freeze round-5 API-surface batch: lateral,
+# grouped histogram, t-closeness, forecast backtest, cogroup lag, int8
+# codes, training pairs, recursive CTE, SQL UDF) head the front, then
+# dedup_ngram_jaccard (oracle changed round 5 -> re-verifies by policy)
+# plus the 24 other queries whose newest driver row is r1 (stalest
+# green rows; multimodal_decode/_metadata/_frame_sample are among them
+# and their implementation changes this round to real WAV/PNG codecs),
+# then the 16 registration-order-oldest r2 rows as backfill:
+# 9 + 25 + 16 = 50.  Done = driver union reaches 224/224 green and no
+# query's newest row is older than r2.
 _DRIVER_FRONT: tuple[str, ...] = (
-    "funnel_time_to_convert",
-    "sequence_pattern_match",
-    "churn_label_features",
-    "tpch_revenue_share_hierarchy",
-    "tpch_supplier_leadtime",
-    "tpch_priority_sla",
-    "customer_rfm_segments",
-    "incremental_join_delta",
-    "join_longest_prefix_match",
-    "dedup_cluster_keepers",
-    "dedup_lsh_sweep",
-    "dedup_simhash_pairs",
-    "dedup_method_agreement",
-    "text_ngram_novelty",
-    "tokenizer_fertility_by_lang",
-    "context_window_fit",
-    "split_leakage_audit",
-    "cv_fold_assignment",
-    "decontaminate_overlap_fraction",
-    "hll_rolling_distinct",
-    "kmv_set_operations",
-    "streaming_hll_users",
-    "stats_autocorrelation",
-    "value_decile_assignment",
-    "stats_benford_prices",
-    "stats_seasonal_outliers",
-    "survival_km_order_gaps",
-    "tv_distance_source_mix",
-    "stats_ks_value_drift",
-    "stats_chi2_dow_type",
-    "privacy_l_diversity",
-    "embedding_pq_residuals",
-    "knn_classify_embeddings",
-    "graph_khop_features",
-    "graph_kcore_peel",
-    "graph_eigencentrality",
-    "graph_substitutes",
-    "multimodal_audio_energy",
-    "decayed_user_value",
-    "table_merkle_sync",
-    "snapshot_time_travel",
-    "snapshot_changes",
-    "snapshot_mor_read",
-    "record_linkage_blocks",
-    "semdedup_embeddings",
-    "sample_weighted_wor",
-    "text_bigram_surprisal",
-    "streaming_histogram_quantiles",
-    "variant_props_stats",
-    "sse_replay_source_stats",
+    "lateral_topn_orders",
+    "histogram_quantiles_by_type",
+    "privacy_t_closeness",
+    "forecast_seasonal_naive_backtest",
+    "cogroup_click_purchase_lag",
+    "embedding_int8_codes",
+    "embedding_training_pairs",
+    "graph_recursive_reachability",
+    "sql_udf_value_bands",
+    "dedup_ngram_jaccard",
+    "surrogate_key_md5",
+    "null_defaulting",
+    "conditional_mapping",
+    "string_cleaning",
+    "timestamp_normalize",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "similarity_cosine_topk",
+    "similarity_embedding_neardup",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "multimodal_metadata",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "pivot_type_counts_by_date",
+    "rollup_date_type",
+    "cube_type_hour",
+    "map_explode_props",
+    "dedup_clusters",
+    "text_tfidf_topk",
+    "text_inverted_index",
+    "decontaminate_ngram_overlap",
+    "sample_stratified_hash",
+    "redact_pii",
+    "vocab_topk",
+    "text_repetition_filter",
+    "corpus_shuffle_hash",
+    "domain_mixture_sample",
+    "curate_corpus",
+    "hll_distinct_events",
+    "hll_distinct_users_by_type",
+    "heavy_hitters_cms",
+    "histogram_quantiles_value",
+    "user_value_median_pandas",
 )
 
 
