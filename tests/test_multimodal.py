@@ -1,56 +1,178 @@
-"""Multimodal plumbing tests: Arrow batch shape, stub gating, frame
+"""Multimodal codec + plumbing tests: real PNG/WAV/Y4M round-trips,
+defilter generality, corruption detection, Arrow batch shape, frame
 sampling arithmetic (reference has no media path — north-star scope)."""
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import pytest
 
 from wikistream_event_data_pipeline_aws_spark.catalog import load_table
 from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
+    _PNG_SIG,
+    _png_chunk,
     decode_media,
+    decode_png_gray8,
+    decode_wav_u8,
+    decode_y4m_mono,
+    encode_containers,
+    encode_png_gray8,
+    encode_wav_u8,
+    encode_y4m_mono,
     sample_frames,
     synthetic_media,
 )
 
+PAYLOAD = bytes(range(16))
 
-def test_real_decode_is_gated(spark, sf_dir):
-    media = synthetic_media(load_table(spark, sf_dir, "documents").limit(4))
-    with pytest.raises(Exception) as exc:
-        decode_media(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, NotImplementedError
+
+def test_png_roundtrip_and_crc():
+    png = encode_png_gray8(PAYLOAD, 4, 4)
+    assert png.startswith(_PNG_SIG)
+    assert decode_png_gray8(png) == (4, 4, PAYLOAD)
+    corrupt = bytearray(png)
+    corrupt[41] ^= 0xFF  # inside IDAT data -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray8(bytes(corrupt))
+
+
+def test_png_defilter_all_filter_types():
+    """The decoder must reverse every standard scanline filter, not just
+    the type-0 rows our encoder emits: hand-filter four rows with
+    Sub/Up/Average/Paeth and check the inflate+defilter recovers them."""
+    import random
+
+    random.seed(7)
+    w, h = 5, 4
+    pixels = bytes(random.randrange(256) for _ in range(w * h))
+    rows = [pixels[y * w : (y + 1) * w] for y in range(h)]
+    raw = bytearray()
+    prev = bytes(w)
+    for y, row in enumerate(rows):
+        ft = y + 1  # 1=Sub 2=Up 3=Average 4=Paeth
+        line = bytearray(row)
+        if ft == 1:
+            for x in range(w - 1, 0, -1):
+                line[x] = (line[x] - row[x - 1]) & 0xFF
+        elif ft == 2:
+            for x in range(w):
+                line[x] = (line[x] - prev[x]) & 0xFF
+        elif ft == 3:
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                line[x] = (line[x] - (left + prev[x]) // 2) & 0xFF
+        else:
+            for x in range(w):
+                a = row[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(line)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
+    assert decode_png_gray8(png) == (w, h, pixels)
 
 
-def test_fake_decode_schema_and_determinism(spark, sf_dir):
-    media = synthetic_media(load_table(spark, sf_dir, "documents").limit(16))
-    decoded = decode_media(media, fake=True)
+def test_wav_roundtrip_skips_unknown_chunks():
+    wav = encode_wav_u8(PAYLOAD)
+    assert decode_wav_u8(wav) == (8000, PAYLOAD)
+    # splice a LIST chunk (odd size + pad byte) between fmt and data:
+    # the walker must skip it, word-aligned
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        + b"data" + struct.pack("<I", 16) + PAYLOAD
+    )
+    wav2 = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert decode_wav_u8(wav2) == (8000, PAYLOAD)
+    # a 16-bit stereo fmt chunk must be rejected, not misread as u8
+    fmt16 = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body16 = (
+        b"fmt " + struct.pack("<I", len(fmt16)) + fmt16
+        + b"data" + struct.pack("<I", 16) + PAYLOAD
+    )
+    wav16 = b"RIFF" + struct.pack("<I", 4 + len(body16)) + b"WAVE" + body16
+    with pytest.raises(ValueError, match="PCM u8 mono"):
+        decode_wav_u8(wav16)
+
+
+def test_y4m_roundtrip_and_colorspace_gate():
+    frames = [PAYLOAD[i * 4 : (i + 1) * 4] for i in range(4)]
+    y4m = encode_y4m_mono(frames, 2, 2)
+    assert decode_y4m_mono(y4m) == (2, 2, frames)
+    with pytest.raises(ValueError, match="Cmono"):
+        decode_y4m_mono(y4m.replace(b"Cmono", b"C420j"))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m_mono(y4m[:-2])
+
+
+def test_decode_media_dispatches_on_magic_and_matches_payload(spark, sf_dir):
+    media = encode_containers(
+        synthetic_media(load_table(spark, sf_dir, "documents").limit(30))
+    )
+    decoded = decode_media(media)
     assert decoded.columns == [
-        "media_id",
-        "media_type",
-        "byte_len",
-        "content_sha",
-        "width",
-        "height",
-        "n_frames",
+        "media_id", "media_type", "container", "width", "height",
+        "n_frames", "n_samples", "sample_rate", "val_min", "val_max", "val_sum",
     ]
     rows = {r["media_id"]: r for r in decoded.collect()}
-    again = {r["media_id"]: r for r in decode_media(media, fake=True).collect()}
-    assert rows == again
+    again = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert rows == again  # deterministic
     for r in rows.values():
-        assert r["byte_len"] == 16  # md5 payload
-        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
-        assert 1 <= r["n_frames"] <= 8
+        expected = {"image": "png", "audio": "wav", "video": "y4m"}[r["media_type"]]
+        assert r["container"] == expected  # magic agrees with metadata
+        if r["container"] == "png":
+            assert (r["width"], r["height"], r["n_frames"]) == (4, 4, 1)
+            assert r["n_samples"] is None
+        elif r["container"] == "wav":
+            assert (r["n_samples"], r["sample_rate"]) == (16, 8000)
+            assert r["width"] is None and r["n_frames"] is None
+        else:
+            assert (r["width"], r["height"]) == (2, 2)
+            assert 1 <= r["n_frames"] <= 4
+        assert 0 <= r["val_min"] <= r["val_max"] <= 255
+        n_vals = {
+            "png": r["width"] * r["height"] if r["width"] else 0,
+            "wav": r["n_samples"] or 0,
+            "y4m": (r["width"] or 0) * (r["height"] or 0) * (r["n_frames"] or 0),
+        }[r["container"]]
+        assert n_vals > 0
+        assert r["val_min"] <= r["val_sum"] / n_vals <= r["val_max"]
+
+
+def test_decode_media_rejects_unknown_magic(spark, sf_dir):
+    raw = synthetic_media(load_table(spark, sf_dir, "documents").limit(2))
+    with pytest.raises(Exception, match="unknown container magic"):
+        decode_media(raw).collect()  # raw md5 bytes are not a container
 
 
 def test_frame_sample_keeps_even_frames(spark, sf_dir):
-    media = synthetic_media(load_table(spark, sf_dir, "documents").limit(16))
-    decoded = decode_media(media, fake=True)
-    n_frames = {r["media_id"]: r["n_frames"] for r in decoded.collect()}
+    media = encode_containers(
+        synthetic_media(load_table(spark, sf_dir, "documents").limit(30))
+    )
+    decoded = decode_media(media)
+    n_frames = {
+        r["media_id"]: r["n_frames"]
+        for r in decoded.collect()
+        if r["n_frames"] is not None
+    }
     sampled = sample_frames(decoded, every_nth=2).collect()
     by_media: dict[int, list[int]] = {}
     for r in sampled:
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert set(by_media) == {m for m, n in n_frames.items() if n > 0}
     for mid, idxs in by_media.items():
         assert sorted(idxs) == list(range(0, n_frames[mid], 2))
 
@@ -60,10 +182,9 @@ def test_worker_facing_modules_ship_by_value():
     code executes inside Python workers must be registered for by-VALUE
     cloudpickle serialization, so a driver launched outside the repo
     (or a cluster without --py-files) can still unpickle the DataSource
-    class and the decode helpers. A refactor that drops the
-    registration reintroduces a cwd-dependent ModuleNotFoundError that
-    no in-repo pytest run can see (pytest always runs with the repo on
-    sys.path)."""
+    class and the codec helpers. A refactor that drops the registration
+    reintroduces a cwd-dependent ModuleNotFoundError that no in-repo
+    pytest run can see (pytest always runs with the repo on sys.path)."""
     import wikistream_event_data_pipeline_aws_spark.operators.multimodal  # noqa: F401
     import wikistream_event_data_pipeline_aws_spark.sources.sse  # noqa: F401
     from pyspark.cloudpickle.cloudpickle import list_registry_pickle_by_value

@@ -1,0 +1,249 @@
+"""Empirical scale-curve evidence for the Sigma|bucket|^2 claims
+(VERDICT r5 item 3).
+
+The 100-TB arguments for the near-dup / semantic-dedup families are
+analytic: candidate work is the sum over buckets/cells of |b|^2, which
+stays ~linear in corpus size N as long as bucket count scales with N.
+This tool backs the claim with measurements: it synthesizes an S-times
+corpus IN MEMORY (never touching the driver's testdata), runs the same
+candidate-generation code paths the registered queries use, and checks
+that candidate counts grow ~linearly in N while the all-pairs baseline
+grows ~quadratically.
+
+Corpus expansion keeps duplicate DENSITY constant (the property that
+makes the comparison meaningful): copy k of the documents table
+suffixes every token with ``_k``, so shingles/tokens never collide
+across copies while each copy's internal near-dup structure is
+isomorphic to the base; copy k of the embeddings table cyclically
+shifts vector dimensions by k, preserving within-copy geometry while
+decorrelating copies. A synthesized 10x corpus is therefore 10
+statistically-equivalent shards — exactly how a 10x production crawl
+relates to a 1x one.
+
+Families measured (same operators the queries call):
+* minhash_lsh  — ``operators.textops.minhash_signature`` +
+  ``lsh_candidate_pairs`` (rows_per_band=2), the
+  ``dedup_minhash_pairs`` / ``curate_corpus`` candidate stage;
+* simhash     — ``operators.textops.simhash16`` + the 2x8-bit
+  pigeonhole band join of ``dedup_simhash_pairs``;
+* semdedup    — ``plans.kmeans.assign`` with K scaled proportionally
+  to N (the IVF sizing rule the 100-TB argument relies on), candidate
+  pairs = sum over cells of n*(n-1)/2.
+
+Usage:
+    python tools/scale_curve.py [--sf-dir /root/testdata/sf0.1]
+                                [--scales 1,3,10]
+
+Prints one row per (family, scale) plus a fitted log-log growth
+exponent per family; exits non-zero if any family's candidate-count
+exponent reaches 1.5 (i.e. looks closer to quadratic than linear).
+tests/test_scale_curve.py runs the same measurement at sf0.01 with
+scales (1, 3) as a regression gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EXPONENT_LIMIT = 1.5  # fail when candidate growth looks quadratic
+
+
+def expand_documents(docs: DataFrame, scale: int) -> DataFrame:
+    """S copies; copy k>0 suffixes every token with _k (disjoint
+    shingle space across copies, isomorphic structure within)."""
+    parts = [docs.select("doc_id", "text")]
+    for k in range(1, scale):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1_{k}").alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def expand_embeddings(emb: DataFrame, scale: int, dim: int) -> DataFrame:
+    """S copies; copy k>0 cyclically shifts dimensions by k (norms and
+    within-copy cosines preserved, cross-copy geometry decorrelated)."""
+    parts = [emb.select("vec_id", "x")]
+    for k in range(1, scale):
+        shift = k % dim or 1
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+                F.concat(
+                    F.slice("x", shift + 1, dim - shift), F.slice("x", 1, shift)
+                ).alias("x"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_lsh_candidates(docs: DataFrame) -> int:
+    from wikistream_event_data_pipeline_aws_spark.operators.textops import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    sigs = minhash_signature(
+        docs, "doc_id", "text", n_hashes=8, include_all_docs=False
+    )
+    return lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, rows_per_band=2).count()
+
+
+def simhash_candidates(docs: DataFrame) -> int:
+    from wikistream_event_data_pipeline_aws_spark.operators.textops import simhash16
+
+    sig = simhash16(docs, "doc_id", "text")
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), (F.col("simhash") % 256).alias("bv")),
+                F.struct(F.lit(1).alias("bi"), F.expr("simhash div 256").alias("bv")),
+            )
+        ).alias("band"),
+    ).select("doc_id", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select("l.doc_id", "r.doc_id")
+        .distinct()
+        .count()
+    )
+
+
+def semdedup_candidates(emb: DataFrame, k_cells: int) -> int:
+    """Within-cell pair count under nearest-centroid assignment with
+    K ~ N (first k_cells vectors as coarse centroids, the same seeding
+    semdedup_embeddings uses)."""
+    from wikistream_event_data_pipeline_aws_spark.plans.kmeans import assign
+
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("x").alias("c"))
+    )
+    a = assign(emb, cents)
+    row = (
+        a.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("cand"))
+        .first()
+    )
+    return int(row["cand"] or 0)
+
+
+def fit_exponent(points: list[tuple[int, int]]) -> float:
+    """Least-squares slope of log(candidates) vs log(N)."""
+    xs = [math.log(n) for n, _ in points]
+    ys = [math.log(max(c, 1)) for _, c in points]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return float("nan")
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def run(sf_dir: str, scales: list[int], spark: SparkSession | None = None) -> dict:
+    owns = spark is None
+    if owns:
+        spark = (
+            SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    dim = len(emb.select("x").first()["x"])
+    n_docs, n_vecs = docs.count(), emb.count()
+    # K ~ N: target cell size fixed, cells grow with the corpus (IVF rule)
+    k_base = max(4, n_vecs // 100)
+
+    results: dict[str, list[dict]] = {"minhash_lsh": [], "simhash": [], "semdedup": []}
+    for s in scales:
+        d_s = expand_documents(docs, s).localCheckpoint(eager=True)
+        e_s = expand_embeddings(emb, s, dim).localCheckpoint(eager=True)
+        nd, nv = n_docs * s, n_vecs * s
+        for fam, n, cand in (
+            ("minhash_lsh", nd, minhash_lsh_candidates(d_s)),
+            ("simhash", nd, simhash_candidates(d_s)),
+            ("semdedup", nv, semdedup_candidates(e_s, k_base * s)),
+        ):
+            results[fam].append(
+                {
+                    "scale": s,
+                    "n": n,
+                    "candidates": cand,
+                    "all_pairs": n * (n - 1) // 2,
+                }
+            )
+
+    summary = {}
+    for fam, rows in results.items():
+        exp_c = fit_exponent([(r["n"], r["candidates"]) for r in rows])
+        exp_a = fit_exponent([(r["n"], r["all_pairs"]) for r in rows])
+        summary[fam] = {
+            "rows": rows,
+            "candidate_exponent": round(exp_c, 3),
+            "all_pairs_exponent": round(exp_a, 3),
+            "linear": exp_c < EXPONENT_LIMIT,
+        }
+    if owns:
+        spark.stop()
+    return summary
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--scales", default="1,3,10")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+    summary = run(args.sf_dir, scales)
+    ok = True
+    for fam, s in summary.items():
+        for r in s["rows"]:
+            print(
+                f"{fam:12s} scale={r['scale']:>3} n={r['n']:>7} "
+                f"candidates={r['candidates']:>10} all_pairs={r['all_pairs']:>14}"
+            )
+        print(
+            f"{fam:12s} growth exponent: candidates {s['candidate_exponent']}"
+            f" vs all-pairs {s['all_pairs_exponent']} -> "
+            + ("LINEAR-ISH" if s["linear"] else "TOO STEEP")
+        )
+        ok = ok and s["linear"]
+    print(json.dumps({f: {k: v for k, v in s.items() if k != "rows"} for f, s in summary.items()}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

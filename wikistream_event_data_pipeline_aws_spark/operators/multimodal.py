@@ -1,23 +1,33 @@
-"""Multimodal column plumbing (north-star scope).
+"""Multimodal column operators (north-star scope) — REAL codecs.
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
-metadata struct. The Spark-side plumbing — schema, partition-preserving
-``mapInPandas``, Arrow batch shapes, UDF signatures — is real and
-tested; the actual codec work is STUBBED (the image/audio libraries are
-not in this container): ``decode_image_batch`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder derives metadata from the bytes so pipelines
-are testable end-to-end.
+metadata struct. Since round 6 the codec work is real, pure-stdlib
+container parsing — no fake decode left:
 
-At 100 TB: binary payloads stay columnar (parquet keeps them dictionary-
-free), ``mapInPandas`` streams Arrow batches without collecting, and
-the decode stage is embarrassingly parallel — partition by storage
-locality, never shuffle the blobs.
+* **PNG** — signature + chunk walk with CRC32 verification, IHDR
+  field extraction, multi-IDAT zlib inflate, full scanline defilter
+  (filter types 0-4 incl. Paeth) for 8-bit grayscale;
+* **WAV** — RIFF chunk walk (word-aligned, unknown chunks skipped),
+  ``fmt ``/``data`` extraction, PCM u8 mono;
+* **Y4M** — YUV4MPEG2 stream header parse (W/H/C tokens) + FRAME
+  section split, mono colorspace.
+
+The matching encoders write genuine containers (a generated PNG opens
+in any viewer) from the deterministic md5-derived corpus, so every
+decoded value — dimensions, sample rate, frame count, pixel/sample
+stats — is independently reproducible by a SQL oracle from the hex of
+``md5(text)`` alone: an encoder bug OR a decoder bug breaks parity.
+
+At 100 TB: binary payloads stay columnar (parquet keeps them
+dictionary-free), ``mapInPandas`` streams Arrow batches without
+collecting, and the decode stage is embarrassingly parallel —
+partition by storage locality, never shuffle the blobs.
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,49 +53,330 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-DECODED_SCHEMA = (
-    "media_id long, media_type string, byte_len long, content_sha string, "
-    "width int, height int, n_frames int"
-)
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for a real codec: dimensions derived from
-    content bytes."""
-    if not payload:
-        return 0, 0, 0
-    width = 16 + payload[0] % 64
-    height = 16 + payload[1 % len(payload)] % 64
-    n_frames = 1 + payload[2 % len(payload)] % 8
-    return width, height, n_frames
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
 
 
-def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode/feature-extract via mapInPandas (Arrow-batched; no
-    per-row Python). Real decode is NotImplemented in this container."""
+def encode_png_gray8(pixels: bytes, width: int, height: int) -> bytes:
+    """A real, viewer-openable PNG: 8-bit grayscale, filter type 0."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_defilter_gray8(raw: bytes, width: int, height: int) -> bytes:
+    """Reverse PNG scanline filtering for bpp=1 (8-bit grayscale);
+    implements all five standard filter types, not just the one our
+    encoder happens to emit."""
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError(f"raw stream {len(raw)} != {stride * height}")
+    out = bytearray()
+    prev = bytearray(width)
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        ftype, line = row[0], bytearray(row[1:])
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(1, width):
+                line[x] = (line[x] + line[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(width):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(width):
+                left = line[x - 1] if x else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(width):
+                a = line[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_png_gray8(b: bytes) -> tuple[int, int, bytes]:
+    """Parse a PNG container: CRC-checked chunk walk, IHDR, inflate,
+    defilter. Returns (width, height, pixels). 8-bit grayscale,
+    non-interlaced only — everything our corpus (and most ML
+    thumbnail pipelines) uses; anything else raises."""
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a PNG: bad signature")
+    pos = len(_PNG_SIG)
+    width = height = -1
+    idat = bytearray()
+    seen_end = False
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + data) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit non-interlaced grayscale PNG supported, got "
+                    f"depth={depth} color={color} interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if width < 0 or not seen_end:
+        raise ValueError("truncated PNG: missing IHDR or IEND")
+    raw = zlib.decompress(bytes(idat))
+    return width, height, _png_defilter_gray8(raw, width, height)
+
+
+# ---------------------------------------------------------------- WAV
+
+WAV_SAMPLE_RATE = 8000
+
+
+def encode_wav_u8(samples: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """A real RIFF/WAVE container: PCM unsigned 8-bit mono."""
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+        + (b"\x00" if len(samples) & 1 else b"")  # RIFF word alignment
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav_u8(b: bytes) -> tuple[int, bytes]:
+    """Parse a RIFF/WAVE container: word-aligned chunk walk (unknown
+    chunks like LIST skipped), PCM u8 mono. Returns (sample_rate,
+    samples)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV: missing fmt or data chunk")
+    audio_format, channels, rate, _byte_rate, _align, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 8):
+        raise ValueError(
+            f"only PCM u8 mono supported, got fmt={audio_format} "
+            f"ch={channels} bits={bits}"
+        )
+    return rate, data
+
+
+# ---------------------------------------------------------------- Y4M
+
+
+def encode_y4m_mono(frames: list[bytes], width: int, height: int) -> bytes:
+    """A real YUV4MPEG2 stream (ffmpeg-compatible), mono colorspace."""
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError(f"frame needs {width * height} bytes, got {len(f)}")
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n".encode()
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def decode_y4m_mono(b: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a YUV4MPEG2 stream header (token walk) + FRAME sections.
+    Returns (width, height, frames). Mono colorspace only."""
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M: bad stream header")
+    width = height = -1
+    colorspace = "420"  # Y4M default when no C token
+    for token in b[:nl].decode("ascii").split()[1:]:
+        if token[0] == "W":
+            width = int(token[1:])
+        elif token[0] == "H":
+            height = int(token[1:])
+        elif token[0] == "C":
+            colorspace = token[1:]
+    if width < 0 or height < 0:
+        raise ValueError("Y4M header missing W or H")
+    if colorspace != "mono":
+        raise ValueError(f"only Cmono supported, got C{colorspace}")
+    frame_bytes = width * height
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or b[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: expected FRAME marker")
+        frames.append(b[fnl + 1 : fnl + 1 + frame_bytes])
+        if len(frames[-1]) != frame_bytes:
+            raise ValueError("truncated Y4M frame")
+        pos = fnl + 1 + frame_bytes
+    return width, height, frames
+
+
+# ------------------------------------------------- corpus + operators
+
+PNG_W = PNG_H = 4  # 16 pixels == one md5 payload
+Y4M_W = Y4M_H = 2  # 4 luma bytes per frame
+Y4M_MAX_FRAMES = 4  # n_frames = 1 + payload[0] % 4 <= 4 -> 16 bytes
+
+
+def synthetic_media(docs: DataFrame) -> DataFrame:
+    """Manufacture a binary corpus from the documents table (testdata
+    has no real media): payload = md5 bytes of the text. This RAW
+    16-byte payload is the value domain every container is built from,
+    which is what lets SQL oracles predict decoded output."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5("text")).alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.struct(
+            F.col("source").alias("source"), F.col("n_chars").alias("declared_bytes")
+        ).alias("meta"),
+    )
+
+
+def encode_containers(media: DataFrame) -> DataFrame:
+    """Wrap each raw 16-byte payload in a REAL container for its
+    media_type (Arrow-batched mapInPandas; schema preserved):
+
+    * image -> PNG, 4x4 grayscale, pixels = the 16 payload bytes;
+    * audio -> WAV, PCM u8 mono 8 kHz, samples = the 16 payload bytes;
+    * video -> Y4M, 2x2 mono, ``1 + payload[0] % 4`` frames, frame f =
+      payload bytes ``4f..4f+3``.
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode needs PIL/av/librosa — not in this "
-                    "container; pass fake=True for the deterministic stub"
+            payloads = []
+            for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                if mtype == "image":
+                    payloads.append(encode_png_gray8(raw, PNG_W, PNG_H))
+                elif mtype == "audio":
+                    payloads.append(encode_wav_u8(raw))
+                else:
+                    n = 1 + raw[0] % Y4M_MAX_FRAMES
+                    frames = [raw[4 * f : 4 * f + 4] for f in range(n)]
+                    payloads.append(encode_y4m_mono(frames, Y4M_W, Y4M_H))
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    return media.mapInPandas(batches, media.schema)
+
+
+DECODED_SCHEMA = (
+    "media_id long, media_type string, container string, width int, "
+    "height int, n_frames int, n_samples int, sample_rate int, "
+    "val_min int, val_max int, val_sum long"
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode real containers via mapInPandas (Arrow-batched, never
+    per-row Python UDF). Dispatch is by MAGIC BYTES, not the metadata
+    column — a mislabeled row decodes by what it IS. Emits typed
+    container facts (dimensions, frame/sample counts, rate) plus
+    min/max/sum over the decoded values (pixels, PCM samples, or luma
+    bytes), which a SQL oracle reproduces from the source hex."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "media_type", "container", "width", "height",
+                    "n_frames", "n_samples", "sample_rate",
+                    "val_min", "val_max", "val_sum",
                 )
-            payloads = pdf["payload"]
-            dims = payloads.map(lambda b: _fake_decode(bytes(b) if b is not None else b""))
+            }
+            for media_id, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = bytes(payload or b"")
+                if b.startswith(_PNG_SIG):
+                    w, h, vals = decode_png_gray8(b)
+                    rec = ("png", w, h, 1, None, None)
+                elif b.startswith(b"RIFF"):
+                    rate, vals = decode_wav_u8(b)
+                    rec = ("wav", None, None, None, len(vals), rate)
+                elif b.startswith(b"YUV4MPEG2"):
+                    w, h, frames = decode_y4m_mono(b)
+                    vals = b"".join(frames)
+                    rec = ("y4m", w, h, len(frames), None, None)
+                else:
+                    raise ValueError(
+                        f"media_id={media_id}: unknown container magic {b[:8]!r}"
+                    )
+                cols["media_id"].append(media_id)
+                cols["media_type"].append(mtype)
+                for name, v in zip(
+                    ("container", "width", "height", "n_frames", "n_samples",
+                     "sample_rate"),
+                    rec,
+                ):
+                    cols[name].append(v)
+                cols["val_min"].append(min(vals) if vals else None)
+                cols["val_max"].append(max(vals) if vals else None)
+                cols["val_sum"].append(sum(vals) if vals else None)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": payloads.map(lambda b: len(b) if b is not None else 0),
-                    # hash the HEX encoding of the blob (not raw bytes) so
-                    # a SQL oracle lacking sha256(BLOB) reproduces it
-                    "content_sha": payloads.map(
-                        lambda b: hashlib.sha256(bytes(b or b"").hex().encode()).hexdigest()[:16]
-                    ),
-                    "width": dims.map(lambda t: t[0]),
-                    "height": dims.map(lambda t: t[1]),
-                    "n_frames": dims.map(lambda t: t[2]),
+                    "media_id": pd.array(cols["media_id"], dtype="Int64"),
+                    "media_type": cols["media_type"],
+                    "container": cols["container"],
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                    "n_samples": pd.array(cols["n_samples"], dtype="Int32"),
+                    "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                    "val_min": pd.array(cols["val_min"], dtype="Int32"),
+                    "val_max": pd.array(cols["val_max"], dtype="Int32"),
+                    "val_sum": pd.array(cols["val_sum"], dtype="Int64"),
                 }
             )
 
@@ -93,11 +384,10 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def sample_frames(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
-    """Frame-sampling plan shape: explode virtual frame indexes, keep
-    every nth — pure column ops downstream of the decode stub."""
-    # guard n_frames = 0: sequence(0, -1) defaults to step -1 and yields
-    # [0, -1], so a zero-frame asset would emit a phantom frame_idx=0;
-    # explode over an empty array yields the correct zero rows instead
+    """Frame-sampling plan shape: explode frame indexes, keep every
+    nth — pure column ops downstream of the decode. Rows whose
+    container has no frame dimension (WAV: n_frames NULL) yield no
+    frames; the NULL-safe guard keeps explode over an empty array."""
     frames = decoded.withColumn(
         "frame_idx",
         F.explode(
@@ -112,42 +402,27 @@ def sample_frames(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
     )
 
 
-def synthetic_media(docs: DataFrame) -> DataFrame:
-    """Manufacture a binary corpus from the documents table (testdata has
-    no real media): payload = md5 bytes of the text."""
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.unhex(F.md5("text")).alias("payload"),
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("media_type"),
-        F.struct(
-            F.col("source").alias("source"), F.col("n_chars").alias("declared_bytes")
-        ).alias("meta"),
-    )
-
-
 AUDIO_ENERGY_SCHEMA = "media_id long, window_idx int, rms double, peak int"
 
 
 def audio_window_energy(df: DataFrame, window: int = 4) -> DataFrame:
-    """Windowed audio feature extraction via mapInPandas: treat the
-    payload bytes as PCM-ish samples, emit per-window RMS energy and
-    peak amplitude — the feature-grain an audio training pipeline
-    extracts before filtering/captioning. Arrow-batched like
-    ``decode_media`` (never per-row Python); the fake waveform (payload
-    bytes) keeps every emitted float reproducible byte-for-byte from
-    the payload hex, so even this Python-side path is value-checked by
-    a SQL oracle. RMS is ``sqrt(mean(b²))`` with the sum folded in
-    sample order — the identical IEEE op sequence the oracle runs."""
+    """Windowed audio feature extraction via mapInPandas over REAL WAV
+    containers: parse the RIFF chunks, then emit per-window RMS energy
+    and peak amplitude over the PCM samples — the feature-grain an
+    audio training pipeline extracts before filtering/captioning.
+    Arrow-batched like ``decode_media`` (never per-row Python); samples
+    are the md5-derived corpus bytes, so every emitted float is
+    reproducible byte-for-byte from the payload hex and even this
+    Python-side path is value-checked by a SQL oracle. RMS is
+    ``sqrt(mean(b²))`` with the sum folded in sample order — the
+    identical IEEE op sequence the oracle runs."""
     import math
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, widx, rms, peak = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload or b"")
+                _rate, b = decode_wav_u8(bytes(payload or b""))
                 for w in range(len(b) // window):
                     seg = b[w * window : (w + 1) * window]
                     acc = 0.0
@@ -165,9 +440,9 @@ def audio_window_energy(df: DataFrame, window: int = 4) -> DataFrame:
 
 
 # Worker-context independence: the mapInPandas closures above reference
-# module-level helpers (``_fake_decode``), which cloudpickle serializes
-# by module reference unless this leaf module ships by value — see
-# wikistream_event_data_pipeline_aws_spark.ship_by_value.
+# module-level helpers (the codec functions), which cloudpickle
+# serializes by module reference unless this leaf module ships by value
+# — see wikistream_event_data_pipeline_aws_spark.ship_by_value.
 def _register_shipping() -> None:
     import sys
 

@@ -277,3 +277,40 @@ def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
         fp = term if fp is None else (fp + term)
     return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+SIMHASH60_BITS = 60
+
+
+def simhash60(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit simhash per doc (the Manku et al. 2007 near-dup shape,
+    sized to the repo's 60-bit md5-derived hash): majority vote per bit
+    over token hashes, token multiplicity = weight.
+
+    This is the PRODUCTION fingerprint width: banding a b-bit simhash
+    into (r+1) bands guarantees Hamming<=r pairs collide on a band
+    (pigeonhole), but the band-value space is 2^(b/(r+1)) — with the
+    16-bit pedagogical variant that is 2^8 = 256 values, which
+    SATURATES as the corpus grows and the band join degrades toward
+    all-pairs (tools/scale_curve.py measures exactly this: exponent
+    ~2.0 at 16 bits vs ~1 at 60 bits). 60 bits / 4 bands = 2^15
+    values per band keeps bucket occupancy bounded far past the
+    corpus sizes where 16 bits collapses."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    ).withColumn("h", hex_hash(F.col("token"), seed="sh60"))
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when((F.shiftright(F.col("h"), b).bitwiseAND(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH60_BITS)
+        ]
+    )
+    fp = None
+    for b in range(SIMHASH60_BITS):
+        term = (
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0).cast("long")
+        )
+        fp = term if fp is None else (fp + term)
+    return bit_sums.select(F.col(id_col), fp.alias("simhash60"))

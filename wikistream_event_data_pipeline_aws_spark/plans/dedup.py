@@ -22,6 +22,7 @@ from ..operators.textops import (
     lsh_candidate_pairs,
     minhash_signature,
     simhash16,
+    simhash60,
     tokenize,
 )
 
@@ -602,6 +603,109 @@ WHERE ({_HAM_SQL.replace("a.simhash", "sim_a").replace("b2.simhash", "sim_b")}) 
 """
 
 
+SIMHASH60_BANDS = 4  # 60 bits / 4 bands = 15-bit band values (2^15 space)
+SIMHASH60_HAM_MAX = SIMHASH60_BANDS - 1  # pigeonhole-complete radius
+
+
+def dedup_simhash_band60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width simhash near-dup pairs: 60-bit fingerprint
+    (``operators.textops.simhash60``), 4 bands x 15 bits, Hamming<=3
+    (pigeonhole-complete at 4 bands). This exists because the 16-bit
+    pedagogical variant (``dedup_simhash_pairs``) has only 2^8 = 256
+    band values — ``tools/scale_curve.py`` measures its candidate
+    count growing with exponent ~2.0 (bucket saturation: past a few
+    hundred docs every band value is occupied and the band join decays
+    toward all-pairs), while this 60-bit path measures ~linear. The
+    Hamming verify is a single JVM ``bit_count(xor)`` — no bit-test
+    ladder. Reference scope: the reference dedups exact-only
+    (silver_batch_job.py row_number); simhash banding is the 100 TB
+    near-dup path (Manku et al., WWW 2007)."""
+    d = _docs_augmented(spark, sf_dir)
+    sig = simhash60(d, "doc_id", "text").localCheckpoint(eager=True)
+    banded = sig.select(
+        "doc_id",
+        "simhash60",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bi"),
+                        F.shiftright(F.col("simhash60"), 15 * j)
+                        .bitwiseAND(0x7FFF)
+                        .alias("bv"),
+                    )
+                    for j in range(SIMHASH60_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash60",
+        F.col("band.bi").alias("bi"),
+        F.col("band.bv").alias("bv"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.simhash60").alias("sim_a"),
+            F.col("r.simhash60").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= SIMHASH60_HAM_MAX)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+DEDUP_SIMHASH_BAND60_SQL = rf"""
+WITH docs_aug AS ({_DOCS_AUG_SQL}),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM docs_aug
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('sh60', token)), 1, 15)) AS BIGINT) AS h
+  FROM tok
+),
+bitsum AS (
+  SELECT doc_id, t.b,
+         SUM(CASE WHEN ((h >> t.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, range(60) t(b) GROUP BY doc_id, t.b
+),
+sigs AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+  FROM bitsum GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, sh, t.j AS bi, (sh >> (15 * CAST(t.j AS INTEGER))) & 32767 AS bv
+  FROM sigs, range({SIMHASH60_BANDS}) t(j)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.sh AS sim_a, r.sh AS sim_b
+  FROM banded l JOIN banded r
+    ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cands
+WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH60_HAM_MAX}
+"""
+
+
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-method comparison — the meta-artifact a curator reads
     before picking a near-dup detector: the verified minhash-LSH pair
@@ -750,6 +854,7 @@ QUERIES = {
     "dedup_cluster_keepers": dedup_cluster_keepers,
     "dedup_lsh_sweep": dedup_lsh_sweep,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_simhash_band60": dedup_simhash_band60,
     "dedup_method_agreement": dedup_method_agreement,
 }
 
@@ -764,5 +869,6 @@ ORACLES = {
     "dedup_cluster_keepers": DEDUP_CLUSTER_KEEPERS_SQL,
     "dedup_lsh_sweep": DEDUP_LSH_SWEEP_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
+    "dedup_simhash_band60": DEDUP_SIMHASH_BAND60_SQL,
     "dedup_method_agreement": DEDUP_METHOD_AGREEMENT_SQL,
 }

@@ -51,8 +51,12 @@ _ORACLES: dict[str, str] = {}
 # plus the 24 other queries whose newest driver row is r1 (stalest
 # green rows; multimodal_decode/_metadata/_frame_sample are among them
 # and their implementation changes this round to real WAV/PNG codecs),
-# then the 16 registration-order-oldest r2 rows as backfill:
-# 9 + 25 + 16 = 50.  Done = driver union reaches 224/224 green and no
+# then 15 registration-order-oldest r2 rows as backfill plus
+# multimodal_audio_energy (r4-green but its implementation changed
+# this round: it now parses real WAV containers -> re-verifies by
+# the changed-query policy) and dedup_simhash_band60 (NEW this
+# round: the production 60-bit simhash band join that replaces the
+# saturating 16-bit variant at scale): 9 + 25 + 16 = 50.  Done = driver union reaches 224/224 green and no
 # query's newest row is older than r2.
 _DRIVER_FRONT: tuple[str, ...] = (
     "lateral_topn_orders",
@@ -103,8 +107,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "hll_distinct_events",
     "hll_distinct_users_by_type",
     "heavy_hitters_cms",
-    "histogram_quantiles_value",
-    "user_value_median_pandas",
+    "dedup_simhash_band60",
+    "multimodal_audio_energy",
 )
 
 
