@@ -1532,29 +1532,52 @@ class TestSessionContinuationAnalytics:
                 assert lo <= n <= lo + 1, (dim, seg, n)
 
     def test_method_agreement_partitions_the_union(self, spark, sf_dir):
-        """Class counts partition the union of the two pair sets, and
-        the 'both' class equals the intersection exactly."""
+        """The three-way class counts partition the union of the three
+        pair sets (lsh / sim16 / sim60), with every class label equal to
+        the exact membership combination of its pairs."""
         from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
             dedup_method_agreement,
             dedup_minhash_pairs,
+            dedup_simhash_band60,
             dedup_simhash_pairs,
         )
 
         cells = {r.agreement: r for r in dedup_method_agreement(spark, sf_dir).collect()}
-        lsh = {(r.id_a, r.id_b) for r in dedup_minhash_pairs(spark, sf_dir).collect()}
-        sim = {(r.id_a, r.id_b) for r in dedup_simhash_pairs(spark, sf_dir).collect()}
-        expect = {
-            "both": lsh & sim,
-            "lsh_only": lsh - sim,
-            "simhash_only": sim - lsh,
+        members = {
+            "lsh": {(r.id_a, r.id_b) for r in dedup_minhash_pairs(spark, sf_dir).collect()},
+            "sim16": {(r.id_a, r.id_b) for r in dedup_simhash_pairs(spark, sf_dir).collect()},
+            "sim60": {(r.id_a, r.id_b) for r in dedup_simhash_band60(spark, sf_dir).collect()},
         }
-        for cls, pairs in expect.items():
-            got_n = cells[cls].n_pairs if cls in cells else 0
-            assert got_n == len(pairs), (cls, got_n, len(pairs))
-        total = sum(c.n_pairs for c in cells.values())
-        assert total == len(lsh | sim)
+        union = members["lsh"] | members["sim16"] | members["sim60"]
+        expect: dict[str, int] = {}
+        for pair in union:
+            tags = [m for m in ("lsh", "sim16", "sim60") if pair in members[m]]
+            label = "+".join(tags) + ("_only" if len(tags) == 1 else "")
+            expect[label] = expect.get(label, 0) + 1
+        assert {c: r.n_pairs for c, r in cells.items()} == expect
+        assert sum(c.n_pairs for c in cells.values()) == len(union)
         for c in cells.values():
             assert 0 <= c.n_planted_pairs <= c.n_pairs
+        # the migration evidence: the production 60-bit path must not
+        # LOSE the planted clones the 16-bit fixture finds — every class
+        # containing sim16 pairs without sim60 is collision noise, which
+        # the artifact exists to expose, not hide
+        assert any("sim60" in c for c in cells), cells
+
+    def test_simhash16_fixture_fail_fasts_beyond_envelope(self, spark, sf_dir):
+        """The bounded pedagogical fixture refuses corpora past its
+        band-saturation envelope instead of going quadratic."""
+        import pytest as _pytest
+
+        from wikistream_event_data_pipeline_aws_spark.plans import dedup as D
+
+        orig = D.SIMHASH16_MAX_DOCS
+        try:
+            D.SIMHASH16_MAX_DOCS = 10  # force the envelope below sf0.001
+            with _pytest.raises(ValueError, match="dedup_simhash_band60"):
+                D.dedup_simhash_pairs(spark, sf_dir)
+        finally:
+            D.SIMHASH16_MAX_DOCS = orig
 
 
 class TestNearDupRouting:

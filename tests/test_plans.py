@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 225
+EXPECTED_QUERY_COUNT = 226
 
 
 def _plan(spark, sf_dir, name: str) -> str:

@@ -22,14 +22,23 @@ from wikistream_event_data_pipeline_aws_spark import registry
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _green_union() -> dict[str, int]:
-    """query name -> newest round with a fully-green driver row."""
+def _green_union(before_round: int | None = None) -> dict[str, int]:
+    """query name -> newest round with a fully-green driver row.
+
+    ``before_round`` drops CORRECTNESS files from that round onward —
+    the staleness guard evaluates the front against the state it was
+    COMPOSED for (``registry._FRONT_TARGET_ROUND``), so the driver
+    emitting the current round's file mid-round cannot retroactively
+    fail a front that correctly queued that round's work (VERDICT r6
+    item 1: emission-safe sequencing)."""
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if before_round is not None and rnd >= before_round:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
@@ -71,14 +80,36 @@ def test_front_is_exactly_the_first_50_registered():
     assert names[: len(front)] == front
 
 
+def test_front_rotated_for_every_emitted_round():
+    """The driver emits one CORRECTNESS file per round; each emission
+    must have been produced by a front composed FOR that round.  A file
+    newer than ``_FRONT_TARGET_ROUND`` means a round's gate ran on a
+    stale front — the rotation was skipped — and that is exactly the
+    debt this suite exists to catch."""
+    emitted = []
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if m:
+            emitted.append(int(m.group(1)))
+    assert emitted, "no CORRECTNESS_r*.json files found — run from repo root"
+    assert max(emitted) <= registry._FRONT_TARGET_ROUND, (
+        f"CORRECTNESS_r{max(emitted):02d}.json exists but _DRIVER_FRONT "
+        f"targets round {registry._FRONT_TARGET_ROUND} — rotate the front "
+        "and bump registry._FRONT_TARGET_ROUND"
+    )
+
+
 def test_no_stale_green_shields_recent_rounds():
     """Soft-staleness bound: with a 50-slot window over N registered
     queries, a full rotation takes ceil(N/50) rounds.  Assert nothing
     verified-only-in-round-1 stays out of the front once rounds advance
     past that horizon — i.e. the front must always contain ALL queries
     whose newest green row is the global minimum round, when any
-    unverified/changed queries leave room."""
-    latest = _green_union()
+    unverified/changed queries leave room.  Staleness is evaluated
+    against the rounds the front was composed from (everything BEFORE
+    ``_FRONT_TARGET_ROUND``): the current round's own emission is the
+    front doing its job, not new debt."""
+    latest = _green_union(before_round=registry._FRONT_TARGET_ROUND)
     front = set(registry._DRIVER_FRONT)
     unverified = [n for n in registry.queries() if n not in latest]
     room = 50 - len(unverified)

@@ -1,0 +1,62 @@
+"""Regression gate for the empirical scale-curve evidence
+(VERDICT r6 item 3): the candidate-generation paths the 100-TB
+arguments rely on must MEASURE ~linear, not just argue it.
+
+Runs the same measurement ``tools/scale_curve.py`` performs, at sf0.01
+with scales (1, 3): synthesize a 3x corpus in memory (disjoint token
+space per copy, decorrelated embedding copies), run each family's real
+candidate-generation operators, and assert the fitted log-log growth
+exponent stays below 1.5 (quadratic would be ~2). The bounded 16-bit
+simhash fixture is measured too — as a CANARY: it must keep LOOKING
+saturated (exponent clearly above the linear families') so the gate
+itself is proven able to tell the two regimes apart.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import scale_curve  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def summary(spark):
+    return scale_curve.run(
+        SF_DIR, scales=[1, 3], spark=spark, include_pedagogical=True
+    )
+
+
+def test_gated_families_measure_linear(summary):
+    for fam in ("minhash_lsh", "simhash60", "semdedup"):
+        s = summary[fam]
+        assert s["gated"], fam
+        assert s["candidate_exponent"] < scale_curve.EXPONENT_LIMIT, (fam, s)
+
+
+def test_candidates_stay_below_all_pairs(summary):
+    """Sanity on the measurement itself: every family generates far
+    fewer candidates than the quadratic baseline at the larger scale."""
+    for fam, s in summary.items():
+        big = s["rows"][-1]
+        assert big["candidates"] < big["all_pairs"], (fam, big)
+
+
+def test_pedagogical_canary_reads_saturated(summary):
+    """The 16-bit fixture's exponent must stay visibly steeper than the
+    production families' — if it ever reads 'linear' here, the gate has
+    lost its discrimination (e.g. the expansion stopped decorrelating
+    copies) and the green gated families prove nothing."""
+    ped = summary["simhash16_pedagogical"]
+    assert not ped["gated"]
+    gated_max = max(
+        summary[f]["candidate_exponent"]
+        for f in ("minhash_lsh", "simhash60", "semdedup")
+    )
+    assert ped["candidate_exponent"] > gated_max + 0.3, (ped, gated_max)

@@ -198,6 +198,77 @@ class TestMergeOnRead:
         assert removed["data_files"] == []
         assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == [0, 1, 2, 3, 5]
 
+    def test_position_delete_is_metadata_write(self, spark, table):
+        """Iceberg v2's SECOND delete encoding: coordinates, not keys —
+        the delete file names (file_path, pos) resolved from the scan's
+        ``_metadata`` column; no data file is rewritten."""
+        from pyspark.sql import functions as F
+
+        snap.snapshot_write(spark, table, _df(spark, 0, 10).repartition(3, "k"))
+        data_dirs = set(os.listdir(os.path.join(table, snap.DATA_DIR)))
+        v = snap.snapshot_delete_positions(spark, table, F.col("k") % 3 == 0)
+        assert v == 2
+        new_dirs = set(os.listdir(os.path.join(table, snap.DATA_DIR))) - data_dirs
+        assert all(d.startswith("pos-deletes-") for d in new_dirs)
+        assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == [
+            1, 2, 4, 5, 7, 8,
+        ]
+        # v1 time travel still sees every row
+        assert snap.read_snapshot(spark, table, 1).count() == 10
+
+    def test_position_delete_spares_later_appends(self, spark, table):
+        """Sequence scoping: positions name files at-or-before the
+        delete commit; a later append re-adding the same values (in a
+        NEW file, possibly at the SAME row positions) must survive."""
+        from pyspark.sql import functions as F
+
+        snap.snapshot_write(spark, table, _df(spark, 0, 5))
+        snap.snapshot_delete_positions(spark, table, F.col("k") < 2)
+        assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == [2, 3, 4]
+        snap.snapshot_write(spark, table, _df(spark, 0, 2))  # same values, pos 0..1
+        assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == [
+            0, 1, 2, 3, 4,
+        ]
+
+    def test_position_delete_is_idempotent_and_composes_with_equality(
+        self, spark, table
+    ):
+        """A position delete resolves against VISIBLE rows only, so
+        re-deleting an already-deleted predicate is a no-op, and the two
+        encodings compose: equality-deleted rows are invisible to the
+        position resolver and stay deleted."""
+        from pyspark.sql import functions as F
+
+        snap.snapshot_write(spark, table, _df(spark, 0, 10))
+        snap.snapshot_delete(spark, table, spark.createDataFrame([(4,)], "k long"), ["k"])
+        snap.snapshot_delete_positions(spark, table, F.col("k") >= 8)
+        snap.snapshot_delete_positions(spark, table, F.col("k") >= 8)  # no-op
+        assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == [
+            0, 1, 2, 3, 5, 6, 7,
+        ]
+        # the second pos-delete commit added an empty delete file set at
+        # most — the visible history still travels correctly
+        assert snap.read_snapshot(spark, table, 2).count() == 9
+        assert snap.read_snapshot(spark, table, 3).count() == 7
+
+    def test_gc_keeps_referenced_position_delete_files(self, spark, table):
+        from pyspark.sql import functions as F
+
+        snap.snapshot_write(spark, table, _df(spark, 0, 6))
+        snap.snapshot_delete_positions(spark, table, F.col("k") == 4)
+        removed = snap.expire_snapshots(table, keep_last=1)
+        assert removed["data_files"] == []
+        assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == [
+            0, 1, 2, 3, 5,
+        ]
+        # materialize folds BOTH encodings away
+        v = snap.materialize_deletes(spark, table)
+        m = snap.read_manifest(table, v)
+        assert not m.get("deletes") and not m.get("pos_deletes")
+        assert sorted(r.k for r in snap.read_snapshot(spark, table).collect()) == [
+            0, 1, 2, 3, 5,
+        ]
+
     def test_mismatched_delete_keys_rejected(self, spark, table):
         base = _df(spark, 0, 3)
         snap.snapshot_write(spark, table, base.withColumn("v", base.k * 2))

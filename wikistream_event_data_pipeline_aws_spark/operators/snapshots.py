@@ -184,6 +184,9 @@ def snapshot_write(
             manifest["deletes"] = parent_manifest["deletes"]
             manifest["delete_keys"] = parent_manifest["delete_keys"]
             manifest["delete_seqs"] = parent_manifest.get("delete_seqs", {})
+        if parent_manifest.get("pos_deletes"):
+            manifest["pos_deletes"] = parent_manifest["pos_deletes"]
+            manifest["pos_delete_seqs"] = parent_manifest.get("pos_delete_seqs", {})
     _commit_manifest(path, version, manifest)
     return version
 
@@ -221,37 +224,44 @@ def read_snapshot(
         raise FileNotFoundError(
             f"snapshot v{version} at {path} is empty and no ancestor has a schema"
         )
-    deletes = m.get("deletes") or []
-    if not deletes:
+    if not m.get("deletes") and not m.get("pos_deletes"):
         return spark.read.parquet(*m["files"])
-    # sequence-aware merge (Iceberg v2 semantics): a delete kills a row
-    # only in data files OLDER than the delete's commit — a key
-    # re-inserted after its delete survives
-    data = _read_with_seq(spark, m["files"], m.get("file_seqs", {}), "__seq")
-    dk = (
-        _read_with_seq(spark, deletes, m.get("delete_seqs", {}), "__dseq")
-        .select(*m["delete_keys"], "__dseq")
-        .distinct()
-    )
-    cond = reduce(
-        lambda a, b: a & b,
-        [data[k] == dk[k] for k in m["delete_keys"]] + [dk["__dseq"] > data["__seq"]],
-    )
-    return data.join(dk, cond, "left_anti").drop("__seq")
+    # sequence-aware merge (Iceberg v2 semantics, both delete encodings):
+    # an EQUALITY delete kills a matching key only in data files STRICTLY
+    # OLDER than the delete's commit (dseq > seq — a key re-inserted
+    # after its delete survives); a POSITION delete kills the exact
+    # (file, row-position) it names in files at-or-before its commit
+    # (dseq >= seq — the file it targets necessarily predates it, and a
+    # file appended later can never collide because its path is new).
+    return _visible_with_pos(spark, m).drop("__fp", "__pos")
 
 
 def _read_with_seq(
-    spark: SparkSession, paths: list[str], seqs: dict[str, int], col: str
+    spark: SparkSession,
+    paths: list[str],
+    seqs: dict[str, int],
+    col: str,
+    with_pos: bool = False,
 ) -> DataFrame:
     """Read parquet files annotated with their commit sequence number
-    (0 for files from manifests predating sequence tracking)."""
+    (0 for files from manifests predating sequence tracking).
+    ``with_pos`` additionally exposes the scan-provided ``_metadata``
+    file path / row position as ``__fp`` / ``__pos`` — the coordinates
+    position-delete files address (computed by the parquet reader
+    itself, so they are stable across re-reads of immutable files)."""
     groups: dict[int, list[str]] = {}
     for p in paths:
         groups.setdefault(int(seqs.get(p, 0)), []).append(p)
-    parts = [
-        spark.read.parquet(*ps).withColumn(col, F.lit(s).cast("long"))
-        for s, ps in sorted(groups.items())
-    ]
+    parts = []
+    for s, ps in sorted(groups.items()):
+        df = spark.read.parquet(*ps)
+        if with_pos:
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        parts.append(df.withColumn(col, F.lit(s).cast("long")))
     return reduce(DataFrame.unionByName, parts)
 
 
@@ -274,6 +284,9 @@ def rollback(path: str, to_version: int) -> int:
         manifest["deletes"] = target["deletes"]
         manifest["delete_keys"] = target["delete_keys"]
         manifest["delete_seqs"] = target.get("delete_seqs", {})
+    if target.get("pos_deletes"):
+        manifest["pos_deletes"] = target["pos_deletes"]
+        manifest["pos_delete_seqs"] = target.get("pos_delete_seqs", {})
     _commit_manifest(path, version, manifest)
     return version
 
@@ -336,10 +349,124 @@ def snapshot_delete(
                 **pm.get("delete_seqs", {}),
                 **{f: version for f in new_deletes},
             },
+            **(
+                {
+                    "pos_deletes": pm["pos_deletes"],
+                    "pos_delete_seqs": pm.get("pos_delete_seqs", {}),
+                }
+                if pm.get("pos_deletes")
+                else {}
+            ),
             "n_rows": pm["n_rows"],  # logical rows pre-merge; reads subtract
         },
     )
     return version
+
+
+def snapshot_delete_positions(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> int:
+    """MERGE-ON-READ **position** delete — Iceberg v2's second delete
+    encoding (spec: position delete files; reference table property
+    ``write.delete.mode=merge-on-read``, ``bronze_schema.py:246-254``).
+    Where :func:`snapshot_delete` names deleted KEYS, this names deleted
+    COORDINATES: the rows of the current snapshot matching ``predicate``
+    (a pyspark Column) are resolved to ``(file_path, pos)`` via the
+    parquet scan's ``_metadata`` column and committed as a tiny delete
+    file; no data file is rewritten. Readers drop exactly those
+    positions from files at-or-before this commit's sequence number —
+    rows appended LATER live in new files and can never be hit, which
+    is the sequence-scoping guarantee the registered
+    ``snapshot_mor_position_deletes`` query proves against an oracle.
+
+    Engine cost mirrors Iceberg's: the write is one pruned scan of the
+    visible data (predicate pushed to parquet) emitting only matched
+    coordinates; the read-time merge is an anti join against a
+    delete-file side that is tiny relative to the table, so Spark
+    broadcasts it.
+    """
+    parent = current_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    pm = read_manifest(path, parent)
+    # resolve predicate -> positions over the CURRENT visible rows:
+    # already-deleted rows are not visible, so their coordinates are
+    # never re-deleted (idempotent DELETE WHERE, as Iceberg plans it)
+    visible = _visible_with_pos(spark, pm)
+    positions = (
+        visible.filter(predicate)
+        .select(F.col("__fp").alias("file_path"), F.col("__pos").alias("pos"))
+        .distinct()
+    )
+    version = parent + 1
+    ddir = _commit_dir(path, f"pos-deletes-v{version:06d}")
+    positions.write.mode("overwrite").parquet(ddir)
+    new_deletes = _data_files(ddir)
+    _commit_manifest(
+        path,
+        version,
+        {
+            "version": version,
+            "parent": parent,
+            "operation": "delete-positions",
+            "files": pm["files"],
+            "file_seqs": pm.get("file_seqs", {}),
+            **(
+                {
+                    "deletes": pm["deletes"],
+                    "delete_keys": pm["delete_keys"],
+                    "delete_seqs": pm.get("delete_seqs", {}),
+                }
+                if pm.get("deletes")
+                else {}
+            ),
+            "pos_deletes": pm.get("pos_deletes", []) + new_deletes,
+            "pos_delete_seqs": {
+                **pm.get("pos_delete_seqs", {}),
+                **{f: version for f in new_deletes},
+            },
+            "n_rows": pm["n_rows"],  # logical rows pre-merge; reads subtract
+        },
+    )
+    return version
+
+
+def _visible_with_pos(spark: SparkSession, m: dict[str, Any]) -> DataFrame:
+    """The manifest's visible rows with ``__fp``/``__pos`` coordinates
+    retained — the resolution scan position deletes are planned from
+    (both existing delete encodings applied, sequence-scoped)."""
+    data = _read_with_seq(
+        spark, m["files"], m.get("file_seqs", {}), "__seq", with_pos=True
+    )
+    if m.get("deletes"):
+        dk = (
+            _read_with_seq(spark, m["deletes"], m.get("delete_seqs", {}), "__dseq")
+            .select(*m["delete_keys"], "__dseq")
+            .distinct()
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [data[k] == dk[k] for k in m["delete_keys"]]
+            + [dk["__dseq"] > data["__seq"]],
+        )
+        data = data.join(dk, cond, "left_anti")
+    if m.get("pos_deletes"):
+        pd = (
+            _read_with_seq(
+                spark, m["pos_deletes"], m.get("pos_delete_seqs", {}), "__pdseq"
+            )
+            .select("file_path", "pos", "__pdseq")
+            .distinct()
+        )
+        cond = (
+            (data["__fp"] == pd["file_path"])
+            & (data["__pos"] == pd["pos"])
+            & (pd["__pdseq"] >= data["__seq"])
+        )
+        data = data.join(pd, cond, "left_anti")
+    return data.drop("__seq")
 
 
 def materialize_deletes(spark: SparkSession, path: str) -> int:
@@ -467,6 +594,9 @@ def snapshot_publish(path: str, staging_id: str) -> int:
             manifest["deletes"] = pm["deletes"]
             manifest["delete_keys"] = pm["delete_keys"]
             manifest["delete_seqs"] = pm.get("delete_seqs", {})
+        if pm.get("pos_deletes"):
+            manifest["pos_deletes"] = pm["pos_deletes"]
+            manifest["pos_delete_seqs"] = pm.get("pos_delete_seqs", {})
     _commit_manifest(path, version, manifest)
     os.remove(_staged_path(path, staging_id))
     return version
@@ -539,12 +669,13 @@ def expire_snapshots(path: str, keep_last: int) -> dict[str, list[str]]:
         m = read_manifest(path, v)
         live_files.update(m["files"])
         live_files.update(m.get("deletes") or [])
+        live_files.update(m.get("pos_deletes") or [])
     dead_files: set[str] = set()
     for v in expired:
         m = read_manifest(path, v)
         dead_files.update(
             f
-            for f in m["files"] + (m.get("deletes") or [])
+            for f in m["files"] + (m.get("deletes") or []) + (m.get("pos_deletes") or [])
             if f not in live_files
         )
     removed_manifests = []
@@ -592,6 +723,7 @@ def remove_orphan_files(path: str) -> list[str]:
         m = read_manifest(path, v)
         live.update(m["files"])
         live.update(m.get("deletes") or [])
+        live.update(m.get("pos_deletes") or [])
     sdir = os.path.join(path, MANIFEST_DIR, STAGING_DIR)
     if os.path.isdir(sdir):
         for name in os.listdir(sdir):

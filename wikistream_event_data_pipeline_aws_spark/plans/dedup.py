@@ -508,18 +508,36 @@ FROM bit_sums
 SIMHASH_HAM_MAX = 1  # pairs within this Hamming distance
 
 
+SIMHASH16_MAX_DOCS = 20_000  # fail-fast envelope for the 16-bit fixture
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simhash near-dup PAIRS via pigeonhole banding — completing the
-    simhash sketch from signature to decision the way minhash completes
-    into LSH: the 16-bit fingerprint splits into two 8-bit bands, and
-    any pair within Hamming distance {HAM} MUST agree on at least one
-    band (pigeonhole), so the candidate join is a band-value equi-join
-    — never all-pairs — with zero false negatives at the threshold.
+    """PEDAGOGICAL 16-bit simhash near-dup pairs — BOUNDED, not the
+    production path (that is :func:`dedup_simhash_band60`). The 16-bit
+    fingerprint splits into two 8-bit bands; any pair within Hamming
+    distance {HAM} must agree on at least one band (pigeonhole), so the
+    candidate join is a band-value equi-join with zero false negatives
+    at the threshold. BUT two 8-bit bands give only 256 distinct band
+    values: past a few hundred documents every band value is occupied
+    and the "equi-join" decays toward all-pairs — ``tools/
+    scale_curve.py`` MEASURES candidate growth at exponent ~2.0 for
+    this variant (vs ~1.0 for the 60-bit band join, whose 2^15-value
+    bands keep buckets sparse). It therefore fail-fasts beyond
+    {SIMHASH16_MAX_DOCS:,} documents instead of silently going
+    quadratic on a large corpus; use ``dedup_simhash_band60`` at scale.
     Verification recounts the exact Hamming distance as a 16-term
     bit-test sum (identical expression both engines). Planted clones
     (one appended token) perturb few bit majorities, so they surface
     here just as they do in the LSH path."""
     d = _docs_augmented(spark, sf_dir)
+    n_docs = d.count()
+    if n_docs > SIMHASH16_MAX_DOCS:
+        raise ValueError(
+            f"dedup_simhash_pairs is a bounded pedagogical fixture: {n_docs:,} "
+            f"documents exceed its {SIMHASH16_MAX_DOCS:,}-doc envelope (256 "
+            "band values saturate -> measured ~quadratic candidate growth); "
+            "use dedup_simhash_band60 (2^15-value bands, measured ~linear)"
+        )
     sig = simhash16(d, "doc_id", "text").localCheckpoint(eager=True)
     banded = sig.select(
         "doc_id",
@@ -707,29 +725,44 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH60_HAM_MAX}
 
 
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-method comparison — the meta-artifact a curator reads
-    before picking a near-dup detector: the verified minhash-LSH pair
-    set and the simhash Hamming pair set, partitioned into agreement
-    classes (both / lsh_only / simhash_only) with, per class, the pair
-    count and how many pairs involve a PLANTED clone (ground truth by
-    construction). Both member sets are the already-registered
-    pipelines' outputs (same plans), full-outer-joined on the pair key;
-    the planted flag is pure id arithmetic. High lsh_only counts mean
-    simhash's 16 bits are too coarse for this corpus; high
-    simhash_only counts mean hash collisions — the artifact quantifies
-    both instead of arguing."""
+    """Three-way dedup-method comparison — the migration evidence a
+    curator reads when moving off the bounded 16-bit simhash fixture:
+    the verified minhash-LSH pair set, the 16-bit simhash pair set
+    (pedagogical, Hamming<=1) and the production 60-bit simhash band
+    join's pair set (Hamming<=3), partitioned into agreement classes
+    ('lsh+sim16+sim60', 'lsh+sim60', 'sim16_only', ...) with, per
+    class, the pair count and how many pairs involve a PLANTED clone
+    (ground truth by construction). All three member sets are the
+    already-registered pipelines' outputs (same plans), full-outer-
+    joined on the pair key; the planted flag is pure id arithmetic.
+    Pairs sim60 finds that sim16 misses are the recall the wider
+    fingerprint buys; sim16_only pairs are 16-bit hash collisions —
+    the artifact quantifies the migration instead of arguing it."""
     lsh = dedup_minhash_pairs(spark, sf_dir).select("id_a", "id_b").withColumn(
         "in_lsh", F.lit(1)
     )
-    sim = dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b").withColumn(
-        "in_sim", F.lit(1)
+    s16 = dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b").withColumn(
+        "in_s16", F.lit(1)
     )
-    j = lsh.join(sim, ["id_a", "id_b"], "full_outer")
-    cls = (
-        F.when(F.col("in_lsh").isNotNull() & F.col("in_sim").isNotNull(), "both")
-        .when(F.col("in_lsh").isNotNull(), "lsh_only")
-        .otherwise("simhash_only")
+    s60 = dedup_simhash_band60(spark, sf_dir).select("id_a", "id_b").withColumn(
+        "in_s60", F.lit(1)
     )
+    j = lsh.join(s16, ["id_a", "id_b"], "full_outer").join(
+        s60, ["id_a", "id_b"], "full_outer"
+    )
+    cls = F.concat_ws(
+        "+",
+        F.when(F.col("in_lsh").isNotNull(), "lsh"),
+        F.when(F.col("in_s16").isNotNull(), "sim16"),
+        F.when(F.col("in_s60").isNotNull(), "sim60"),
+    )
+    cls = F.when(
+        F.col("in_lsh").isNotNull().cast("int")
+        + F.col("in_s16").isNotNull().cast("int")
+        + F.col("in_s60").isNotNull().cast("int")
+        == 1,
+        F.concat(cls, F.lit("_only")),
+    ).otherwise(cls)
     planted = (
         (F.col("id_a") >= CLONE_OFFSET) | (F.col("id_b") >= CLONE_OFFSET)
     ).cast("int")
@@ -745,23 +778,34 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_METHOD_AGREEMENT_SQL = rf"""
 WITH lsh AS ({DEDUP_MINHASH_PAIRS_SQL}),
-sim AS ({DEDUP_SIMHASH_PAIRS_SQL}),
+sim16 AS ({DEDUP_SIMHASH_PAIRS_SQL}),
+sim60 AS ({DEDUP_SIMHASH_BAND60_SQL}),
 j AS (
-  SELECT COALESCE(l.id_a, s.id_a) AS id_a,
-         COALESCE(l.id_b, s.id_b) AS id_b,
-         l.id_a IS NOT NULL AS in_lsh,
-         s.id_a IS NOT NULL AS in_sim
-  FROM (SELECT id_a, id_b FROM lsh) l
-  FULL OUTER JOIN (SELECT id_a, id_b FROM sim) s
-    ON l.id_a = s.id_a AND l.id_b = s.id_b
+  SELECT id_a, id_b,
+         MAX(in_lsh) AS in_lsh, MAX(in_s16) AS in_s16, MAX(in_s60) AS in_s60
+  FROM (
+    SELECT id_a, id_b, 1 AS in_lsh, 0 AS in_s16, 0 AS in_s60 FROM lsh
+    UNION ALL
+    SELECT id_a, id_b, 0, 1, 0 FROM sim16
+    UNION ALL
+    SELECT id_a, id_b, 0, 0, 1 FROM sim60
+  ) GROUP BY id_a, id_b
+),
+labeled AS (
+  SELECT id_a, id_b,
+         concat_ws('+',
+           CASE WHEN in_lsh = 1 THEN 'lsh' END,
+           CASE WHEN in_s16 = 1 THEN 'sim16' END,
+           CASE WHEN in_s60 = 1 THEN 'sim60' END)
+         || CASE WHEN in_lsh + in_s16 + in_s60 = 1 THEN '_only' ELSE '' END
+           AS agreement
+  FROM j
 )
-SELECT CASE WHEN in_lsh AND in_sim THEN 'both'
-            WHEN in_lsh THEN 'lsh_only'
-            ELSE 'simhash_only' END AS agreement,
+SELECT agreement,
        COUNT(*) AS n_pairs,
        CAST(SUM(CASE WHEN id_a >= {CLONE_OFFSET} OR id_b >= {CLONE_OFFSET}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_pairs
-FROM j
+FROM labeled
 GROUP BY 1
 """
 

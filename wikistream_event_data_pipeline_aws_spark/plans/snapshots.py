@@ -271,13 +271,106 @@ FROM labeled GROUP BY version
 """
 
 
+N_MORPOS_VERSIONS = 4
+
+
+def _morpos_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.abspath(os.path.join(_WAREHOUSE, f"orders_morpos_{tag}"))
+
+
+def build_morpos_table(spark: SparkSession, sf_dir: str) -> str:
+    """Merge-on-read history exercising BOTH Iceberg v2 delete
+    encodings with sequence scoping (reference table property
+    ``write.delete.mode=merge-on-read``, ``bronze_schema.py:246-254``):
+
+      v1 append    orders %10 < 5, written as 4 data files
+      v2 equality-DELETE  keys %9 == 0          (key-addressed)
+      v3 position-DELETE  WHERE key %7 == 0     (coordinate-addressed,
+                          resolved against the then-visible rows via
+                          the parquet scan's ``_metadata`` column)
+      v4 append    re-insert EVERY deleted row (%9==0 OR %7==0)
+
+    v4 must equal v1 exactly: the appended file postdates both delete
+    commits, so the equality delete (strict dseq > seq) and the
+    position deletes (which name v1's file paths) must leave it alone.
+    A reader that applies either delete encoding to the new file, or
+    matches positions across files, diverges on the v4 fingerprint."""
+    path = _morpos_path(sf_dir)
+    cur = snap.current_version(path)
+    if cur == N_MORPOS_VERSIONS:
+        return path
+    if cur is not None:
+        # see build_snapshot_table: partial builds rebuild, never resume
+        shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    v1 = orders.filter(F.col("o_orderkey") % 10 < 5)
+    # multiple data files so positions are genuinely file-relative
+    snap.snapshot_write(spark, path, v1.repartition(4, "o_orderkey"), mode="append")
+    snap.snapshot_delete(
+        spark, path, v1.filter(F.col("o_orderkey") % 9 == 0), ["o_orderkey"]
+    )
+    snap.snapshot_delete_positions(spark, path, F.col("o_orderkey") % 7 == 0)
+    reinserted = v1.filter(
+        (F.col("o_orderkey") % 9 == 0) | (F.col("o_orderkey") % 7 == 0)
+    )
+    snap.snapshot_write(spark, path, reinserted, mode="append")
+    return path
+
+
+def snapshot_mor_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint every version of the dual-encoding merge-on-read
+    table (equality v2 + position v3 deletes, see
+    :func:`build_morpos_table`). The oracle recomputes each version's
+    REQUIRED contents from the source orders table — v4's full-circle
+    restore (= v1) is the sequence-scoping proof for both encodings."""
+    path = build_morpos_table(spark, sf_dir)
+    key_sig = _key_sig()
+    per_version = [
+        snap.read_snapshot(spark, path, v).select(
+            F.lit(v).alias("version"), F.col("o_orderkey"), key_sig.alias("ks")
+        )
+        for v in range(1, N_MORPOS_VERSIONS + 1)
+    ]
+    return (
+        reduce(DataFrame.unionByName, per_version)
+        .groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum("ks").alias("keyspace_checksum"),
+        )
+    )
+
+
+SNAPSHOT_MOR_POSITION_DELETES_SQL = f"""
+WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 5),
+v2 AS (SELECT o_orderkey FROM v1 WHERE o_orderkey % 9 <> 0),
+v3 AS (SELECT o_orderkey FROM v2 WHERE o_orderkey % 7 <> 0),
+v4 AS (SELECT o_orderkey FROM v1),
+labeled AS (
+  SELECT 1 AS version, o_orderkey FROM v1
+  UNION ALL SELECT 2, o_orderkey FROM v2
+  UNION ALL SELECT 3, o_orderkey FROM v3
+  UNION ALL SELECT 4, o_orderkey FROM v4
+)
+SELECT version,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_orderkey) AS n_keys,
+       CAST(SUM({_KS_SQL}) AS BIGINT) AS keyspace_checksum
+FROM labeled GROUP BY version
+"""
+
+
 QUERIES = {
     "snapshot_time_travel": snapshot_time_travel,
     "snapshot_changes": snapshot_changes,
     "snapshot_mor_read": snapshot_mor_read,
+    "snapshot_mor_position_deletes": snapshot_mor_position_deletes,
 }
 ORACLES = {
     "snapshot_time_travel": SNAPSHOT_TIME_TRAVEL_SQL,
     "snapshot_changes": SNAPSHOT_CHANGES_SQL,
     "snapshot_mor_read": SNAPSHOT_MOR_READ_SQL,
+    "snapshot_mor_position_deletes": SNAPSHOT_MOR_POSITION_DELETES_SQL,
 }

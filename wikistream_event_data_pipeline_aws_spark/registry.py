@@ -43,72 +43,80 @@ _ORACLES: dict[str, str] = {}
 # scores, cluster keepers, funnel latency) — are pytest-parity-verified
 # (tests/test_oracle_parity.py replays the driver check) and MUST head
 # the round-5 front together with the displaced r1 rows.
-# Round 6 composition (VERDICT r5 item 1): the 9 queries never
-# driver-verified (the post-freeze round-5 API-surface batch: lateral,
-# grouped histogram, t-closeness, forecast backtest, cogroup lag, int8
-# codes, training pairs, recursive CTE, SQL UDF) head the front, then
-# dedup_ngram_jaccard (oracle changed round 5 -> re-verifies by policy)
-# plus the 24 other queries whose newest driver row is r1 (stalest
-# green rows; multimodal_decode/_metadata/_frame_sample are among them
-# and their implementation changes this round to real WAV/PNG codecs),
-# then 15 registration-order-oldest r2 rows as backfill plus
-# multimodal_audio_energy (r4-green but its implementation changed
-# this round: it now parses real WAV containers -> re-verifies by
-# the changed-query policy) and dedup_simhash_band60 (NEW this
-# round: the production 60-bit simhash band join that replaces the
-# saturating 16-bit variant at scale): 9 + 25 + 16 = 50.  Done = driver union reaches 224/224 green and no
-# query's newest row is older than r2.
+# Round 7 composition (VERDICT r6 item 1): with the full 226-query
+# registry driver-green (union r01–r06 = 225/225 before this round's
+# addition), the front is pure rotation plus this round's changes:
+# snapshot_mor_position_deletes (NEW: Iceberg v2 position-delete MoR
+# encoding), dedup_simhash_pairs (implementation changed: the 16-bit
+# pedagogical variant is now fail-fast bounded), dedup_method_agreement
+# (oracle changed: three-way lsh/sim16/sim60 agreement — the simhash
+# migration evidence), cogroup_click_purchase_lag and
+# sse_replay_source_stats (implementation changed: fixed-overhead trim,
+# VERDICT r6 item 5) head the front; then ALL 34 queries whose newest
+# driver row is r2 (the stalest cohort); then the 11
+# registration-order-oldest r3 rows as backfill: 5 + 34 + 11 = 50.
+# Done = CORRECTNESS_r07 50/50 green and no query's newest row older
+# than r3.
+#
+# _FRONT_TARGET_ROUND pins WHICH round this composition was built for:
+# the rotation-debt guard computes staleness against CORRECTNESS files
+# from rounds BEFORE it, so the driver dropping this round's file
+# cannot retroactively invalidate the front that produced it
+# (emission-safe sequencing, VERDICT r6 item 1). Bump it together with
+# every front rotation; a CORRECTNESS file NEWER than it means a round
+# ran without rotation and the guard goes red.
+_FRONT_TARGET_ROUND = 7
 _DRIVER_FRONT: tuple[str, ...] = (
-    "lateral_topn_orders",
-    "histogram_quantiles_by_type",
-    "privacy_t_closeness",
-    "forecast_seasonal_naive_backtest",
+    "snapshot_mor_position_deletes",
+    "dedup_simhash_pairs",
+    "dedup_method_agreement",
     "cogroup_click_purchase_lag",
-    "embedding_int8_codes",
-    "embedding_training_pairs",
-    "graph_recursive_reachability",
-    "sql_udf_value_bands",
-    "dedup_ngram_jaccard",
-    "surrogate_key_md5",
-    "null_defaulting",
-    "conditional_mapping",
-    "string_cleaning",
-    "timestamp_normalize",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "similarity_cosine_topk",
-    "similarity_embedding_neardup",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "multimodal_metadata",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "pivot_type_counts_by_date",
-    "rollup_date_type",
-    "cube_type_hour",
-    "map_explode_props",
-    "dedup_clusters",
-    "text_tfidf_topk",
-    "text_inverted_index",
-    "decontaminate_ngram_overlap",
-    "sample_stratified_hash",
-    "redact_pii",
-    "vocab_topk",
-    "text_repetition_filter",
-    "corpus_shuffle_hash",
-    "domain_mixture_sample",
-    "curate_corpus",
-    "hll_distinct_events",
-    "hll_distinct_users_by_type",
-    "heavy_hitters_cms",
-    "dedup_simhash_band60",
-    "multimodal_audio_energy",
+    "sse_replay_source_stats",
+    "histogram_quantiles_value",
+    "user_value_median_pandas",
+    "props_kv_udtf",
+    "similarity_ann_lsh_multi",
+    "join_salted_skew",
+    "grouping_sets_type_date",
+    "asof_latest_click",
+    "range_join_next_hour",
+    "user_value_trend",
+    "bloom_semi_join_stats",
+    "dq_completeness",
+    "dq_containment",
+    "dq_uniqueness",
+    "dq_range",
+    "dq_accuracy_recompute",
+    "dq_cross_column",
+    "dq_profile_value",
+    "dq_drift_halves",
+    "dq_freshness",
+    "merge_insert_only_orders",
+    "merge_upsert_orders",
+    "tumbling_hourly_counts",
+    "tumbling_15min_by_type",
+    "sliding_1h_15m_counts",
+    "session_window_user_stats",
+    "streaming_tumbling_hourly",
+    "streaming_dedup_watermark",
+    "streaming_stateful_running_count",
+    "streaming_static_enrich",
+    "streaming_interval_join",
+    "quality_flags",
+    "peak_hour_analytic",
+    "gate_status_rollup",
+    "zorder_cluster_stats",
+    "hourly_stats",
+    "user_daily_metrics",
+    "risk_scores",
+    "daily_summary",
+    "top_risk_alerts",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "event_transition_matrix",
+    "tpch_pricing_summary",
+    "tpch_shipping_priority",
+    "tpch_local_supplier_revenue",
 )
 
 
