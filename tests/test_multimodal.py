@@ -36,6 +36,15 @@ def test_png_roundtrip_and_crc():
     corrupt[41] ^= 0xFF  # inside IDAT data -> CRC must catch it
     with pytest.raises(ValueError, match="CRC"):
         decode_png_gray8(bytes(corrupt))
+    # a chunk length overrunning the buffer must surface the documented
+    # 'truncated' diagnostic, not an opaque struct.error from a short
+    # CRC slice (worker-side debuggability)
+    overrun = bytearray(png)
+    overrun[8:12] = struct.pack(">I", 0xFFFF)  # IHDR declares 64k bytes
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_gray8(bytes(overrun))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_gray8(png[: len(png) - 6])  # IEND sliced mid-chunk
 
 
 def test_png_defilter_all_filter_types():
@@ -106,6 +115,16 @@ def test_wav_roundtrip_skips_unknown_chunks():
     wav16 = b"RIFF" + struct.pack("<I", 4 + len(body16)) + b"WAVE" + body16
     with pytest.raises(ValueError, match="PCM u8 mono"):
         decode_wav_u8(wav16)
+    # declared chunk sizes overrunning the buffer -> 'truncated', not
+    # struct.error (data chunk sliced short / fmt body under 16 bytes)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav_u8(wav[: len(wav) - 4])
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + struct.pack("<HHI", 1, 1, 8000)
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav_u8(short_fmt)
 
 
 def test_y4m_roundtrip_and_colorspace_gate():

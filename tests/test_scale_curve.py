@@ -33,8 +33,11 @@ def summary(spark):
     )
 
 
+GATED_FAMILIES = ("minhash_lsh", "simhash60", "semdedup", "embedding_lsh")
+
+
 def test_gated_families_measure_linear(summary):
-    for fam in ("minhash_lsh", "simhash60", "semdedup"):
+    for fam in GATED_FAMILIES:
         s = summary[fam]
         assert s["gated"], fam
         assert s["candidate_exponent"] < scale_curve.EXPONENT_LIMIT, (fam, s)
@@ -56,7 +59,6 @@ def test_pedagogical_canary_reads_saturated(summary):
     ped = summary["simhash16_pedagogical"]
     assert not ped["gated"]
     gated_max = max(
-        summary[f]["candidate_exponent"]
-        for f in ("minhash_lsh", "simhash60", "semdedup")
+        summary[f]["candidate_exponent"] for f in GATED_FAMILIES
     )
     assert ped["candidate_exponent"] > gated_max + 0.3, (ped, gated_max)

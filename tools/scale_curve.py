@@ -184,6 +184,42 @@ def simhash60_candidates(docs: DataFrame) -> int:
     )
 
 
+def embedding_lsh_candidates(emb: DataFrame, n_planes: int, dim: int) -> int:
+    """Candidate-pair count of the multi-table random-hyperplane LSH
+    self-join (``operators.similarity.embedding_near_duplicates``'s
+    candidate stage), under the PRODUCTION sizing rule: ``n_planes``
+    grows with log2(N) so the 2^n_planes bucket space keeps expected
+    bucket size constant — the hyperplane count is a knob, exactly as
+    IVF's K is, and linearity holds only if you turn it (a fixed plane
+    count saturates the same way 16-bit simhash bands do)."""
+    from wikistream_event_data_pipeline_aws_spark.operators.similarity import (
+        lsh_bucket_key,
+    )
+
+    n_tables = 4
+    sigs = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_bucket_key(F.col("x"), dim, n_planes, table=t)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("table", "bucket"),
+    ).localCheckpoint(eager=True)
+    return (
+        sigs.join(
+            sigs.select(F.col("vid").alias("vid_b"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("vid") < F.col("vid_b"))
+        .select("vid", "vid_b")
+        .distinct()
+        .count()
+    )
+
+
 def semdedup_candidates(emb: DataFrame, k_cells: int) -> int:
     """Within-cell pair count under nearest-centroid assignment with
     K ~ N. Centroids are a hash-ordered sample of the WHOLE (expanded)
@@ -247,7 +283,7 @@ def run(
     # K ~ N: target cell size fixed, cells grow with the corpus (IVF rule)
     k_base = max(4, n_vecs // 100)
 
-    families = ["minhash_lsh", "simhash60", "semdedup"]
+    families = ["minhash_lsh", "simhash60", "semdedup", "embedding_lsh"]
     if include_pedagogical:
         families.append("simhash16_pedagogical")
     results: dict[str, list[dict]] = {f: [] for f in families}
@@ -255,10 +291,14 @@ def run(
         d_s = expand_documents(docs, s).localCheckpoint(eager=True)
         e_s = expand_embeddings(emb, s, dim).localCheckpoint(eager=True)
         nd, nv = n_docs * s, n_vecs * s
+        # n_planes ~ log2(N): keep expected bucket occupancy constant
+        # as the corpus grows (the embedding-LSH analogue of K ~ N)
+        n_planes = max(6, math.ceil(math.log2(max(nv, 2) / 8)))
         rows = [
             ("minhash_lsh", nd, minhash_lsh_candidates(d_s)),
             ("simhash60", nd, simhash60_candidates(d_s)),
             ("semdedup", nv, semdedup_candidates(e_s, k_base * s)),
+            ("embedding_lsh", nv, embedding_lsh_candidates(e_s, n_planes, dim)),
         ]
         if include_pedagogical:
             rows.append(("simhash16_pedagogical", nd, simhash16_candidates(d_s)))

@@ -137,6 +137,14 @@ def decode_png_gray8(b: bytes) -> tuple[int, int, bytes]:
     while pos + 8 <= len(b):
         (length,) = struct.unpack(">I", b[pos : pos + 4])
         tag = b[pos + 4 : pos + 8]
+        if pos + 12 + length > len(b):
+            # a declared length overrunning the buffer would otherwise
+            # hand struct.unpack a short CRC slice -> opaque struct.error
+            # on a worker instead of the documented diagnostics
+            raise ValueError(
+                f"truncated PNG: chunk {tag!r} declares {length} bytes "
+                f"past end of buffer"
+            )
         data = b[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(tag + data) != crc:
@@ -194,7 +202,14 @@ def decode_wav_u8(b: bytes) -> tuple[int, bytes]:
         tag = b[pos : pos + 4]
         (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
         body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"truncated WAV: chunk {tag!r} declares {size} bytes "
+                f"past end of buffer"
+            )
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV: fmt chunk shorter than 16 bytes")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif tag == b"data":
             data = body

