@@ -277,6 +277,46 @@ class TestMergeOnRead:
             snap.snapshot_delete(spark, table, spark.createDataFrame([(2,)], "v long"), ["v"])
 
 
+class TestTags:
+    def test_tag_pins_a_version_across_history_churn(self, spark, table):
+        snap.snapshot_write(spark, table, _df(spark, 0, 10))
+        v = snap.create_tag(table, "audited-q3")
+        assert v == 1
+        snap.snapshot_write(spark, table, _df(spark, 100, 102), mode="overwrite")
+        assert snap.resolve_ref(table, "audited-q3") == 1
+        assert (
+            snap.read_snapshot(spark, table, snap.resolve_ref(table, "audited-q3")).count()
+            == 10
+        )
+        assert snap.list_refs(table) == {"audited-q3": 1}
+
+    def test_tag_is_a_gc_root_until_deleted(self, spark, table):
+        snap.snapshot_write(spark, table, _df(spark, 0, 5))
+        snap.create_tag(table, "pinned", 1)
+        snap.snapshot_write(spark, table, _df(spark, 10, 12), mode="overwrite")
+        snap.snapshot_write(spark, table, _df(spark, 20, 22), mode="overwrite")
+        removed = snap.expire_snapshots(table, keep_last=1)
+        # v2 expired, v1 retained by the tag (manifest AND files)
+        assert "v000002" in removed["manifests"]
+        assert "v000001" not in removed["manifests"]
+        assert snap.read_snapshot(spark, table, 1).count() == 5
+        # dropping the tag makes v1 collectable again
+        assert snap.delete_tag(table, "pinned") == 1
+        removed = snap.expire_snapshots(table, keep_last=1)
+        assert "v000001" in removed["manifests"]
+        assert snap.read_snapshot(spark, table).count() == 2
+
+    def test_duplicate_and_invalid_tags_rejected(self, spark, table):
+        snap.snapshot_write(spark, table, _df(spark, 0, 3))
+        snap.create_tag(table, "t1")
+        with pytest.raises(snap.SnapshotConflictError):
+            snap.create_tag(table, "t1")
+        with pytest.raises(ValueError):
+            snap.create_tag(table, "../escape")
+        with pytest.raises(FileNotFoundError):
+            snap.create_tag(table, "t2", version=99)
+
+
 def test_empty_overwrite_snapshot_reads_back_empty(spark, table):
     """An overwrite with zero rows is a legitimate commit (delete-all);
     reads reconstruct an empty frame with the ancestor's schema."""

@@ -498,6 +498,72 @@ def materialize_deletes(spark: SparkSession, path: str) -> int:
     return version
 
 
+REFS_DIR = "refs"
+_REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def _ref_path(path: str, name: str) -> str:
+    if not _REF_NAME_RE.match(name):
+        raise ValueError(f"invalid ref name {name!r}")
+    return os.path.join(path, MANIFEST_DIR, REFS_DIR, f"{name}.json")
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """Create an IMMUTABLE named ref to a snapshot version (Iceberg's
+    ``create_tag``): ``read_snapshot(spark, path, resolve_ref(path,
+    'q3-audit'))`` then reads the audited state forever, and
+    :func:`expire_snapshots` treats tagged versions as retained — a tag
+    is a GC root, which is the property that makes tags useful (pinning
+    a training-data snapshot for reproducibility while history churns).
+    Claimed with the same link-into-place protocol as version commits,
+    so racing taggers resolve to exactly one winner."""
+    if version is None:
+        version = current_version(path)
+    if version is None or version not in versions(path):
+        raise FileNotFoundError(f"no snapshot version {version} at {path}")
+    target = _ref_path(path, name)
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    tmp = f"{target}.tmp.{_writer_tag()}"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "type": "tag", "version": version}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise SnapshotConflictError(f"ref {name!r} already exists at {path}") from None
+    finally:
+        os.remove(tmp)
+    return version
+
+
+def resolve_ref(path: str, name: str) -> int:
+    """Ref name -> pinned version (raises FileNotFoundError if absent)."""
+    with open(_ref_path(path, name)) as f:
+        return int(json.load(f)["version"])
+
+
+def list_refs(path: str) -> dict[str, int]:
+    rdir = os.path.join(path, MANIFEST_DIR, REFS_DIR)
+    if not os.path.isdir(rdir):
+        return {}
+    out: dict[str, int] = {}
+    for fname in sorted(os.listdir(rdir)):
+        if fname.endswith(".json") and ".tmp." not in fname:
+            with open(os.path.join(rdir, fname)) as f:
+                ref = json.load(f)
+            out[ref["name"]] = int(ref["version"])
+    return out
+
+
+def delete_tag(path: str, name: str) -> int:
+    """Drop a tag; its version becomes GC-eligible again on the next
+    :func:`expire_snapshots` (Iceberg's ``remove`` ref + expire)."""
+    version = resolve_ref(path, name)
+    os.remove(_ref_path(path, name))
+    return version
+
+
 STAGING_DIR = "staging"
 
 
@@ -648,9 +714,10 @@ def write_audit_publish(
 
 def expire_snapshots(path: str, keep_last: int) -> dict[str, list[str]]:
     """Garbage-collect history: drop all but the newest ``keep_last``
-    manifests, then delete every file those expired manifests reference
-    that no surviving manifest still needs (Iceberg's
-    ``expire_snapshots``). TRUE orphans — files written by a crashed
+    manifests — except versions pinned by a tag (:func:`create_tag`),
+    which are retained as GC roots — then delete every file the expired
+    manifests reference that no surviving manifest still needs
+    (Iceberg's ``expire_snapshots`` + ref retention). TRUE orphans — files written by a crashed
     writer whose manifest never committed — are by definition in no
     manifest and are collected by :func:`remove_orphan_files`, not
     here. Returns what was removed. The current version is never
@@ -660,10 +727,13 @@ def expire_snapshots(path: str, keep_last: int) -> dict[str, list[str]]:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = versions(path)
-    expired = vs[:-keep_last]
+    # tagged versions are GC ROOTS (Iceberg ref retention): a tag pins
+    # its snapshot — manifest and files — for as long as the tag lives
+    tagged = set(list_refs(path).values())
+    expired = [v for v in vs[:-keep_last] if v not in tagged]
     if not expired:
         return {"manifests": [], "data_files": []}
-    survivors = vs[-keep_last:]
+    survivors = [v for v in vs if v not in expired]
     live_files: set[str] = set()
     for v in survivors:
         m = read_manifest(path, v)

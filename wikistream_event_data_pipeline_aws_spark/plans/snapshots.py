@@ -362,15 +362,104 @@ FROM labeled GROUP BY version
 """
 
 
+N_TAG_VERSIONS = 3
+
+
+def _tag_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.abspath(os.path.join(_WAREHOUSE, f"orders_tagged_{tag}"))
+
+
+def build_tagged_table(spark: SparkSession, sf_dir: str) -> str:
+    """Tag-retention history (Iceberg ref semantics, ``create_tag`` +
+    ``expire_snapshots``): v1 = orders %10 < 5, TAGGED 'audit'; v2 =
+    overwrite with o_orderstatus = 'F'; v3 = append %10 == 6 rows; then
+    ``expire_snapshots(keep_last=1)``. The expire drops untagged,
+    unshared history (v2's manifest — its files survive because v3
+    still references them) but MUST retain the tagged v1 in full: the
+    tag is a GC root. Completion marker: version 3 present AND the
+    'audit' ref resolving to 1."""
+    path = _tag_path(sf_dir)
+    try:
+        if (
+            snap.current_version(path) == N_TAG_VERSIONS
+            and snap.resolve_ref(path, "audit") == 1
+        ):
+            return path
+    except FileNotFoundError:
+        pass
+    if snap.current_version(path) is not None:
+        # see build_snapshot_table: partial builds rebuild, never resume
+        shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    snap.snapshot_write(
+        spark, path, orders.filter(F.col("o_orderkey") % 10 < 5), mode="append"
+    )
+    snap.create_tag(path, "audit", 1)
+    snap.snapshot_write(
+        spark, path, orders.filter(F.col("o_orderstatus") == "F"), mode="overwrite"
+    )
+    snap.snapshot_write(
+        spark, path, orders.filter(F.col("o_orderkey") % 10 == 6), mode="append"
+    )
+    snap.expire_snapshots(path, keep_last=1)
+    return path
+
+
+def snapshot_tag_retention_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint the table at the 'audit' TAG and at the head, AFTER
+    expire_snapshots dropped the untagged middle of the history. The
+    oracle recomputes both states from the source orders table — a GC
+    that collects a tagged version's manifest or data files (or a tag
+    that silently re-points) diverges on the 'tag' row; an expire that
+    breaks the shared-file append chain diverges on 'head'."""
+    path = build_tagged_table(spark, sf_dir)
+    key_sig = _key_sig()
+
+    def fingerprint(version: int, label: str) -> DataFrame:
+        return (
+            snap.read_snapshot(spark, path, version)
+            .select(F.col("o_orderkey"), key_sig.alias("ks"))
+            .agg(
+                F.lit(label).alias("ref"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("ks").alias("keyspace_checksum"),
+            )
+        )
+
+    return fingerprint(snap.resolve_ref(path, "audit"), "tag_audit").unionByName(
+        fingerprint(snap.current_version(path), "head")
+    )
+
+
+SNAPSHOT_TAG_RETENTION_READ_SQL = f"""
+WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 5),
+head AS (
+  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 6
+)
+SELECT 'tag_audit' AS ref, COUNT(*) AS n_rows,
+       CAST(SUM({_KS_SQL}) AS BIGINT) AS keyspace_checksum
+FROM v1
+UNION ALL
+SELECT 'head', COUNT(*),
+       CAST(SUM({_KS_SQL}) AS BIGINT)
+FROM head
+"""
+
+
 QUERIES = {
     "snapshot_time_travel": snapshot_time_travel,
     "snapshot_changes": snapshot_changes,
     "snapshot_mor_read": snapshot_mor_read,
     "snapshot_mor_position_deletes": snapshot_mor_position_deletes,
+    "snapshot_tag_retention_read": snapshot_tag_retention_read,
 }
 ORACLES = {
     "snapshot_time_travel": SNAPSHOT_TIME_TRAVEL_SQL,
     "snapshot_changes": SNAPSHOT_CHANGES_SQL,
     "snapshot_mor_read": SNAPSHOT_MOR_READ_SQL,
     "snapshot_mor_position_deletes": SNAPSHOT_MOR_POSITION_DELETES_SQL,
+    "snapshot_tag_retention_read": SNAPSHOT_TAG_RETENTION_READ_SQL,
 }

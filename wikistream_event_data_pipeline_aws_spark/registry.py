@@ -47,14 +47,15 @@ _ORACLES: dict[str, str] = {}
 # registry driver-green (union r01–r06 = 225/225 before this round's
 # addition), the front is pure rotation plus this round's changes:
 # snapshot_mor_position_deletes (NEW: Iceberg v2 position-delete MoR
-# encoding), dedup_simhash_pairs (implementation changed: the 16-bit
+# encoding) and snapshot_tag_retention_read (NEW: tag refs as GC
+# roots), dedup_simhash_pairs (implementation changed: the 16-bit
 # pedagogical variant is now fail-fast bounded), dedup_method_agreement
 # (oracle changed: three-way lsh/sim16/sim60 agreement — the simhash
 # migration evidence), cogroup_click_purchase_lag and
 # sse_replay_source_stats (implementation changed: fixed-overhead trim,
 # VERDICT r6 item 5) head the front; then ALL 34 queries whose newest
-# driver row is r2 (the stalest cohort); then the 11
-# registration-order-oldest r3 rows as backfill: 5 + 34 + 11 = 50.
+# driver row is r2 (the stalest cohort); then the 10
+# registration-order-oldest r3 rows as backfill: 6 + 34 + 10 = 50.
 # Done = CORRECTNESS_r07 50/50 green and no query's newest row older
 # than r3.
 #
@@ -68,6 +69,7 @@ _ORACLES: dict[str, str] = {}
 _FRONT_TARGET_ROUND = 7
 _DRIVER_FRONT: tuple[str, ...] = (
     "snapshot_mor_position_deletes",
+    "snapshot_tag_retention_read",
     "dedup_simhash_pairs",
     "dedup_method_agreement",
     "cogroup_click_purchase_lag",
@@ -116,7 +118,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "event_transition_matrix",
     "tpch_pricing_summary",
     "tpch_shipping_priority",
-    "tpch_local_supplier_revenue",
 )
 
 
