@@ -113,8 +113,19 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
         else:
             cells += ["—", "—", "—"]
         lines.append("| " + " | ".join(cells) + " |")
-    with open(os.path.join(repo_dir, "BENCH_HISTORY.md"), "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+    # Hand-written analysis sections (variance notes etc.) live below the
+    # regenerated table as "## ..." headings — carry them forward verbatim
+    # so a bench run never silently erases committed prose.
+    md_path = os.path.join(repo_dir, "BENCH_HISTORY.md")
+    notes = ""
+    if os.path.exists(md_path):
+        with open(md_path) as fh:
+            old = fh.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            notes = old[idx:]
+    with open(md_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n" + notes)
     comparable = [
         r
         for r in runs[:-1]

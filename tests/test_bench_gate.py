@@ -42,3 +42,24 @@ def test_previous_comparable_reads_last_matching_run(tmp_path):
     assert _previous_comparable(str(tmp_path), "/x/sf0.01", 32) == {"a": 9.0}
     assert _previous_comparable(str(tmp_path), "/x/sf1", 16) is None
     assert _previous_comparable(str(tmp_path / "none"), "/x/sf0.1", 32) is None
+
+
+def test_update_history_preserves_note_sections(tmp_path):
+    """A bench run regenerates the BENCH_HISTORY.md trend table; any
+    hand-written '## ...' sections below it (variance notes) must be
+    carried forward verbatim — a run must never erase committed prose."""
+    from bench import _update_history
+
+    md = tmp_path / "BENCH_HISTORY.md"
+    md.write_text(
+        "# Bench history\n\n| a |\n|---|\n| 1 |\n\n"
+        "## Variance note\n\nkeep me\n"
+    )
+    result = {"sf": 0.1, "cpus": 32, "queries": {"q1": 1.0}}
+    _update_history(str(tmp_path), result)
+    out = md.read_text()
+    assert "keep me" in out and out.count("## Variance note") == 1
+    assert out.index("| run (UTC)") < out.index("## Variance note")
+    _update_history(str(tmp_path), result)  # idempotent across runs
+    out = md.read_text()
+    assert out.count("## Variance note") == 1 and "keep me" in out
