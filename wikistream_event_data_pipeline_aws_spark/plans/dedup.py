@@ -23,6 +23,7 @@ from ..operators.textops import (
     minhash_signature,
     simhash16,
     simhash60,
+    simhash_fused,
     tokenize,
 )
 
@@ -511,26 +512,7 @@ SIMHASH_HAM_MAX = 1  # pairs within this Hamming distance
 SIMHASH16_MAX_DOCS = 20_000  # fail-fast envelope for the 16-bit fixture
 
 
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PEDAGOGICAL 16-bit simhash near-dup pairs — BOUNDED, not the
-    production path (that is :func:`dedup_simhash_band60`). The 16-bit
-    fingerprint splits into two 8-bit bands; any pair within Hamming
-    distance {HAM} must agree on at least one band (pigeonhole), so the
-    candidate join is a band-value equi-join with zero false negatives
-    at the threshold. BUT two 8-bit bands give only 256 distinct band
-    values: past a few hundred documents every band value is occupied
-    and the "equi-join" decays toward all-pairs — ``tools/
-    scale_curve.py`` MEASURES candidate growth at exponent ~2.0 for
-    this variant (vs ~1.0 for the 60-bit band join, whose 2^15-value
-    bands keep buckets sparse). It therefore fail-fasts beyond
-    {SIMHASH16_MAX_DOCS:,} documents instead of silently going
-    quadratic on a large corpus; use ``dedup_simhash_band60`` at scale.
-    Verification recounts the exact Hamming distance as a 16-term
-    bit-test sum (identical expression both engines). Planted clones
-    (one appended token) perturb few bit majorities, so they surface
-    here just as they do in the LSH path."""
-    d = _docs_augmented(spark, sf_dir)
-    n_docs = d.count()
+def _check_sim16_envelope(n_docs: int) -> None:
     if n_docs > SIMHASH16_MAX_DOCS:
         raise ValueError(
             f"dedup_simhash_pairs is a bounded pedagogical fixture: {n_docs:,} "
@@ -538,7 +520,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band values saturate -> measured ~quadratic candidate growth); "
             "use dedup_simhash_band60 (2^15-value bands, measured ~linear)"
         )
-    sig = simhash16(d, "doc_id", "text").localCheckpoint(eager=True)
+
+
+def _simhash16_pairs_from_sig(sig: DataFrame) -> DataFrame:
+    """Band a (doc_id, simhash) 16-bit signature DF into 2x8-bit bands,
+    bucket-join, and keep pairs within ``SIMHASH_HAM_MAX``. The caller
+    owns the signature fence (localCheckpoint) and the corpus-size
+    envelope check."""
     banded = sig.select(
         "doc_id",
         "simhash",
@@ -550,7 +538,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+    ).select(
+        "doc_id", "simhash", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv")
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(
@@ -577,6 +567,30 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.withColumn("hamming", ham).filter(
         F.col("hamming") <= SIMHASH_HAM_MAX
     )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEDAGOGICAL 16-bit simhash near-dup pairs — BOUNDED, not the
+    production path (that is :func:`dedup_simhash_band60`). The 16-bit
+    fingerprint splits into two 8-bit bands; any pair within Hamming
+    distance {HAM} must agree on at least one band (pigeonhole), so the
+    candidate join is a band-value equi-join with zero false negatives
+    at the threshold. BUT two 8-bit bands give only 256 distinct band
+    values: past a few hundred documents every band value is occupied
+    and the "equi-join" decays toward all-pairs — ``tools/
+    scale_curve.py`` MEASURES candidate growth at exponent ~2.0 for
+    this variant (vs ~1.0 for the 60-bit band join, whose 2^15-value
+    bands keep buckets sparse). It therefore fail-fasts beyond
+    {SIMHASH16_MAX_DOCS:,} documents instead of silently going
+    quadratic on a large corpus; use ``dedup_simhash_band60`` at scale.
+    Verification recounts the exact Hamming distance as a 16-term
+    bit-test sum (identical expression both engines). Planted clones
+    (one appended token) perturb few bit majorities, so they surface
+    here just as they do in the LSH path."""
+    d = _docs_augmented(spark, sf_dir)
+    _check_sim16_envelope(d.count())
+    sig = simhash16(d, "doc_id", "text").localCheckpoint(eager=True)
+    return _simhash16_pairs_from_sig(sig)
 
 
 _HAM_SQL = " + ".join(
@@ -640,6 +654,13 @@ def dedup_simhash_band60(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup path (Manku et al., WWW 2007)."""
     d = _docs_augmented(spark, sf_dir)
     sig = simhash60(d, "doc_id", "text").localCheckpoint(eager=True)
+    return _simhash60_pairs_from_sig(sig)
+
+
+def _simhash60_pairs_from_sig(sig: DataFrame) -> DataFrame:
+    """Band a (doc_id, simhash60) signature DF into 4x15-bit bands,
+    bucket-join, JVM ``bit_count(xor)`` verify at ``SIMHASH60_HAM_MAX``.
+    The caller owns the signature fence (localCheckpoint)."""
     banded = sig.select(
         "doc_id",
         "simhash60",
@@ -737,15 +758,29 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined on the pair key; the planted flag is pure id arithmetic.
     Pairs sim60 finds that sim16 misses are the recall the wider
     fingerprint buys; sim16_only pairs are 16-bit hash collisions —
-    the artifact quantifies the migration instead of arguing it."""
+    the artifact quantifies the migration instead of arguing it.
+
+    Cost discipline: the two simhash legs share ONE corpus scan + ONE
+    aggregation via :func:`operators.textops.simhash_fused` (bit-for-
+    bit the same signatures as the standalone legs, so the oracle is
+    unchanged); the fused signature row set (2 ints/doc) is fenced
+    with a localCheckpoint and banded twice. Only the minhash leg
+    re-reads the corpus (its shingle grain is different)."""
+    d = _docs_augmented(spark, sf_dir)
+    _check_sim16_envelope(d.count())  # the sim16 leg's fixture bound applies
+    fused = simhash_fused(d, "doc_id", "text").localCheckpoint(eager=True)
     lsh = dedup_minhash_pairs(spark, sf_dir).select("id_a", "id_b").withColumn(
         "in_lsh", F.lit(1)
     )
-    s16 = dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b").withColumn(
-        "in_s16", F.lit(1)
+    s16 = (
+        _simhash16_pairs_from_sig(fused.select("doc_id", "simhash"))
+        .select("id_a", "id_b")
+        .withColumn("in_s16", F.lit(1))
     )
-    s60 = dedup_simhash_band60(spark, sf_dir).select("id_a", "id_b").withColumn(
-        "in_s60", F.lit(1)
+    s60 = (
+        _simhash60_pairs_from_sig(fused.select("doc_id", "simhash60"))
+        .select("id_a", "id_b")
+        .withColumn("in_s60", F.lit(1))
     )
     j = lsh.join(s16, ["id_a", "id_b"], "full_outer").join(
         s60, ["id_a", "id_b"], "full_outer"
