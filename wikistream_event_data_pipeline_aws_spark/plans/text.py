@@ -217,6 +217,145 @@ FROM ranked WHERE rnk <= {TFIDF_TOPK}
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+# Fixed benchmark query set (terms drawn from the synthetic vocabulary)
+BM25_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("q1", ("hash", "join")),
+    ("q2", ("window", "agg", "scan")),
+    ("q3", ("customer", "order", "value")),
+)
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-{k} documents per benchmark query
+    (Robertson/Sparck Jones probabilistic relevance — the ranking
+    function behind Lucene/Elasticsearch defaults; k1={k1}, b={b}).
+
+    Like ``text_tfidf_topk``, the IDF keeps BM25's rational core
+    ``(N - df + 0.5) / (df + 0.5)`` WITHOUT the log wrapper: plain
+    double arithmetic is bit-identical across engines where libm ``ln``
+    is not, and log is monotone so rankings are unchanged. Per-term
+    scores are summed as DECIMAL(38,9) (order-free exact addition —
+    the repo's float-sum discipline) and the ranking orders by the
+    decimal, so no 1-ulp float drift can flip a rank near the top-k
+    boundary.
+
+    Scale shape: the query-term table is a literal broadcast; the token
+    stream is inner-joined to it BEFORE the tf aggregation, so only
+    matching postings shuffle (|q| terms' postings, not the corpus).
+    df comes from that same filtered posting set; N and avgdl are a
+    1-row broadcast aggregate. Two slim corpus scans (posting stream +
+    corpus stats), two candidate-bounded shuffles, a per-query top-k
+    window over candidate docs only.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id string, token string",
+    )
+    toks = base.select(
+        "doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("token")
+    )
+    # tf feeds BOTH dfreq and the scored join — fence the (tiny:
+    # candidate docs x |q| terms) posting set so the corpus scan +
+    # token explode runs once, not once per consumer
+    tf = (
+        toks.join(F.broadcast(qt), "token")
+        .groupBy("query_id", "doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = (
+        tf.select("token", "doc_id")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__toks")).alias("sum_dl"),
+    )
+    s = tf.join(dfreq, "token").crossJoin(F.broadcast(stats))
+    idf = (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (
+        F.col("df_docs") + F.lit(0.5)
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl") / avgdl)
+    )
+    term_score = idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom)
+    per_doc = s.groupBy("query_id", "doc_id").agg(
+        F.sum(term_score.cast("decimal(38,9)")).alias("score_dec"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_dec"), "doc_id")
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "rnk",
+            "doc_id",
+            "n_terms",
+            F.col("score_dec").cast("double").alias("bm25"),
+        )
+    )
+
+
+text_bm25_topk.__doc__ = text_bm25_topk.__doc__.format(
+    k=BM25_TOPK, k1=BM25_K1, b=BM25_B
+)
+
+_BM25_QT_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+
+TEXT_BM25_TOPK_SQL = rf"""
+WITH qt AS (SELECT * FROM (VALUES {_BM25_QT_VALUES}) v(query_id, token)),
+base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+toks AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM base),
+tf AS (
+  SELECT query_id, doc_id, token, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM toks JOIN qt USING (token)
+  GROUP BY query_id, doc_id, token
+),
+dfreq AS (
+  SELECT token, COUNT(*) AS df_docs
+  FROM (SELECT DISTINCT token, doc_id FROM tf) GROUP BY token
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM base
+),
+scored AS (
+  SELECT query_id, doc_id,
+         ((n_docs - df_docs + CAST(0.5 AS DOUBLE)) / (df_docs + CAST(0.5 AS DOUBLE)))
+         * ((tf * (CAST({BM25_K1} AS DOUBLE) + 1)) /
+            (tf + CAST({BM25_K1} AS DOUBLE)
+                  * (1 - CAST({BM25_B} AS DOUBLE)
+                     + CAST({BM25_B} AS DOUBLE)
+                       * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))) AS term_score
+  FROM tf JOIN dfreq USING (token), stats
+),
+per_doc AS (
+  SELECT query_id, doc_id,
+         SUM(CAST(term_score AS DECIMAL(38,9))) AS score_dec,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_dec, n_terms,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_dec DESC, doc_id) AS rnk
+  FROM per_doc
+)
+SELECT query_id, rnk, doc_id, n_terms, CAST(score_dec AS DOUBLE) AS bm25
+FROM ranked WHERE rnk <= {BM25_TOPK}
+"""
+
+
 INVIDX_TOPK = 20
 INVIDX_POSTINGS_CAP = 50
 
@@ -606,6 +745,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_tfidf_topk": text_tfidf_topk,
+    "text_bm25_topk": text_bm25_topk,
     "text_inverted_index": text_inverted_index,
     "text_bigram_surprisal": text_bigram_surprisal,
 }
@@ -620,6 +760,7 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
+    "text_bm25_topk": TEXT_BM25_TOPK_SQL,
     "text_inverted_index": TEXT_INVERTED_INDEX_SQL,
     "text_bigram_surprisal": TEXT_BIGRAM_SURPRISAL_SQL,
 }

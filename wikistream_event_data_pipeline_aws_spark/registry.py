@@ -46,16 +46,18 @@ _ORACLES: dict[str, str] = {}
 # Round 7 composition (VERDICT r6 item 1): with the full 226-query
 # registry driver-green (union r01–r06 = 225/225 before this round's
 # addition), the front is pure rotation plus this round's changes:
+# text_bm25_topk (NEW: BM25 ranked retrieval),
 # snapshot_mor_position_deletes (NEW: Iceberg v2 position-delete MoR
 # encoding) and snapshot_tag_retention_read (NEW: tag refs as GC
-# roots), dedup_simhash_pairs (implementation changed: the 16-bit
-# pedagogical variant is now fail-fast bounded), dedup_method_agreement
-# (oracle changed: three-way lsh/sim16/sim60 agreement — the simhash
-# migration evidence), cogroup_click_purchase_lag and
-# sse_replay_source_stats (implementation changed: fixed-overhead trim,
-# VERDICT r6 item 5) head the front; then ALL 34 queries whose newest
-# driver row is r2 (the stalest cohort); then the 10
-# registration-order-oldest r3 rows as backfill: 6 + 34 + 10 = 50.
+# roots), dedup_simhash_pairs + dedup_simhash_band60 (implementation
+# changed: map-only HOF signature computation; 16-bit variant also
+# fail-fast bounded), dedup_method_agreement (oracle + implementation
+# changed: three-way lsh/sim16/sim60 agreement on a fused signature
+# pass — the simhash migration evidence), cogroup_click_purchase_lag
+# and sse_replay_source_stats (implementation changed: fixed-overhead
+# trim, VERDICT r6 item 5) head the front; then ALL 34 queries whose
+# newest driver row is r2 (the stalest cohort); then the 8
+# registration-order-oldest r3 rows as backfill: 8 + 34 + 8 = 50.
 # Done = CORRECTNESS_r07 50/50 green and no query's newest row older
 # than r3.
 #
@@ -68,9 +70,11 @@ _ORACLES: dict[str, str] = {}
 # ran without rotation and the guard goes red.
 _FRONT_TARGET_ROUND = 7
 _DRIVER_FRONT: tuple[str, ...] = (
+    "text_bm25_topk",
     "snapshot_mor_position_deletes",
     "snapshot_tag_retention_read",
     "dedup_simhash_pairs",
+    "dedup_simhash_band60",
     "dedup_method_agreement",
     "cogroup_click_purchase_lag",
     "sse_replay_source_stats",
@@ -116,8 +120,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "retention_cohorts",
     "event_transition_matrix",
-    "tpch_pricing_summary",
-    "tpch_shipping_priority",
 )
 
 
