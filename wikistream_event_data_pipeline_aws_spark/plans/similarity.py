@@ -9,10 +9,11 @@ computes in float32 and is deliberately NOT used).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.textops import tokenize as _tokenize
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
@@ -704,8 +705,148 @@ FROM codes
 """
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_QUERIES = 3
+RRF_TOPK = 10
+
+
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): for each of {nq} query documents, fuse a LEXICAL
+    ranking (distinct-token Jaccard against every candidate sharing a
+    token) with a SEMANTIC ranking (exact cosine over the embeddings
+    table, ``brute_force_topk`` — vec_id aligns with doc_id in this
+    corpus) via ``score = sum(1/(k + rank))``, k={k}. The modern RAG
+    retrieval stack in one plan: BM25-family and vector legs each
+    produce a top-{topk} list; RRF needs only the RANKS, so the legs'
+    incomparable scores never mix — and rank integers fuse with a
+    fixed two-term double sum, so oracle parity is exact.
+
+    Scale shape: the query side of both legs is a broadcast ({nq}
+    docs / vectors); lexical candidates are bounded by posting
+    intersection (one token-keyed shuffle of matching postings only);
+    the semantic leg is the documented brute-force baseline (ANN
+    variants are the separate similarity_ann_* queries). Fusion joins
+    two <= {nq}x{topk}-row lists — negligible."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_tokenize(F.col("text")))).alias("token"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    qtoks = toks.filter(F.col("doc_id") < RRF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    inter = (
+        toks.join(F.broadcast(qtoks), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    qsizes = sizes.filter(F.col("doc_id") < RRF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("n_toks").alias("n_q")
+    )
+    jac = F.col("n_inter") / (F.col("n_q") + F.col("n_toks") - F.col("n_inter"))
+    w_lex = Window.partitionBy("query_id").orderBy(
+        jac.desc(), F.col("doc_id").asc()
+    )
+    lexk = (
+        inter.join(sizes, "doc_id")
+        .join(F.broadcast(qsizes), "query_id")
+        .withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= RRF_TOPK)
+        .select("query_id", F.col("doc_id").alias("cand_id"), "lex_rank")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    semk = brute_force_topk(
+        e.filter(F.col("vec_id") < RRF_QUERIES), e, k=RRF_TOPK
+    ).select("query_id", F.col("neighbor_id").alias("cand_id"),
+             F.col("rank").alias("sem_rank"))
+    fused = lexk.join(semk, ["query_id", "cand_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.col("cand_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .select(
+            "query_id", "fused_rank", "cand_id",
+            "lex_rank", "sem_rank", "rrf_score",
+        )
+    )
+
+
+retrieval_rrf_hybrid.__doc__ = retrieval_rrf_hybrid.__doc__.format(
+    nq=RRF_QUERIES, k=RRF_K, topk=RRF_TOPK
+)
+
+RETRIEVAL_RRF_HYBRID_SQL = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+qt AS (SELECT doc_id AS query_id, token FROM toks WHERE doc_id < {RRF_QUERIES}),
+inter AS (
+  SELECT q.query_id, t.doc_id, COUNT(*) AS n_inter
+  FROM toks t JOIN qt q USING (token)
+  WHERE t.doc_id <> q.query_id
+  GROUP BY q.query_id, t.doc_id
+),
+lex AS (
+  SELECT i.query_id, i.doc_id AS cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY i.query_id
+           ORDER BY (i.n_inter / (nq.n_toks + nc.n_toks - i.n_inter)) DESC,
+                    i.doc_id ASC) AS lex_rank
+  FROM inter i
+  JOIN sizes nc ON i.doc_id = nc.doc_id
+  JOIN sizes nq ON i.query_id = nq.doc_id
+),
+lexk AS (SELECT * FROM lex WHERE lex_rank <= {RRF_TOPK}),
+sem0 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS cs
+  FROM (SELECT * FROM embeddings WHERE vec_id < {RRF_QUERIES}) q, embeddings c
+  WHERE c.vec_id <> q.vec_id
+),
+semk AS (
+  SELECT query_id, cand_id, sem_rank FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cs DESC, cand_id ASC) AS sem_rank
+    FROM sem0
+  ) WHERE sem_rank <= {RRF_TOPK}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.cand_id, s.cand_id) AS cand_id,
+         l.lex_rank, s.sem_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.lex_rank), CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.sem_rank), CAST(0 AS DOUBLE))
+           AS rrf_score
+  FROM lexk l FULL OUTER JOIN semk s
+    ON l.query_id = s.query_id AND l.cand_id = s.cand_id
+)
+SELECT query_id, fused_rank, cand_id, lex_rank, sem_rank, rrf_score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, cand_id ASC) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {RRF_TOPK}
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
+    "retrieval_rrf_hybrid": retrieval_rrf_hybrid,
     "similarity_embedding_neardup": similarity_embedding_neardup,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_lsh_multi": similarity_ann_lsh_multi,
@@ -716,6 +857,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "retrieval_rrf_hybrid": RETRIEVAL_RRF_HYBRID_SQL,
     "similarity_ann_sweep": SIMILARITY_ANN_SWEEP_SQL,
     "similarity_ann_lsh_multi": SIMILARITY_ANN_LSH_MULTI_SQL,
     "similarity_cosine_topk": SIMILARITY_COSINE_TOPK_SQL,

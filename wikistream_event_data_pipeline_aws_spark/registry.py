@@ -46,7 +46,8 @@ _ORACLES: dict[str, str] = {}
 # Round 7 composition (VERDICT r6 item 1): with the full 226-query
 # registry driver-green (union r01–r06 = 225/225 before this round's
 # addition), the front is pure rotation plus this round's changes:
-# text_bm25_topk (NEW: BM25 ranked retrieval),
+# text_bm25_topk (NEW: BM25 ranked retrieval) and retrieval_rrf_hybrid
+# (NEW: reciprocal-rank fusion of lexical + vector legs),
 # snapshot_mor_position_deletes (NEW: Iceberg v2 position-delete MoR
 # encoding) and snapshot_tag_retention_read (NEW: tag refs as GC
 # roots), dedup_simhash_pairs + dedup_simhash_band60 (implementation
@@ -56,8 +57,8 @@ _ORACLES: dict[str, str] = {}
 # pass — the simhash migration evidence), cogroup_click_purchase_lag
 # and sse_replay_source_stats (implementation changed: fixed-overhead
 # trim, VERDICT r6 item 5) head the front; then ALL 34 queries whose
-# newest driver row is r2 (the stalest cohort); then the 8
-# registration-order-oldest r3 rows as backfill: 8 + 34 + 8 = 50.
+# newest driver row is r2 (the stalest cohort); then the 7
+# registration-order-oldest r3 rows as backfill: 9 + 34 + 7 = 50.
 # Done = CORRECTNESS_r07 50/50 green and no query's newest row older
 # than r3.
 #
@@ -71,6 +72,7 @@ _ORACLES: dict[str, str] = {}
 _FRONT_TARGET_ROUND = 7
 _DRIVER_FRONT: tuple[str, ...] = (
     "text_bm25_topk",
+    "retrieval_rrf_hybrid",
     "snapshot_mor_position_deletes",
     "snapshot_tag_retention_read",
     "dedup_simhash_pairs",
@@ -119,7 +121,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "top_risk_alerts",
     "funnel_view_click_purchase",
     "retention_cohorts",
-    "event_transition_matrix",
 )
 
 
