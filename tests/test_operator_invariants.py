@@ -1564,6 +1564,31 @@ class TestSessionContinuationAnalytics:
         # the artifact exists to expose, not hide
         assert any("sim60" in c for c in cells), cells
 
+    def test_simhash_fused_matches_standalone_signatures(self, spark, sf_dir):
+        """simhash_fused (one scan, both widths) must be bit-identical
+        to simhash16 and simhash60 run separately — the agreement
+        query's oracle depends on it."""
+        from wikistream_event_data_pipeline_aws_spark.operators.textops import (
+            simhash16,
+            simhash60,
+            simhash_fused,
+        )
+        from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+            _docs_augmented,
+        )
+
+        d = _docs_augmented(spark, sf_dir)
+        fused = {
+            r.doc_id: (r.simhash, r.simhash60)
+            for r in simhash_fused(d, "doc_id", "text").collect()
+        }
+        s16 = {r.doc_id: r.simhash for r in simhash16(d, "doc_id", "text").collect()}
+        s60 = {
+            r.doc_id: r.simhash60 for r in simhash60(d, "doc_id", "text").collect()
+        }
+        assert set(fused) == set(s16) == set(s60)
+        assert fused == {k: (s16[k], s60[k]) for k in fused}
+
     def test_simhash16_fixture_fail_fasts_beyond_envelope(self, spark, sf_dir):
         """The bounded pedagogical fixture refuses corpora past its
         band-saturation envelope instead of going quadratic."""
