@@ -29,6 +29,21 @@ from ..operators.textops import (
 
 CLONE_OFFSET = 100_000
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The map-only simhash signatures inherit the parquet scan's split
+    count — at small SF that is 1-2 partitions, and once the signature
+    is localCheckpoint-fenced the (broadcast) banded self-join downstream
+    would run on those few partitions, serializing the expensive bucket
+    expansion. One cheap shuffle of the slim (id, fingerprint) rows
+    restores full parallelism; at 100 TB the scan has thousands of
+    splits and this is a near-no-op rebalance of ~16 bytes/doc."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 _DOCS_AUG_SQL = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -589,7 +604,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     here just as they do in the LSH path."""
     d = _docs_augmented(spark, sf_dir)
     _check_sim16_envelope(d.count())
-    sig = simhash16(d, "doc_id", "text").localCheckpoint(eager=True)
+    sig = _spread(simhash16(d, "doc_id", "text")).localCheckpoint(eager=True)
     return _simhash16_pairs_from_sig(sig)
 
 
@@ -653,7 +668,7 @@ def dedup_simhash_band60(spark: SparkSession, sf_dir: str) -> DataFrame:
     (silver_batch_job.py row_number); simhash banding is the 100 TB
     near-dup path (Manku et al., WWW 2007)."""
     d = _docs_augmented(spark, sf_dir)
-    sig = simhash60(d, "doc_id", "text").localCheckpoint(eager=True)
+    sig = _spread(simhash60(d, "doc_id", "text")).localCheckpoint(eager=True)
     return _simhash60_pairs_from_sig(sig)
 
 
@@ -768,7 +783,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-reads the corpus (its shingle grain is different)."""
     d = _docs_augmented(spark, sf_dir)
     _check_sim16_envelope(d.count())  # the sim16 leg's fixture bound applies
-    fused = simhash_fused(d, "doc_id", "text").localCheckpoint(eager=True)
+    fused = _spread(simhash_fused(d, "doc_id", "text")).localCheckpoint(eager=True)
     lsh = dedup_minhash_pairs(spark, sf_dir).select("id_a", "id_b").withColumn(
         "in_lsh", F.lit(1)
     )
