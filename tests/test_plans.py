@@ -46,6 +46,17 @@ def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir):
                 assert "supplier" not in subtree, (name, subtree)
 
 
+def test_simhash_signature_plan_is_shuffle_free(spark, sf_dir):
+    """The map-only simhash formulation (per-row array aggregation,
+    operators/textops._simhash_fp_expr) must plan with ZERO exchanges:
+    a doc's fingerprint depends only on its own tokens, so any shuffle
+    here is a regression back to the explode+groupBy shape — at 100 TB
+    that shuffle (the exploded token stream) would be the largest in
+    the dedup pipeline."""
+    plan = _plan(spark, sf_dir, "dedup_simhash")
+    assert "Exchange" not in plan, plan
+
+
 def test_shipping_priority_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_shipping_priority")
     assert "TakeOrderedAndProject" in plan, plan
