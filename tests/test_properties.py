@@ -535,3 +535,108 @@ def test_weighted_wor_matches_python_md5_reference(spark, sf_dir):
         for r in sample_weighted_wor(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+# -- round-7 operators vs pure-Python references ---------------------------------
+#
+# DuckDB-oracle parity can mask a bug both engines share (same wrong SQL
+# transcribed twice). These recompute the round-7 operators in plain
+# Python from first principles, with no SQL on either side.
+
+import hashlib
+import math
+
+
+def _py_hash16(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def _py_hash60(s: str, seed: str = "") -> int:
+    return int(hashlib.md5((seed + s).encode()).hexdigest()[:15], 16)
+
+
+def _py_simhash(tokens: list[str], nbits: int, hf) -> int:
+    votes = [0] * nbits
+    for t in tokens:
+        h = hf(t)
+        for b in range(nbits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(nbits) if votes[b] > 0)
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.text("abcxyz0189", min_size=1, max_size=5), max_size=25),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_simhash_fused_matches_python_reference(spark, docs):
+    """Both fingerprint widths of the map-only expression formulation
+    equal a from-scratch Python majority vote on arbitrary token lists
+    (incl. empty docs, where tokenize yields the single empty token)."""
+    from wikistream_event_data_pipeline_aws_spark.operators.textops import (
+        simhash_fused,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.simhash, r.simhash60)
+        for r in simhash_fused(df, "doc_id", "text").collect()
+    }
+    for i, toks in enumerate(docs):
+        eff = toks if toks else [""]  # split(trim('')) -> ['']
+        want16 = _py_simhash(eff, 16, _py_hash16)
+        want60 = _py_simhash(eff, 60, lambda s: _py_hash60(s, "sh60"))
+        assert got[i] == (want16, want60), (i, eff)
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    """text_bm25_topk against a from-scratch Python BM25 over the same
+    parquet corpus: same rational IDF, same length normalization, same
+    decimal-then-rank tie-breaking."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    import pandas as pd
+
+    from wikistream_event_data_pipeline_aws_spark.plans.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOPK,
+        text_bm25_topk,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    toks = {int(r.doc_id): r.text.strip().split() for r in docs.itertuples()}
+    n_docs = len(toks)
+    sum_dl = sum(len(t) for t in toks.values())
+    avgdl = float(sum_dl) / n_docs
+    expect = []
+    for qid, terms in BM25_QUERIES:
+        scored = []
+        for doc_id, t in toks.items():
+            hits = {term: t.count(term) for term in terms if term in t}
+            if not hits:
+                continue
+            score = Decimal(0)
+            for term, tf in hits.items():
+                df_docs = sum(1 for tt in toks.values() if term in tt)
+                idf = (n_docs - df_docs + 0.5) / (df_docs + 0.5)
+                norm = (tf * (BM25_K1 + 1.0)) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (len(t) / avgdl))
+                )
+                score += Decimal(repr(idf * norm)).quantize(
+                    Decimal("1.000000000"), rounding=ROUND_HALF_UP
+                )
+            scored.append((doc_id, score, len(hits)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rnk, (doc_id, score, n_terms) in enumerate(scored[:BM25_TOPK], 1):
+            expect.append((qid, rnk, doc_id, n_terms, float(score)))
+    got = sorted(
+        (r.query_id, r.rnk, r.doc_id, r.n_terms, r.bm25)
+        for r in text_bm25_topk(spark, sf_dir).collect()
+    )
+    assert got == sorted(expect)
