@@ -399,17 +399,15 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def config_row(cand: DataFrame, family: str, pa: int, pb: int) -> DataFrame:
-        """Cost + recall row for one config from its candidate pairs
-        (columns: query_id, neighbor_id, __qv, __cv)."""
+        """Cost + recall row for one config from its SCORED candidate
+        pairs (columns: query_id, neighbor_id, cosine_sim). Scoring
+        happens upstream, before any pair-keyed shuffle — the shuffle
+        then carries an 8-byte double per pair instead of two
+        DIM-length float vectors."""
         cand = cand.localCheckpoint(eager=False)
         n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
         ann = (
-            cand.select(
-                "query_id",
-                "neighbor_id",
-                cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
-            )
-            .withColumn("rank", F.row_number().over(w))
+            cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id")
             .withColumn("hit", F.lit(1))
@@ -433,12 +431,22 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = []
     for nt, npl in SWEEP_CONFIGS:
+        # cosine BEFORE the dedup groupBy: a pair colliding in k tables
+        # recomputes k cheap dot products map-side, but the (query,
+        # neighbor)-keyed shuffle then moves one double per hit instead
+        # of two DIM-float vectors; first() over identical recomputed
+        # scores is deterministic
         cand = (
             tagged(q_bits, nt, npl)
             .join(tagged(c_bits, nt, npl), ["table", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+            )
             .groupBy("query_id", "neighbor_id")
-            .agg(F.first("__qv").alias("__qv"), F.first("__cv").alias("__cv"))
+            .agg(F.first("cosine_sim").alias("cosine_sim"))
         )
         parts.append(config_row(cand, "lsh_multi", nt, npl))
 
@@ -488,7 +496,13 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .drop("probe_rank")
                 .join(corp_cells, "cell")
                 .filter(F.col("query_id") != F.col("neighbor_id"))
-                .select("query_id", "neighbor_id", "__qv", "__cv")
+                # IVF pairs are unique by construction (one cell per
+                # neighbor) — score inline, no dedup needed
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+                )
             )
             parts.append(config_row(cand, "ivf", n_cells, nprobe))
 
