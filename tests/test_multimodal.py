@@ -212,3 +212,46 @@ def test_worker_facing_modules_ship_by_value():
     names = {getattr(m, "__name__", str(m)) for m in registered}
     assert "wikistream_event_data_pipeline_aws_spark.sources.sse" in names
     assert "wikistream_event_data_pipeline_aws_spark.operators.multimodal" in names
+
+
+def test_phash_neardup_surfaces_planted_clones(spark, sf_dir):
+    """The perceptual-hash pipeline (real PNG encode -> decode ->
+    60-bit comparison fingerprint -> banded Hamming join) must surface
+    every planted one-pixel-perturbed clone as an (original, clone)
+    pair within the Hamming<=3 radius. Brightening pixel 0 by 64 flips
+    only the handful of comparison bits whose pair touches pixel 0, so
+    all 10 planted pairs stay inside the pigeonhole-complete radius on
+    this fixture."""
+    from wikistream_event_data_pipeline_aws_spark.plans.multimodal import (
+        PHASH_CLONE_MAX_ID,
+        PHASH_CLONE_OFFSET,
+        multimodal_phash_neardup,
+    )
+
+    rows = multimodal_phash_neardup(spark, sf_dir).collect()
+    planted = {
+        (r.id_a, r.id_b) for r in rows if r.id_b == r.id_a + PHASH_CLONE_OFFSET
+    }
+    expected = {
+        (i, i + PHASH_CLONE_OFFSET) for i in range(0, PHASH_CLONE_MAX_ID, 3)
+    }
+    assert planted == expected
+    assert all(0 <= r.hamming <= 3 for r in rows)
+
+
+def test_phash_pairs_structure():
+    """The comparison-pair list is the fingerprint's definition: 60
+    pairs, all indexes in the 4x4 pixel grid, no self-comparisons, and
+    the leading 42 are exactly the horizontal/vertical/diagonal/
+    anti-diagonal neighbor gradients."""
+    from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
+        PHASH_BITS,
+        PHASH_PAIRS,
+    )
+
+    assert len(PHASH_PAIRS) == PHASH_BITS == 60
+    assert all(0 <= i < 16 and 0 <= j < 16 and i != j for i, j in PHASH_PAIRS)
+    assert PHASH_PAIRS[0] == (0, 1)  # first horizontal gradient
+    assert PHASH_PAIRS[12] == (0, 4)  # first vertical gradient
+    assert PHASH_PAIRS[24] == (0, 5)  # first diagonal
+    assert PHASH_PAIRS[33] == (1, 4)  # first anti-diagonal

@@ -610,7 +610,13 @@ def test_bm25_matches_python_reference(spark, sf_dir):
     )
 
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    toks = {int(r.doc_id): r.text.strip().split() for r in docs.itertuples()}
+    # mirror the engine tokenizer exactly: split(trim(text), '\s+') on an
+    # empty/whitespace-only string yields [''] (ONE empty token), while
+    # str.split() yields [] — the avgdl/df divergence would fail this test
+    # spuriously if such a document ever entered the fixture (ADVICE r7)
+    toks = {
+        int(r.doc_id): (r.text.strip().split() or [""]) for r in docs.itertuples()
+    }
     n_docs = len(toks)
     sum_dl = sum(len(t) for t in toks.values())
     avgdl = float(sum_dl) / n_docs

@@ -412,3 +412,40 @@ def test_two_threads_racing_commits_one_loses_cleanly_and_retries(spark, table, 
         assert m["parent"] == (v - 1 if v > 1 else None)
     final = {r.k for r in snap.read_snapshot(spark, table).collect()}
     assert final == set(range(0, 5)) | set(range(100, 105)) | set(range(200, 205))
+
+
+def test_position_delete_on_empty_snapshot_is_noop_commit(spark, table):
+    """DELETE WHERE against a legitimately empty snapshot (after a
+    delete-all overwrite) must commit a no-op version, not raise the
+    opaque reduce-over-zero-parts TypeError (ADVICE r7)."""
+    from pyspark.sql import functions as F
+
+    snap.snapshot_write(spark, table, _df(spark, 0, 5))
+    snap.snapshot_write(spark, table, _df(spark, 0, 5).filter("k < 0"), mode="overwrite")
+    v = snap.snapshot_delete_positions(spark, table, F.col("k") > 0)
+    assert v == 3
+    out = snap.read_snapshot(spark, table)
+    assert out.count() == 0 and out.columns == ["k"]
+
+
+def test_tagged_empty_snapshot_survives_gc_with_schema_chain(spark, table):
+    """A tag on an EMPTY overwrite snapshot reconstructs its schema by
+    walking parent manifests; GC must retain that chain up to the
+    nearest ancestor with files or the pinned tag becomes unreadable
+    (ADVICE r7)."""
+    snap.snapshot_write(spark, table, _df(spark, 0, 5))  # v1: has files
+    snap.snapshot_write(
+        spark, table, _df(spark, 0, 5).filter("k < 0"), mode="overwrite"
+    )  # v2: empty
+    snap.create_tag(table, "empty-pin", 2)
+    snap.snapshot_write(spark, table, _df(spark, 10, 13), mode="overwrite")  # v3
+    snap.snapshot_write(spark, table, _df(spark, 20, 24), mode="overwrite")  # v4
+    removed = snap.expire_snapshots(table, keep_last=1)
+    # v1 is the tagged-empty v2's schema ancestor: must survive
+    assert "v000001" not in removed["manifests"]
+    out = snap.read_snapshot(spark, table, snap.resolve_ref(table, "empty-pin"))
+    assert out.count() == 0 and out.columns == ["k"]
+    # dropping the tag releases the whole chain
+    snap.delete_tag(table, "empty-pin")
+    removed = snap.expire_snapshots(table, keep_last=1)
+    assert {"v000001", "v000002"} <= set(removed["manifests"])

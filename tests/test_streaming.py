@@ -764,6 +764,56 @@ def test_histogram_sink_replay_is_idempotent(spark, tmp_path):
     assert first == second
 
 
+def test_postings_sink_replay_idempotent_and_matches_batch(spark, tmp_path):
+    """Set-union state through the insert-only merge: a FULL replay
+    (fresh checkpoint, same batches) must leave the postings table
+    byte-identical, and the end-of-stream (token, doc) set must equal
+    the one-pass batch tokenization — the streamed==batch claim the
+    registered streaming_postings_sink query value-checks at the
+    aggregate level."""
+    from wikistream_event_data_pipeline_aws_spark.operators.textops import tokenize
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        start_postings_sink,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(40)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    for parity in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    postings_path = str(tmp_path / "postings")
+
+    def run(ckpt: str) -> None:
+        q = start_postings_sink(
+            file_stream(spark, src, "doc_id long, text string", max_files_per_trigger=1),
+            postings_path,
+            checkpoint_dir=str(tmp_path / ckpt),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run("c1")
+    first = {(r.token, r.doc_id) for r in spark.read.parquet(postings_path).collect()}
+    batch = {
+        (r.token, r.doc_id)
+        for r in docs.select(
+            "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+        )
+        .distinct()
+        .collect()
+    }
+    assert first == batch
+    run("c2")  # full replay: insert-only merge no-ops every pair
+    second = {(r.token, r.doc_id) for r in spark.read.parquet(postings_path).collect()}
+    assert second == first
+
+
 class TestSSEReplaySource:
     """Spark 4 Python DataSource over a recorded SSE capture (S2 as an
     in-engine source): batch fan-out and micro-batched streaming with

@@ -417,6 +417,81 @@ def sample_frames(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
     )
 
 
+PHASH_BITS = 60  # matches textops.SIMHASH60_BITS so the banded
+#                  Hamming join machinery is shared unchanged
+
+
+def _phash_pairs() -> tuple[tuple[int, int], ...]:
+    """The fixed pixel-comparison pair list defining the perceptual
+    hash: bit k of the fingerprint is ``pixel[i_k] < pixel[j_k]``.
+
+    Classic dHash compares horizontally adjacent pixels of a
+    down-sampled 9x8 image (64 bits). Our corpus images are 4x4 (16
+    md5-derived pixels), so the comparison set generalizes to every
+    horizontal (12), vertical (12), diagonal (9) and anti-diagonal (9)
+    neighbor pair — the full local-gradient structure of the image —
+    plus md5-derived extra pairs filling out the 60-bit width. The
+    pair list is a deterministic module constant shared verbatim by
+    the Spark operator (over DECODED pixels) and the DuckDB oracle
+    (over payload hex), so a codec bug on either side breaks parity."""
+    import hashlib
+
+    pairs: list[tuple[int, int]] = []
+    for r in range(4):
+        for c in range(3):
+            pairs.append((4 * r + c, 4 * r + c + 1))  # horizontal gradient
+    for r in range(3):
+        for c in range(4):
+            pairs.append((4 * r + c, 4 * (r + 1) + c))  # vertical gradient
+    for r in range(3):
+        for c in range(3):
+            pairs.append((4 * r + c, 4 * (r + 1) + c + 1))  # diagonal
+    for r in range(3):
+        for c in range(3):
+            pairs.append((4 * r + c + 1, 4 * (r + 1) + c))  # anti-diagonal
+    t = 0
+    while len(pairs) < PHASH_BITS:
+        i = int(hashlib.md5(f"ph{t}a".encode()).hexdigest()[:2], 16) % 16
+        j = int(hashlib.md5(f"ph{t}b".encode()).hexdigest()[:2], 16) % 15
+        if j >= i:
+            j += 1
+        pairs.append((i, j))
+        t += 1
+    return tuple(pairs[:PHASH_BITS])
+
+
+PHASH_PAIRS = _phash_pairs()
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """60-bit perceptual fingerprint per image from REAL PNG payloads:
+    parse the container (CRC-checked chunk walk + inflate + defilter,
+    :func:`decode_png_gray8`) and emit one bit per ``PHASH_PAIRS``
+    comparison over the decoded pixels. Arrow-batched ``mapInPandas``;
+    map-only (a fingerprint depends only on its own payload — the blob
+    never shuffles, only the 8-byte hash does)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, px = decode_png_gray8(bytes(payload or b""))
+                fp = 0
+                for k, (i, j) in enumerate(PHASH_PAIRS):
+                    if px[i] < px[j]:
+                        fp |= 1 << k
+                ids.append(media_id)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "phash": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, "media_id long, phash long")
+
+
 AUDIO_ENERGY_SCHEMA = "media_id long, window_idx int, rms double, peak int"
 
 

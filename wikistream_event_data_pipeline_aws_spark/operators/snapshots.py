@@ -391,6 +391,34 @@ def snapshot_delete_positions(
     if parent is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     pm = read_manifest(path, parent)
+    if not pm["files"]:
+        # DELETE WHERE on a legitimately empty snapshot (e.g. after a
+        # delete-all overwrite) is a no-op: commit a version that
+        # carries the parent's (empty) state forward instead of letting
+        # _read_with_seq reduce() over zero parts raise an opaque
+        # TypeError (ADVICE r7)
+        version = parent + 1
+        carried = {
+            k: pm[k]
+            for k in (
+                "file_seqs", "deletes", "delete_keys", "delete_seqs",
+                "pos_deletes", "pos_delete_seqs",
+            )
+            if pm.get(k)
+        }
+        _commit_manifest(
+            path,
+            version,
+            {
+                "version": version,
+                "parent": parent,
+                "operation": "delete-positions",
+                "files": [],
+                **carried,
+                "n_rows": pm["n_rows"],
+            },
+        )
+        return version
     # resolve predicate -> positions over the CURRENT visible rows:
     # already-deleted rows are not visible, so their coordinates are
     # never re-deleted (idempotent DELETE WHERE, as Iceberg plans it)
@@ -730,7 +758,18 @@ def expire_snapshots(path: str, keep_last: int) -> dict[str, list[str]]:
     # tagged versions are GC ROOTS (Iceberg ref retention): a tag pins
     # its snapshot — manifest and files — for as long as the tag lives
     tagged = set(list_refs(path).values())
-    expired = [v for v in vs[:-keep_last] if v not in tagged]
+    # an EMPTY tagged snapshot (overwrite with a no-row frame) has no
+    # files of its own: read_snapshot reconstructs its schema by walking
+    # PARENT manifests, so the whole parent chain up to the nearest
+    # ancestor WITH files must survive too, or reading the pinned tag
+    # fails after GC (ADVICE r7)
+    roots = set(tagged)
+    for v in tagged:
+        m = read_manifest(path, v)
+        while not m["files"] and m.get("parent") is not None:
+            roots.add(m["parent"])
+            m = read_manifest(path, m["parent"])
+    expired = [v for v in vs[:-keep_last] if v not in roots]
     if not expired:
         return {"manifests": [], "data_files": []}
     survivors = [v for v in vs if v not in expired]

@@ -29,6 +29,7 @@ from ..operators.multimodal import (
     Y4M_W,
     decode_media,
     encode_containers,
+    image_dhash,
     sample_frames,
     synthetic_media,
 )
@@ -190,14 +191,131 @@ FROM documents WHERE doc_id % 3 = 1""")
 MULTIMODAL_AUDIO_ENERGY_SQL = _audio_energy_sql()
 
 
+PHASH_CLONE_MAX_ID = 30  # images with doc_id < 30 get a perturbed clone
+PHASH_CLONE_OFFSET = 100_000
+_PHASH_PERT_DELTA = 64  # pixel[0] += 64 (clamped) — a visible gradient change
+
+
+def _image_corpus_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image slice of the media corpus plus planted NEAR-IDENTICAL
+    clones: for each image with doc_id < {max_id}, a copy at media_id +
+    {off} whose first pixel is brightened by {d} (clamped to 255) — a
+    one-pixel perturbation that flips only the fingerprint bits whose
+    comparison involves pixel 0. Payloads here are the RAW 16 md5
+    bytes; the query wraps them in real PNG containers downstream."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    base = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(F.md5("text")).alias("payload")
+    )
+    b0 = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int")
+    pert_hex = F.concat(
+        F.lpad(F.hex(F.least(F.lit(255), b0 + _PHASH_PERT_DELTA)), 2, "0"),
+        F.substring(F.md5("text"), 3, 30),
+    )
+    clones = d.filter(F.col("doc_id") < PHASH_CLONE_MAX_ID).select(
+        (F.col("doc_id") + PHASH_CLONE_OFFSET).alias("media_id"),
+        F.unhex(pert_hex).alias("payload"),
+    )
+    return base.unionByName(clones)
+
+
+_image_corpus_augmented.__doc__ = _image_corpus_augmented.__doc__.format(
+    max_id=PHASH_CLONE_MAX_ID, off=PHASH_CLONE_OFFSET, d=_PHASH_PERT_DELTA
+)
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (VERDICT r7 item 3) — the
+    multimodal codecs composed with the banded Hamming join into ONE
+    first-class LLM-pipeline operator: raw image corpus (+ planted
+    one-pixel-perturbed clones) -> REAL PNG containers
+    (``encode_containers``) -> container parse + 60-bit perceptual
+    fingerprint over the DECODED pixels (``image_dhash``: CRC-checked
+    chunk walk, inflate, defilter, then one bit per fixed
+    pixel-comparison pair) -> the same 4x15-bit banded Hamming join the
+    60-bit simhash path uses (pigeonhole-complete at Hamming<=3, 2^15
+    band values so buckets stay sparse at 100x corpus growth — never a
+    cartesian). Output: (id_a, id_b, hamming) candidate pairs within
+    Hamming<=3; the planted clones differ only in comparisons touching
+    pixel 0, so they surface here while unrelated images do not.
+
+    The oracle reproduces every fingerprint bit from ``md5(text)`` hex
+    alone — so a bug in the PNG encoder, the decoder, OR the hash
+    breaks value parity. Scale shape: fingerprinting is map-only over
+    the blobs (which never shuffle — only 8-byte hashes do); the pair
+    join is band-bucketed exactly like ``dedup_simhash_band60``."""
+    from .dedup import _simhash60_pairs_from_sig, _spread
+
+    corpus = _image_corpus_augmented(spark, sf_dir).withColumn(
+        "media_type", F.lit("image")
+    )
+    sig = image_dhash(encode_containers(corpus))
+    fenced = _spread(
+        sig.select(
+            F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash60")
+        )
+    ).localCheckpoint(eager=True)
+    return _simhash60_pairs_from_sig(fenced)
+
+
+def _phash_oracle_sql() -> str:
+    from ..operators.multimodal import PHASH_PAIRS
+
+    from .dedup import SIMHASH60_BANDS, SIMHASH60_HAM_MAX
+
+    byte_cols = ", ".join(f"{b} AS b{i}" for i, b in enumerate(_B))
+    fp = " + ".join(
+        f"(CASE WHEN b{i} < b{j} THEN (1::BIGINT << {k}) ELSE 0::BIGINT END)"
+        for k, (i, j) in enumerate(PHASH_PAIRS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {byte_cols} FROM documents WHERE doc_id % 3 = 0
+),
+imgs AS (
+  SELECT doc_id AS media_id, * EXCLUDE (doc_id, b0), b0 FROM base
+  UNION ALL
+  SELECT doc_id + {PHASH_CLONE_OFFSET} AS media_id, * EXCLUDE (doc_id, b0),
+         LEAST(255, b0 + {_PHASH_PERT_DELTA}) AS b0
+  FROM base WHERE doc_id < {PHASH_CLONE_MAX_ID}
+),
+sigs AS (
+  SELECT media_id AS doc_id, {fp} AS sh FROM imgs
+),
+banded AS (
+  SELECT doc_id, sh, t.j AS bi, (sh >> (15 * CAST(t.j AS INTEGER))) & 32767 AS bv
+  FROM sigs, range({SIMHASH60_BANDS}) t(j)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.sh AS sim_a, r.sh AS sim_b
+  FROM banded l JOIN banded r
+    ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cands
+WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH60_HAM_MAX}
+"""
+
+
+MULTIMODAL_PHASH_NEARDUP_SQL = _phash_oracle_sql()
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_energy": multimodal_audio_energy,
+    "multimodal_phash_neardup": multimodal_phash_neardup,
 }
 
 ORACLES = {
+    "multimodal_phash_neardup": MULTIMODAL_PHASH_NEARDUP_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,

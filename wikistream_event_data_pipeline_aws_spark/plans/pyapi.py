@@ -123,52 +123,59 @@ def _sse_capture(spark: SparkSession, sf_dir: str) -> str:
     path = _SSE_FIXTURE_CACHE.get(sf_dir)
     if path is not None:
         return path
+    import hashlib
     import os
 
     from .snapshots import _WAREHOUSE
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     cap_dir = os.path.abspath(os.path.join(_WAREHOUSE, f"sse_capture_{tag}"))
-    path = os.path.join(cap_dir, "capture.ndjson")
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     st = os.stat(src)
-    # staleness key: the testdata HAS changed shape between driver
-    # rounds before (see .claude/skills/verify) — a fixture captured
-    # from older events.parquet would silently fail the value hash
-    stamp = f"{st.st_size}:{int(st.st_mtime_ns)}"
-    marker = os.path.join(cap_dir, "source.stamp")
-    if os.path.exists(path) and os.path.exists(marker):
-        with open(marker) as f:
-            if f.read() == stamp:
-                _SSE_FIXTURE_CACHE[sf_dir] = path
-                return path
+    # CONTENT-ADDRESSED capture filename (ADVICE r7): the staleness key
+    # (source path + size + mtime — the testdata HAS changed shape
+    # between driver rounds before) is part of the file NAME, so the
+    # capture can never be observed paired with another source's stamp:
+    # existence IS validity, and two concurrent builders for different
+    # sources race on different names. Stale generations are left in
+    # place (a concurrent reader may still hold one; the warehouse is
+    # scratch space, ~MBs per generation).
+    stamp = f"{src}:{st.st_size}:{int(st.st_mtime_ns)}"
+    path = os.path.join(
+        cap_dir, f"capture-{hashlib.md5(stamp.encode()).hexdigest()[:12]}.ndjson"
+    )
+    if os.path.exists(path):
+        _SSE_FIXTURE_CACHE[sf_dir] = path
+        return path
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "event_type", "value"],
-    )
-    rows = sorted(tbl.to_pylist(), key=lambda r: r["event_id"])
+        src, columns=["event_id", "ts", "event_type", "value"]
+    ).sort_by("event_id")
+    # serialize with f-strings, not per-row json.dumps (~5x): event_id is
+    # an int, ts's str() form contains no JSON specials, value is a
+    # finite double (repr == json's float form) or null, and event_type
+    # is escaped once per DISTINCT value via json.dumps — so the bytes
+    # are exactly what the dumps(sort_keys=True) formulation produced
+    # (VERDICT r7 item 5: the rebuild runs inside the benched query
+    # whenever the driver regenerates testdata; keep it cheap)
+    ets = tbl.column("event_type").to_pylist()
+    esc = {et: json.dumps(et) for et in set(ets)}
+    lines = [
+        f'{{"event_id": {eid}, "event_type": {esc[et]}, "ts": "{ts}", '
+        f'"value": {"null" if v is None else repr(float(v))}}}\n'
+        for eid, et, ts, v in zip(
+            tbl.column("event_id").to_pylist(),
+            ets,
+            tbl.column("ts").to_pylist(),
+            tbl.column("value").to_pylist(),
+        )
+    ]
     os.makedirs(cap_dir, exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as f:
-        for r in rows:
-            f.write(
-                json.dumps(
-                    {
-                        "event_id": r["event_id"],
-                        "ts": str(r["ts"]),
-                        "event_type": r["event_type"],
-                        "value": r["value"],
-                    },
-                    sort_keys=True,
-                )
-                + "\n"
-            )
+        f.writelines(lines)
     os.replace(tmp, path)  # atomic: a racing builder wrote identical bytes
-    with open(f"{marker}.tmp.{os.getpid()}", "w") as f:
-        f.write(stamp)
-    os.replace(f"{marker}.tmp.{os.getpid()}", marker)
     _SSE_FIXTURE_CACHE[sf_dir] = path
     return path
 

@@ -328,8 +328,16 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
       plane-bit vector, so the hyperplane projections (the dominant
       cost: DIM-literal folds per plane per row) are computed ONCE for
       the maximal (tables, planes) grid and fenced with a lazy
-      localCheckpoint; each config derives buckets with integer
-      arithmetic over the materialized bits.
+      localCheckpoint. Further (VERDICT r7 item 6), every config's
+      CANDIDATE SET is a subset of the coarsest config's (fewer planes
+      = coarser buckets = more collisions; fewer tables = a subset of
+      the table axis), so ONE bucket join at (all tables, min planes)
+      granularity feeds every config: each collision row records how
+      long the two bit vectors' common prefix runs, a pair-keyed
+      aggregation folds that into per-(table, planes) hit flags plus
+      ONE shared exact cosine, and each config is then a pure filter
+      over the fenced flag table — 5 joins + 5 dedups + 5 cosine
+      passes collapse into 1 + 1 + 1.
     - IVF: one corpus cell assignment per DISTINCT n_cells (different
       quantizers genuinely differ), fenced; the query side ranks ALL
       centroids once per n_cells and each nprobe config is a pure
@@ -340,49 +348,34 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from ..operators.similarity import _dot, _hyperplane, cosine
+    from ..operators.similarity import _hyperplane, cosine
 
     max_tables = max(nt for nt, _ in SWEEP_CONFIGS)
     max_planes = max(npl for _, npl in SWEEP_CONFIGS)
 
     def with_bits(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        # ONE F.expr string per table, not max_planes x DIM F.lit objects
+        # + per-plane HOF lambdas: each Python-side lambda/literal costs
+        # py4j round-trips, and the DSL formulation measured ~6s of pure
+        # driver time per sweep invocation (the same lesson as the
+        # simhash _bit_vote_cols rewrite) — the JVM parses these strings
+        # in milliseconds. The expression tree is identical: left-fold
+        # dot product in double, bit = projection > 0.
+        def plane_sql(t: int, p: int) -> str:
+            coeffs = ", ".join(
+                f"{_hyperplane(t * 1000 + p, d)!r}D" for d in range(DIM)
+            )
+            return (
+                f"IF(aggregate(zip_with(embedding, array({coeffs}),"
+                " (x, y) -> CAST(x AS DOUBLE) * y),"
+                " 0.0D, (acc, x) -> acc + x) > 0, 1, 0)"
+            )
+
         cols = [F.col("vec_id").alias(out_id), F.col("embedding").alias(out_vec)]
         for t in range(max_tables):
-            bits = F.array(
-                *[
-                    F.when(
-                        _dot(
-                            F.col("embedding"),
-                            F.array(
-                                *[
-                                    F.lit(_hyperplane(t * 1000 + p, d))
-                                    for d in range(DIM)
-                                ]
-                            ),
-                        )
-                        > 0,
-                        F.lit(1),
-                    ).otherwise(0)
-                    for p in range(max_planes)
-                ]
-            )
-            cols.append(bits.alias(f"__bits{t}"))
+            bits = ", ".join(plane_sql(t, p) for p in range(max_planes))
+            cols.append(F.expr(f"array({bits})").alias(f"__bits{t}"))
         return df.select(*cols)
-
-    def tagged(df: DataFrame, nt: int, npl: int) -> DataFrame:
-        buckets = F.array(
-            *[
-                sum(
-                    (F.col(f"__bits{t}")[p] * F.lit(1 << p) for p in range(npl)),
-                    start=F.lit(0),
-                )
-                for t in range(nt)
-            ]
-        )
-        return df.select(
-            *[c for c in df.columns if not c.startswith("__bits")],
-            F.posexplode(buckets).alias("table", "bucket"),
-        )
 
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES)
@@ -429,24 +422,92 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") / F.col("n_exact")).alias("micro_recall"),
         )
 
+    # ONE bucket join at the coarsest granularity (all tables, minimum
+    # plane count) feeds every LSH config: coarser buckets collide a
+    # SUPERSET of every finer config's pairs, and per-collision prefix-
+    # agreement flags recover exactly each config's candidate set
+    plane_lens = sorted({npl for _, npl in SWEEP_CONFIGS})
+    min_planes = plane_lens[0]
+
+    def coarse(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    sum(
+                        (
+                            F.col(f"__bits{t}")[p] * F.lit(1 << p)
+                            for p in range(min_planes)
+                        ),
+                        start=F.lit(0),
+                    ).alias("bucket"),
+                    F.col(f"__bits{t}").alias("bits"),
+                )
+                for t in range(max_tables)
+            ]
+        )
+        return df.select(id_col, vec_col, F.explode(structs).alias("s")).select(
+            id_col,
+            vec_col,
+            F.col("s.table").alias("table"),
+            F.col("s.bucket").alias("bucket"),
+            F.col("s.bits").alias("bits"),
+        )
+
+    collided = (
+        coarse(q_bits, "query_id", "__qv")
+        .withColumnRenamed("bits", "__qb")
+        .join(
+            coarse(c_bits, "neighbor_id", "__cv").withColumnRenamed("bits", "__cb"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    # longest-common-prefix flags: the join guarantees planes
+    # [0, min_planes) agree; each further sweep length extends the check
+    agree: dict[int, F.Column] = {min_planes: F.lit(True)}
+    prev = F.lit(True)
+    for lo, hi in zip(plane_lens, plane_lens[1:]):
+        for p in range(lo, hi):
+            prev = prev & (F.col("__qb")[p] == F.col("__cb")[p])
+        agree[hi] = prev
+    # cosine BEFORE the pair-keyed groupBy: a pair colliding in k tables
+    # recomputes k cheap dot products map-side, but the shuffle then
+    # moves one double + a few flag ints per pair instead of two
+    # DIM-float vectors; first() over identical recomputed scores is
+    # deterministic
+    scored_rows = collided.select(
+        "query_id",
+        "neighbor_id",
+        "table",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        *[agree[npl].alias(f"__m{npl}") for npl in plane_lens],
+    )
+    pair_flags = (
+        scored_rows.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("cosine_sim").alias("cosine_sim"),
+            *[
+                F.max(
+                    F.when(
+                        (F.col("table") == t) & F.col(f"__m{npl}"), 1
+                    ).otherwise(0)
+                ).alias(f"__hit_{t}_{npl}")
+                for t in range(max_tables)
+                for npl in plane_lens
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+
     parts = []
     for nt, npl in SWEEP_CONFIGS:
-        # cosine BEFORE the dedup groupBy: a pair colliding in k tables
-        # recomputes k cheap dot products map-side, but the (query,
-        # neighbor)-keyed shuffle then moves one double per hit instead
-        # of two DIM-float vectors; first() over identical recomputed
-        # scores is deterministic
-        cand = (
-            tagged(q_bits, nt, npl)
-            .join(tagged(c_bits, nt, npl), ["table", "bucket"])
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
-            )
-            .groupBy("query_id", "neighbor_id")
-            .agg(F.first("cosine_sim").alias("cosine_sim"))
+        flag = reduce(
+            lambda a, b: a | b,
+            [F.col(f"__hit_{t}_{npl}") == 1 for t in range(nt)],
+        )
+        cand = pair_flags.filter(flag).select(
+            "query_id", "neighbor_id", "cosine_sim"
         )
         parts.append(config_row(cand, "lsh_multi", nt, npl))
 
@@ -724,24 +785,12 @@ RRF_QUERIES = 3
 RRF_TOPK = 10
 
 
-def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
-    SIGIR 2009): for each of {nq} query documents, fuse a LEXICAL
-    ranking (distinct-token Jaccard against every candidate sharing a
-    token) with a SEMANTIC ranking (exact cosine over the embeddings
-    table, ``brute_force_topk`` — vec_id aligns with doc_id in this
-    corpus) via ``score = sum(1/(k + rank))``, k={k}. The modern RAG
-    retrieval stack in one plan: BM25-family and vector legs each
-    produce a top-{topk} list; RRF needs only the RANKS, so the legs'
-    incomparable scores never mix — and rank integers fuse with a
-    fixed two-term double sum, so oracle parity is exact.
-
-    Scale shape: the query side of both legs is a broadcast ({nq}
-    docs / vectors); lexical candidates are bounded by posting
-    intersection (one token-keyed shuffle of matching postings only);
-    the semantic leg is the documented brute-force baseline (ANN
-    variants are the separate similarity_ann_* queries). Fusion joins
-    two <= {nq}x{topk}-row lists — negligible."""
+def _lexical_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared lexical retrieval leg: per query document, the top-{topk}
+    candidates by distinct-token Jaccard, candidates bounded by posting
+    intersection (only docs sharing >= 1 token with a query are scored;
+    the query postings broadcast). Returns (query_id, cand_id,
+    lex_rank).""".format(topk=RRF_TOPK)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.select(
         "doc_id",
@@ -764,18 +813,19 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_lex = Window.partitionBy("query_id").orderBy(
         jac.desc(), F.col("doc_id").asc()
     )
-    lexk = (
+    return (
         inter.join(sizes, "doc_id")
         .join(F.broadcast(qsizes), "query_id")
         .withColumn("lex_rank", F.row_number().over(w_lex))
         .filter(F.col("lex_rank") <= RRF_TOPK)
         .select("query_id", F.col("doc_id").alias("cand_id"), "lex_rank")
     )
-    e = load_table(spark, sf_dir, "embeddings")
-    semk = brute_force_topk(
-        e.filter(F.col("vec_id") < RRF_QUERIES), e, k=RRF_TOPK
-    ).select("query_id", F.col("neighbor_id").alias("cand_id"),
-             F.col("rank").alias("sem_rank"))
+
+
+def _rrf_fused(lexk: DataFrame, semk: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic top-k list:
+    score = sum(1/(k + rank)) over the legs where the candidate appears;
+    re-ranked and cut to the fused top-{topk}.""".format(topk=RRF_TOPK)
     fused = lexk.join(semk, ["query_id", "cand_id"], "full_outer")
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
@@ -794,6 +844,33 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lex_rank", "sem_rank", "rrf_score",
         )
     )
+
+
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): for each of {nq} query documents, fuse a LEXICAL
+    ranking (distinct-token Jaccard against every candidate sharing a
+    token) with a SEMANTIC ranking (exact cosine over the embeddings
+    table, ``brute_force_topk`` — vec_id aligns with doc_id in this
+    corpus) via ``score = sum(1/(k + rank))``, k={k}. The modern RAG
+    retrieval stack in one plan: BM25-family and vector legs each
+    produce a top-{topk} list; RRF needs only the RANKS, so the legs'
+    incomparable scores never mix — and rank integers fuse with a
+    fixed two-term double sum, so oracle parity is exact.
+
+    Scale shape: the query side of both legs is a broadcast ({nq}
+    docs / vectors); lexical candidates are bounded by posting
+    intersection (one token-keyed shuffle of matching postings only);
+    the semantic leg is the documented brute-force baseline (the
+    ANN-routed variant is ``retrieval_rrf_ann``). Fusion joins two
+    <= {nq}x{topk}-row lists — negligible."""
+    lexk = _lexical_jaccard_topk(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    semk = brute_force_topk(
+        e.filter(F.col("vec_id") < RRF_QUERIES), e, k=RRF_TOPK
+    ).select("query_id", F.col("neighbor_id").alias("cand_id"),
+             F.col("rank").alias("sem_rank"))
+    return _rrf_fused(lexk, semk)
 
 
 retrieval_rrf_hybrid.__doc__ = retrieval_rrf_hybrid.__doc__.format(
@@ -858,9 +935,135 @@ SELECT query_id, fused_rank, cand_id, lex_rank, sem_rank, rrf_score FROM (
 """
 
 
+def retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF hybrid retrieval with the semantic leg on the ANN scale path
+    (VERDICT r7 item 2): identical lexical leg and fusion algebra to
+    ``retrieval_rrf_hybrid``, but the vector leg's candidates come from
+    the multi-table LSH bucket join (``lsh_multi_table_topk`` — same
+    index as ``similarity_ann_lsh_multi``) instead of a brute-force
+    query x corpus scan. This is the 100 TB RAG retrieval shape: the
+    semantic leg touches only signature-colliding candidates (Σ|bucket|²
+    work through one (table, bucket)-keyed equi-join), never O(nq·N)
+    pairs.
+
+    Each output row additionally carries the agreement audit vs the
+    exact-fused variant: ``in_exact_fused`` (this candidate appears in
+    ``retrieval_rrf_hybrid``'s fused top-k for the query) and the
+    per-query ``fused_recall`` (fraction of the exact fused list that
+    the ANN-fused list retrieved) — the measurement that justifies
+    retiring the brute-force leg at scale. The exact variant appears
+    here ONLY as that audit's ground truth, exactly like
+    ``similarity_ann_recall``; the ranking itself is ANN end to end.
+    Deterministic throughout (md5 hyperplanes, rank-based fusion), so
+    even the recall column is value-hash-checked."""
+    lexk = _lexical_jaccard_topk(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    semk = lsh_multi_table_topk(
+        e.filter(F.col("vec_id") < RRF_QUERIES),
+        e,
+        dim=DIM,
+        k=RRF_TOPK,
+        n_planes=N_PLANES,
+        n_tables=N_TABLES,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    ann_fused = _rrf_fused(lexk, semk)
+    exact = retrieval_rrf_hybrid(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("__hit")
+    )
+    exact_n = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n_exact")
+    )
+    w_q = Window.partitionBy("query_id")
+    return (
+        ann_fused.join(F.broadcast(exact), ["query_id", "cand_id"], "left")
+        .join(F.broadcast(exact_n), "query_id")
+        .withColumn(
+            "in_exact_fused", F.coalesce(F.col("__hit"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "fused_recall",
+            F.sum("in_exact_fused").over(w_q).cast("double")
+            / F.col("__n_exact"),
+        )
+        .select(
+            "query_id", "fused_rank", "cand_id", "lex_rank", "sem_rank",
+            "rrf_score", "in_exact_fused", "fused_recall",
+        )
+    )
+
+
+_LEX_CTES_SQL = rf"""
+toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+qt AS (SELECT doc_id AS query_id, token FROM toks WHERE doc_id < {RRF_QUERIES}),
+inter AS (
+  SELECT q.query_id, t.doc_id, COUNT(*) AS n_inter
+  FROM toks t JOIN qt q USING (token)
+  WHERE t.doc_id <> q.query_id
+  GROUP BY q.query_id, t.doc_id
+),
+lex AS (
+  SELECT i.query_id, i.doc_id AS cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY i.query_id
+           ORDER BY (i.n_inter / (nq.n_toks + nc.n_toks - i.n_inter)) DESC,
+                    i.doc_id ASC) AS lex_rank
+  FROM inter i
+  JOIN sizes nc ON i.doc_id = nc.doc_id
+  JOIN sizes nq ON i.query_id = nq.doc_id
+),
+lexk AS (SELECT * FROM lex WHERE lex_rank <= {RRF_TOPK})
+"""
+
+RETRIEVAL_RRF_ANN_SQL = f"""
+WITH hyb AS ({RETRIEVAL_RRF_HYBRID_SQL}),
+annm AS ({SIMILARITY_ANN_LSH_MULTI_SQL}),
+semk AS (
+  SELECT query_id, neighbor_id AS cand_id, rank AS sem_rank
+  FROM annm WHERE query_id < {RRF_QUERIES}
+),
+{_LEX_CTES_SQL},
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.cand_id, s.cand_id) AS cand_id,
+         l.lex_rank, s.sem_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.lex_rank), CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.sem_rank), CAST(0 AS DOUBLE))
+           AS rrf_score
+  FROM lexk l FULL OUTER JOIN semk s
+    ON l.query_id = s.query_id AND l.cand_id = s.cand_id
+),
+ann AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, cand_id ASC) AS fused_rank
+    FROM fused
+  ) WHERE fused_rank <= {RRF_TOPK}
+),
+exn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM hyb GROUP BY query_id)
+SELECT a.query_id, a.fused_rank, a.cand_id, a.lex_rank, a.sem_rank, a.rrf_score,
+       CAST(CASE WHEN h.cand_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact_fused,
+       CAST(SUM(CASE WHEN h.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+              OVER (PARTITION BY a.query_id) AS DOUBLE) / exn.n_exact AS fused_recall
+FROM ann a
+LEFT JOIN hyb h ON a.query_id = h.query_id AND a.cand_id = h.cand_id
+JOIN exn ON a.query_id = exn.query_id
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "retrieval_rrf_hybrid": retrieval_rrf_hybrid,
+    "retrieval_rrf_ann": retrieval_rrf_ann,
     "similarity_embedding_neardup": similarity_embedding_neardup,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_lsh_multi": similarity_ann_lsh_multi,
@@ -872,6 +1075,7 @@ QUERIES = {
 
 ORACLES = {
     "retrieval_rrf_hybrid": RETRIEVAL_RRF_HYBRID_SQL,
+    "retrieval_rrf_ann": RETRIEVAL_RRF_ANN_SQL,
     "similarity_ann_sweep": SIMILARITY_ANN_SWEEP_SQL,
     "similarity_ann_lsh_multi": SIMILARITY_ANN_LSH_MULTI_SQL,
     "similarity_cosine_topk": SIMILARITY_COSINE_TOPK_SQL,

@@ -377,6 +377,15 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_docs = d.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     ).distinct()
+    return _index_topk_from_postings(tok_docs)
+
+
+def _index_topk_from_postings(tok_docs: DataFrame) -> DataFrame:
+    """Shared index readout over a distinct (doc_id, token) posting set:
+    per-token df + capped sorted posting sample, top-``INVIDX_TOPK`` by
+    df. Consumed by the batch build above and by the streaming sink
+    readout (``streaming_postings_sink``), so the two paths aggregate
+    identically by construction."""
     dfreq = tok_docs.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
     w = Window.partitionBy("token").orderBy("doc_id")
     sample = (
@@ -399,6 +408,55 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df_docs"), "token")
         .limit(INVIDX_TOPK)
     )
+
+
+_POSTINGS_SRC_CACHE: dict[str, str] = {}
+
+
+def streaming_postings_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance end-to-end (VERDICT r7
+    item 7): the documents table replays as TWO micro-batches
+    (deterministic even/odd doc_id split, one file each) through
+    ``streaming.ingest.start_postings_sink``, whose foreachBatch
+    INSERT-ONLY merges each batch's distinct (token, doc_id) postings
+    into a persistent postings table — set-union is the index's merge
+    algebra, so replayed batches and duplicate deliveries no-op and
+    the end-of-stream table is BIT-IDENTICAL to the batch build's
+    posting set. The readout aggregates that table through the exact
+    code path the batch ``text_inverted_index`` uses
+    (``_index_topk_from_postings``) and is value-checked against the
+    batch oracle — the strongest form of the streamed==batch claim.
+    Replay idempotency is pinned separately in the streaming tests."""
+    import tempfile
+
+    from ..streaming.ingest import file_stream, start_postings_sink
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the SOURCE fixture (two files = two micro-batches) is immutable
+    # per scale factor — cache it across invocations; postings/checkpoint
+    # state is per-run
+    src = _POSTINGS_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="postings_stream_src_") + "/src"
+        for parity in (0, 1):
+            d.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        _POSTINGS_SRC_CACHE[sf_dir] = src
+    tmp = tempfile.mkdtemp(prefix="postings_stream_")
+    postings_path, ckpt = f"{tmp}/postings", f"{tmp}/ckpt"
+    stream = file_stream(
+        spark, src, "doc_id bigint, text string", max_files_per_trigger=1
+    )
+    q = start_postings_sink(
+        stream, postings_path, checkpoint_dir=ckpt, trigger={"availableNow": True}
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("postings stream did not finish in 300s")
+    postings = spark.read.parquet(postings_path).select("doc_id", "token")
+    return _index_topk_from_postings(postings)
 
 
 TEXT_INVERTED_INDEX_SQL = rf"""
@@ -747,6 +805,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_bm25_topk": text_bm25_topk,
     "text_inverted_index": text_inverted_index,
+    "streaming_postings_sink": streaming_postings_sink,
     "text_bigram_surprisal": text_bigram_surprisal,
 }
 
@@ -762,5 +821,6 @@ ORACLES = {
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
     "text_bm25_topk": TEXT_BM25_TOPK_SQL,
     "text_inverted_index": TEXT_INVERTED_INDEX_SQL,
+    "streaming_postings_sink": TEXT_INVERTED_INDEX_SQL,
     "text_bigram_surprisal": TEXT_BIGRAM_SURPRISAL_SQL,
 }

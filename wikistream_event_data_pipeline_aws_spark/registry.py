@@ -43,24 +43,26 @@ _ORACLES: dict[str, str] = {}
 # scores, cluster keepers, funnel latency) — are pytest-parity-verified
 # (tests/test_oracle_parity.py replays the driver check) and MUST head
 # the round-5 front together with the displaced r1 rows.
-# Round 7 composition (VERDICT r6 item 1): with the full 226-query
-# registry driver-green (union r01–r06 = 225/225 before this round's
-# addition), the front is pure rotation plus this round's changes:
-# text_bm25_topk (NEW: BM25 ranked retrieval) and retrieval_rrf_hybrid
-# (NEW: reciprocal-rank fusion of lexical + vector legs),
-# snapshot_mor_position_deletes (NEW: Iceberg v2 position-delete MoR
-# encoding) and snapshot_tag_retention_read (NEW: tag refs as GC
-# roots), dedup_simhash_pairs + dedup_simhash_band60 (implementation
-# changed: map-only HOF signature computation; 16-bit variant also
-# fail-fast bounded), dedup_method_agreement (oracle + implementation
-# changed: three-way lsh/sim16/sim60 agreement on a fused signature
-# pass — the simhash migration evidence), cogroup_click_purchase_lag
-# and sse_replay_source_stats (implementation changed: fixed-overhead
-# trim, VERDICT r6 item 5) head the front; then ALL 34 queries whose
-# newest driver row is r2 (the stalest cohort); then the 7
-# registration-order-oldest r3 rows as backfill: 9 + 34 + 7 = 50.
-# Done = CORRECTNESS_r07 50/50 green and no query's newest row older
-# than r3.
+# Round 8 composition (VERDICT r7 item 1): with the full 229-query
+# registry driver-green (union r01–r07 = 229/229 = the registry), the
+# front is this round's new/changed queries plus pure rotation:
+# retrieval_rrf_ann (NEW: RRF hybrid whose semantic leg runs through
+# the LSH-bucketed ANN candidate path instead of a full embedding
+# scan), multimodal_phash_neardup (NEW: dHash perceptual fingerprints
+# over decoded PNG pixels -> banded Hamming join),
+# streaming_postings_sink (NEW: incremental (token, doc) postings
+# maintenance through the insert-only merge),
+# dedup_method_agreement + dedup_simhash_pairs (implementation
+# changed: minhash leg fenced/reused + envelope guard no longer a
+# separate full-corpus count — VERDICT item 4, ADVICE item 6),
+# sse_replay_source_stats (implementation changed: fixture rebuild
+# moved off the timed path — VERDICT item 5), similarity_ann_sweep
+# (implementation changed: hyperplane projections shared across
+# table-count configs — VERDICT item 6) head the front; then ALL 39
+# queries whose newest driver row is r3 (the stalest cohort); then
+# the 4 registration-order-oldest r4 rows as backfill: 7 + 39 + 4 =
+# 50.  Done = CORRECTNESS_r08 50/50 green and no query's newest row
+# older than r4.
 #
 # _FRONT_TARGET_ROUND pins WHICH round this composition was built for:
 # the rotation-debt guard computes staleness against CORRECTNESS files
@@ -69,58 +71,61 @@ _ORACLES: dict[str, str] = {}
 # (emission-safe sequencing, VERDICT r6 item 1). Bump it together with
 # every front rotation; a CORRECTNESS file NEWER than it means a round
 # ran without rotation and the guard goes red.
-_FRONT_TARGET_ROUND = 7
+_FRONT_TARGET_ROUND = 8
 _DRIVER_FRONT: tuple[str, ...] = (
-    "text_bm25_topk",
-    "retrieval_rrf_hybrid",
-    "snapshot_mor_position_deletes",
-    "snapshot_tag_retention_read",
-    "dedup_simhash_pairs",
-    "dedup_simhash_band60",
+    # -- new or changed this round (must verify now) --
+    "retrieval_rrf_ann",
+    "multimodal_phash_neardup",
+    "streaming_postings_sink",
     "dedup_method_agreement",
-    "cogroup_click_purchase_lag",
+    "dedup_simhash_pairs",
     "sse_replay_source_stats",
-    "histogram_quantiles_value",
-    "user_value_median_pandas",
-    "props_kv_udtf",
-    "similarity_ann_lsh_multi",
-    "join_salted_skew",
-    "grouping_sets_type_date",
-    "asof_latest_click",
-    "range_join_next_hour",
-    "user_value_trend",
-    "bloom_semi_join_stats",
-    "dq_completeness",
-    "dq_containment",
-    "dq_uniqueness",
-    "dq_range",
-    "dq_accuracy_recompute",
-    "dq_cross_column",
-    "dq_profile_value",
-    "dq_drift_halves",
-    "dq_freshness",
-    "merge_insert_only_orders",
-    "merge_upsert_orders",
-    "tumbling_hourly_counts",
-    "tumbling_15min_by_type",
-    "sliding_1h_15m_counts",
-    "session_window_user_stats",
-    "streaming_tumbling_hourly",
-    "streaming_dedup_watermark",
-    "streaming_stateful_running_count",
-    "streaming_static_enrich",
-    "streaming_interval_join",
-    "quality_flags",
-    "peak_hour_analytic",
-    "gate_status_rollup",
-    "zorder_cluster_stats",
-    "hourly_stats",
-    "user_daily_metrics",
-    "risk_scores",
-    "daily_summary",
-    "top_risk_alerts",
-    "funnel_view_click_purchase",
-    "retention_cohorts",
+    "similarity_ann_sweep",
+    # -- all 39 queries whose newest driver row is r3 (stalest cohort) --
+    "event_transition_matrix",
+    "tpch_pricing_summary",
+    "tpch_shipping_priority",
+    "tpch_local_supplier_revenue",
+    "join_semi_building_orders",
+    "join_anti_customers_without_orders",
+    "join_left_customer_order_profile",
+    "tpch_order_priority_count",
+    "tpch_forecast_revenue",
+    "tpch_promo_revenue",
+    "dedup_keep_first",
+    "daily_lag_trend",
+    "running_total_per_user",
+    "rank_customers_by_balance",
+    "top3_orders_per_customer",
+    "user_sessionization",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_union_all_slices",
+    "json_extract_props",
+    "envelope_parse",
+    "json_assemble_evidence",
+    "dedup_passage_exact",
+    "pack_sequences",
+    "bpe_merge_candidates",
+    "sample_importance_tokens",
+    "quality_percentile_gate",
+    "similarity_ann_recall",
+    "graph_triangle_count",
+    "incremental_agg_merge",
+    "skew_profile",
+    "dq_outlier_zscore",
+    "table_diff_orders",
+    "hourly_gapfill",
+    "streaming_session_window",
+    "partitioned_scan_pruning",
+    "compaction_plan",
+    "bucketed_join_colocated",
+    # -- backfill: registration-order-oldest r4 rows --
+    "event_trigram_counts",
+    "rolling_active_users",
+    "cohort_ltv",
+    "tpch_volume_shipping",
 )
 
 

@@ -676,6 +676,56 @@ def start_histogram_sink(
     return writer.start()
 
 
+def start_postings_sink(
+    stream_df: DataFrame,
+    postings_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming retrieval-index maintenance (VERDICT r7 item 7): each
+    micro-batch's distinct (token, doc_id) postings INSERT-ONLY merge
+    into a persistent postings table — the incremental twin of the
+    batch inverted-index build (``plans/text.text_inverted_index``).
+
+    A posting list is a SET, so insert-only IS the complete merge
+    algebra (where the HLL sink's algebra is max and the histogram
+    sink's is keyed sum): a replayed micro-batch no-ops before any
+    write (exactly-once), and a re-observed (token, doc) pair from a
+    duplicate document delivery is also a no-op — the index converges
+    to the same set regardless of delivery order or replay. With
+    doc-disjoint micro-batches the end-of-stream table is therefore
+    BIT-IDENTICAL to the batch build's (token, doc_id) set, which the
+    registered query checks value-exactly against the batch oracle.
+    Tokenization is the exact expression the batch build uses, so the
+    two paths cannot drift. State grows with the true posting count
+    only; the per-batch merge is one anti-join keyed on (token,
+    doc_id) — at 100 TB the target would be bucketed by token so the
+    anti-join co-locates, same as every other merge sink here."""
+    from ..operators.textops import tokenize
+
+    spark = stream_df.sparkSession
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):  # empty micro-batch: skip the merge pass
+            return
+        postings = batch_df.select(
+            F.explode(tokenize(F.col(text_col))).alias("token"),
+            F.col(id_col).alias("doc_id"),
+        ).distinct()
+        insert_only_parquet(spark, postings_path, postings, keys=["token", "doc_id"])
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def hll_batch_registers(
     df: DataFrame, key_col: str, seed: str, m: int = 1024
 ) -> DataFrame:
