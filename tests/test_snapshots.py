@@ -421,11 +421,22 @@ def test_position_delete_on_empty_snapshot_is_noop_commit(spark, table):
     from pyspark.sql import functions as F
 
     snap.snapshot_write(spark, table, _df(spark, 0, 5))
-    snap.snapshot_write(spark, table, _df(spark, 0, 5).filter("k < 0"), mode="overwrite")
+    # the files=[] manifest form (this Spark version emits a 0-row part
+    # file for an empty WRITE, so commit the no-file shape directly —
+    # it is exactly what triggered the reduce() TypeError)
+    snap._commit_manifest(
+        table,
+        2,
+        {"version": 2, "parent": 1, "operation": "overwrite", "files": [],
+         "file_seqs": {}, "n_rows": 0},
+    )
     v = snap.snapshot_delete_positions(spark, table, F.col("k") > 0)
     assert v == 3
     out = snap.read_snapshot(spark, table)
     assert out.count() == 0 and out.columns == ["k"]
+    # and a follow-up append onto the no-op commit still works
+    snap.snapshot_write(spark, table, _df(spark, 7, 9))
+    assert snap.read_snapshot(spark, table).count() == 2
 
 
 def test_tagged_empty_snapshot_survives_gc_with_schema_chain(spark, table):
@@ -434,9 +445,17 @@ def test_tagged_empty_snapshot_survives_gc_with_schema_chain(spark, table):
     nearest ancestor with files or the pinned tag becomes unreadable
     (ADVICE r7)."""
     snap.snapshot_write(spark, table, _df(spark, 0, 5))  # v1: has files
-    snap.snapshot_write(
-        spark, table, _df(spark, 0, 5).filter("k < 0"), mode="overwrite"
-    )  # v2: empty
+    # v2: an empty overwrite with NO data files at all. This Spark
+    # version happens to emit one 0-row part file for an empty write,
+    # so commit the files=[] manifest form directly — it is the shape
+    # read_snapshot's ancestor-walk branch exists for (and the shape
+    # snapshot_delete_positions' no-op commit produces).
+    snap._commit_manifest(
+        table,
+        2,
+        {"version": 2, "parent": 1, "operation": "overwrite", "files": [],
+         "file_seqs": {}, "n_rows": 0},
+    )
     snap.create_tag(table, "empty-pin", 2)
     snap.snapshot_write(spark, table, _df(spark, 10, 13), mode="overwrite")  # v3
     snap.snapshot_write(spark, table, _df(spark, 20, 24), mode="overwrite")  # v4

@@ -184,6 +184,70 @@ def simhash60_candidates(docs: DataFrame) -> int:
     )
 
 
+def phash60_candidates(docs: DataFrame) -> int:
+    """The perceptual-hash band join (``multimodal_phash_neardup``'s
+    candidate stage): 60 fixed pixel-pair comparison bits over the 16
+    md5-derived pixel bytes, 4 bands x 15 bits. Fingerprints are
+    computed directly from md5(text) hex — the same bit definition the
+    registered query derives from DECODED pixels (their identity is
+    what its oracle proves) — so this isolates the join's growth.
+
+    MEASUREMENT CAVEAT (why this family is gate-exempt): the fixture's
+    4x4 images bound fingerprint entropy to ~44 bits of rank-order
+    information packed into the 60 comparison bits, so each 15-bit
+    band has a REDUCED effective value space and the join enters the
+    birthday regime earlier than simhash60 does on text. The
+    production knob is fingerprint width ~ image size (a real-corpus
+    dHash downsamples to 9x8 -> 64 near-independent gradient bits,
+    landing in simhash60's measured regime); 16 pixels leave that knob
+    no headroom, exactly as the 16-bit simhash fixture leaves band
+    width none."""
+    from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
+        PHASH_PAIRS,
+    )
+    from wikistream_event_data_pipeline_aws_spark.plans.dedup import SIMHASH60_BANDS
+
+    bexpr = [
+        f"CAST(conv(substring(md5(text), {2 * i + 1}, 2), 16, 10) AS INT)"
+        for i in range(16)
+    ]
+    fp = " + ".join(
+        f"IF({bexpr[i]} < {bexpr[j]}, CAST({1 << k} AS BIGINT), CAST(0 AS BIGINT))"
+        for k, (i, j) in enumerate(PHASH_PAIRS)
+    )
+    sig = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.expr(fp).alias("ph")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bi"),
+                        F.shiftright(F.col("ph"), 15 * j)
+                        .bitwiseAND(0x7FFF)
+                        .alias("bv"),
+                    )
+                    for j in range(SIMHASH60_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select("l.doc_id", "r.doc_id")
+        .distinct()
+        .count()
+    )
+
+
 def embedding_lsh_candidates(emb: DataFrame, n_planes: int, dim: int) -> int:
     """Candidate-pair count of the multi-table random-hyperplane LSH
     self-join (``operators.similarity.embedding_near_duplicates``'s
@@ -255,7 +319,7 @@ def fit_exponent(points: list[tuple[int, int]]) -> float:
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
 
 
-GATE_EXEMPT = {"simhash16_pedagogical"}
+GATE_EXEMPT = {"simhash16_pedagogical", "phash60_fixture"}
 
 
 def run(
@@ -283,7 +347,7 @@ def run(
     # K ~ N: target cell size fixed, cells grow with the corpus (IVF rule)
     k_base = max(4, n_vecs // 100)
 
-    families = ["minhash_lsh", "simhash60", "semdedup", "embedding_lsh"]
+    families = ["minhash_lsh", "simhash60", "semdedup", "embedding_lsh", "phash60_fixture"]
     if include_pedagogical:
         families.append("simhash16_pedagogical")
     results: dict[str, list[dict]] = {f: [] for f in families}
@@ -299,6 +363,7 @@ def run(
             ("simhash60", nd, simhash60_candidates(d_s)),
             ("semdedup", nv, semdedup_candidates(e_s, k_base * s)),
             ("embedding_lsh", nv, embedding_lsh_candidates(e_s, n_planes, dim)),
+            ("phash60_fixture", nd, phash60_candidates(d_s)),
         ]
         if include_pedagogical:
             rows.append(("simhash16_pedagogical", nd, simhash16_candidates(d_s)))
