@@ -255,3 +255,46 @@ def test_phash_pairs_structure():
     assert PHASH_PAIRS[12] == (0, 4)  # first vertical gradient
     assert PHASH_PAIRS[24] == (0, 5)  # first diagonal
     assert PHASH_PAIRS[33] == (1, 4)  # first anti-diagonal
+
+
+def test_audio_fp_neardup_surfaces_planted_clones(spark, sf_dir):
+    """The acoustic-fingerprint pipeline (real WAV encode -> RIFF parse
+    -> 60-bit energy-comparison fingerprint -> banded Hamming join)
+    must surface every planted one-sample-perturbed clone. Raising
+    sample 0 by 8 moves only window 0's even sub-band energy, so all
+    10 planted pairs stay inside the Hamming<=3 radius."""
+    from wikistream_event_data_pipeline_aws_spark.plans.multimodal import (
+        PHASH_CLONE_MAX_ID,
+        PHASH_CLONE_OFFSET,
+        multimodal_audio_fp_neardup,
+    )
+
+    rows = multimodal_audio_fp_neardup(spark, sf_dir).collect()
+    planted = {
+        (r.id_a, r.id_b) for r in rows if r.id_b == r.id_a + PHASH_CLONE_OFFSET
+    }
+    expected = {
+        (i, i + PHASH_CLONE_OFFSET) for i in range(1, PHASH_CLONE_MAX_ID, 3)
+    }
+    assert planted == expected
+    assert all(0 <= r.hamming <= 3 for r in rows)
+
+
+def test_afp_pairs_structure():
+    """60 comparison pairs over the 14 short-time sub-band energies;
+    the leading 12 are the Haitsma-Kalker neighbor gradients."""
+    from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
+        AFP_BITS,
+        AFP_N_ENERGY,
+        AFP_PAIRS,
+    )
+
+    assert len(AFP_PAIRS) == AFP_BITS == 60
+    assert AFP_N_ENERGY == 14
+    assert all(
+        0 <= i < AFP_N_ENERGY and 0 <= j < AFP_N_ENERGY and i != j
+        for i, j in AFP_PAIRS
+    )
+    assert AFP_PAIRS[0] == (0, 2)  # first even-band neighbor gradient
+    assert AFP_PAIRS[6] == (1, 3)  # first odd-band neighbor gradient
+    assert AFP_PAIRS[12] == (0, 1)  # first cross-band contrast

@@ -27,6 +27,7 @@ from ..operators.multimodal import (
     Y4M_H,
     Y4M_MAX_FRAMES,
     Y4M_W,
+    audio_fingerprint,
     decode_media,
     encode_containers,
     image_dhash,
@@ -196,16 +197,21 @@ PHASH_CLONE_OFFSET = 100_000
 _PHASH_PERT_DELTA = 64  # pixel[0] += 64 (clamped) — a visible gradient change
 
 
-def _image_corpus_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The image slice of the media corpus plus planted NEAR-IDENTICAL
-    clones: for each image with doc_id < {max_id}, a copy at media_id +
-    {off} whose first pixel is brightened by {d} (clamped to 255) — a
-    one-pixel perturbation that flips only the fingerprint bits whose
-    comparison involves pixel 0. Payloads here are the RAW 16 md5
-    bytes; the query wraps them in real PNG containers downstream."""
+def _media_corpus_augmented(
+    spark: SparkSession, sf_dir: str, residue: int, delta: int
+) -> DataFrame:
+    """One media_type slice of the corpus (``doc_id % 3 == residue``)
+    plus planted NEAR-IDENTICAL clones: for each member with doc_id <
+    {max_id}, a copy at media_id + {off} whose FIRST byte is raised by
+    ``delta`` (clamped to 255) — a one-sample/one-pixel perturbation
+    that flips only the fingerprint bits whose comparison involves the
+    first value. Payloads are the RAW 16 md5 bytes; callers wrap them
+    in real containers downstream.""".format(
+        max_id=PHASH_CLONE_MAX_ID, off=PHASH_CLONE_OFFSET
+    )
     d = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 3 == 0)
+        .filter(F.col("doc_id") % 3 == residue)
         .select("doc_id", "text")
     )
     base = d.select(
@@ -213,7 +219,7 @@ def _image_corpus_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b0 = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int")
     pert_hex = F.concat(
-        F.lpad(F.hex(F.least(F.lit(255), b0 + _PHASH_PERT_DELTA)), 2, "0"),
+        F.lpad(F.hex(F.least(F.lit(255), b0 + delta)), 2, "0"),
         F.substring(F.md5("text"), 3, 30),
     )
     clones = d.filter(F.col("doc_id") < PHASH_CLONE_MAX_ID).select(
@@ -221,11 +227,6 @@ def _image_corpus_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(pert_hex).alias("payload"),
     )
     return base.unionByName(clones)
-
-
-_image_corpus_augmented.__doc__ = _image_corpus_augmented.__doc__.format(
-    max_id=PHASH_CLONE_MAX_ID, off=PHASH_CLONE_OFFSET, d=_PHASH_PERT_DELTA
-)
 
 
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,9 +251,9 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is band-bucketed exactly like ``dedup_simhash_band60``."""
     from .dedup import _simhash60_pairs_from_sig, _spread
 
-    corpus = _image_corpus_augmented(spark, sf_dir).withColumn(
-        "media_type", F.lit("image")
-    )
+    corpus = _media_corpus_augmented(
+        spark, sf_dir, residue=0, delta=_PHASH_PERT_DELTA
+    ).withColumn("media_type", F.lit("image"))
     sig = image_dhash(encode_containers(corpus))
     fenced = _spread(
         sig.select(
@@ -306,16 +307,112 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH60_HAM_MAX}
 MULTIMODAL_PHASH_NEARDUP_SQL = _phash_oracle_sql()
 
 
+_AFP_PERT_DELTA = 8  # sample[0] += 8 — audible click, tiny energy shift
+
+
+def multimodal_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint audio near-dup — the audio twin of
+    ``multimodal_phash_neardup``, completing near-dup coverage of the
+    media corpus's decodable modalities: the audio slice plus planted
+    one-sample-perturbed clones (sample 0 raised by {d}, clamped) is
+    wrapped in REAL RIFF/WAVE containers, ``audio_fingerprint`` parses
+    them back and emits a 60-bit Haitsma-Kalker-style fingerprint
+    (sign comparisons over short-time sub-band energies: 7 overlapping
+    4-sample windows x even/odd sub-bands, neighbor/cross-band/2-step
+    gradients + md5 fill), and candidate pairs come from the same
+    4x15-bit pigeonhole band join as simhash60/phash (Hamming<=3,
+    never a cartesian). Sample 0 lives only in window 0's even
+    sub-band, so the perturbation moves ONE of the 14 energies and the
+    planted clones stay inside the Hamming radius while unrelated
+    clips do not. Energies are integer sums of squared u8 samples —
+    exact on both engines — so the oracle reproduces every bit from
+    ``md5(text)`` hex and a container/codec/hash bug on either side
+    breaks value parity. Map-only fingerprinting; blobs never
+    shuffle."""
+    from .dedup import _simhash60_pairs_from_sig, _spread
+
+    corpus = _media_corpus_augmented(
+        spark, sf_dir, residue=1, delta=_AFP_PERT_DELTA
+    ).withColumn("media_type", F.lit("audio"))
+    sig = audio_fingerprint(encode_containers(corpus))
+    fenced = _spread(
+        sig.select(
+            F.col("media_id").alias("doc_id"), F.col("afp").alias("simhash60")
+        )
+    ).localCheckpoint(eager=True)
+    return _simhash60_pairs_from_sig(fenced)
+
+
+multimodal_audio_fp_neardup.__doc__ = multimodal_audio_fp_neardup.__doc__.format(
+    d=_AFP_PERT_DELTA
+)
+
+
+def _audio_fp_oracle_sql() -> str:
+    from ..operators.multimodal import AFP_N_WIN, AFP_PAIRS
+
+    from .dedup import SIMHASH60_BANDS, SIMHASH60_HAM_MAX
+
+    byte_cols = ", ".join(f"{b} AS b{i}" for i, b in enumerate(_B))
+    energy_cols = []
+    for i in range(AFP_N_WIN):
+        energy_cols.append(f"(b{2*i} * b{2*i} + b{2*i+2} * b{2*i+2}) AS e{2*i}")
+        energy_cols.append(
+            f"(b{2*i+1} * b{2*i+1} + b{2*i+3} * b{2*i+3}) AS e{2*i+1}"
+        )
+    fp = " + ".join(
+        f"(CASE WHEN e{i} < e{j} THEN (1::BIGINT << {k}) ELSE 0::BIGINT END)"
+        for k, (i, j) in enumerate(AFP_PAIRS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {byte_cols} FROM documents WHERE doc_id % 3 = 1
+),
+clips AS (
+  SELECT doc_id AS media_id, * EXCLUDE (doc_id, b0), b0 FROM base
+  UNION ALL
+  SELECT doc_id + {PHASH_CLONE_OFFSET} AS media_id, * EXCLUDE (doc_id, b0),
+         LEAST(255, b0 + {_AFP_PERT_DELTA}) AS b0
+  FROM base WHERE doc_id < {PHASH_CLONE_MAX_ID}
+),
+en AS (
+  SELECT media_id, {", ".join(energy_cols)} FROM clips
+),
+sigs AS (
+  SELECT media_id AS doc_id, {fp} AS sh FROM en
+),
+banded AS (
+  SELECT doc_id, sh, t.j AS bi, (sh >> (15 * CAST(t.j AS INTEGER))) & 32767 AS bv
+  FROM sigs, range({SIMHASH60_BANDS}) t(j)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.sh AS sim_a, r.sh AS sim_b
+  FROM banded l JOIN banded r
+    ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cands
+WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH60_HAM_MAX}
+"""
+
+
+MULTIMODAL_AUDIO_FP_NEARDUP_SQL = _audio_fp_oracle_sql()
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_phash_neardup": multimodal_phash_neardup,
+    "multimodal_audio_fp_neardup": multimodal_audio_fp_neardup,
 }
 
 ORACLES = {
     "multimodal_phash_neardup": MULTIMODAL_PHASH_NEARDUP_SQL,
+    "multimodal_audio_fp_neardup": MULTIMODAL_AUDIO_FP_NEARDUP_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,

@@ -50,6 +50,8 @@ _ORACLES: dict[str, str] = {}
 # the LSH-bucketed ANN candidate path instead of a full embedding
 # scan), multimodal_phash_neardup (NEW: dHash perceptual fingerprints
 # over decoded PNG pixels -> banded Hamming join),
+# multimodal_audio_fp_neardup (NEW: Haitsma-Kalker-style energy
+# fingerprints over decoded WAV samples -> same band join),
 # streaming_postings_sink (NEW: incremental (token, doc) postings
 # maintenance through the insert-only merge),
 # dedup_method_agreement + dedup_simhash_pairs (implementation
@@ -60,7 +62,7 @@ _ORACLES: dict[str, str] = {}
 # (implementation changed: hyperplane projections shared across
 # table-count configs — VERDICT item 6) head the front; then ALL 39
 # queries whose newest driver row is r3 (the stalest cohort); then
-# the 4 registration-order-oldest r4 rows as backfill: 7 + 39 + 4 =
+# the 3 registration-order-oldest r4 rows as backfill: 8 + 39 + 3 =
 # 50.  Done = CORRECTNESS_r08 50/50 green and no query's newest row
 # older than r4.
 #
@@ -76,6 +78,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # -- new or changed this round (must verify now) --
     "retrieval_rrf_ann",
     "multimodal_phash_neardup",
+    "multimodal_audio_fp_neardup",
     "streaming_postings_sink",
     "dedup_method_agreement",
     "dedup_simhash_pairs",
@@ -125,7 +128,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "event_trigram_counts",
     "rolling_active_users",
     "cohort_ltv",
-    "tpch_volume_shipping",
 )
 
 
