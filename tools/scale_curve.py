@@ -266,7 +266,7 @@ def embedding_lsh_candidates(emb: DataFrame, n_planes: int, dim: int) -> int:
         F.posexplode(
             F.array(
                 *[
-                    lsh_bucket_key(F.col("x"), dim, n_planes, table=t)
+                    lsh_bucket_key("x", dim, n_planes, table=t)
                     for t in range(n_tables)
                 ]
             )

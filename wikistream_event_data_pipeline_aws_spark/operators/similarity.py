@@ -105,9 +105,30 @@ def _hyperplane(plane: int, dim: int) -> float:
 
 
 def lsh_bucket_key(
-    vec: Column, dim: int, n_planes: int = 12, table: int = 0
+    vec: Column | str, dim: int, n_planes: int = 12, table: int = 0
 ) -> Column:
-    """n-bit random-hyperplane signature as a bucket id."""
+    """n-bit random-hyperplane signature as a bucket id.
+
+    Pass the vector COLUMN NAME (string) wherever possible: the
+    signature is then emitted as ONE SQL expression string parsed
+    JVM-side. The Column-object form builds ``n_planes x dim`` literal
+    objects plus per-plane HOF lambdas through py4j — measured ~1-2s
+    of pure driver time per (dim=64, 3-table) call — and survives only
+    for callers holding a computed Column. Both forms produce the
+    identical expression tree (left-fold double dot product, bit =
+    projection > 0)."""
+    if isinstance(vec, str):
+        terms = []
+        for p in range(n_planes):
+            coeffs = ", ".join(
+                f"{_hyperplane(table * 1000 + p, d)!r}D" for d in range(dim)
+            )
+            proj = (
+                f"aggregate(zip_with({vec}, array({coeffs}),"
+                " (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(f"IF({proj} > 0, {1 << p}, 0)")
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0)
     for p in range(n_planes):
         coeffs = F.array(
@@ -132,12 +153,12 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        lsh_bucket_key(F.col(vec_col), dim, n_planes).alias("bucket"),
+        lsh_bucket_key(vec_col, dim, n_planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        lsh_bucket_key(F.col(vec_col), dim, n_planes).alias("bucket"),
+        lsh_bucket_key(vec_col, dim, n_planes).alias("bucket"),
     )
     scored = (
         q.join(c, "bucket")
@@ -181,7 +202,7 @@ def lsh_multi_table_candidates(
     def tagged(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         sigs = F.array(
             *[
-                lsh_bucket_key(F.col(vec_col), dim, n_planes, table=t)
+                lsh_bucket_key(vec_col, dim, n_planes, table=t)
                 for t in range(n_tables)
             ]
         )
@@ -413,7 +434,7 @@ def embedding_near_duplicates(
         F.posexplode(
             F.array(
                 *[
-                    lsh_bucket_key(F.col(vec_col), dim, n_planes, table=t)
+                    lsh_bucket_key(vec_col, dim, n_planes, table=t)
                     for t in range(n_tables)
                 ]
             )

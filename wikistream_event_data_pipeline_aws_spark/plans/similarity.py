@@ -956,7 +956,11 @@ def retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``similarity_ann_recall``; the ranking itself is ANN end to end.
     Deterministic throughout (md5 hyperplanes, rank-based fusion), so
     even the recall column is value-hash-checked."""
-    lexk = _lexical_jaccard_topk(spark, sf_dir)
+    # ONE lexical leg, localCheckpoint-fenced, feeds BOTH fused lists
+    # (the ANN ranking and the exact ground truth share it verbatim —
+    # recomputing the posting-intersection join for the audit would
+    # double the query's largest text-side shuffle)
+    lexk = _lexical_jaccard_topk(spark, sf_dir).localCheckpoint(eager=False)
     e = load_table(spark, sf_dir, "embeddings")
     semk = lsh_multi_table_topk(
         e.filter(F.col("vec_id") < RRF_QUERIES),
@@ -971,7 +975,14 @@ def retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("sem_rank"),
     )
     ann_fused = _rrf_fused(lexk, semk)
-    exact = retrieval_rrf_hybrid(spark, sf_dir).select(
+    semk_exact = brute_force_topk(
+        e.filter(F.col("vec_id") < RRF_QUERIES), e, k=RRF_TOPK
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    exact = _rrf_fused(lexk, semk_exact).select(
         "query_id", "cand_id", F.lit(1).alias("__hit")
     )
     exact_n = exact.groupBy("query_id").agg(
