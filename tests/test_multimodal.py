@@ -298,3 +298,29 @@ def test_afp_pairs_structure():
     assert AFP_PAIRS[0] == (0, 2)  # first even-band neighbor gradient
     assert AFP_PAIRS[6] == (1, 3)  # first odd-band neighbor gradient
     assert AFP_PAIRS[12] == (0, 1)  # first cross-band contrast
+
+
+def test_video_frame_neardup_surfaces_planted_clones(spark, sf_dir):
+    """The keyframe-overlap pipeline (real Y4M encode -> parse -> exact
+    frame-key set Jaccard) must surface every planted clone: 4-frame
+    clips' clones share 3 of 4 frames (Jaccard 0.6); shorter clips
+    never touch the perturbed byte 15, so their clones are exact
+    duplicates (Jaccard 1.0)."""
+    from wikistream_event_data_pipeline_aws_spark.plans.multimodal import (
+        PHASH_CLONE_MAX_ID,
+        PHASH_CLONE_OFFSET,
+        multimodal_video_frame_neardup,
+    )
+
+    rows = multimodal_video_frame_neardup(spark, sf_dir).collect()
+    planted = {
+        (r.id_a, r.id_b) for r in rows if r.id_b == r.id_a + PHASH_CLONE_OFFSET
+    }
+    expected = {
+        (i, i + PHASH_CLONE_OFFSET) for i in range(2, PHASH_CLONE_MAX_ID, 3)
+    }
+    assert planted == expected
+    for r in rows:
+        assert r.jaccard >= 0.5
+        if r.id_b == r.id_a + PHASH_CLONE_OFFSET and r.n_a == 4:
+            assert (r.n_shared, r.jaccard) == (3, 0.6)

@@ -615,6 +615,36 @@ def audio_window_energy(df: DataFrame, window: int = 4) -> DataFrame:
     return df.mapInPandas(batches, AUDIO_ENERGY_SCHEMA)
 
 
+def video_frame_ids(df: DataFrame) -> DataFrame:
+    """Exact frame identities per clip from REAL Y4M payloads: parse
+    the YUV4MPEG2 stream (:func:`decode_y4m_mono`) and emit one row per
+    frame with the frame's luma bytes packed big-endian into an
+    integer key — the keyframe-identity grain coarse video dedup
+    matches on (content-defined frame keys; at production frame sizes
+    the key would be a frame digest, same join shape). Arrow-batched
+    ``mapInPandas``; map-only — blobs never shuffle, only (clip id,
+    frame key) pairs do."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, keys = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, frames = decode_y4m_mono(bytes(payload or b""))
+                for fi, fr in enumerate(frames):
+                    ids.append(media_id)
+                    idxs.append(fi)
+                    keys.append(int.from_bytes(fr, "big"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "frame_key": pd.array(keys, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, "media_id long, frame_idx int, frame_key long")
+
+
 # Worker-context independence: the mapInPandas closures above reference
 # module-level helpers (the codec functions), which cloudpickle
 # serializes by module reference unless this leaf module ships by value

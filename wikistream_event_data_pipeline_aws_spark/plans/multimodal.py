@@ -33,6 +33,7 @@ from ..operators.multimodal import (
     image_dhash,
     sample_frames,
     synthetic_media,
+    video_frame_ids,
 )
 
 
@@ -198,15 +199,17 @@ _PHASH_PERT_DELTA = 64  # pixel[0] += 64 (clamped) — a visible gradient change
 
 
 def _media_corpus_augmented(
-    spark: SparkSession, sf_dir: str, residue: int, delta: int
+    spark: SparkSession, sf_dir: str, residue: int, delta: int, byte_idx: int = 0
 ) -> DataFrame:
     """One media_type slice of the corpus (``doc_id % 3 == residue``)
     plus planted NEAR-IDENTICAL clones: for each member with doc_id <
-    {max_id}, a copy at media_id + {off} whose FIRST byte is raised by
-    ``delta`` (clamped to 255) — a one-sample/one-pixel perturbation
-    that flips only the fingerprint bits whose comparison involves the
-    first value. Payloads are the RAW 16 md5 bytes; callers wrap them
-    in real containers downstream.""".format(
+    {max_id}, a copy at media_id + {off} whose byte ``byte_idx`` is
+    raised by ``delta`` (clamped to 255) — a one-value perturbation
+    that flips only the fingerprint bits whose comparison involves it.
+    The video path perturbs byte 15 (the LAST frame's last pixel)
+    because byte 0 doubles as the frame-count selector there. Payloads
+    are the RAW 16 md5 bytes; callers wrap them in real containers
+    downstream.""".format(
         max_id=PHASH_CLONE_MAX_ID, off=PHASH_CLONE_OFFSET
     )
     d = (
@@ -217,10 +220,11 @@ def _media_corpus_augmented(
     base = d.select(
         F.col("doc_id").alias("media_id"), F.unhex(F.md5("text")).alias("payload")
     )
-    b0 = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int")
+    b = F.conv(F.substring(F.md5("text"), 2 * byte_idx + 1, 2), 16, 10).cast("int")
     pert_hex = F.concat(
-        F.lpad(F.hex(F.least(F.lit(255), b0 + delta)), 2, "0"),
-        F.substring(F.md5("text"), 3, 30),
+        F.substring(F.md5("text"), 1, 2 * byte_idx),
+        F.lpad(F.hex(F.least(F.lit(255), b + delta)), 2, "0"),
+        F.substring(F.md5("text"), 2 * byte_idx + 3, 32),
     )
     clones = d.filter(F.col("doc_id") < PHASH_CLONE_MAX_ID).select(
         (F.col("doc_id") + PHASH_CLONE_OFFSET).alias("media_id"),
@@ -401,6 +405,128 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH60_HAM_MAX}
 MULTIMODAL_AUDIO_FP_NEARDUP_SQL = _audio_fp_oracle_sql()
 
 
+_VFRAME_PERT_DELTA = 8
+_VFRAME_PERT_BYTE = 15  # last pixel of the LAST frame (byte 0 picks n_frames)
+_VFRAME_JACCARD = 0.5
+
+
+def multimodal_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-overlap video near-dup — the third modality, and a
+    deliberately DIFFERENT matching shape from the image/audio paths:
+    instead of one banded-Hamming fingerprint per asset, each clip
+    decomposes into exact frame identities (``video_frame_ids``: real
+    Y4M parse, luma bytes packed into a key — at production frame
+    sizes the key is a frame digest, same algebra) and two clips are
+    near-dups when the JACCARD OVERLAP of their distinct frame-key
+    sets clears {thr} — the coarse content-defined dedup video
+    pipelines run before any expensive perceptual alignment. The pair
+    join is a frame-key equi-join (candidates = clips sharing >= 1
+    exact frame; 2^32-value key space stays sparse at 100x), never a
+    cartesian; set sizes and intersections are exact counts.
+
+    Planted clones perturb byte {pb} (the last frame's last pixel,
+    +{d} clamped): a 4-frame clip's clone shares 3 of its 4 frames
+    (Jaccard 0.6); clips with fewer frames never touch byte {pb}, so
+    their clones are exact duplicates (Jaccard 1.0) — every planted
+    pair clears the threshold and the fixture test pins all 10. The
+    oracle rebuilds frame keys and the frame-count arithmetic
+    (n = 1 + byte0 % 4) from ``md5(text)`` hex, so an encoder, parser
+    or keying bug on either side breaks value parity."""
+    from .dedup import _spread
+
+    corpus = _media_corpus_augmented(
+        spark, sf_dir, residue=2, delta=_VFRAME_PERT_DELTA,
+        byte_idx=_VFRAME_PERT_BYTE,
+    ).withColumn("media_type", F.lit("video"))
+    frames = _spread(
+        video_frame_ids(encode_containers(corpus))
+        .select("media_id", "frame_key")
+        .distinct()
+    ).localCheckpoint(eager=True)
+    sizes = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    a = frames.alias("a")
+    b = frames.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.frame_key") == F.col("b.frame_key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("media_id").alias("id_a"), F.col("n_frames").alias("n_a"))
+    sb = sizes.select(F.col("media_id").alias("id_b"), F.col("n_frames").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _VFRAME_JACCARD)
+    )
+
+
+multimodal_video_frame_neardup.__doc__ = multimodal_video_frame_neardup.__doc__.format(
+    thr=_VFRAME_JACCARD, pb=_VFRAME_PERT_BYTE, d=_VFRAME_PERT_DELTA
+)
+
+
+def _video_frame_oracle_sql() -> str:
+    byte_cols = ", ".join(f"{b} AS b{i}" for i, b in enumerate(_B))
+    key = [
+        f"(b{4*f}::BIGINT << 24) + (b{4*f+1} << 16) + (b{4*f+2} << 8) + b{4*f+3}"
+        for f in range(4)
+    ]
+    frame_selects = "\n  UNION ALL\n".join(
+        f"  SELECT media_id, {key[f]} AS frame_key FROM clips WHERE nf >= {f + 1}"
+        for f in range(4)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {byte_cols} FROM documents WHERE doc_id % 3 = 2
+),
+clips AS (
+  SELECT doc_id AS media_id, * EXCLUDE (doc_id, b{_VFRAME_PERT_BYTE}),
+         b{_VFRAME_PERT_BYTE}, 1 + b0 % 4 AS nf
+  FROM base
+  UNION ALL
+  SELECT doc_id + {PHASH_CLONE_OFFSET} AS media_id,
+         * EXCLUDE (doc_id, b{_VFRAME_PERT_BYTE}),
+         LEAST(255, b{_VFRAME_PERT_BYTE} + {_VFRAME_PERT_DELTA})
+           AS b{_VFRAME_PERT_BYTE},
+         1 + b0 % 4 AS nf
+  FROM base WHERE doc_id < {PHASH_CLONE_MAX_ID}
+),
+frames AS (
+  SELECT DISTINCT media_id, frame_key FROM (
+{frame_selects}
+  )
+),
+sizes AS (SELECT media_id, COUNT(*) AS n_frames FROM frames GROUP BY media_id),
+shared AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS n_shared
+  FROM frames a JOIN frames b
+    ON a.frame_key = b.frame_key AND a.media_id < b.media_id
+  GROUP BY a.media_id, b.media_id
+)
+SELECT id_a, id_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n_frames AS BIGINT) AS n_a,
+       CAST(sb.n_frames AS BIGINT) AS n_b,
+       n_shared / CAST(sa.n_frames + sb.n_frames - n_shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.media_id
+JOIN sizes sb ON id_b = sb.media_id
+WHERE n_shared / CAST(sa.n_frames + sb.n_frames - n_shared AS DOUBLE)
+      >= CAST({_VFRAME_JACCARD} AS DOUBLE)
+"""
+
+
+MULTIMODAL_VIDEO_FRAME_NEARDUP_SQL = _video_frame_oracle_sql()
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
@@ -408,11 +534,13 @@ QUERIES = {
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "multimodal_audio_fp_neardup": multimodal_audio_fp_neardup,
+    "multimodal_video_frame_neardup": multimodal_video_frame_neardup,
 }
 
 ORACLES = {
     "multimodal_phash_neardup": MULTIMODAL_PHASH_NEARDUP_SQL,
     "multimodal_audio_fp_neardup": MULTIMODAL_AUDIO_FP_NEARDUP_SQL,
+    "multimodal_video_frame_neardup": MULTIMODAL_VIDEO_FRAME_NEARDUP_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,

@@ -52,6 +52,8 @@ _ORACLES: dict[str, str] = {}
 # over decoded PNG pixels -> banded Hamming join),
 # multimodal_audio_fp_neardup (NEW: Haitsma-Kalker-style energy
 # fingerprints over decoded WAV samples -> same band join),
+# multimodal_video_frame_neardup (NEW: Y4M keyframe-identity set
+# overlap — frame-key equi-join + exact Jaccard),
 # streaming_postings_sink (NEW: incremental (token, doc) postings
 # maintenance through the insert-only merge),
 # dedup_method_agreement + dedup_simhash_pairs (implementation
@@ -62,7 +64,7 @@ _ORACLES: dict[str, str] = {}
 # (implementation changed: hyperplane projections shared across
 # table-count configs — VERDICT item 6) head the front; then ALL 39
 # queries whose newest driver row is r3 (the stalest cohort); then
-# the 3 registration-order-oldest r4 rows as backfill: 8 + 39 + 3 =
+# the 2 registration-order-oldest r4 rows as backfill: 9 + 39 + 2 =
 # 50.  Done = CORRECTNESS_r08 50/50 green and no query's newest row
 # older than r4.
 #
@@ -79,6 +81,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "retrieval_rrf_ann",
     "multimodal_phash_neardup",
     "multimodal_audio_fp_neardup",
+    "multimodal_video_frame_neardup",
     "streaming_postings_sink",
     "dedup_method_agreement",
     "dedup_simhash_pairs",
@@ -127,7 +130,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # -- backfill: registration-order-oldest r4 rows --
     "event_trigram_counts",
     "rolling_active_users",
-    "cohort_ltv",
 )
 
 
