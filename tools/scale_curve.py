@@ -334,6 +334,12 @@ def run(
             SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
             .config("spark.sql.shuffle.partitions", "32")
             .config("spark.ui.enabled", "false")
+            # 32 local executor threads in the default 1g heap OOM on the
+            # scale-10 band joins; size like the engine session does
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            )
             .getOrCreate()
         )
     from wikistream_event_data_pipeline_aws_spark.catalog import load_table

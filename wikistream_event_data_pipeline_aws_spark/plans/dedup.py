@@ -579,13 +579,11 @@ def _simhash16_pairs_from_sig(sig: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    ham = None
-    for b in range(16):
-        t = (
-            F.shiftright(F.col("sim_a"), b).bitwiseAND(1)
-            != F.shiftright(F.col("sim_b"), b).bitwiseAND(1)
-        ).cast("int")
-        ham = t if ham is None else (ham + t)
+    # single JVM bit_count(xor) — fingerprints are 16-bit non-negative
+    # ints, so counting over the full int width equals the 16-term
+    # bit-test ladder this replaced (the ORACLE keeps the explicit CASE
+    # sum: same values, and the SQL stays self-documenting)
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
     return cands.withColumn("hamming", ham).filter(
         F.col("hamming") <= SIMHASH_HAM_MAX
     )
