@@ -814,6 +814,73 @@ def test_postings_sink_replay_idempotent_and_matches_batch(spark, tmp_path):
     assert second == first
 
 
+def test_ann_signature_sink_replay_idempotent_and_matches_batch(spark, tmp_path):
+    """Vector-leg index maintenance: a FULL replay must leave the
+    signature table identical, and the streamed (vec_id, table, bucket)
+    set must equal the batch signature build over the same vectors."""
+    from wikistream_event_data_pipeline_aws_spark.operators.similarity import (
+        lsh_bucket_key,
+    )
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+        start_ann_signature_sink,
+    )
+
+    dim, n_planes, n_tables = 8, 4, 2
+    vecs = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), j -> CAST(sin(id * 7 + j) AS float))"
+        ).alias("embedding"),
+    )
+    src = str(tmp_path / "src")
+    for parity in (0, 1):
+        vecs.filter(F.col("vec_id") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sig_path = str(tmp_path / "sigs")
+
+    def run(ckpt: str) -> None:
+        q = start_ann_signature_sink(
+            file_stream(spark, src, vecs.schema, max_files_per_trigger=1),
+            sig_path,
+            checkpoint_dir=str(tmp_path / ckpt),
+            dim=dim,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run("c1")
+    first = {
+        (r.vec_id, r.table, r.bucket)
+        for r in spark.read.parquet(sig_path).collect()
+    }
+    batch = {
+        (r.vec_id, r.table, r.bucket)
+        for r in vecs.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        lsh_bucket_key("embedding", dim, n_planes, table=t)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("table", "bucket"),
+        ).collect()
+    }
+    assert first == batch and len(first) == 30 * n_tables
+    run("c2")  # full replay: insert-only merge no-ops every signature
+    second = {
+        (r.vec_id, r.table, r.bucket)
+        for r in spark.read.parquet(sig_path).collect()
+    }
+    assert second == first
+
+
 class TestSSEReplaySource:
     """Spark 4 Python DataSource over a recorded SSE capture (S2 as an
     in-engine source): batch fan-out and micro-batched streaming with

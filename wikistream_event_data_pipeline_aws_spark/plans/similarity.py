@@ -16,6 +16,7 @@ from ..catalog import load_table
 from ..operators.textops import tokenize as _tokenize
 from ..operators.similarity import (
     brute_force_topk,
+    cosine,
     embedding_near_duplicates,
     ivf_topk,
     lsh_bucket_topk,
@@ -693,6 +694,93 @@ def _sweep_oracle_sql() -> str:
 SIMILARITY_ANN_SWEEP_SQL = _sweep_oracle_sql()
 
 
+_ANN_SIG_SRC_CACHE: dict[str, str] = {}
+
+
+def streaming_ann_index_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance end-to-end — the vector-leg
+    twin of ``streaming_postings_sink``: the embeddings table replays
+    as TWO micro-batches (even/odd vec_id files) through
+    ``streaming.ingest.start_ann_signature_sink``, whose foreachBatch
+    INSERT-ONLY merges each batch's multi-table LSH signatures into a
+    persistent signature table (signatures are pure functions of the
+    vectors — set semantics, so replays and duplicate deliveries
+    no-op). The readout then serves the multi-table ANN top-k FROM THE
+    STREAMED TABLE — bucket equi-join over the persisted (vec_id,
+    table, bucket) rows, exact-cosine re-rank after joining the
+    vectors back — and is value-checked against the BATCH multi-table
+    oracle: the streamed index answering identically to the batch
+    index is the strongest form of the incremental-maintenance claim.
+    Replay idempotency is pinned separately in the streaming tests."""
+    import tempfile
+
+    from ..streaming.ingest import file_stream, start_ann_signature_sink
+
+    e = load_table(spark, sf_dir, "embeddings")
+    src = _ANN_SIG_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="annsig_stream_src_") + "/src"
+        for parity in (0, 1):
+            e.filter(F.col("vec_id") % 2 == parity).select(
+                "vec_id", "embedding"
+            ).coalesce(1).write.mode("append").parquet(src)
+        _ANN_SIG_SRC_CACHE[sf_dir] = src
+    tmp = tempfile.mkdtemp(prefix="annsig_stream_")
+    sig_path, ckpt = f"{tmp}/sigs", f"{tmp}/ckpt"
+    schema = spark.read.parquet(src).schema
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    q = start_ann_signature_sink(
+        stream,
+        sig_path,
+        checkpoint_dir=ckpt,
+        dim=DIM,
+        n_planes=N_PLANES,
+        n_tables=N_TABLES,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("ann signature stream did not finish in 300s")
+    sigs = spark.read.parquet(sig_path)
+    qs = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    cs = sigs.select(F.col("vec_id").alias("neighbor_id"), "table", "bucket")
+    cand = (
+        qs.join(cs, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv.filter(F.col("query_id") < N_QUERIES)), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cosine_sim",
+        )
+    )
+
+
 _Q_SCALE = 127.0
 
 
@@ -1078,6 +1166,7 @@ QUERIES = {
     "similarity_embedding_neardup": similarity_embedding_neardup,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_lsh_multi": similarity_ann_lsh_multi,
+    "streaming_ann_index_sink": streaming_ann_index_sink,
     "similarity_ann_ivf": similarity_ann_ivf,
     "similarity_ann_recall": similarity_ann_recall,
     "similarity_ann_sweep": similarity_ann_sweep,
@@ -1089,6 +1178,7 @@ ORACLES = {
     "retrieval_rrf_ann": RETRIEVAL_RRF_ANN_SQL,
     "similarity_ann_sweep": SIMILARITY_ANN_SWEEP_SQL,
     "similarity_ann_lsh_multi": SIMILARITY_ANN_LSH_MULTI_SQL,
+    "streaming_ann_index_sink": SIMILARITY_ANN_LSH_MULTI_SQL,
     "similarity_cosine_topk": SIMILARITY_COSINE_TOPK_SQL,
     "similarity_embedding_neardup": SIMILARITY_EMBEDDING_NEARDUP_SQL,
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,

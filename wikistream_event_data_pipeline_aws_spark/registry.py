@@ -55,7 +55,9 @@ _ORACLES: dict[str, str] = {}
 # multimodal_video_frame_neardup (NEW: Y4M keyframe-identity set
 # overlap — frame-key equi-join + exact Jaccard),
 # streaming_postings_sink (NEW: incremental (token, doc) postings
-# maintenance through the insert-only merge),
+# maintenance through the insert-only merge) and
+# streaming_ann_index_sink (NEW: its vector-leg twin — streamed LSH
+# signature table answering the batch multi-table oracle),
 # dedup_method_agreement + dedup_simhash_pairs (implementation
 # changed: minhash leg fenced/reused + envelope guard no longer a
 # separate full-corpus count — VERDICT item 4, ADVICE item 6),
@@ -64,7 +66,7 @@ _ORACLES: dict[str, str] = {}
 # (implementation changed: hyperplane projections shared across
 # table-count configs — VERDICT item 6) head the front; then ALL 39
 # queries whose newest driver row is r3 (the stalest cohort); then
-# the 2 registration-order-oldest r4 rows as backfill: 9 + 39 + 2 =
+# the 1 registration-order-oldest r4 row as backfill: 10 + 39 + 1 =
 # 50.  Done = CORRECTNESS_r08 50/50 green and no query's newest row
 # older than r4.
 #
@@ -83,6 +85,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "multimodal_audio_fp_neardup",
     "multimodal_video_frame_neardup",
     "streaming_postings_sink",
+    "streaming_ann_index_sink",
     "dedup_method_agreement",
     "dedup_simhash_pairs",
     "sse_replay_source_stats",
@@ -129,7 +132,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "bucketed_join_colocated",
     # -- backfill: registration-order-oldest r4 rows --
     "event_trigram_counts",
-    "rolling_active_users",
 )
 
 

@@ -726,6 +726,61 @@ def start_postings_sink(
     return writer.start()
 
 
+def start_ann_signature_sink(
+    stream_df: DataFrame,
+    signatures_path: str,
+    checkpoint_dir: str,
+    dim: int,
+    n_planes: int = 6,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming ANN-index maintenance — the VECTOR-leg twin of
+    :func:`start_postings_sink`: each micro-batch's multi-table LSH
+    signatures (one (vec_id, table, bucket) row per table, buckets from
+    the same md5-derived hyperplanes every batch query uses) INSERT-ONLY
+    merge into a persistent signature table. A vector's signature is a
+    pure function of the vector, so the signature set has SET semantics
+    and insert-only is the complete merge algebra: replayed
+    micro-batches and duplicate vector deliveries no-op, and the
+    end-of-stream table is bit-identical to the batch signature build —
+    which the registered readout proves by running the multi-table
+    top-k from the STREAMED table against the batch oracle. At scale
+    the signature table is the serving-side ANN index (bucket-keyed,
+    ~n_tables rows of 24 bytes per vector); the per-batch merge is one
+    anti-join on (table, vec_id)."""
+    from ..operators.similarity import lsh_bucket_key
+
+    spark = stream_df.sparkSession
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):  # empty micro-batch: skip the merge pass
+            return
+        sigs = batch_df.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(
+                F.array(
+                    *[
+                        lsh_bucket_key(vec_col, dim, n_planes, table=t)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("table", "bucket"),
+        )
+        insert_only_parquet(spark, signatures_path, sigs, keys=["table", "vec_id"])
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def hll_batch_registers(
     df: DataFrame, key_col: str, seed: str, m: int = 1024
 ) -> DataFrame:
