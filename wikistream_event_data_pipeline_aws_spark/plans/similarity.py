@@ -694,6 +694,112 @@ def _sweep_oracle_sql() -> str:
 SIMILARITY_ANN_SWEEP_SQL = _sweep_oracle_sql()
 
 
+HARDNEG_QUERIES = 10  # the clone-planted originals: their positives exist
+HARDNEG_POS_THRESHOLD = 0.95  # at/above = positive (near-dup), excluded
+HARDNEG_TOPK = 5
+
+
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training — the
+    pair-construction step every retrieval/embedding fine-tune needs:
+    for each anchor vector, the highest-cosine candidates that are NOT
+    positives (near-dups) — similar enough to be informative, distinct
+    enough to be true negatives. Candidates come from the multi-table
+    LSH bucket join (never an O(nq·N) scan); the positive exclusion is
+    a cosine >= {pos} cut, which on the clone-augmented corpus provably
+    matters: every anchor's planted identical clone collides in every
+    signature table and would otherwise top the list. Output: top-{k}
+    negatives per anchor with exact cosine. Deterministic end to end
+    (md5 hyperplanes, exact re-rank), so value-hash-checked; scale
+    shape identical to ``similarity_ann_lsh_multi``.""".format(
+        pos=HARDNEG_POS_THRESHOLD, k=HARDNEG_TOPK
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    clones = e.filter(F.col("vec_id") < HARDNEG_QUERIES).select(
+        (F.col("vec_id") + CLONE_OFFSET).alias("vec_id"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+    aug = e.unionByName(clones)
+    anchors = aug.filter(F.col("vec_id") < HARDNEG_QUERIES)
+    cand = lsh_multi_table_candidates(
+        anchors, aug, dim=DIM, n_planes=N_PLANES, n_tables=N_TABLES
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") < HARDNEG_POS_THRESHOLD)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= HARDNEG_TOPK)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.col("neighbor_id").alias("negative_id"),
+            "cosine_sim",
+        )
+    )
+
+
+def _hardneg_oracle_sql() -> str:
+    from ..operators.similarity import _hyperplane
+
+    bucket_cols = []
+    for t in range(N_TABLES):
+        proj_terms = []
+        for p in range(N_PLANES):
+            coeffs = ", ".join(
+                repr(_hyperplane(t * 1000 + p, d)) for d in range(DIM)
+            )
+            proj = (
+                "list_sum(list_transform(list_zip(embedding::DOUBLE[],"
+                f" [{coeffs}]::DOUBLE[]), t -> t[1] * t[2]))"
+            )
+            proj_terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        bucket_cols.append(" + ".join(proj_terms) + f" AS b{t}")
+    any_table = " OR ".join(f"q.b{t} = c.b{t}" for t in range(N_TABLES))
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {CLONE_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id < {HARDNEG_QUERIES}
+),
+sig AS (
+  SELECT vec_id, {', '.join(bucket_cols)} FROM aug
+),
+qry AS (SELECT * FROM sig WHERE vec_id < {HARDNEG_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS anchor_id, c.vec_id AS negative_id
+  FROM qry q JOIN sig c ON q.vec_id <> c.vec_id AND ({any_table})
+),
+scored AS (
+  SELECT cand.anchor_id, cand.negative_id,
+         {_COS_SQL.format(a="qe.embedding", b="ce.embedding")} AS cosine_sim
+  FROM cand
+  JOIN aug qe ON qe.vec_id = cand.anchor_id
+  JOIN aug ce ON ce.vec_id = cand.negative_id
+),
+negs AS (
+  SELECT * FROM scored WHERE cosine_sim < CAST({HARDNEG_POS_THRESHOLD} AS DOUBLE)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine_sim DESC, negative_id ASC) AS neg_rank
+  FROM negs
+)
+SELECT anchor_id, neg_rank, negative_id, cosine_sim
+FROM ranked WHERE neg_rank <= {HARDNEG_TOPK}
+"""
+
+
+MINE_HARD_NEGATIVES_SQL = _hardneg_oracle_sql()
+
+
 _ANN_SIG_SRC_CACHE: dict[str, str] = {}
 
 
@@ -1167,6 +1273,7 @@ QUERIES = {
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_lsh_multi": similarity_ann_lsh_multi,
     "streaming_ann_index_sink": streaming_ann_index_sink,
+    "mine_hard_negatives": mine_hard_negatives,
     "similarity_ann_ivf": similarity_ann_ivf,
     "similarity_ann_recall": similarity_ann_recall,
     "similarity_ann_sweep": similarity_ann_sweep,
@@ -1179,6 +1286,7 @@ ORACLES = {
     "similarity_ann_sweep": SIMILARITY_ANN_SWEEP_SQL,
     "similarity_ann_lsh_multi": SIMILARITY_ANN_LSH_MULTI_SQL,
     "streaming_ann_index_sink": SIMILARITY_ANN_LSH_MULTI_SQL,
+    "mine_hard_negatives": MINE_HARD_NEGATIVES_SQL,
     "similarity_cosine_topk": SIMILARITY_COSINE_TOPK_SQL,
     "similarity_embedding_neardup": SIMILARITY_EMBEDDING_NEARDUP_SQL,
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,

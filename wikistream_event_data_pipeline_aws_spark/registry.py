@@ -58,6 +58,9 @@ _ORACLES: dict[str, str] = {}
 # maintenance through the insert-only merge) and
 # streaming_ann_index_sink (NEW: its vector-leg twin — streamed LSH
 # signature table answering the batch multi-table oracle),
+# mine_hard_negatives (NEW: contrastive-training pair construction —
+# LSH candidates, near-dup positives cut at cosine 0.95, top-5
+# negatives per anchor),
 # dedup_method_agreement + dedup_simhash_pairs (implementation
 # changed: minhash leg fenced/reused + envelope guard no longer a
 # separate full-corpus count — VERDICT item 4, ADVICE item 6),
@@ -66,8 +69,7 @@ _ORACLES: dict[str, str] = {}
 # (implementation changed: hyperplane projections shared across
 # table-count configs — VERDICT item 6) head the front; then ALL 39
 # queries whose newest driver row is r3 (the stalest cohort); then
-# the 1 registration-order-oldest r4 row as backfill: 10 + 39 + 1 =
-# 50.  Done = CORRECTNESS_r08 50/50 green and no query's newest row
+# no backfill room remains: 11 new/changed + 39 stalest-r3 = 50.  Done = CORRECTNESS_r08 50/50 green and no query's newest row
 # older than r4.
 #
 # _FRONT_TARGET_ROUND pins WHICH round this composition was built for:
@@ -86,6 +88,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "multimodal_video_frame_neardup",
     "streaming_postings_sink",
     "streaming_ann_index_sink",
+    "mine_hard_negatives",
     "dedup_method_agreement",
     "dedup_simhash_pairs",
     "sse_replay_source_stats",
@@ -130,8 +133,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "partitioned_scan_pruning",
     "compaction_plan",
     "bucketed_join_colocated",
-    # -- backfill: registration-order-oldest r4 rows --
-    "event_trigram_counts",
 )
 
 
