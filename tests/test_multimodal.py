@@ -324,3 +324,23 @@ def test_video_frame_neardup_surfaces_planted_clones(spark, sf_dir):
         assert r.jaccard >= 0.5
         if r.id_b == r.id_a + PHASH_CLONE_OFFSET and r.n_a == 4:
             assert (r.n_shared, r.jaccard) == (3, 0.6)
+
+
+def test_fixture_envelope_guard_raises_past_bound():
+    """The measured-density envelopes must fail fast with a diagnostic
+    naming the production knob, not silently run a saturated join."""
+    import pytest as _pytest
+
+    from wikistream_event_data_pipeline_aws_spark.plans.multimodal import (
+        AFP_MAX_ASSETS,
+        PHASH_MAX_ASSETS,
+        _check_fixture_envelope,
+    )
+
+    _check_fixture_envelope(PHASH_MAX_ASSETS, PHASH_MAX_ASSETS, "images", "phash")
+    with _pytest.raises(ValueError, match="entropy-bounded fixture"):
+        _check_fixture_envelope(
+            PHASH_MAX_ASSETS + 1, PHASH_MAX_ASSETS, "images", "phash"
+        )
+    with _pytest.raises(ValueError, match="widen the fingerprint"):
+        _check_fixture_envelope(AFP_MAX_ASSETS + 1, AFP_MAX_ASSETS, "clips", "afp")
