@@ -646,3 +646,107 @@ def test_bm25_matches_python_reference(spark, sf_dir):
         for r in text_bm25_topk(spark, sf_dir).collect()
     )
     assert got == sorted(expect)
+
+
+# -- round-8 media fingerprints vs pure-Python references -------------------------
+#
+# Same discipline as the round-7 block above: the DuckDB oracles derive
+# the fingerprints from md5 hex, but a shared misunderstanding of the
+# PAIR LISTS could be transcribed into both engines. These recompute
+# the fingerprints in plain Python from arbitrary payload bytes, with
+# the REAL containers round-tripped through the Spark operators.
+
+
+def _py_phash(px: bytes) -> int:
+    from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
+        PHASH_PAIRS,
+    )
+
+    return sum(1 << k for k, (i, j) in enumerate(PHASH_PAIRS) if px[i] < px[j])
+
+
+def _py_afp(s: bytes) -> int:
+    from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
+        AFP_N_WIN,
+        AFP_PAIRS,
+        AFP_STRIDE,
+        AFP_WIN,
+    )
+
+    en = []
+    for i in range(AFP_N_WIN):
+        w = s[i * AFP_STRIDE : i * AFP_STRIDE + AFP_WIN]
+        en.append(w[0] ** 2 + w[2] ** 2)
+        en.append(w[1] ** 2 + w[3] ** 2)
+    return sum(1 << k for k, (i, j) in enumerate(AFP_PAIRS) if en[i] < en[j])
+
+
+@SLOW
+@given(
+    payloads=st.lists(
+        st.binary(min_size=16, max_size=16), min_size=1, max_size=12
+    )
+)
+def test_media_fingerprints_match_python_reference(spark, payloads):
+    """image_dhash and audio_fingerprint over REAL containers equal
+    from-scratch Python fingerprints of the raw bytes — so the
+    encode -> parse -> fingerprint path is checked end to end on
+    arbitrary payloads, not just the md5-derived corpus."""
+    from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_png_gray8,
+        encode_wav_u8,
+        image_dhash,
+    )
+
+    png_rows = [(i, encode_png_gray8(p, 4, 4)) for i, p in enumerate(payloads)]
+    wav_rows = [(i, encode_wav_u8(p)) for i, p in enumerate(payloads)]
+    schema = "media_id long, payload binary"
+    got_ph = {
+        r.media_id: r.phash
+        for r in image_dhash(spark.createDataFrame(png_rows, schema)).collect()
+    }
+    got_af = {
+        r.media_id: r.afp
+        for r in audio_fingerprint(
+            spark.createDataFrame(wav_rows, schema)
+        ).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got_ph[i] == _py_phash(p), (i, p.hex())
+        assert got_af[i] == _py_afp(p), (i, p.hex())
+
+
+@SLOW
+@given(
+    clips=st.lists(
+        st.binary(min_size=16, max_size=16), min_size=1, max_size=10
+    )
+)
+def test_video_frame_keys_match_python_reference(spark, clips):
+    """video_frame_ids over real Y4M containers equals the from-scratch
+    frame decomposition: n = 1 + b0 % 4 frames, frame f = bytes
+    4f..4f+3 packed big-endian."""
+    from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
+        Y4M_H,
+        Y4M_W,
+        encode_y4m_mono,
+        video_frame_ids,
+    )
+
+    rows = []
+    for i, p in enumerate(clips):
+        n = 1 + p[0] % 4
+        frames = [p[4 * f : 4 * f + 4] for f in range(n)]
+        rows.append((i, encode_y4m_mono(frames, Y4M_W, Y4M_H)))
+    got = {
+        (r.media_id, r.frame_idx): r.frame_key
+        for r in video_frame_ids(
+            spark.createDataFrame(rows, "media_id long, payload binary")
+        ).collect()
+    }
+    want = {}
+    for i, p in enumerate(clips):
+        for f in range(1 + p[0] % 4):
+            want[(i, f)] = int.from_bytes(p[4 * f : 4 * f + 4], "big")
+    assert got == want
