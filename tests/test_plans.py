@@ -728,3 +728,65 @@ def test_no_broadcast_hint_on_scaling_names_in_source():
             if banned.search(line):
                 hits.append(f"{p.name}:{i}: {line.strip()}")
     assert not hits, hits
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "multimodal_phash_neardup",
+        "multimodal_audio_fp_neardup",
+        "multimodal_video_frame_neardup",
+        "mine_hard_negatives",
+        "streaming_postings_sink",
+        "streaming_ann_index_sink",
+    ],
+)
+def test_round8_pair_operators_never_cartesian(spark, sf_dir, name):
+    """Every round-8 near-dup / candidate-pair operator must pair via a
+    keyed equi-join (band bucket, frame key, posting token, signature
+    bucket) — a CartesianProduct anywhere is the scale regression these
+    designs exist to avoid."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_ann_ranking_leg_is_bucket_join_not_scan(spark, sf_dir):
+    """retrieval_rrf_ann's RANKING semantic leg must come from the LSH
+    bucket join — no brute-force corpus scan (BroadcastNestedLoopJoin)
+    in the fused ranking. (The registered query additionally joins the
+    exact-fused variant as the recall AUDIT, which legitimately
+    contains the brute-force baseline — so this pins the ranking
+    subplan, built from the same internals the query composes.)"""
+    from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+    from wikistream_event_data_pipeline_aws_spark.operators.similarity import (
+        lsh_multi_table_topk,
+    )
+    from wikistream_event_data_pipeline_aws_spark.plans.similarity import (
+        DIM,
+        N_PLANES,
+        N_TABLES,
+        RRF_QUERIES,
+        RRF_TOPK,
+        _lexical_jaccard_topk,
+        _rrf_fused,
+    )
+    from pyspark.sql import functions as F
+
+    lexk = _lexical_jaccard_topk(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    semk = lsh_multi_table_topk(
+        e.filter(F.col("vec_id") < RRF_QUERIES),
+        e,
+        dim=DIM,
+        k=RRF_TOPK,
+        n_planes=N_PLANES,
+        n_tables=N_TABLES,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    ranking = _rrf_fused(lexk, semk)
+    plan = ranking._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
