@@ -607,8 +607,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-test sum (identical expression both engines). Planted clones
     (one appended token) perturb few bit majorities, so they surface
     here just as they do in the LSH path."""
-    d = _docs_augmented(spark, sf_dir)
-    sig = _spread(simhash16(d, "doc_id", "text")).localCheckpoint(eager=True)
+    # spread BEFORE the signature projection: the parquet scan yields
+    # 1-2 splits at test SFs and repartitioning the OUTPUT leaves the
+    # expensive per-row bit votes serialized on those splits (measured
+    # ~4s of the fused build at sf0.1); shuffling the slim (id, text)
+    # rows first runs the votes on every core, and at 100 TB the scan
+    # already has thousands of splits so this stays a near-no-op
+    d = _spread(_docs_augmented(spark, sf_dir))
+    sig = simhash16(d, "doc_id", "text").localCheckpoint(eager=True)
     # envelope guard on the already-materialized signature rows (one per
     # non-NULL-text doc): the signature build is map-only O(N) and safe
     # at any scale — the guard protects the BAND JOIN below, so counting
@@ -677,8 +683,8 @@ def dedup_simhash_band60(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder. Reference scope: the reference dedups exact-only
     (silver_batch_job.py row_number); simhash banding is the 100 TB
     near-dup path (Manku et al., WWW 2007)."""
-    d = _docs_augmented(spark, sf_dir)
-    sig = _spread(simhash60(d, "doc_id", "text")).localCheckpoint(eager=True)
+    d = _spread(_docs_augmented(spark, sf_dir))  # spread before the votes
+    sig = simhash60(d, "doc_id", "text").localCheckpoint(eager=True)
     return _simhash60_pairs_from_sig(sig)
 
 
@@ -796,8 +802,10 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-reading and re-augmenting the parquet (VERDICT r7
     item 4). The sim16 envelope guard counts the already-materialized
     signature rows — no separate full-corpus count scan (ADVICE r7)."""
-    d = _docs_augmented(spark, sf_dir).localCheckpoint(eager=True)
-    fused = _spread(simhash_fused(d, "doc_id", "text")).localCheckpoint(eager=True)
+    # spread the fenced corpus: every leg (bit votes, shingle md5)
+    # otherwise runs its map stage on the scan's 1-2 splits
+    d = _spread(_docs_augmented(spark, sf_dir)).localCheckpoint(eager=True)
+    fused = simhash_fused(d, "doc_id", "text").localCheckpoint(eager=True)
     _check_sim16_envelope(fused.count())  # the sim16 leg's fixture bound applies
     lsh = _minhash_pairs_from_docs(d).select("id_a", "id_b").withColumn(
         "in_lsh", F.lit(1)

@@ -290,14 +290,19 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash60 regime, measured ~linear)."""
     from .dedup import _simhash60_pairs_from_sig, _spread
 
-    corpus = _media_corpus_augmented(
-        spark, sf_dir, residue=0, delta=_PHASH_PERT_DELTA
-    ).withColumn("media_type", F.lit("image"))
+    # spread the corpus BEFORE the Arrow stages: the scan yields 1-2
+    # splits at test SFs and the encode/decode/fingerprint Python work
+    # would otherwise serialize on them (same lesson as the simhash
+    # signature builds); at 100 TB the scan already has thousands of
+    # splits and this is a near-no-op
+    corpus = _spread(
+        _media_corpus_augmented(
+            spark, sf_dir, residue=0, delta=_PHASH_PERT_DELTA
+        ).withColumn("media_type", F.lit("image"))
+    )
     sig = image_dhash(encode_containers(corpus))
-    fenced = _spread(
-        sig.select(
-            F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash60")
-        )
+    fenced = sig.select(
+        F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash60")
     ).localCheckpoint(eager=True)
     _check_fixture_envelope(fenced.count(), PHASH_MAX_ASSETS, "images", "phash")
     return _simhash60_pairs_from_sig(fenced)
@@ -375,14 +380,14 @@ def multimodal_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames) instead."""
     from .dedup import _simhash60_pairs_from_sig, _spread
 
-    corpus = _media_corpus_augmented(
-        spark, sf_dir, residue=1, delta=_AFP_PERT_DELTA
-    ).withColumn("media_type", F.lit("audio"))
+    corpus = _spread(  # spread before the Arrow stages (see phash note)
+        _media_corpus_augmented(
+            spark, sf_dir, residue=1, delta=_AFP_PERT_DELTA
+        ).withColumn("media_type", F.lit("audio"))
+    )
     sig = audio_fingerprint(encode_containers(corpus))
-    fenced = _spread(
-        sig.select(
-            F.col("media_id").alias("doc_id"), F.col("afp").alias("simhash60")
-        )
+    fenced = sig.select(
+        F.col("media_id").alias("doc_id"), F.col("afp").alias("simhash60")
     ).localCheckpoint(eager=True)
     _check_fixture_envelope(fenced.count(), AFP_MAX_ASSETS, "clips", "afp")
     return _simhash60_pairs_from_sig(fenced)
@@ -475,15 +480,18 @@ def multimodal_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     or keying bug on either side breaks value parity."""
     from .dedup import _spread
 
-    corpus = _media_corpus_augmented(
-        spark, sf_dir, residue=2, delta=_VFRAME_PERT_DELTA,
-        byte_idx=_VFRAME_PERT_BYTE,
-    ).withColumn("media_type", F.lit("video"))
-    frames = _spread(
+    corpus = _spread(  # spread before the Arrow stages (see phash note)
+        _media_corpus_augmented(
+            spark, sf_dir, residue=2, delta=_VFRAME_PERT_DELTA,
+            byte_idx=_VFRAME_PERT_BYTE,
+        ).withColumn("media_type", F.lit("video"))
+    )
+    frames = (
         video_frame_ids(encode_containers(corpus))
         .select("media_id", "frame_key")
         .distinct()
-    ).localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
     sizes = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
     a = frames.alias("a")
     b = frames.alias("b")
