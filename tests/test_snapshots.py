@@ -468,3 +468,34 @@ def test_tagged_empty_snapshot_survives_gc_with_schema_chain(spark, table):
     snap.delete_tag(table, "empty-pin")
     removed = snap.expire_snapshots(table, keep_last=1)
     assert {"v000001", "v000002"} <= set(removed["manifests"])
+
+
+def test_untagged_empty_current_version_survives_gc_with_schema_chain(
+    spark, table
+):
+    """An UNTAGGED empty snapshot inside the keep_last window (here:
+    the current version, the files=[] no-op commit shape that
+    snapshot_delete_positions produces) also reconstructs its schema by
+    walking parent manifests — GC must retain that ancestor chain for
+    every survivor, not only for tagged versions, or reading the
+    CURRENT version raises FileNotFoundError after expire (ADVICE
+    r8)."""
+    snap.snapshot_write(spark, table, _df(spark, 0, 5))  # v1: has files
+    # v2: empty overwrite, NO files, NO tag — and it is the current
+    # version, so keep_last=1 retains exactly it
+    snap._commit_manifest(
+        table,
+        2,
+        {"version": 2, "parent": 1, "operation": "overwrite", "files": [],
+         "file_seqs": {}, "n_rows": 0},
+    )
+    removed = snap.expire_snapshots(table, keep_last=1)
+    # v1 is the surviving empty v2's schema ancestor: must survive
+    assert "v000001" not in removed["manifests"]
+    out = snap.read_snapshot(spark, table)
+    assert out.count() == 0 and out.columns == ["k"]
+    # once a later snapshot WITH files exists, the chain is releasable
+    snap.snapshot_write(spark, table, _df(spark, 10, 13), mode="overwrite")
+    removed = snap.expire_snapshots(table, keep_last=1)
+    assert {"v000001", "v000002"} <= set(removed["manifests"])
+    assert snap.read_snapshot(spark, table).count() == 3

@@ -508,7 +508,7 @@ def _afp_pairs() -> tuple[tuple[int, int], ...]:
     windows per band, cross-band contrast within a window, and 2-step
     gradients — then md5-derived fills out the 60-bit width. Shared
     verbatim by the Spark operator (over DECODED PCM) and the DuckDB
-    oracle (over payload hex).""".format(n=AFP_N_ENERGY)
+    oracle (over payload hex)."""
     import hashlib
 
     def e(i: int, b: int) -> int:
@@ -536,6 +536,7 @@ def _afp_pairs() -> tuple[tuple[int, int], ...]:
     return tuple(pairs[:AFP_BITS])
 
 
+_afp_pairs.__doc__ = _afp_pairs.__doc__.format(n=AFP_N_ENERGY)
 AFP_PAIRS = _afp_pairs()
 
 

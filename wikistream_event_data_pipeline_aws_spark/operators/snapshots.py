@@ -758,13 +758,17 @@ def expire_snapshots(path: str, keep_last: int) -> dict[str, list[str]]:
     # tagged versions are GC ROOTS (Iceberg ref retention): a tag pins
     # its snapshot — manifest and files — for as long as the tag lives
     tagged = set(list_refs(path).values())
-    # an EMPTY tagged snapshot (overwrite with a no-row frame) has no
-    # files of its own: read_snapshot reconstructs its schema by walking
-    # PARENT manifests, so the whole parent chain up to the nearest
-    # ancestor WITH files must survive too, or reading the pinned tag
-    # fails after GC (ADVICE r7)
+    # an EMPTY snapshot (overwrite with a no-row frame, or a no-op
+    # delete commit) has no files of its own: read_snapshot
+    # reconstructs its schema by walking PARENT manifests, so the whole
+    # parent chain up to the nearest ancestor WITH files must survive
+    # too, or reading the retained version fails after GC. That applies
+    # to EVERY snapshot that will remain readable — both tagged GC
+    # roots (ADVICE r7) and the keep_last survivors themselves,
+    # including the current version (ADVICE r8: an untagged empty
+    # current version must not lose its schema ancestors).
     roots = set(tagged)
-    for v in tagged:
+    for v in tagged | set(vs[-keep_last:]):
         m = read_manifest(path, v)
         while not m["files"] and m.get("parent") is not None:
             roots.add(m["parent"])

@@ -209,9 +209,7 @@ def _media_corpus_augmented(
     The video path perturbs byte 15 (the LAST frame's last pixel)
     because byte 0 doubles as the frame-count selector there. Payloads
     are the RAW 16 md5 bytes; callers wrap them in real containers
-    downstream.""".format(
-        max_id=PHASH_CLONE_MAX_ID, off=PHASH_CLONE_OFFSET
-    )
+    downstream."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == residue)
@@ -231,6 +229,11 @@ def _media_corpus_augmented(
         F.unhex(pert_hex).alias("payload"),
     )
     return base.unionByName(clones)
+
+
+_media_corpus_augmented.__doc__ = _media_corpus_augmented.__doc__.format(
+    max_id=PHASH_CLONE_MAX_ID, off=PHASH_CLONE_OFFSET
+)
 
 
 # Fixture-entropy envelopes (the sim16 discipline): the 16-byte md5

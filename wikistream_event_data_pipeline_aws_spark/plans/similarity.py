@@ -711,9 +711,7 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table and would otherwise top the list. Output: top-{k}
     negatives per anchor with exact cosine. Deterministic end to end
     (md5 hyperplanes, exact re-rank), so value-hash-checked; scale
-    shape identical to ``similarity_ann_lsh_multi``.""".format(
-        pos=HARDNEG_POS_THRESHOLD, k=HARDNEG_TOPK
-    )
+    shape identical to ``similarity_ann_lsh_multi``."""
     e = load_table(spark, sf_dir, "embeddings")
     clones = e.filter(F.col("vec_id") < HARDNEG_QUERIES).select(
         (F.col("vec_id") + CLONE_OFFSET).alias("vec_id"),
@@ -743,6 +741,11 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine_sim",
         )
     )
+
+
+mine_hard_negatives.__doc__ = mine_hard_negatives.__doc__.format(
+    pos=HARDNEG_POS_THRESHOLD, k=HARDNEG_TOPK
+)
 
 
 def _hardneg_oracle_sql() -> str:
@@ -984,7 +987,7 @@ def _lexical_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates by distinct-token Jaccard, candidates bounded by posting
     intersection (only docs sharing >= 1 token with a query are scored;
     the query postings broadcast). Returns (query_id, cand_id,
-    lex_rank).""".format(topk=RRF_TOPK)
+    lex_rank)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.select(
         "doc_id",
@@ -1019,7 +1022,7 @@ def _lexical_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rrf_fused(lexk: DataFrame, semk: DataFrame) -> DataFrame:
     """Reciprocal-rank fusion of a lexical and a semantic top-k list:
     score = sum(1/(k + rank)) over the legs where the candidate appears;
-    re-ranked and cut to the fused top-{topk}.""".format(topk=RRF_TOPK)
+    re-ranked and cut to the fused top-{topk}."""
     fused = lexk.join(semk, ["query_id", "cand_id"], "full_outer")
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
@@ -1038,6 +1041,12 @@ def _rrf_fused(lexk: DataFrame, semk: DataFrame) -> DataFrame:
             "lex_rank", "sem_rank", "rrf_score",
         )
     )
+
+
+_lexical_jaccard_topk.__doc__ = _lexical_jaccard_topk.__doc__.format(
+    topk=RRF_TOPK
+)
+_rrf_fused.__doc__ = _rrf_fused.__doc__.format(topk=RRF_TOPK)
 
 
 def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1228,6 +1237,17 @@ lex AS (
 ),
 lexk AS (SELECT * FROM lex WHERE lex_rank <= {RRF_TOPK})
 """
+
+# The embedded SIMILARITY_ANN_LSH_MULTI_SQL oracle cuts its semantic
+# rank list at TOP_K, while the Spark side calls
+# lsh_multi_table_topk(k=RRF_TOPK) — the two constants must stay equal
+# or oracle and engine silently diverge (ADVICE r8). Fail loudly here.
+assert TOP_K == RRF_TOPK, (
+    f"RETRIEVAL_RRF_ANN_SQL reuses the ANN-multi oracle whose rank cut "
+    f"is TOP_K={TOP_K}, but the Spark semantic leg cuts at "
+    f"RRF_TOPK={RRF_TOPK}; parameterize the embedded oracle before "
+    "changing either constant"
+)
 
 RETRIEVAL_RRF_ANN_SQL = f"""
 WITH hyb AS ({RETRIEVAL_RRF_HYBRID_SQL}),
