@@ -240,21 +240,30 @@ def test_phash_neardup_surfaces_planted_clones(spark, sf_dir):
 
 
 def test_phash_pairs_structure():
-    """The comparison-pair list is the fingerprint's definition: 60
-    pairs, all indexes in the 4x4 pixel grid, no self-comparisons, and
-    the leading 42 are exactly the horizontal/vertical/diagonal/
-    anti-diagonal neighbor gradients."""
+    """The comparison-pair list is the fingerprint's definition:
+    classic dHash over the 16x4 grid — 60 pairs, every one a
+    horizontal neighbor gradient, 15 per pixel row, rows disjoint (so
+    the 4 Hamming-join bands, one per row, are independent)."""
     from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
+        DHASH_GRID_H,
+        DHASH_GRID_W,
         PHASH_BITS,
+        PHASH_N_PIXELS,
         PHASH_PAIRS,
     )
 
     assert len(PHASH_PAIRS) == PHASH_BITS == 60
-    assert all(0 <= i < 16 and 0 <= j < 16 and i != j for i, j in PHASH_PAIRS)
-    assert PHASH_PAIRS[0] == (0, 1)  # first horizontal gradient
-    assert PHASH_PAIRS[12] == (0, 4)  # first vertical gradient
-    assert PHASH_PAIRS[24] == (0, 5)  # first diagonal
-    assert PHASH_PAIRS[33] == (1, 4)  # first anti-diagonal
+    assert PHASH_N_PIXELS == DHASH_GRID_W * DHASH_GRID_H == 64
+    for k, (i, j) in enumerate(PHASH_PAIRS):
+        assert j == i + 1  # horizontal neighbor
+        assert i // DHASH_GRID_W == j // DHASH_GRID_W  # same pixel row
+        assert i // DHASH_GRID_W == k // 15  # band k//15 == row
+    # bands touch disjoint pixel rows -> independent band values
+    rows_per_band = [
+        {i // DHASH_GRID_W for i, _ in PHASH_PAIRS[15 * b : 15 * (b + 1)]}
+        for b in range(4)
+    ]
+    assert rows_per_band == [{0}, {1}, {2}, {3}]
 
 
 def test_audio_fp_neardup_surfaces_planted_clones(spark, sf_dir):
@@ -281,23 +290,25 @@ def test_audio_fp_neardup_surfaces_planted_clones(spark, sf_dir):
 
 
 def test_afp_pairs_structure():
-    """60 comparison pairs over the 14 short-time sub-band energies;
-    the leading 12 are the Haitsma-Kalker neighbor gradients."""
+    """60 comparison pairs over the 62 short-time sub-band energies of
+    a 64-sample clip: every bit is a Haitsma-Kalker consecutive-window
+    energy gradient — 30 per sub-band chain, no filler pairs."""
     from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
         AFP_BITS,
         AFP_N_ENERGY,
+        AFP_N_SAMPLES,
+        AFP_N_WIN,
         AFP_PAIRS,
     )
 
     assert len(AFP_PAIRS) == AFP_BITS == 60
-    assert AFP_N_ENERGY == 14
-    assert all(
-        0 <= i < AFP_N_ENERGY and 0 <= j < AFP_N_ENERGY and i != j
-        for i, j in AFP_PAIRS
-    )
-    assert AFP_PAIRS[0] == (0, 2)  # first even-band neighbor gradient
-    assert AFP_PAIRS[6] == (1, 3)  # first odd-band neighbor gradient
-    assert AFP_PAIRS[12] == (0, 1)  # first cross-band contrast
+    assert (AFP_N_SAMPLES, AFP_N_WIN, AFP_N_ENERGY) == (64, 31, 62)
+    for k, (i, j) in enumerate(AFP_PAIRS):
+        assert 0 <= i < AFP_N_ENERGY and 0 <= j < AFP_N_ENERGY
+        assert j == i + 2  # consecutive window, same sub-band
+        assert i % 2 == k // 30  # bits 0-29 even chain, 30-59 odd chain
+    assert AFP_PAIRS[0] == (0, 2)  # first even-chain gradient
+    assert AFP_PAIRS[30] == (1, 3)  # first odd-chain gradient
 
 
 def test_video_frame_neardup_surfaces_planted_clones(spark, sf_dir):
@@ -327,8 +338,9 @@ def test_video_frame_neardup_surfaces_planted_clones(spark, sf_dir):
 
 
 def test_fixture_envelope_guard_raises_past_bound():
-    """The measured-density envelopes must fail fast with a diagnostic
-    naming the production knob, not silently run a saturated join."""
+    """The sparse-regime envelopes (raised 100x when the fingerprints
+    graduated to production grain) must fail fast with a diagnostic
+    naming the band-width knob, not silently run a saturated join."""
     import pytest as _pytest
 
     from wikistream_event_data_pipeline_aws_spark.plans.multimodal import (
@@ -337,10 +349,11 @@ def test_fixture_envelope_guard_raises_past_bound():
         _check_fixture_envelope,
     )
 
+    assert PHASH_MAX_ASSETS >= 30_000_000 and AFP_MAX_ASSETS >= 20_000_000
     _check_fixture_envelope(PHASH_MAX_ASSETS, PHASH_MAX_ASSETS, "images", "phash")
-    with _pytest.raises(ValueError, match="entropy-bounded fixture"):
+    with _pytest.raises(ValueError, match="sparse-regime envelope"):
         _check_fixture_envelope(
             PHASH_MAX_ASSETS + 1, PHASH_MAX_ASSETS, "images", "phash"
         )
-    with _pytest.raises(ValueError, match="widen the fingerprint"):
+    with _pytest.raises(ValueError, match="band width ~ log2 N"):
         _check_fixture_envelope(AFP_MAX_ASSETS + 1, AFP_MAX_ASSETS, "clips", "afp")

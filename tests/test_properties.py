@@ -684,22 +684,28 @@ def _py_afp(s: bytes) -> int:
 @SLOW
 @given(
     payloads=st.lists(
-        st.binary(min_size=16, max_size=16), min_size=1, max_size=12
+        st.binary(min_size=64, max_size=64), min_size=1, max_size=12
     )
 )
 def test_media_fingerprints_match_python_reference(spark, payloads):
     """image_dhash and audio_fingerprint over REAL containers equal
     from-scratch Python fingerprints of the raw bytes — so the
     encode -> parse -> fingerprint path is checked end to end on
-    arbitrary payloads, not just the md5-derived corpus."""
+    arbitrary 64-byte payloads (the production-grain 16x4 image /
+    64-sample clip corpus), not just the md5-derived corpus."""
     from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
+        DHASH_GRID_H,
+        DHASH_GRID_W,
         audio_fingerprint,
         encode_png_gray8,
         encode_wav_u8,
         image_dhash,
     )
 
-    png_rows = [(i, encode_png_gray8(p, 4, 4)) for i, p in enumerate(payloads)]
+    png_rows = [
+        (i, encode_png_gray8(p, DHASH_GRID_W, DHASH_GRID_H))
+        for i, p in enumerate(payloads)
+    ]
     wav_rows = [(i, encode_wav_u8(p)) for i, p in enumerate(payloads)]
     schema = "media_id long, payload binary"
     got_ph = {

@@ -33,7 +33,9 @@ def summary(spark):
     )
 
 
-GATED_FAMILIES = ("minhash_lsh", "simhash60", "semdedup", "embedding_lsh")
+GATED_FAMILIES = (
+    "minhash_lsh", "simhash60", "semdedup", "embedding_lsh", "phash", "afp",
+)
 
 
 def test_gated_families_measure_linear(summary):

@@ -31,7 +31,19 @@ Families measured (same operators the queries call):
   to N (the IVF sizing rule the 100-TB argument relies on), candidate
   pairs = sum over cells of n*(n-1)/2; centroids are sampled ACROSS
   the expanded corpus (hash-ordered), so centroid coverage scales with
-  N as the rule requires.
+  N as the rule requires;
+* phash / afp — the media near-dup band joins
+  (``multimodal_phash_neardup`` / ``multimodal_audio_fp_neardup``'s
+  candidate stages) under the PRODUCTION sizing rule ``band-value
+  space ~ N`` (:func:`media_bucket_count`): wide gradient-bit bands
+  (which come free with asset size — bigger image -> more
+  pixel-neighbor pairs, longer clip -> more window-energy pairs)
+  bucketed down to B ~ N values, preserving the pigeonhole recall
+  guarantee while pinning expected bucket occupancy. The registered
+  queries' fixed 4x15 configuration is this curve's B=2^15 point.
+  md5-uniform fingerprints mean these two families measure the pure
+  random-collision floor — the hardest case, since no near-dup
+  structure hides saturation.
 
 ``--include-pedagogical`` additionally measures the BOUNDED 16-bit
 simhash fixture (``dedup_simhash_pairs``) for documentation: its 256
@@ -184,52 +196,59 @@ def simhash60_candidates(docs: DataFrame) -> int:
     )
 
 
-def phash60_candidates(docs: DataFrame) -> int:
-    """The perceptual-hash band join (``multimodal_phash_neardup``'s
-    candidate stage): 60 fixed pixel-pair comparison bits over the 16
-    md5-derived pixel bytes, 4 bands x 15 bits. Fingerprints are
-    computed directly from md5(text) hex — the same bit definition the
-    registered query derives from DECODED pixels (their identity is
-    what its oracle proves) — so this isolates the join's growth.
+N_MEDIA_BANDS = 4  # pigeonhole-complete at Hamming<=3, like simhash60
+MEDIA_BAND_BITS = 24  # tool fingerprint: wide bands, bucketed down
 
-    MEASUREMENT CAVEAT (why this family is gate-exempt): the fixture's
-    4x4 images bound fingerprint entropy to ~44 bits of rank-order
-    information packed into the 60 comparison bits, so each 15-bit
-    band has a REDUCED effective value space and the join enters the
-    birthday regime earlier than simhash60 does on text. The
-    production knob is fingerprint width ~ image size (a real-corpus
-    dHash downsamples to 9x8 -> 64 near-independent gradient bits,
-    landing in simhash60's measured regime); 16 pixels leave that knob
-    no headroom, exactly as the 16-bit simhash fixture leaves band
-    width none."""
-    from wikistream_event_data_pipeline_aws_spark.operators.multimodal import (
-        PHASH_PAIRS,
-    )
-    from wikistream_event_data_pipeline_aws_spark.plans.dedup import SIMHASH60_BANDS
 
-    bexpr = [
-        f"CAST(conv(substring(md5(text), {2 * i + 1}, 2), 16, 10) AS INT)"
-        for i in range(16)
-    ]
-    fp = " + ".join(
-        f"IF({bexpr[i]} < {bexpr[j]}, CAST({1 << k} AS BIGINT), CAST(0 AS BIGINT))"
-        for k, (i, j) in enumerate(PHASH_PAIRS)
-    )
-    sig = docs.filter(F.col("doc_id") % 3 == 0).select(
-        "doc_id", F.expr(fp).alias("ph")
-    )
+def media_bucket_count(n_assets: int) -> int:
+    """The media-fingerprint PRODUCTION sizing rule (the banded-join
+    analogue of embedding-LSH's ``n_planes ~ log2(N)`` and semdedup's
+    ``K ~ N``): the band-value space B grows linearly with the asset
+    count, keeping expected bucket occupancy — and therefore candidate
+    pairs per asset — constant as the corpus grows. Implemented as
+    ``band_value % B`` over a fingerprint whose bands are WIDER than
+    log2(B) (wide bands come free with asset size: a bigger image has
+    more pixel-neighbor gradient pairs, a longer clip more
+    window-energy pairs). Bucketing down preserves the pigeonhole
+    recall guarantee exactly — two assets within Hamming<=3 share an
+    EQUAL band, and equal band values land in the same bucket for any
+    B — it only admits extra candidates (different values, same
+    bucket), which this rule holds to ~N/2 total. The registered
+    queries' fixed 4x15 configuration is the B=2^15 point of this
+    curve, correct up to ~2^12 assets per modality."""
+    return max(64, 4 * n_assets)
+
+
+def _md5_byte_exprs(n_bytes: int) -> list[str]:
+    """Spark-SQL exprs for the md5-chain payload bytes the media
+    corpus builder derives from the document text (block 0 =
+    md5(text), block m = md5(text || '#m')) — the same byte definition
+    ``plans.multimodal._payload_hex`` materializes, computed inline so
+    this tool isolates the JOIN's growth from the codec plumbing
+    (their identity is what the registered queries' oracles prove)."""
+    out = []
+    for i in range(n_bytes):
+        blk = i // 16
+        h = "md5(text)" if blk == 0 else f"md5(concat(text, '#{blk}'))"
+        out.append(
+            f"CAST(conv(substring({h}, {2 * (i % 16) + 1}, 2), 16, 10) AS INT)"
+        )
+    return out
+
+
+def _banded_pair_count(sig: DataFrame) -> int:
+    """Distinct candidate pairs of the (band index, band value)
+    equi-join over ``bv0..bv{N_MEDIA_BANDS-1}`` signature columns —
+    the identical join shape every banded Hamming query runs."""
     banded = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(j).alias("bi"),
-                        F.shiftright(F.col("ph"), 15 * j)
-                        .bitwiseAND(0x7FFF)
-                        .alias("bv"),
+                        F.lit(j).alias("bi"), F.col(f"bv{j}").alias("bv")
                     )
-                    for j in range(SIMHASH60_BANDS)
+                    for j in range(N_MEDIA_BANDS)
                 ]
             )
         ).alias("band"),
@@ -246,6 +265,65 @@ def phash60_candidates(docs: DataFrame) -> int:
         .distinct()
         .count()
     )
+
+
+def phash_candidates(docs: DataFrame, n_buckets: int) -> int:
+    """The perceptual-hash band join (``multimodal_phash_neardup``'s
+    candidate stage) under the production sizing rule: a 4-row image
+    grid gives one dHash gradient-bit band per pixel row (bands
+    independent by construction — the registered query's 16x4 grid is
+    this shape at 15 bits), each band bucketed to ``n_buckets ~ N``
+    values (:func:`media_bucket_count`)."""
+    w = MEDIA_BAND_BITS
+    px = _md5_byte_exprs(N_MEDIA_BANDS * (w + 1))
+    band_exprs = []
+    for j in range(N_MEDIA_BANDS):
+        row = px[(w + 1) * j : (w + 1) * (j + 1)]
+        bits = " + ".join(
+            f"IF({row[k]} < {row[k + 1]}, CAST({1 << k} AS BIGINT), "
+            f"CAST(0 AS BIGINT))"
+            for k in range(w)
+        )
+        band_exprs.append(f"pmod({bits}, {n_buckets})")
+    sig = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", *[F.expr(b).alias(f"bv{j}") for j, b in enumerate(band_exprs)]
+    )
+    return _banded_pair_count(sig)
+
+
+def afp_candidates(docs: DataFrame, n_buckets: int) -> int:
+    """The acoustic-fingerprint band join
+    (``multimodal_audio_fp_neardup``'s candidate stage) under the
+    production sizing rule: a (4w+4)-sample clip gives 2w+1
+    overlapping 4-sample windows x 2 even/odd sub-bands, whose
+    consecutive-window energy-gradient signs are 4 bands of w
+    Haitsma-Kalker bits (the registered query's 64-sample fingerprint
+    is this shape at w=15), each band bucketed to ``n_buckets ~ N``
+    values (:func:`media_bucket_count`)."""
+    w = MEDIA_BAND_BITS
+    b = _md5_byte_exprs(4 * w + 4)
+
+    def e(i: int, sub: int) -> str:
+        return (
+            f"({b[2 * i + sub]} * {b[2 * i + sub]}"
+            f" + {b[2 * i + 2 + sub]} * {b[2 * i + 2 + sub]})"
+        )
+
+    band_exprs = []
+    for j in range(N_MEDIA_BANDS):
+        bits = []
+        for k in range(w):
+            t = j * w + k
+            sub, i = t // (2 * w), t % (2 * w)
+            bits.append(
+                f"IF({e(i, sub)} < {e(i + 1, sub)}, CAST({1 << k} AS BIGINT), "
+                f"CAST(0 AS BIGINT))"
+            )
+        band_exprs.append(f"pmod({' + '.join(bits)}, {n_buckets})")
+    sig = docs.filter(F.col("doc_id") % 3 == 1).select(
+        "doc_id", *[F.expr(x).alias(f"bv{j}") for j, x in enumerate(band_exprs)]
+    )
+    return _banded_pair_count(sig)
 
 
 def embedding_lsh_candidates(emb: DataFrame, n_planes: int, dim: int) -> int:
@@ -319,7 +397,7 @@ def fit_exponent(points: list[tuple[int, int]]) -> float:
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
 
 
-GATE_EXEMPT = {"simhash16_pedagogical", "phash60_fixture"}
+GATE_EXEMPT = {"simhash16_pedagogical"}
 
 
 def run(
@@ -353,7 +431,10 @@ def run(
     # K ~ N: target cell size fixed, cells grow with the corpus (IVF rule)
     k_base = max(4, n_vecs // 100)
 
-    families = ["minhash_lsh", "simhash60", "semdedup", "embedding_lsh", "phash60_fixture"]
+    families = [
+        "minhash_lsh", "simhash60", "semdedup", "embedding_lsh",
+        "phash", "afp",
+    ]
     if include_pedagogical:
         families.append("simhash16_pedagogical")
     results: dict[str, list[dict]] = {f: [] for f in families}
@@ -364,12 +445,16 @@ def run(
         # n_planes ~ log2(N): keep expected bucket occupancy constant
         # as the corpus grows (the embedding-LSH analogue of K ~ N)
         n_planes = max(6, math.ceil(math.log2(max(nv, 2) / 8)))
+        # band-bucket space ~ N: the media-fingerprint knob (one
+        # modality is ~nd/3 assets after the residue slice)
+        b_media = media_bucket_count(nd // 3)
         rows = [
             ("minhash_lsh", nd, minhash_lsh_candidates(d_s)),
             ("simhash60", nd, simhash60_candidates(d_s)),
             ("semdedup", nv, semdedup_candidates(e_s, k_base * s)),
             ("embedding_lsh", nv, embedding_lsh_candidates(e_s, n_planes, dim)),
-            ("phash60_fixture", nd, phash60_candidates(d_s)),
+            ("phash", nd, phash_candidates(d_s, b_media)),
+            ("afp", nd, afp_candidates(d_s, b_media)),
         ]
         if include_pedagogical:
             rows.append(("simhash16_pedagogical", nd, simhash16_candidates(d_s)))

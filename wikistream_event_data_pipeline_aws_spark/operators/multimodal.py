@@ -295,12 +295,21 @@ def synthetic_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def encode_containers(media: DataFrame) -> DataFrame:
-    """Wrap each raw 16-byte payload in a REAL container for its
-    media_type (Arrow-batched mapInPandas; schema preserved):
+# Image payload length -> PNG dimensions. 16 bytes is the md5 corpus
+# every decode/metadata oracle predicts from one hash; 64 bytes is the
+# production-grain fingerprint corpus (DHASH_GRID_W x DHASH_GRID_H,
+# 4 md5 blocks) the near-dup queries use.
+_PNG_DIMS_BY_LEN = {16: (4, 4), 64: (16, 4)}
 
-    * image -> PNG, 4x4 grayscale, pixels = the 16 payload bytes;
-    * audio -> WAV, PCM u8 mono 8 kHz, samples = the 16 payload bytes;
+
+def encode_containers(media: DataFrame) -> DataFrame:
+    """Wrap each raw payload in a REAL container for its media_type
+    (Arrow-batched mapInPandas; schema preserved):
+
+    * image -> PNG grayscale; dimensions by payload length (16 bytes =
+      4x4, 64 bytes = 16x4 — the fingerprint-corpus grid);
+    * audio -> WAV, PCM u8 mono 8 kHz, samples = the payload bytes
+      (any length);
     * video -> Y4M, 2x2 mono, ``1 + payload[0] % 4`` frames, frame f =
       payload bytes ``4f..4f+3``.
     """
@@ -311,7 +320,14 @@ def encode_containers(media: DataFrame) -> DataFrame:
             for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
                 raw = bytes(payload or b"")
                 if mtype == "image":
-                    payloads.append(encode_png_gray8(raw, PNG_W, PNG_H))
+                    dims = _PNG_DIMS_BY_LEN.get(len(raw))
+                    if dims is None:
+                        raise ValueError(
+                            f"no PNG grid defined for a {len(raw)}-byte "
+                            f"image payload (known: "
+                            f"{sorted(_PNG_DIMS_BY_LEN)})"
+                        )
+                    payloads.append(encode_png_gray8(raw, *dims))
                 elif mtype == "audio":
                     payloads.append(encode_wav_u8(raw))
                 else:
@@ -419,45 +435,34 @@ def sample_frames(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
 
 PHASH_BITS = 60  # matches textops.SIMHASH60_BITS so the banded
 #                  Hamming join machinery is shared unchanged
+DHASH_GRID_W = 16  # fingerprint-corpus image grid: 16 wide x 4 tall
+DHASH_GRID_H = 4  # -> 64 pixels (4 md5 blocks), 4 x 15 gradient bits
+PHASH_N_PIXELS = DHASH_GRID_W * DHASH_GRID_H
 
 
 def _phash_pairs() -> tuple[tuple[int, int], ...]:
     """The fixed pixel-comparison pair list defining the perceptual
     hash: bit k of the fingerprint is ``pixel[i_k] < pixel[j_k]``.
 
-    Classic dHash compares horizontally adjacent pixels of a
-    down-sampled 9x8 image (64 bits). Our corpus images are 4x4 (16
-    md5-derived pixels), so the comparison set generalizes to every
-    horizontal (12), vertical (12), diagonal (9) and anti-diagonal (9)
-    neighbor pair — the full local-gradient structure of the image —
-    plus md5-derived extra pairs filling out the 60-bit width. The
-    pair list is a deterministic module constant shared verbatim by
-    the Spark operator (over DECODED pixels) and the DuckDB oracle
-    (over payload hex), so a codec bug on either side breaks parity."""
-    import hashlib
-
-    pairs: list[tuple[int, int]] = []
-    for r in range(4):
-        for c in range(3):
-            pairs.append((4 * r + c, 4 * r + c + 1))  # horizontal gradient
-    for r in range(3):
-        for c in range(4):
-            pairs.append((4 * r + c, 4 * (r + 1) + c))  # vertical gradient
-    for r in range(3):
-        for c in range(3):
-            pairs.append((4 * r + c, 4 * (r + 1) + c + 1))  # diagonal
-    for r in range(3):
-        for c in range(3):
-            pairs.append((4 * r + c + 1, 4 * (r + 1) + c))  # anti-diagonal
-    t = 0
-    while len(pairs) < PHASH_BITS:
-        i = int(hashlib.md5(f"ph{t}a".encode()).hexdigest()[:2], 16) % 16
-        j = int(hashlib.md5(f"ph{t}b".encode()).hexdigest()[:2], 16) % 15
-        if j >= i:
-            j += 1
-        pairs.append((i, j))
-        t += 1
-    return tuple(pairs[:PHASH_BITS])
+    This is classic dHash (difference hash): one bit per horizontally
+    adjacent pixel pair of the down-sampled grayscale grid. The corpus
+    grid is 16x4 (64 md5-derived pixels), giving 4 rows x 15
+    horizontal-gradient bits = 60 near-independent sign bits — and
+    each 15-bit band of the banded Hamming join is exactly one pixel
+    ROW's gradient vector, so bands are mutually independent by
+    construction (pixel rows share no pixels). That is the production
+    regime: fingerprint width grows with image size (a 9x8 dHash is
+    64 bits; ours is the same algebra at 60 to share the simhash60
+    band machinery), and the 2^15 band space stays sparse as the
+    corpus grows. The pair list is a deterministic module constant
+    shared verbatim by the Spark operator (over DECODED pixels) and
+    the DuckDB oracle (over payload hex), so a codec bug on either
+    side breaks parity."""
+    return tuple(
+        (DHASH_GRID_W * r + c, DHASH_GRID_W * r + c + 1)
+        for r in range(DHASH_GRID_H)
+        for c in range(DHASH_GRID_W - 1)
+    )[:PHASH_BITS]
 
 
 PHASH_PAIRS = _phash_pairs()
@@ -476,6 +481,12 @@ def image_dhash(df: DataFrame) -> DataFrame:
             ids, fps = [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 _w, _h, px = decode_png_gray8(bytes(payload or b""))
+                if len(px) < PHASH_N_PIXELS:
+                    raise ValueError(
+                        f"media_id={media_id}: dHash expects the "
+                        f"{DHASH_GRID_W}x{DHASH_GRID_H} fingerprint grid "
+                        f"({PHASH_N_PIXELS} pixels), got {len(px)}"
+                    )
                 fp = 0
                 for k, (i, j) in enumerate(PHASH_PAIRS):
                     if px[i] < px[j]:
@@ -495,21 +506,25 @@ def image_dhash(df: DataFrame) -> DataFrame:
 AFP_BITS = 60  # same width as the simhash60/phash band machinery
 AFP_WIN = 4  # short-time window length (samples)
 AFP_STRIDE = 2  # 50% overlap, the Haitsma-Kalker framing
-AFP_N_WIN = (16 - AFP_WIN) // AFP_STRIDE + 1  # 7 windows over 16 samples
-AFP_N_ENERGY = AFP_N_WIN * 2  # 2 sub-bands per window -> 14 energy values
+AFP_N_SAMPLES = 64  # fingerprint-corpus clip length (4 md5 blocks)
+AFP_N_WIN = (AFP_N_SAMPLES - AFP_WIN) // AFP_STRIDE + 1  # 31 windows
+AFP_N_ENERGY = AFP_N_WIN * 2  # 2 sub-bands per window -> 62 energies
 
 
 def _afp_pairs() -> tuple[tuple[int, int], ...]:
     """Energy-comparison pair list defining the audio fingerprint: bit
     k is ``energy[i_k] < energy[j_k]`` over the {n} short-time
-    sub-band energies (7 overlapping windows x 2 even/odd-sample
-    sub-bands). The leading pairs are the classic Haitsma-Kalker
-    features — sign of the energy DIFFERENCE between consecutive
-    windows per band, cross-band contrast within a window, and 2-step
-    gradients — then md5-derived fills out the 60-bit width. Shared
-    verbatim by the Spark operator (over DECODED PCM) and the DuckDB
-    oracle (over payload hex)."""
-    import hashlib
+    sub-band energies (31 overlapping 4-sample windows x 2 even/odd
+    sub-bands). Every bit is the classic Haitsma-Kalker feature — the
+    sign of the energy DIFFERENCE between consecutive windows within a
+    sub-band: 30 gradient bits per sub-band chain = exactly the 60-bit
+    width, so the fingerprint is pure gradient structure with no
+    filler, and each 15-bit band of the banded Hamming join is a
+    contiguous run of one chain (adjacent bands share at most one
+    boundary energy). That is the production regime — fingerprint
+    width grows with clip length, keeping the 2^15 band space sparse
+    as the corpus grows. Shared verbatim by the Spark operator (over
+    DECODED PCM) and the DuckDB oracle (over payload hex)."""
 
     def e(i: int, b: int) -> int:
         return 2 * i + b
@@ -518,21 +533,6 @@ def _afp_pairs() -> tuple[tuple[int, int], ...]:
     for b in (0, 1):
         for i in range(AFP_N_WIN - 1):
             pairs.append((e(i, b), e(i + 1, b)))  # neighbor energy gradient
-    for i in range(AFP_N_WIN):
-        pairs.append((e(i, 0), e(i, 1)))  # cross-band contrast
-    for b in (0, 1):
-        for i in range(AFP_N_WIN - 2):
-            pairs.append((e(i, b), e(i + 2, b)))  # 2-step gradient
-    t = 0
-    while len(pairs) < AFP_BITS:
-        i = int(hashlib.md5(f"afp{t}a".encode()).hexdigest()[:2], 16) % AFP_N_ENERGY
-        j = int(hashlib.md5(f"afp{t}b".encode()).hexdigest()[:2], 16) % (
-            AFP_N_ENERGY - 1
-        )
-        if j >= i:
-            j += 1
-        pairs.append((i, j))
-        t += 1
     return tuple(pairs[:AFP_BITS])
 
 
@@ -553,10 +553,10 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
             ids, fps = [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 _rate, s = decode_wav_u8(bytes(payload or b""))
-                if len(s) != 16:
+                if len(s) < AFP_N_SAMPLES:
                     raise ValueError(
-                        f"media_id={media_id}: fingerprint expects 16 samples,"
-                        f" got {len(s)}"
+                        f"media_id={media_id}: fingerprint expects "
+                        f">= {AFP_N_SAMPLES} samples, got {len(s)}"
                     )
                 energies = []
                 for i in range(AFP_N_WIN):
