@@ -1531,33 +1531,80 @@ class TestSessionContinuationAnalytics:
                 lo = seg_totals[seg] // RFM_BANDS
                 assert lo <= n <= lo + 1, (dim, seg, n)
 
-    def test_method_agreement_partitions_the_union(self, spark, sf_dir):
-        """The three-way class counts partition the union of the three
-        pair sets (lsh / sim16 / sim60), with every class label equal to
-        the exact membership combination of its pairs."""
-        from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
-            dedup_method_agreement,
-            dedup_minhash_pairs,
-            dedup_simhash_band60,
-            dedup_simhash_pairs,
-        )
-
-        cells = {r.agreement: r for r in dedup_method_agreement(spark, sf_dir).collect()}
-        members = {
-            "lsh": {(r.id_a, r.id_b) for r in dedup_minhash_pairs(spark, sf_dir).collect()},
-            "sim16": {(r.id_a, r.id_b) for r in dedup_simhash_pairs(spark, sf_dir).collect()},
-            "sim60": {(r.id_a, r.id_b) for r in dedup_simhash_band60(spark, sf_dir).collect()},
-        }
-        union = members["lsh"] | members["sim16"] | members["sim60"]
+    @staticmethod
+    def _check_partition(cells, members):
+        union = set()
+        for s in members.values():
+            union |= s
         expect: dict[str, int] = {}
         for pair in union:
-            tags = [m for m in ("lsh", "sim16", "sim60") if pair in members[m]]
+            tags = [m for m in members if pair in members[m]]
             label = "+".join(tags) + ("_only" if len(tags) == 1 else "")
             expect[label] = expect.get(label, 0) + 1
         assert {c: r.n_pairs for c, r in cells.items()} == expect
         assert sum(c.n_pairs for c in cells.values()) == len(union)
         for c in cells.values():
             assert 0 <= c.n_planted_pairs <= c.n_pairs
+
+    def test_method_agreement_partitions_the_union(self, spark, sf_dir):
+        """The PRODUCTION three-way class counts partition the union of
+        the three pair sets (lsh / sim60 / cdc), with every class label
+        equal to the exact membership combination of its pairs."""
+        from pyspark.sql import functions as F
+
+        from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+            _docs_augmented,
+            dedup_method_agreement,
+            dedup_minhash_pairs,
+            dedup_simhash_band60,
+        )
+        from wikistream_event_data_pipeline_aws_spark.plans.llmprep import (
+            CDC_MIN_CHUNK,
+            chunk_cdc,
+        )
+
+        cells = {r.agreement: r for r in dedup_method_agreement(spark, sf_dir).collect()}
+        chunks = chunk_cdc(_docs_augmented(spark, sf_dir)).filter(
+            F.col("n_tokens") >= CDC_MIN_CHUNK
+        )
+        a = chunks.select(F.col("doc_id").alias("id_a"), F.col("chunk_fp").alias("fp"))
+        b = chunks.select(F.col("doc_id").alias("id_b"), F.col("chunk_fp").alias("fp"))
+        cdc_pairs = (
+            a.join(b, (a.fp == b.fp) & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        members = {
+            "lsh": {(r.id_a, r.id_b) for r in dedup_minhash_pairs(spark, sf_dir).collect()},
+            "sim60": {(r.id_a, r.id_b) for r in dedup_simhash_band60(spark, sf_dir).collect()},
+            "cdc": {(r.id_a, r.id_b) for r in cdc_pairs.collect()},
+        }
+        self._check_partition(cells, members)
+        # the production artifact must surface planted evidence in a
+        # multi-method class — all three methods are built to catch the
+        # planted clones' shared bodies
+        assert any(
+            "+" in c and r.n_planted_pairs > 0 for c, r in cells.items()
+        ), cells
+
+    def test_sim16_agreement_partitions_the_union(self, spark, sf_dir):
+        """The explicitly-capped FIXTURE comparison partitions the
+        union of lsh / sim16 / sim60 — the migration evidence for
+        retiring the 16-bit fixture."""
+        from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+            dedup_minhash_pairs,
+            dedup_sim16_agreement,
+            dedup_simhash_band60,
+            dedup_simhash_pairs,
+        )
+
+        cells = {r.agreement: r for r in dedup_sim16_agreement(spark, sf_dir).collect()}
+        members = {
+            "lsh": {(r.id_a, r.id_b) for r in dedup_minhash_pairs(spark, sf_dir).collect()},
+            "sim16": {(r.id_a, r.id_b) for r in dedup_simhash_pairs(spark, sf_dir).collect()},
+            "sim60": {(r.id_a, r.id_b) for r in dedup_simhash_band60(spark, sf_dir).collect()},
+        }
+        self._check_partition(cells, members)
         # the migration evidence: the production 60-bit path must not
         # LOSE the planted clones the 16-bit fixture finds — every class
         # containing sim16 pairs without sim60 is collision noise, which

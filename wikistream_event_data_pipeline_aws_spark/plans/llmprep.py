@@ -629,7 +629,13 @@ def doc_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary predicate and segment ids resolve in ONE doc-partitioned
     window pass (lags + running sum share the frame), and chunks emit
     as md5 fingerprints + token counts so the output stays narrow."""
-    d = load_table(spark, sf_dir, "documents")
+    return chunk_cdc(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_cdc(d: DataFrame) -> DataFrame:
+    """The CDC segmentation core over any (doc_id, text) frame — shared
+    by the published chunking query and the dedup-method-agreement
+    artifact's chunk leg (which chunks the clone-augmented corpus)."""
     toks = d.select(
         "doc_id",
         # the SHARED token grain (textops.tokenize): chunk fingerprints
@@ -668,13 +674,19 @@ def doc_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ONE copy of the CDC segmentation CTE chain: the chunking oracle and the
-# chunk-dedup oracle MUST segment identically or chunk-grain dedup
-# silently diverges from the published chunking (a boundary-rule tweak
-# edited in one string but not the other).
-_CDC_SEGMENTED_SQL = rf"""toks AS (
+# ONE copy of the CDC segmentation CTE chain: the chunking oracle, the
+# chunk-dedup oracle and the method-agreement oracle's chunk leg MUST
+# segment identically or chunk-grain dedup silently diverges from the
+# published chunking (a boundary-rule tweak edited in one string but
+# not the others). ``src`` parameterizes the corpus (documents, or the
+# clone-augmented variant).
+def _cdc_segmented_sql(src: str = "documents") -> str:
+    return _CDC_SEGMENTED_TEMPLATE.replace("__CDC_SRC__", src)
+
+
+_CDC_SEGMENTED_TEMPLATE = rf"""toks AS (
   SELECT doc_id, u.i - 1 AS pos, t[u.i] AS token
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM __CDC_SRC__),
        UNNEST(generate_series(1, len(t))) AS u(i)
 ),
 hashed AS (
@@ -702,6 +714,8 @@ segmented AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
   FROM flagged
 )"""
+
+_CDC_SEGMENTED_SQL = _cdc_segmented_sql()
 
 
 DOC_CHUNK_CDC_SQL = rf"""
