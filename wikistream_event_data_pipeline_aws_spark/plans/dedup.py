@@ -379,8 +379,16 @@ def dedup_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real corpus instead of folklore. Signatures are computed ONCE and
     checkpoint-fenced; each config re-bands the same 8 values (a
     projection, not a recompute); ground truth is checkpoint-fenced and
-    reused by all configs. All counts exact; the two rates are single
-    float divisions."""
+    reused by all configs. The truth leg carries the shared SAMPLING
+    KNOB (``plans.similarity.AUDIT_SAMPLE_PER_MILLE``, 1000 = audit
+    everything at test SF): recall/precision are measured against the
+    exact-Jaccard pairs whose anchor (id_a) falls in the md5-sampled
+    audit subset, so the expensive exact leg is a tunable fraction at
+    100x — an unbiased recall estimate, same discipline as
+    ``similarity_ann_recall``. All counts exact; the two rates are
+    single float divisions."""
+    from .similarity import AUDIT_SAMPLE_PER_MILLE, audit_sample_pred
+
     d = _docs_augmented(spark, sf_dir)
     sigs = minhash_signature(
         d, "doc_id", "text", n_hashes=N_HASHES, include_all_docs=False
@@ -388,6 +396,7 @@ def dedup_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         jaccard_pairs(d, "doc_id", "text", k=3)
         .filter(F.col("jaccard") >= 0.5)
+        .filter(audit_sample_pred(F.col("id_a"), AUDIT_SAMPLE_PER_MILLE))
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
@@ -397,7 +406,18 @@ def dedup_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands = lsh_candidate_pairs(
             sigs, "doc_id", n_hashes=N_HASHES, rows_per_band=r
         ).localCheckpoint(eager=True)
-        n_c = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+        # n_candidates is the COST axis (always the full volume);
+        # precision's denominator is the AUDITED-anchor candidate count
+        # so the rate stays unbiased under truth sampling (the two are
+        # equal at 1000 per-mille)
+        n_c = cands.agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(
+                audit_sample_pred(F.col("id_a"), AUDIT_SAMPLE_PER_MILLE).cast(
+                    "long"
+                )
+            ).alias("__n_cand_audited"),
+        )
         n_h = cands.join(truth, ["id_a", "id_b"]).agg(
             F.count(F.lit(1)).alias("n_hits")
         )
@@ -422,7 +442,9 @@ def dedup_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 (
                     F.col("n_hits").cast("double")
-                    / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
+                    / F.nullif(
+                        F.col("__n_cand_audited").cast("double"), F.lit(0.0)
+                    )
                 ).alias("precision"),
             )
         )
@@ -433,6 +455,9 @@ def dedup_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_sweep_sql() -> str:
+    from .similarity import AUDIT_SAMPLE_PER_MILLE, audit_sample_sql
+
+    aud_a = audit_sample_sql("id_a", AUDIT_SAMPLE_PER_MILLE)
     cfg_sql = []
     for r in _SWEEP_ROWS_PER_BAND:
         n_bands = N_HASHES // r
@@ -448,7 +473,8 @@ SELECT {n_bands} AS n_bands, {r} AS rows_per_band,
          / NULLIF(CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 0.0) AS recall,
        CAST((SELECT COUNT(*) FROM cands_{r} c JOIN truth t
           ON c.id_a = t.id_a AND c.id_b = t.id_b) AS DOUBLE)
-         / NULLIF(CAST((SELECT COUNT(*) FROM cands_{r}) AS DOUBLE), 0.0) AS precision"""
+         / NULLIF(CAST((SELECT COUNT(*) FROM cands_{r} WHERE {aud_a}) AS DOUBLE),
+                  0.0) AS precision"""
         )
     bands_ctes = ",\n".join(
         f"""banded_{r} AS (
@@ -484,6 +510,7 @@ truth AS (
   JOIN sizes sb ON s.id_b = sb.doc_id
   WHERE s.n_shared / CAST(sa.n_shingles + sb.n_shingles - s.n_shared AS DOUBLE)
         >= CAST(0.5 AS DOUBLE)
+    AND {audit_sample_sql("s.id_a", AUDIT_SAMPLE_PER_MILLE)}
 ),
 {bands_ctes}
 {" UNION ALL ".join(cfg_sql)}
