@@ -357,3 +357,37 @@ def test_fixture_envelope_guard_raises_past_bound():
         )
     with _pytest.raises(ValueError, match="band width ~ log2 N"):
         _check_fixture_envelope(AFP_MAX_ASSETS + 1, AFP_MAX_ASSETS, "clips", "afp")
+
+
+def test_curate_corpus_multimodal_precedence_classes(spark, sf_dir):
+    """The multimodal curation flagship: one row per asset, every
+    precedence class exercised, and the planted clones disposed by the
+    precedence — a clone whose original survives the quality gate is a
+    'duplicate' (its original, the cluster minimum, is not); a
+    single-frame video pair lands in 'quality' for BOTH members."""
+    from wikistream_event_data_pipeline_aws_spark.plans.multimodal import (
+        PHASH_CLONE_MAX_ID,
+        PHASH_CLONE_OFFSET,
+        curate_corpus_multimodal,
+    )
+
+    rows = curate_corpus_multimodal(spark, sf_dir).collect()
+    by_id = {r.media_id: r for r in rows}
+    assert len(by_id) == len(rows)  # exactly one row per asset
+    classes = {r.disposition for r in rows}
+    assert classes == {"quality", "duplicate", "sampled_out", "kept"}
+    # planted clones: duplicates unless the quality gate fired first
+    for i in range(PHASH_CLONE_MAX_ID):
+        clone = by_id[i + PHASH_CLONE_OFFSET]
+        orig = by_id[i]
+        if clone.disposition == "quality":
+            # only the single-frame video path gates clones on quality,
+            # and then the original gates identically
+            assert clone.media_type == "video"
+            assert orig.disposition == "quality"
+        else:
+            assert clone.disposition == "duplicate", (i, clone)
+            assert orig.disposition != "duplicate", (i, orig)
+    # every media_type contributes duplicates (the planted evidence)
+    dup_types = {r.media_type for r in rows if r.disposition == "duplicate"}
+    assert dup_types == {"image", "audio", "video"}

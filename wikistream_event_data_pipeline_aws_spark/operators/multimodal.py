@@ -468,6 +468,22 @@ def _phash_pairs() -> tuple[tuple[int, int], ...]:
 PHASH_PAIRS = _phash_pairs()
 
 
+def phash_of_pixels(px: bytes, media_id=None) -> int:
+    """The dHash bit fold over decoded pixels — shared by
+    :func:`image_dhash` and the one-pass :func:`media_signals`."""
+    if len(px) < PHASH_N_PIXELS:
+        raise ValueError(
+            f"media_id={media_id}: dHash expects the "
+            f"{DHASH_GRID_W}x{DHASH_GRID_H} fingerprint grid "
+            f"({PHASH_N_PIXELS} pixels), got {len(px)}"
+        )
+    fp = 0
+    for k, (i, j) in enumerate(PHASH_PAIRS):
+        if px[i] < px[j]:
+            fp |= 1 << k
+    return fp
+
+
 def image_dhash(df: DataFrame) -> DataFrame:
     """60-bit perceptual fingerprint per image from REAL PNG payloads:
     parse the container (CRC-checked chunk walk + inflate + defilter,
@@ -481,18 +497,8 @@ def image_dhash(df: DataFrame) -> DataFrame:
             ids, fps = [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 _w, _h, px = decode_png_gray8(bytes(payload or b""))
-                if len(px) < PHASH_N_PIXELS:
-                    raise ValueError(
-                        f"media_id={media_id}: dHash expects the "
-                        f"{DHASH_GRID_W}x{DHASH_GRID_H} fingerprint grid "
-                        f"({PHASH_N_PIXELS} pixels), got {len(px)}"
-                    )
-                fp = 0
-                for k, (i, j) in enumerate(PHASH_PAIRS):
-                    if px[i] < px[j]:
-                        fp |= 1 << k
                 ids.append(media_id)
-                fps.append(fp)
+                fps.append(phash_of_pixels(px, media_id))
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="Int64"),
@@ -540,6 +546,26 @@ _afp_pairs.__doc__ = _afp_pairs.__doc__.format(n=AFP_N_ENERGY)
 AFP_PAIRS = _afp_pairs()
 
 
+def afp_of_samples(s: bytes, media_id=None) -> int:
+    """The Haitsma-Kalker bit fold over decoded PCM — shared by
+    :func:`audio_fingerprint` and the one-pass :func:`media_signals`."""
+    if len(s) < AFP_N_SAMPLES:
+        raise ValueError(
+            f"media_id={media_id}: fingerprint expects "
+            f">= {AFP_N_SAMPLES} samples, got {len(s)}"
+        )
+    energies = []
+    for i in range(AFP_N_WIN):
+        w = s[i * AFP_STRIDE : i * AFP_STRIDE + AFP_WIN]
+        energies.append(w[0] * w[0] + w[2] * w[2])  # even sub-band
+        energies.append(w[1] * w[1] + w[3] * w[3])  # odd sub-band
+    fp = 0
+    for k, (i, j) in enumerate(AFP_PAIRS):
+        if energies[i] < energies[j]:
+            fp |= 1 << k
+    return fp
+
+
 def audio_fingerprint(df: DataFrame) -> DataFrame:
     """60-bit acoustic fingerprint per clip from REAL WAV payloads:
     parse the RIFF container (:func:`decode_wav_u8`), compute the
@@ -553,22 +579,8 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
             ids, fps = [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 _rate, s = decode_wav_u8(bytes(payload or b""))
-                if len(s) < AFP_N_SAMPLES:
-                    raise ValueError(
-                        f"media_id={media_id}: fingerprint expects "
-                        f">= {AFP_N_SAMPLES} samples, got {len(s)}"
-                    )
-                energies = []
-                for i in range(AFP_N_WIN):
-                    w = s[i * AFP_STRIDE : i * AFP_STRIDE + AFP_WIN]
-                    energies.append(w[0] * w[0] + w[2] * w[2])  # even sub-band
-                    energies.append(w[1] * w[1] + w[3] * w[3])  # odd sub-band
-                fp = 0
-                for k, (i, j) in enumerate(AFP_PAIRS):
-                    if energies[i] < energies[j]:
-                        fp |= 1 << k
                 ids.append(media_id)
-                fps.append(fp)
+                fps.append(afp_of_samples(s, media_id))
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="Int64"),
@@ -644,6 +656,84 @@ def video_frame_ids(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, "media_id long, frame_idx int, frame_key long")
+
+
+MEDIA_SIGNALS_SCHEMA = (
+    "media_id long, media_type string, n_frames int, value_range int, "
+    "fingerprint long, frame_keys array<long>"
+)
+
+
+def media_signals(df: DataFrame) -> DataFrame:
+    """ONE Arrow pass over the media blobs extracting EVERY curation
+    signal — the production shape for a multimodal pipeline: at 100 TB
+    the blobs are the dominant I/O, so you decode each exactly once and
+    everything downstream (quality gates, near-dup joins, sampling)
+    operates on the slim signal rows (a few dozen bytes/asset) that
+    shuffle freely. Per asset, by container magic:
+
+    * PNG  -> ``fingerprint`` = the 60-bit dHash
+      (:func:`phash_of_pixels`), ``value_range`` = pixel max-min;
+    * WAV  -> ``fingerprint`` = the 60-bit Haitsma-Kalker hash
+      (:func:`afp_of_samples`), ``value_range`` = sample max-min;
+    * Y4M  -> ``frame_keys`` = the exact frame-identity keys
+      (:func:`video_frame_ids`'s grain, packed big-endian),
+      ``n_frames``, ``value_range`` over the luma bytes.
+
+    Columns not applicable to a modality are NULL. Bit-identical to the
+    single-signal operators (same fold functions), which is what their
+    oracles prove."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "media_type", "n_frames", "value_range",
+                    "fingerprint", "frame_keys",
+                )
+            }
+            for media_id, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = bytes(payload or b"")
+                if b.startswith(_PNG_SIG):
+                    _w, _h, px = decode_png_gray8(b)
+                    rec = (None, max(px) - min(px), phash_of_pixels(px, media_id), None)
+                elif b.startswith(b"RIFF"):
+                    _rate, s = decode_wav_u8(b)
+                    rec = (None, max(s) - min(s), afp_of_samples(s, media_id), None)
+                elif b.startswith(b"YUV4MPEG2"):
+                    _w, _h, frames = decode_y4m_mono(b)
+                    lumas = b"".join(frames)
+                    rec = (
+                        len(frames),
+                        max(lumas) - min(lumas),
+                        None,
+                        [int.from_bytes(fr, "big") for fr in frames],
+                    )
+                else:
+                    raise ValueError(
+                        f"media_id={media_id}: unknown container magic {b[:8]!r}"
+                    )
+                cols["media_id"].append(media_id)
+                cols["media_type"].append(mtype)
+                for name, v in zip(
+                    ("n_frames", "value_range", "fingerprint", "frame_keys"), rec
+                ):
+                    cols[name].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(cols["media_id"], dtype="Int64"),
+                    "media_type": cols["media_type"],
+                    "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                    "value_range": pd.array(cols["value_range"], dtype="Int32"),
+                    "fingerprint": pd.array(cols["fingerprint"], dtype="Int64"),
+                    "frame_keys": cols["frame_keys"],
+                }
+            )
+
+    return df.mapInPandas(batches, MEDIA_SIGNALS_SCHEMA)
 
 
 # Worker-context independence: the mapInPandas closures above reference

@@ -541,6 +541,13 @@ def multimodal_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         .distinct()
         .localCheckpoint(eager=True)
     )
+    return _video_jaccard_pairs(frames)
+
+
+def _video_jaccard_pairs(frames: DataFrame) -> DataFrame:
+    """Frame-key equi-join + exact set Jaccard over a DISTINCT
+    (media_id, frame_key) frame — the caller owns the fence. Shared by
+    the video near-dup query and the multimodal curation flagship."""
     sizes = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
     a = frames.alias("a")
     b = frames.alias("b")
@@ -625,6 +632,200 @@ WHERE n_shared / CAST(sa.n_frames + sb.n_frames - n_shared AS DOUBLE)
 MULTIMODAL_VIDEO_FRAME_NEARDUP_SQL = _video_frame_oracle_sql()
 
 
+# -- multimodal curation flagship (VERDICT r8 item 6) -------------------------
+
+MMCUR_SEED = "mmcur"
+MMCUR_RATES = {"image": 800, "audio": 900, "video": 850}  # per-mille keeps
+MMCUR_RANGE_MIN = 64  # image/audio quality gate: min decoded dynamic range
+MMCUR_MIN_FRAMES = 2  # video quality gate: single-frame clips don't train
+
+
+def curate_corpus_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL curation — the media twin of the
+    ``curate_corpus`` flagship (VERDICT r8 item 6): one disposition row
+    per asset across all three modalities, folding the media near-dup
+    operators into the same keep/drop precedence a text curator runs:
+
+    1. quality gate   (decoded facts: single-frame videos; image/audio
+                       dynamic range < {rng} — blank/near-silent media)
+    2. near-dup dedup (phash band join for images, Haitsma-Kalker band
+                       join for audio, frame-key Jaccard for video ->
+                       union of pair sets -> connected components ->
+                       keep cluster minimum)
+    3. stratified sample (deterministic md5-uniform per media_type:
+                       image {ri}‰ / audio {ra}‰ / video {rv}‰)
+
+    Output: (media_id, media_type, disposition) with ``disposition`` ∈
+    {{quality, duplicate, sampled_out, kept}} decided with exactly that
+    precedence.
+
+    Scale shape — the blobs move ONCE: the clone-augmented corpus is
+    wrapped in real containers and ``media_signals`` extracts every
+    curation signal (decoded facts, both 60-bit fingerprints, frame
+    keys) in a single Arrow pass; the fenced signal rows are a few
+    dozen bytes per asset, and every downstream stage (band joins,
+    frame-key join, components, sampling) shuffles only those. The
+    DuckDB oracle replays the whole composition — all three pair
+    algebras, the recursive-CTE transitive closure, the decoded-fact
+    gates — from the md5 hex chain, so the composition is
+    value-checked, not just its pieces."""
+    from ..operators.clusters import connected_components
+    from ..operators.multimodal import media_signals
+    from ..operators.textops import hex_hash
+    from .dedup import _simhash60_pairs_from_sig, _spread
+
+    corpus = (
+        _media_corpus_augmented(
+            spark, sf_dir, residue=0, delta=_PHASH_PERT_DELTA, n_bytes=64
+        )
+        .withColumn("media_type", F.lit("image"))
+        .unionByName(
+            _media_corpus_augmented(
+                spark, sf_dir, residue=1, delta=_AFP_PERT_DELTA, n_bytes=64
+            ).withColumn("media_type", F.lit("audio"))
+        )
+        .unionByName(
+            _media_corpus_augmented(
+                spark, sf_dir, residue=2, delta=_VFRAME_PERT_DELTA,
+                byte_idx=_VFRAME_PERT_BYTE,
+            ).withColumn("media_type", F.lit("video"))
+        )
+    )
+    sig = media_signals(encode_containers(_spread(corpus))).localCheckpoint(
+        eager=True
+    )
+    _check_fixture_envelope(sig.count(), PHASH_MAX_ASSETS, "assets", "phash")
+    imgp = _simhash60_pairs_from_sig(
+        sig.filter(F.col("media_type") == "image").select(
+            F.col("media_id").alias("doc_id"),
+            F.col("fingerprint").alias("simhash60"),
+        )
+    )
+    audp = _simhash60_pairs_from_sig(
+        sig.filter(F.col("media_type") == "audio").select(
+            F.col("media_id").alias("doc_id"),
+            F.col("fingerprint").alias("simhash60"),
+        )
+    )
+    frames = (
+        sig.filter(F.col("media_type") == "video")
+        .select("media_id", F.explode("frame_keys").alias("frame_key"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    vidp = _video_jaccard_pairs(frames)
+    pairs = (
+        imgp.select("id_a", "id_b")
+        .unionByName(audp.select("id_a", "id_b"))
+        .unionByName(vidp.select("id_a", "id_b"))
+    )
+    dups = (
+        connected_components(pairs, "id_a", "id_b")
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("media_id"), F.lit(True).alias("is_dup"))
+    )
+    bad_quality = F.when(
+        F.col("media_type") == "video", F.col("n_frames") < MMCUR_MIN_FRAMES
+    ).otherwise(F.col("value_range") < MMCUR_RANGE_MIN)
+    u = hex_hash(F.col("media_id").cast("string"), seed=MMCUR_SEED) % 1000
+    rate = F.lit(0)
+    for mt, r in MMCUR_RATES.items():
+        rate = F.when(F.col("media_type") == mt, F.lit(r)).otherwise(rate)
+    disposition = (
+        F.when(bad_quality, "quality")
+        .when(F.coalesce(F.col("is_dup"), F.lit(False)), "duplicate")
+        .when(u >= rate, "sampled_out")
+        .otherwise("kept")
+    )
+    return sig.join(dups, "media_id", "left").select(
+        "media_id", "media_type", disposition.alias("disposition")
+    )
+
+
+curate_corpus_multimodal.__doc__ = curate_corpus_multimodal.__doc__.format(
+    rng=MMCUR_RANGE_MIN,
+    ri=MMCUR_RATES["image"],
+    ra=MMCUR_RATES["audio"],
+    rv=MMCUR_RATES["video"],
+)
+
+
+def _mmcur_oracle_sql() -> str:
+    from ..operators.multimodal import AFP_N_SAMPLES, PHASH_N_PIXELS
+
+    def facts(residue, mtype, n_bytes, delta, byte_idx):
+        bs = _oracle_bytes(n_bytes)
+        byte_cols = ", ".join(f"{b} AS b{i}" for i, b in enumerate(bs))
+        names = [f"b{i}" for i in range(n_bytes)]
+        rng = f"GREATEST({', '.join(names)}) - LEAST({', '.join(names)})"
+        nf = f"1 + b0 % {Y4M_MAX_FRAMES}" if mtype == "video" else "NULL"
+        return f"""
+  SELECT media_id, '{mtype}' AS media_type,
+         CAST({nf} AS INTEGER) AS n_frames,
+         CAST({rng} AS INTEGER) AS value_range
+  FROM (
+    SELECT doc_id AS media_id, * EXCLUDE (doc_id, b{byte_idx}), b{byte_idx}
+    FROM (SELECT doc_id, {byte_cols} FROM documents WHERE doc_id % 3 = {residue})
+    UNION ALL
+    SELECT doc_id + {PHASH_CLONE_OFFSET}, * EXCLUDE (doc_id, b{byte_idx}),
+           LEAST(255, b{byte_idx} + {delta})
+    FROM (SELECT doc_id, {byte_cols} FROM documents WHERE doc_id % 3 = {residue})
+    WHERE doc_id < {PHASH_CLONE_MAX_ID}
+  )"""
+
+    rate = (
+        f"CASE media_type WHEN 'image' THEN {MMCUR_RATES['image']} "
+        f"WHEN 'audio' THEN {MMCUR_RATES['audio']} "
+        f"ELSE {MMCUR_RATES['video']} END"
+    )
+    u = (
+        f"CAST(concat('0x', substr(md5(concat('{MMCUR_SEED}', "
+        "CAST(media_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000"
+    )
+    return f"""
+WITH RECURSIVE
+imgp AS ({MULTIMODAL_PHASH_NEARDUP_SQL}),
+audp AS ({MULTIMODAL_AUDIO_FP_NEARDUP_SQL}),
+vidp AS ({MULTIMODAL_VIDEO_FRAME_NEARDUP_SQL}),
+pairs AS (
+  SELECT id_a, id_b FROM imgp
+  UNION ALL SELECT id_a, id_b FROM audp
+  UNION ALL SELECT id_a, id_b FROM vidp
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+dups AS (
+  SELECT node AS media_id FROM reach GROUP BY node HAVING node != MIN(label)
+),
+facts AS (
+{facts(0, "image", PHASH_N_PIXELS, _PHASH_PERT_DELTA, 0)}
+  UNION ALL
+{facts(1, "audio", AFP_N_SAMPLES, _AFP_PERT_DELTA, 0)}
+  UNION ALL
+{facts(2, "video", 16, _VFRAME_PERT_DELTA, _VFRAME_PERT_BYTE)}
+)
+SELECT media_id, media_type,
+       CASE WHEN (media_type = 'video' AND n_frames < {MMCUR_MIN_FRAMES})
+              OR (media_type != 'video' AND value_range < {MMCUR_RANGE_MIN})
+            THEN 'quality'
+            WHEN media_id IN (SELECT media_id FROM dups) THEN 'duplicate'
+            WHEN {u} >= {rate} THEN 'sampled_out'
+            ELSE 'kept' END AS disposition
+FROM facts
+"""
+
+
+CURATE_CORPUS_MULTIMODAL_SQL = _mmcur_oracle_sql()
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
@@ -633,6 +834,7 @@ QUERIES = {
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "multimodal_audio_fp_neardup": multimodal_audio_fp_neardup,
     "multimodal_video_frame_neardup": multimodal_video_frame_neardup,
+    "curate_corpus_multimodal": curate_corpus_multimodal,
 }
 
 ORACLES = {
@@ -643,4 +845,5 @@ ORACLES = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
     "multimodal_audio_energy": MULTIMODAL_AUDIO_ENERGY_SQL,
+    "curate_corpus_multimodal": CURATE_CORPUS_MULTIMODAL_SQL,
 }
