@@ -1030,3 +1030,91 @@ class TestSSEReplaySource:
         assert [t[0] for t in rows2] == [2]
         assert '"x": 9' in rows2[0][1]  # the COMPLETE line, not a fragment
         assert end2 == {"line": 3}
+
+
+def test_mergeable_commit_set_insert_replay_and_reorder_fixed_point(
+    spark, tmp_path
+):
+    """The unified sink API's set-insert algebra: replaying any delta
+    is a fixed point, and delivery ORDER does not matter — the state
+    converges to the union of the delta sets."""
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        mergeable_commit,
+    )
+
+    def d(rows):
+        return spark.createDataFrame(rows, "k string, doc_id long")
+
+    d1 = [("a", 1), ("b", 2)]
+    d2 = [("b", 2), ("c", 3)]  # overlaps d1 on (b, 2)
+    p1, p2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    for path, order in ((p1, (d1, d2, d1)), (p2, (d2, d1, d2, d2))):
+        for delta in order:
+            mergeable_commit(
+                spark, path, d(delta), algebra="set-insert", keys=["k", "doc_id"]
+            )
+    s1 = {(r.k, r.doc_id) for r in spark.read.parquet(p1).collect()}
+    s2 = {(r.k, r.doc_id) for r in spark.read.parquet(p2).collect()}
+    assert s1 == s2 == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_mergeable_commit_keyed_sum_encoding_never_double_counts(
+    spark, tmp_path
+):
+    """Keyed-sum state rides the set-insert algebra with batch_id in
+    the keys: replaying a batch's partial sums is a no-op, so the
+    reader-side SUM across batch rows is exact under any replay."""
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        mergeable_commit,
+    )
+
+    path = str(tmp_path / "bins")
+
+    def commit(batch_id, rows):
+        delta = spark.createDataFrame(
+            [(batch_id, b, c) for b, c in rows], "batch_id long, bin long, cnt long"
+        )
+        mergeable_commit(
+            spark, path, delta, algebra="set-insert", keys=["batch_id", "bin"]
+        )
+
+    commit(0, [(0, 5), (1, 7)])
+    commit(1, [(0, 2)])
+    commit(0, [(0, 5), (1, 7)])  # full replay of batch 0
+    commit(1, [(0, 2)])  # and of batch 1
+    got = {
+        r.bin: r.total
+        for r in spark.read.parquet(path)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+    assert got == {0: 7, 1: 7}
+
+
+def test_mergeable_commit_register_max_replay_and_reorder_fixed_point(
+    spark, tmp_path
+):
+    """The register-max algebra: max is idempotent and commutative, so
+    replaying or reordering register deltas converges to the same
+    register table."""
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        mergeable_commit,
+    )
+
+    def d(rows):
+        return spark.createDataFrame(rows, "bucket long, M int")
+
+    d1 = [(0, 3), (1, 5)]
+    d2 = [(0, 7), (2, 1)]
+    p1 = str(tmp_path / "r1.parquet")
+    p2 = str(tmp_path / "r2.parquet")
+    for path, order in ((p1, (d1, d2, d1)), (p2, (d2, d1, d2))):
+        for delta in order:
+            mergeable_commit(
+                spark, path, d(delta), algebra="register-max",
+                keys=["bucket"], max_col="M",
+            )
+    s1 = {(r.bucket, r.M) for r in spark.read.parquet(p1).collect()}
+    s2 = {(r.bucket, r.M) for r in spark.read.parquet(p2).collect()}
+    assert s1 == s2 == {(0, 7), (1, 5), (2, 1)}

@@ -617,6 +617,96 @@ def _atomic_write_registers(rows: list, target_path: str) -> None:
         os.close(dfd)
 
 
+# -- one operator API for the merge-into-persistent-state sinks --------------
+#
+# The three streaming idempotency algebras (VERDICT r8 item 7) share one
+# shape — per micro-batch: derive a slim state DELTA from the batch,
+# then merge it into the persistent table under an algebra whose replay
+# is a fixed point:
+#
+# * ``set-insert``   — delta rows insert-only merge on ``keys``; replays
+#   and duplicate deliveries no-op before any write. Keyed-SUM state
+#   (the histogram sink) is THIS algebra with batch_id in ``keys``: the
+#   delta carries per-batch partial sums, readers sum across batch rows,
+#   and a replayed batch's rows already exist, so the sum never double
+#   counts.
+# * ``register-max`` — delta rows max-merge on ``keys`` over ``max_col``
+#   (max is idempotent AND commutative, so replay or reorder cannot
+#   corrupt the state); the bounded register table persists atomically
+#   as one file.
+
+
+def mergeable_commit(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    *,
+    algebra: str,
+    keys: Sequence[str],
+    max_col: str | None = None,
+) -> None:
+    """Merge one micro-batch's state delta into the persistent table —
+    the testable per-batch body of :func:`start_mergeable_sink` (the
+    replay ⇒ fixed-point property tests drive this directly)."""
+    if algebra == "set-insert":
+        insert_only_parquet(spark, path, delta, keys=list(keys))
+    elif algebra == "register-max":
+        if max_col is None:
+            raise ValueError("register-max needs max_col")
+        if path_exists(spark, path):
+            delta = delta.unionByName(spark.read.parquet(path))
+        merged = delta.groupBy(*keys).agg(F.max(max_col).alias(max_col))
+        rows = merged.collect()  # bounded by construction (register state)
+        if not rows:
+            return
+        _atomic_write_registers(rows, path)
+    else:
+        raise ValueError(f"unknown merge algebra {algebra!r}")
+
+
+def start_mergeable_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    delta_fn,
+    *,
+    algebra: str,
+    keys: Sequence[str],
+    max_col: str | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """The shared merge-into-persistent-state sink: ``delta_fn(batch_df,
+    batch_id) -> DataFrame`` derives the slim state delta (fingerprints,
+    postings, bin counts, registers — never the blobs/raw rows), and
+    :func:`mergeable_commit` folds it into the table under ``algebra``.
+    Empty micro-batches skip the merge pass entirely. Exactly-once is
+    the ALGEBRA's property, not the checkpoint's: a replayed batch's
+    merge is a fixed point, so crash-replay between the write and the
+    checkpoint commit cannot corrupt state."""
+    spark = stream_df.sparkSession
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):  # empty micro-batch: skip the merge pass
+            return
+        mergeable_commit(
+            spark,
+            path,
+            delta_fn(batch_df, batch_id),
+            algebra=algebra,
+            keys=keys,
+            max_col=max_col,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def start_histogram_sink(
     stream_df: DataFrame,
     bins_path: str,
@@ -642,12 +732,9 @@ def start_histogram_sink(
         # a zero/negative-width domain would make every bin expression
         # divide by zero (NULL bins) — reject at start, not per batch
         raise ValueError(f"histogram domain must satisfy mx > mn, got [{mn}, {mx})")
-    spark = stream_df.sparkSession
     width_expr = (F.col(value_col) - F.lit(mn)) / F.lit(mx - mn) * n_bins
 
-    def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):  # empty micro-batch: skip the merge pass
-            return
+    def _delta(batch_df: DataFrame, batch_id: int) -> DataFrame:
         # clamp BOTH sides of the a-priori domain: values >= mx were
         # already folded into the top bin, but values < mn used to emit
         # NEGATIVE bin ids that shifted every cumulative rank downstream.
@@ -659,21 +746,21 @@ def start_histogram_sink(
                 F.lit(0), F.least(F.lit(n_bins - 1), F.floor(width_expr))
             ).alias("bin")
         )
-        counts = (
+        return (
             binned.groupBy("bin")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .select(F.lit(batch_id).alias("batch_id"), "bin", "cnt")
         )
-        insert_only_parquet(spark, bins_path, counts, keys=["batch_id", "bin"])
 
-    writer = (
-        stream_df.writeStream.foreachBatch(_commit)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return start_mergeable_sink(
+        stream_df,
+        bins_path,
+        checkpoint_dir,
+        _delta,
+        algebra="set-insert",
+        keys=["batch_id", "bin"],
+        trigger=trigger,
     )
-    if trigger:
-        writer = writer.trigger(**trigger)
-    return writer.start()
 
 
 def start_postings_sink(
@@ -705,25 +792,21 @@ def start_postings_sink(
     anti-join co-locates, same as every other merge sink here."""
     from ..operators.textops import tokenize
 
-    spark = stream_df.sparkSession
-
-    def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):  # empty micro-batch: skip the merge pass
-            return
-        postings = batch_df.select(
+    def _delta(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return batch_df.select(
             F.explode(tokenize(F.col(text_col))).alias("token"),
             F.col(id_col).alias("doc_id"),
         ).distinct()
-        insert_only_parquet(spark, postings_path, postings, keys=["token", "doc_id"])
 
-    writer = (
-        stream_df.writeStream.foreachBatch(_commit)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return start_mergeable_sink(
+        stream_df,
+        postings_path,
+        checkpoint_dir,
+        _delta,
+        algebra="set-insert",
+        keys=["token", "doc_id"],
+        trigger=trigger,
     )
-    if trigger:
-        writer = writer.trigger(**trigger)
-    return writer.start()
 
 
 def start_ann_signature_sink(
@@ -753,12 +836,8 @@ def start_ann_signature_sink(
     anti-join on (table, vec_id)."""
     from ..operators.similarity import lsh_bucket_key
 
-    spark = stream_df.sparkSession
-
-    def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):  # empty micro-batch: skip the merge pass
-            return
-        sigs = batch_df.select(
+    def _delta(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return batch_df.select(
             F.col(id_col).alias("vec_id"),
             F.posexplode(
                 F.array(
@@ -769,16 +848,16 @@ def start_ann_signature_sink(
                 )
             ).alias("table", "bucket"),
         )
-        insert_only_parquet(spark, signatures_path, sigs, keys=["table", "vec_id"])
 
-    writer = (
-        stream_df.writeStream.foreachBatch(_commit)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return start_mergeable_sink(
+        stream_df,
+        signatures_path,
+        checkpoint_dir,
+        _delta,
+        algebra="set-insert",
+        keys=["table", "vec_id"],
+        trigger=trigger,
     )
-    if trigger:
-        writer = writer.trigger(**trigger)
-    return writer.start()
 
 
 def hll_batch_registers(
@@ -839,23 +918,16 @@ def start_hll_sink(
     table or the complete new one, never a torn write. (A non-local
     ``registers_path`` would need the object store's own atomic-rename
     or a manifest commit — this sink targets local/driver-side state.)"""
-    spark = stream_df.sparkSession
+    def _delta(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return hll_batch_registers(batch_df, key_col, seed, m)
 
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        regs = hll_batch_registers(batch_df, key_col, seed, m)
-        if path_exists(spark, registers_path):
-            regs = regs.unionByName(spark.read.parquet(registers_path))
-        merged = regs.groupBy("bucket").agg(F.max("M").alias("M"))
-        rows = merged.collect()  # <= m rows: sketch-sized by construction
-        if not rows:
-            return
-        _atomic_write_registers(rows, registers_path)
-
-    writer = (
-        stream_df.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return start_mergeable_sink(
+        stream_df,
+        registers_path,
+        checkpoint_dir,
+        _delta,
+        algebra="register-max",
+        keys=["bucket"],
+        max_col="M",
+        trigger=trigger,
     )
-    if trigger:
-        writer = writer.trigger(**trigger)
-    return writer.start()
