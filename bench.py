@@ -136,9 +136,35 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
     return _regressions(comparable[-1]["queries"], entry["queries"])
 
 
+def _contention() -> tuple[bool, float]:
+    """Detect heavy sibling load BEFORE the timed runs (VERDICT r8
+    item 2: BENCH_r08's rc=1 came from determinism-sweep JVMs sharing
+    the host with the timed run). A 1-minute loadavg above a quarter of
+    the cores means other work is competing for CPU; timings taken now
+    are not comparable, so the run still prints its JSON (rc=0) but is
+    NOT recorded into history and the regression gate does not fire —
+    a contended run can neither trip the gate nor become the baseline
+    that later trips it. Override: SPARK_GRAFT_BENCH_FORCE_GATE=1."""
+    if os.environ.get("SPARK_GRAFT_BENCH_FORCE_GATE"):
+        return False, 0.0
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover - platform without loadavg
+        return False, 0.0
+    return load1 > 0.25 * (os.cpu_count() or 8), load1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    contended, load1 = _contention()
+    if contended:
+        print(
+            f"BENCH CONTENTION: loadavg1={load1:.1f} on {os.cpu_count()} cpus "
+            "before the timed runs — printing timings but skipping history "
+            "append and the regression gate (not comparable)",
+            file=sys.stderr,
+        )
 
     from wikistream_event_data_pipeline_aws_spark import registry
     from wikistream_event_data_pipeline_aws_spark.session import get_spark
@@ -228,6 +254,8 @@ def main() -> None:
     prev = _previous_comparable(
         os.path.dirname(os.path.abspath(__file__)), sf_dir, cpus
     )
+    if contended:
+        prev = None  # contended timings are not gate-comparable
     if prev is not None:
         for cand in _regressions(prev, timings):
             name = cand["query"]
@@ -247,6 +275,8 @@ def main() -> None:
     if noisy_runs:
         # file-only detail: the individual runs behind each median
         result["noisy_query_runs"] = noisy_runs
+    if contended:
+        result["contended_load1"] = round(load1, 2)
     # Full-precision result -> file (the driver's stdout capture keeps only
     # the last 2000 chars; round 1 lost the head of the line and recorded
     # parsed=null). The printed line is the same JSON shrunk to fit the
@@ -256,8 +286,8 @@ def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     # gate BEFORE the file write so BENCH_OUT.json records the regression
     # the run exits non-zero for (it documents itself as the full version
-    # of the printed line)
-    regressed = _update_history(repo_dir, result)
+    # of the printed line); a CONTENDED run is never recorded or gated
+    regressed = [] if contended else _update_history(repo_dir, result)
     if regressed:
         result["regressed"] = regressed
     with open(os.path.join(repo_dir, "BENCH_OUT.json"), "w") as fh:
