@@ -112,11 +112,22 @@ def test_no_stale_green_shields_recent_rounds():
     latest = _green_union(before_round=registry._FRONT_TARGET_ROUND)
     front = set(registry._DRIVER_FRONT)
     unverified = [n for n in registry.queries() if n not in latest]
-    room = 50 - len(unverified)
-    if room <= 0:
-        return  # front fully consumed by first-time verifications
     oldest_round = min(latest[n] for n in registry.queries() if n in latest)
     stalest = [n for n in registry.queries() if latest.get(n) == oldest_round]
+    # Changed-output queries (registry._FRONT_CHANGED) outrank the
+    # staleness floor: a stale green row must never shield a changed
+    # plan, so every declared changed query MUST hold a front slot, and
+    # the stalest cohort only gets the room that remains. Changed
+    # queries that are themselves unverified or stalest don't consume
+    # extra room (they'd hold a slot either way).
+    changed = set(registry._FRONT_CHANGED)
+    assert changed <= front, (
+        f"changed queries missing from _DRIVER_FRONT: {sorted(changed - front)}"
+    )
+    extra_changed = changed - set(unverified) - set(stalest)
+    room = 50 - len(unverified) - len(extra_changed)
+    if room <= 0:
+        return  # front fully consumed by must-verify slots
     in_front = [n for n in stalest if n in front]
     # All stalest rows must be queued, up to the room the front has left.
     expected = min(len(stalest), room)

@@ -43,34 +43,32 @@ _ORACLES: dict[str, str] = {}
 # scores, cluster keepers, funnel latency) — are pytest-parity-verified
 # (tests/test_oracle_parity.py replays the driver check) and MUST head
 # the round-5 front together with the displaced r1 rows.
-# Round 8 composition (VERDICT r7 item 1): with the full 229-query
-# registry driver-green (union r01–r07 = 229/229 = the registry), the
-# front is this round's new/changed queries plus pure rotation:
-# retrieval_rrf_ann (NEW: RRF hybrid whose semantic leg runs through
-# the LSH-bucketed ANN candidate path instead of a full embedding
-# scan), multimodal_phash_neardup (NEW: dHash perceptual fingerprints
-# over decoded PNG pixels -> banded Hamming join),
-# multimodal_audio_fp_neardup (NEW: Haitsma-Kalker-style energy
-# fingerprints over decoded WAV samples -> same band join),
-# multimodal_video_frame_neardup (NEW: Y4M keyframe-identity set
-# overlap — frame-key equi-join + exact Jaccard),
-# streaming_postings_sink (NEW: incremental (token, doc) postings
-# maintenance through the insert-only merge) and
-# streaming_ann_index_sink (NEW: its vector-leg twin — streamed LSH
-# signature table answering the batch multi-table oracle),
-# mine_hard_negatives (NEW: contrastive-training pair construction —
-# LSH candidates, near-dup positives cut at cosine 0.95, top-5
-# negatives per anchor),
-# dedup_method_agreement + dedup_simhash_pairs (implementation
-# changed: minhash leg fenced/reused + envelope guard no longer a
-# separate full-corpus count — VERDICT item 4, ADVICE item 6),
-# sse_replay_source_stats (implementation changed: fixture rebuild
-# moved off the timed path — VERDICT item 5), similarity_ann_sweep
-# (implementation changed: hyperplane projections shared across
-# table-count configs — VERDICT item 6) head the front; then ALL 39
-# queries whose newest driver row is r3 (the stalest cohort); then
-# no backfill room remains: 11 new/changed + 39 stalest-r3 = 50.  Done = CORRECTNESS_r08 50/50 green and no query's newest row
-# older than r4.
+# Round 9 composition (VERDICT r8 item 1): the registry is fully
+# driver-green (union r01–r08 = 236/236), so the front is this round's
+# new/changed queries plus the stalest cohort:
+# curate_corpus_multimodal (NEW: media curation flagship — one
+# media_signals Arrow pass feeds quality gate + three near-dup pair
+# algebras + components + sampling),
+# dedup_sim16_agreement (NEW: the explicitly-capped lsh/sim16/sim60
+# fixture comparison split out of the production agreement artifact),
+# multimodal_phash_neardup + multimodal_audio_fp_neardup (changed:
+# production-grain 64-byte fingerprint corpora — 16x4 dHash rows /
+# 31-window Haitsma-Kalker gradients — envelopes raised 100x, VERDICT
+# item 3), dedup_method_agreement (changed: rebased on the three
+# production methods lsh/sim60/cdc, envelope dropped — VERDICT item
+# 4), similarity_ann_recall (changed: md5-hash-sampled audit leg at
+# 600 per-mille, drops query 1 — VERDICT item 5) head the front; then
+# the r4 stalest cohort in registration order. 6 + 45 = 51 > 50: the
+# "changed plans must re-verify now" invariant outranks the staleness
+# floor, so the registration-LAST r4 row (partition_evolution_audit)
+# defers to the round-10 backfill together with the r5 cohort.
+# Same-output refactors verified by the parity suite take no slots
+# (retrieval_rrf_ann / similarity_ann_sweep / dedup_lsh_sweep audit
+# knobs default to audit-all; the four mergeable sinks and the video
+# near-dup/CDC factorings are hash-identical), and doc_chunk_cdc +
+# dedup_chunk_shared — the CDC refactor's queries — ride in the r4
+# cohort anyway. Done = CORRECTNESS_r09 50/50 green and no query's
+# newest row older than r5 except the one documented deferral.
 #
 # _FRONT_TARGET_ROUND pins WHICH round this composition was built for:
 # the rotation-debt guard computes staleness against CORRECTNESS files
@@ -79,60 +77,73 @@ _ORACLES: dict[str, str] = {}
 # (emission-safe sequencing, VERDICT r6 item 1). Bump it together with
 # every front rotation; a CORRECTNESS file NEWER than it means a round
 # ran without rotation and the guard goes red.
-_FRONT_TARGET_ROUND = 8
-_DRIVER_FRONT: tuple[str, ...] = (
-    # -- new or changed this round (must verify now) --
-    "retrieval_rrf_ann",
+_FRONT_TARGET_ROUND = 9
+# Changed-output queries consuming front slots this round (distinct
+# from NEW queries, which have no prior row at all): the rotation-debt
+# guard subtracts these from the room available to the stalest cohort,
+# because "a changed plan must re-verify now" outranks the staleness
+# floor whenever the two compete for the 50-slot window. Reset this
+# each rotation to exactly the round's changed set.
+_FRONT_CHANGED: tuple[str, ...] = (
     "multimodal_phash_neardup",
     "multimodal_audio_fp_neardup",
-    "multimodal_video_frame_neardup",
-    "streaming_postings_sink",
-    "streaming_ann_index_sink",
-    "mine_hard_negatives",
     "dedup_method_agreement",
-    "dedup_simhash_pairs",
-    "sse_replay_source_stats",
-    "similarity_ann_sweep",
-    # -- all 39 queries whose newest driver row is r3 (stalest cohort) --
-    "event_transition_matrix",
-    "tpch_pricing_summary",
-    "tpch_shipping_priority",
-    "tpch_local_supplier_revenue",
-    "join_semi_building_orders",
-    "join_anti_customers_without_orders",
-    "join_left_customer_order_profile",
-    "tpch_order_priority_count",
-    "tpch_forecast_revenue",
-    "tpch_promo_revenue",
-    "dedup_keep_first",
-    "daily_lag_trend",
-    "running_total_per_user",
-    "rank_customers_by_balance",
-    "top3_orders_per_customer",
-    "user_sessionization",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_union_all_slices",
-    "json_extract_props",
-    "envelope_parse",
-    "json_assemble_evidence",
-    "dedup_passage_exact",
-    "pack_sequences",
-    "bpe_merge_candidates",
-    "sample_importance_tokens",
-    "quality_percentile_gate",
     "similarity_ann_recall",
-    "graph_triangle_count",
-    "incremental_agg_merge",
-    "skew_profile",
-    "dq_outlier_zscore",
-    "table_diff_orders",
-    "hourly_gapfill",
-    "streaming_session_window",
-    "partitioned_scan_pruning",
-    "compaction_plan",
-    "bucketed_join_colocated",
+)
+_DRIVER_FRONT: tuple[str, ...] = (
+    # -- new or changed this round (must verify now) --
+    "curate_corpus_multimodal",
+    "dedup_sim16_agreement",
+    "multimodal_phash_neardup",
+    "multimodal_audio_fp_neardup",
+    "dedup_method_agreement",
+    "similarity_ann_recall",
+    # -- the r4 stalest cohort in registration order (44 of 45; the
+    # registration-last row defers to round 10 for the cap) --
+    "event_trigram_counts",
+    "rolling_active_users",
+    "cohort_ltv",
+    "tpch_volume_shipping",
+    "tpch_national_market_share",
+    "tpch_returned_item_customers",
+    "tpch_order_count_distribution",
+    "tpch_top_supplier",
+    "tpch_small_qty_revenue",
+    "tpch_large_volume_customers",
+    "tpch_disjunctive_revenue",
+    "tpch_idle_customers",
+    "record_linkage_matches",
+    "attribution_first_last_touch",
+    "metric_unpivot",
+    "join_null_safe_buckets",
+    "wma_user_value",
+    "customer_balance_quartiles",
+    "rolling_1h_user_value",
+    "running_distinct_types",
+    "twap_user_daily",
+    "peak_concurrency_daily",
+    "text_hashing_vectorize",
+    "mixture_temperature_weights",
+    "doc_chunk_overlap",
+    "doc_chunk_cdc",
+    "dedup_chunk_shared",
+    "hll_join_cardinality",
+    "stats_mad_outliers",
+    "basket_lift_pairs",
+    "gini_balance_by_nation",
+    "ab_test_first_touch",
+    "stats_corr_ols",
+    "privacy_k_anonymity",
+    "stats_cusum_changepoint",
+    "kmeans_embeddings",
+    "embedding_class_scatter",
+    "graph_pagerank",
+    "asof_next_purchase",
+    "dq_referential_integrity",
+    "scd2_customer_dim",
+    "scd2_point_in_time",
+    "scd2_stream_replay",
+    "streaming_interval_join_left",
 )
 
 
