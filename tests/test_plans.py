@@ -739,13 +739,17 @@ def test_no_broadcast_hint_on_scaling_names_in_source():
         "mine_hard_negatives",
         "streaming_postings_sink",
         "streaming_ann_index_sink",
+        "curate_corpus_multimodal",
+        "dedup_method_agreement",
     ],
 )
 def test_round8_pair_operators_never_cartesian(spark, sf_dir, name):
-    """Every round-8 near-dup / candidate-pair operator must pair via a
-    keyed equi-join (band bucket, frame key, posting token, signature
-    bucket) — a CartesianProduct anywhere is the scale regression these
-    designs exist to avoid."""
+    """Every near-dup / candidate-pair operator (round-8 media paths,
+    the round-9 multimodal curation flagship and the production
+    method-agreement artifact) must pair via a keyed equi-join (band
+    bucket, frame key, posting token, signature bucket, chunk
+    fingerprint) — a CartesianProduct anywhere is the scale regression
+    these designs exist to avoid."""
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, plan
 

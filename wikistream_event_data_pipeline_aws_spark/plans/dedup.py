@@ -389,17 +389,23 @@ def dedup_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     single float divisions."""
     from .similarity import AUDIT_SAMPLE_PER_MILLE, audit_sample_pred
 
+    # audit-all (the test-SF default) takes the hash-free path: the
+    # sampling predicate is one md5 per CANDIDATE row in the precision
+    # denominator, which is pure waste when every anchor passes
+    audit_all = AUDIT_SAMPLE_PER_MILLE >= 1000
+
     d = _docs_augmented(spark, sf_dir)
     sigs = minhash_signature(
         d, "doc_id", "text", n_hashes=N_HASHES, include_all_docs=False
     ).localCheckpoint(eager=True)
-    truth = (
-        jaccard_pairs(d, "doc_id", "text", k=3)
-        .filter(F.col("jaccard") >= 0.5)
-        .filter(audit_sample_pred(F.col("id_a"), AUDIT_SAMPLE_PER_MILLE))
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+    truth = jaccard_pairs(d, "doc_id", "text", k=3).filter(
+        F.col("jaccard") >= 0.5
     )
+    if not audit_all:
+        truth = truth.filter(
+            audit_sample_pred(F.col("id_a"), AUDIT_SAMPLE_PER_MILLE)
+        )
+    truth = truth.select("id_a", "id_b").localCheckpoint(eager=True)
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     parts = []
     for r in _SWEEP_ROWS_PER_BAND:
@@ -409,14 +415,17 @@ def dedup_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # n_candidates is the COST axis (always the full volume);
         # precision's denominator is the AUDITED-anchor candidate count
         # so the rate stays unbiased under truth sampling (the two are
-        # equal at 1000 per-mille)
+        # equal at 1000 per-mille, where the hash is skipped entirely)
+        audited = (
+            F.lit(1).cast("long")
+            if audit_all
+            else audit_sample_pred(
+                F.col("id_a"), AUDIT_SAMPLE_PER_MILLE
+            ).cast("long")
+        )
         n_c = cands.agg(
             F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(
-                audit_sample_pred(F.col("id_a"), AUDIT_SAMPLE_PER_MILLE).cast(
-                    "long"
-                )
-            ).alias("__n_cand_audited"),
+            F.sum(audited).alias("__n_cand_audited"),
         )
         n_h = cands.join(truth, ["id_a", "id_b"]).agg(
             F.count(F.lit(1)).alias("n_hits")
