@@ -20,22 +20,55 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _regressions(prev_q: dict, cur_q: dict) -> list[dict]:
+def _regressions(prev_q: dict, cur_q: dict, host_scale: float = 1.0) -> list[dict]:
     """Hard-gate check (VERDICT r4 item 5): per-query regressions on the
     common subset that are BOTH >2x the previous timing AND >1s slower
     in absolute terms — the double condition keeps sub-second noise
     (worst observed noise ratio 1.67x at 0.3s scale) from tripping the
-    gate while a real plan regression cannot hide."""
+    gate while a real plan regression cannot hide.
+
+    ``host_scale`` is the measured cur/prev host-index ratio (>1 means
+    the host is now slower per unit of JVM CPU work — see
+    :func:`_host_index`). The previous timings are scaled up by it
+    before comparison, clamped to [1.0, 2.0]: a measurably slower host
+    proportionally relaxes the bar (round 9: a hypervisor-level ~1.4x
+    uniform slowdown, invisible to loadavg, inflated 224 untouched
+    queries identically), while a faster host never tightens it below
+    the raw timings."""
+    host_scale = min(2.0, max(1.0, host_scale))
     out = []
     for k in sorted(set(prev_q) & set(cur_q)):
-        if cur_q[k] > 2.0 * prev_q[k] and cur_q[k] - prev_q[k] > 1.0:
+        base = prev_q[k] * host_scale
+        if cur_q[k] > 2.0 * base and cur_q[k] - base > 1.0:
             out.append({"query": k, "prev_s": prev_q[k], "now_s": cur_q[k]})
     return out
 
 
+def _host_index(spark, cpus: int) -> float:
+    """Measured host-speed reference: median wall-clock of a fixed
+    CPU-bound, I/O-free JVM job (bit_xor of xxhash64 over a 2B-row
+    range, one task per core). Recorded with every history row so
+    round-over-round comparisons can separate plan changes from host
+    drift — the motivating incident (round 9) was identical code
+    measuring 223.3s at 10:18 and 269.3s at 13:08 UTC with loadavg
+    quiet both times. One warm-up run pays the codegen JIT; the three
+    timed runs measure steady-state CPU throughput."""
+    job = lambda: spark.range(0, 2_000_000_000, 1, cpus).selectExpr(  # noqa: E731
+        "bit_xor(xxhash64(id)) as h"
+    ).collect()
+    job()  # codegen JIT warm-up (~4s first run, ~0.6s after)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        job()
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 4)
+
+
 def _previous_comparable(repo_dir: str, sf_dir: str, cpus: int) -> dict | None:
-    """Per-query timings of the most recent history run at the same
-    (sf, cpus), or None — read-only (history is appended later)."""
+    """The most recent history ROW at the same (sf, cpus), or None —
+    read-only (history is appended later). Callers use ``row["queries"]``
+    and ``row.get("host_index")``."""
     hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
     if not os.path.exists(hist_path):
         return None
@@ -48,8 +81,19 @@ def _previous_comparable(repo_dir: str, sf_dir: str, cpus: int) -> dict | None:
                 continue
             r = json.loads(line)
             if r["sf"] == sf_val and r["cpus"] == cpus:
-                prev = r["queries"]
+                prev = r
     return prev
+
+
+def _host_scale(prev_row: dict | None, cur_index: float | None) -> float:
+    """cur/prev host-index ratio, defaulting to 1.0 when either side
+    lacks a measurement (rows recorded before round 9)."""
+    if not prev_row or not cur_index:
+        return 1.0
+    prev_index = prev_row.get("host_index")
+    if not prev_index:
+        return 1.0
+    return cur_index / prev_index
 
 
 def _update_history(repo_dir: str, result: dict) -> list[dict]:
@@ -71,6 +115,8 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
         "cpus": result["cpus"],
         "queries": result["queries"],
     }
+    if result.get("host_index"):
+        entry["host_index"] = result["host_index"]
     runs = []
     if os.path.exists(hist_path):
         with open(hist_path) as fh:
@@ -86,9 +132,13 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
         "compares against the PREVIOUS run restricted to queries timed in both",
         "runs — the round-over-round signal; `total` moves with coverage.",
         "`worst ratio` is the largest per-query this/prev ratio on that subset.",
+        "`host idx` is the measured host-speed reference (median seconds for a",
+        "fixed CPU-bound JVM job, see `bench._host_index`; bigger = slower",
+        "host) — divide totals by the idx ratio before reading a drifted row",
+        "as a regression. Rows before 2026-08-15 predate the measurement.",
         "",
-        "| run (UTC) | sf | cpus | queries | total s | common prev s | common now s | worst ratio |",
-        "|---|---|---|---|---|---|---|---|",
+        "| run (UTC) | sf | cpus | queries | total s | common prev s | common now s | worst ratio | host idx |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     # compare each row against the most recent PRIOR row at the same
     # (sf, cpus) — matching the gate's _previous_comparable — so an
@@ -112,6 +162,7 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
             ]
         else:
             cells += ["—", "—", "—"]
+        cells.append(f"{r['host_index']:.2f}" if r.get("host_index") else "—")
         lines.append("| " + " | ".join(cells) + " |")
     # Hand-written analysis sections (variance notes etc.) live below the
     # regenerated table as "## ..." headings — carry them forward verbatim
@@ -133,7 +184,11 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
     ]
     if not comparable:
         return []
-    return _regressions(comparable[-1]["queries"], entry["queries"])
+    return _regressions(
+        comparable[-1]["queries"],
+        entry["queries"],
+        _host_scale(comparable[-1], entry.get("host_index")),
+    )
 
 
 def _contention() -> tuple[bool, float]:
@@ -223,6 +278,15 @@ def main() -> None:
     # fixture. One tiny run at the smallest SF pays it here instead.
     qs["sse_replay_source_stats"](spark, "/root/testdata/sf0.001").count()
 
+    # Measure the host-speed reference AFTER the warm-ups and BEFORE the
+    # timed queries, so it reflects the same steady-state JVM the
+    # timings come from. Recorded in the result + history row; the
+    # regression gate scales the previous run's timings by the index
+    # ratio so hypervisor-level host drift (uniform, loadavg-invisible)
+    # doesn't read as a plan regression — and a genuine plan regression
+    # still cannot hide, because the scale is measured, not asserted.
+    host_index = _host_index(spark, cpus)
+
     # Stateful streaming queries pay a state-store/MicroBatchExecution
     # setup cost with ~1.5x run-to-run variance on this host (r02 verdict:
     # their deltas were harness noise, not plan changes). They are timed
@@ -257,7 +321,15 @@ def main() -> None:
     if contended:
         prev = None  # contended timings are not gate-comparable
     if prev is not None:
-        for cand in _regressions(prev, timings):
+        scale = _host_scale(prev, host_index)
+        if not 0.8 <= scale <= 1.25:
+            print(
+                f"BENCH HOST DRIFT: host index {host_index:.2f}s vs "
+                f"{prev.get('host_index'):.2f}s last comparable run "
+                f"({scale:.2f}x) — gate comparisons scaled accordingly",
+                file=sys.stderr,
+            )
+        for cand in _regressions(prev["queries"], timings, scale):
             name = cand["query"]
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
@@ -271,6 +343,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        "host_index": host_index,
     }
     if noisy_runs:
         # file-only detail: the individual runs behind each median

@@ -38,10 +38,35 @@ def test_previous_comparable_reads_last_matching_run(tmp_path):
         {"sf": 0.1, "cpus": 8, "queries": {"a": 5.0}},
     ]
     hist.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
-    assert _previous_comparable(str(tmp_path), "/x/sf0.1", 32) == {"a": 2.0}
-    assert _previous_comparable(str(tmp_path), "/x/sf0.01", 32) == {"a": 9.0}
+    assert _previous_comparable(str(tmp_path), "/x/sf0.1", 32)["queries"] == {"a": 2.0}
+    assert _previous_comparable(str(tmp_path), "/x/sf0.01", 32)["queries"] == {"a": 9.0}
     assert _previous_comparable(str(tmp_path), "/x/sf1", 16) is None
     assert _previous_comparable(str(tmp_path / "none"), "/x/sf0.1", 32) is None
+
+
+def test_host_scale_relaxes_gate_for_measured_drift():
+    """A measured host slowdown (round 9: ~1.4x uniform, hypervisor-
+    level, loadavg-quiet) scales the previous timings before the 2x/1s
+    test; a genuine plan regression still fires because the scale is
+    bounded by the measured ratio (clamped to 2x)."""
+    from bench import _host_scale
+
+    prev = {"steady": 2.0, "regressed": 2.0}
+    # steady: 2.25x and +2.5s — fires unscaled, but at a measured 1.4x
+    # host drift its scaled base is 2.8 and 4.5 < 5.6 — drift, not plan
+    cur = {"steady": 4.5, "regressed": 9.0}
+    assert [r["query"] for r in _regressions(prev, cur)] == ["regressed", "steady"]
+    got = _regressions(prev, cur, host_scale=1.4)
+    assert [r["query"] for r in got] == ["regressed"]
+    # faster host never tightens below raw timings (clamped at 1.0)
+    assert _regressions({"a": 2.0}, {"a": 3.5}, host_scale=0.5) == []
+    # scale is capped at 2x — a 10x index blowup cannot hide a 5x query
+    assert [r["query"] for r in _regressions({"a": 2.0}, {"a": 10.0}, 10.0)] == ["a"]
+    # _host_scale defaults to 1.0 when either side lacks a measurement
+    assert _host_scale(None, 0.5) == 1.0
+    assert _host_scale({"queries": {}}, 0.5) == 1.0
+    assert _host_scale({"host_index": 0.5}, None) == 1.0
+    assert _host_scale({"host_index": 0.5}, 0.7) == 1.4
 
 
 def test_update_history_preserves_note_sections(tmp_path):
