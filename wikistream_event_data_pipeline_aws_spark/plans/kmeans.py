@@ -430,7 +430,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         left.join(right, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("cid", "id_a", "id_b", cosine(F.col("xa"), F.col("xb")).alias("cos"))
+        .select("cid", "id_a", "id_b", cosine("xa", "xb").alias("cos"))
         .filter(F.col("cos") >= SEM_T)
     )
     members = a1.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
@@ -531,7 +531,7 @@ def embedding_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id",
             "pair_id",
             F.lit("positive").alias("pair_type"),
-            cosine(F.col("ax"), F.col("px")).alias("cosine_sim"),
+            cosine("ax", "px").alias("cosine_sim"),
             F.lit(1).cast("long").alias("pair_rank"),
         )
     )
@@ -545,7 +545,7 @@ def embedding_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("pair_id") != F.col("anchor_id") + SEM_OFFSET)
         )
         .select(
-            "anchor_id", "pair_id", cosine(F.col("ax"), F.col("px")).alias("cosine_sim")
+            "anchor_id", "pair_id", cosine("ax", "px").alias("cosine_sim")
         )
         .filter(F.col("cosine_sim").between(PAIR_NEG_LO, PAIR_NEG_HI))
     )

@@ -462,7 +462,12 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         happens upstream, before any pair-keyed shuffle — the shuffle
         then carries an 8-byte double per pair instead of two
         DIM-length float vectors."""
-        cand = cand.localCheckpoint(eager=False)
+        # NOT fenced: cand is a pure column-filter over the already-
+        # checkpointed pair_flags/cell tables, so its two consumers
+        # re-filter a materialized RDD (cheap, executor-side) — while a
+        # localCheckpoint here costs a full analyze+optimize+plan pass
+        # on the driver PER CONFIG (~0.2s x 9 configs measured; lazy
+        # checkpoints still plan eagerly to build their RDD).
         n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
         ann = (
             cand.withColumn("rank", F.row_number().over(w))
@@ -545,7 +550,7 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         "table",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        cosine("__qv", "__cv").alias("cosine_sim"),
         *[agree[npl].alias(f"__m{npl}") for npl in plane_lens],
     )
     pair_flags = (
@@ -591,7 +596,7 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vec_id",
                     "embedding",
                     "centroid_id",
-                    cosine(F.col("embedding"), F.col("__cent")).alias("__csim"),
+                    cosine("embedding", "__cent").alias("__csim"),
                 )
                 .withColumn("__rn", F.row_number().over(cw))
                 .select(
@@ -618,8 +623,14 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             if ca != n_cells:
                 continue
             cand = (
-                qry_cells.filter(F.col("probe_rank") <= nprobe)
-                .drop("probe_rank")
+                # the probe side is <= N_QUERIES x nprobe rows —
+                # broadcast it (checkpointed corp_cells carries no size
+                # stats, so the planner would otherwise sort-merge)
+                F.broadcast(
+                    qry_cells.filter(F.col("probe_rank") <= nprobe).drop(
+                        "probe_rank"
+                    )
+                )
                 .join(corp_cells, "cell")
                 .filter(F.col("query_id") != F.col("neighbor_id"))
                 # IVF pairs are unique by construction (one cell per
@@ -627,7 +638,7 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(
                     "query_id",
                     "neighbor_id",
-                    cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+                    cosine("__qv", "__cv").alias("cosine_sim"),
                 )
             )
             parts.append(config_row(cand, "ivf", n_cells, nprobe))
@@ -794,7 +805,7 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        cosine("__qv", "__cv").alias("cosine_sim"),
     ).filter(F.col("cosine_sim") < HARDNEG_POS_THRESHOLD)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -940,7 +951,7 @@ def streaming_ann_index_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+            cosine("__qv", "__cv").alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
