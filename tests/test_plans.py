@@ -648,6 +648,52 @@ def test_sql_udf_is_catalyst_inlined(spark, sf_dir):
     assert "HashAggregate" in plan, plan
 
 
+def test_no_cartesian_product_inside_checkpoint_fences(spark, monkeypatch):
+    """The two blanket sweeps see a LogicalRDD leaf wherever a
+    localCheckpoint truncated the plan, so a CartesianProduct INSIDE a
+    fence is invisible to them — round 9 found a sort-merge join that
+    had been hiding behind the ANN sweep's per-config fences exactly
+    this way. Wrap localCheckpoint to capture every fenced subtree's
+    physical plan during query construction and sweep THOSE for the
+    banned node too (executedPlan is computed by the checkpoint anyway;
+    the capture only adds a toString). Streaming compositions and the
+    versioned-table/fixture builders stay skipped for the same reasons
+    as the plan-only sweep below — but the fence-heavy families
+    (dedup, curation, clustering, eval sweeps) all run here."""
+    from pyspark.sql import DataFrame
+
+    captured: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def capturing(self, eager=True):
+        captured.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", capturing)
+    skip_prefixes = (
+        "streaming_",
+        "scd2_stream",
+        "sse_replay",
+        "snapshot_",
+        "partition_evolution",
+        "bucketed_join",
+        "partitioned_scan",
+        "multimodal_",  # fixture container encode is exercised by its own tests
+    )
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, fn in entry.queries().items():
+        if name.startswith(skip_prefixes):
+            continue
+        mark = len(captured)
+        fn(spark, sf)
+        for plan in captured[mark:]:
+            if "CartesianProduct" in plan:
+                bad.append(name)
+                break
+    assert not bad, bad
+
+
 def test_no_cartesian_product_in_any_registered_plan(spark):
     """Repo-wide scale guard: NO registered query may compile to a
     CartesianProduct — every pair enumeration must be keyed (equi-join
