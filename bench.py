@@ -44,6 +44,30 @@ def _regressions(prev_q: dict, cur_q: dict, host_scale: float = 1.0) -> list[dic
     return out
 
 
+def _cpu_ticks() -> list[int] | None:
+    """(user, nice, system, idle, iowait, irq, softirq, steal) jiffies
+    from /proc/stat, or None off-Linux. The STEAL field is the direct
+    hypervisor-contention signal: ticks this guest's vCPUs were
+    runnable but the host ran someone else — the mechanism behind the
+    loadavg-invisible uniform slowdowns the host index measures."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:9]
+    except OSError:  # pragma: no cover - non-Linux
+        return None
+    return [int(v) for v in parts]
+
+
+def _steal_pct(before: list[int] | None, after: list[int] | None) -> float | None:
+    """Percent of ALL cpu ticks between the two snapshots that were
+    stolen by the hypervisor (None when /proc/stat is unavailable)."""
+    if before is None or after is None:
+        return None
+    delta = [b - a for a, b in zip(before, after)]
+    total = sum(delta)
+    return round(100.0 * delta[7] / total, 3) if total > 0 else None
+
+
 def _host_index(spark, cpus: int) -> float:
     """Measured host-speed reference: median wall-clock of a fixed
     CPU-bound, I/O-free JVM job (bit_xor of xxhash64 over a 2B-row
@@ -117,6 +141,8 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
     }
     if result.get("host_index"):
         entry["host_index"] = result["host_index"]
+    if result.get("steal_pct") is not None:
+        entry["steal_pct"] = result["steal_pct"]
     runs = []
     if os.path.exists(hist_path):
         with open(hist_path) as fh:
@@ -296,6 +322,7 @@ def main() -> None:
     noisy_repeats = 3
     noisy_runs: dict[str, list[float]] = {}
 
+    ticks_before = _cpu_ticks()
     for name in sorted(qs):
         fn = qs[name]
         runs: list[float] = []
@@ -309,6 +336,7 @@ def main() -> None:
         timings[name] = round(sorted(runs)[len(runs) // 2], 4)
         if len(runs) > 1:
             noisy_runs[name] = [round(r, 4) for r in runs]
+    steal_pct = _steal_pct(ticks_before, _cpu_ticks())
 
     # Regression-gate retry (the gate's first live firing was a cold-run
     # artifact: 1.2s -> 2.6s that re-ran warm at 1.0s): before failing,
@@ -345,6 +373,11 @@ def main() -> None:
         "cpus": cpus,
         "host_index": host_index,
     }
+    if steal_pct is not None:
+        # hypervisor ticks stolen DURING the timed loop — read alongside
+        # host_index: a high steal_pct row is slow because of the host,
+        # not the plans
+        result["steal_pct"] = steal_pct
     if noisy_runs:
         # file-only detail: the individual runs behind each median
         result["noisy_query_runs"] = noisy_runs
