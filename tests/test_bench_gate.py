@@ -88,3 +88,20 @@ def test_update_history_preserves_note_sections(tmp_path):
     _update_history(str(tmp_path), result)  # idempotent across runs
     out = md.read_text()
     assert out.count("## Variance note") == 1 and "keep me" in out
+
+
+def test_steal_pct_from_proc_stat_deltas():
+    """steal_pct is the stolen share of ALL cpu ticks between two
+    snapshots; None-safe for platforms without /proc/stat and for
+    zero-width windows."""
+    from bench import _cpu_ticks, _steal_pct
+
+    before = [100, 0, 50, 800, 10, 0, 5, 35]
+    after = [200, 0, 100, 1600, 20, 0, 10, 70]  # deltas sum to 1000, steal 35
+    assert _steal_pct(before, after) == 3.5
+    assert _steal_pct(None, after) is None
+    assert _steal_pct(before, None) is None
+    assert _steal_pct(before, before) is None  # zero-width window
+    ticks = _cpu_ticks()
+    if ticks is not None:  # Linux: 8 monotone counters
+        assert len(ticks) == 8 and all(v >= 0 for v in ticks)
