@@ -104,7 +104,7 @@ def _previous_comparable(repo_dir: str, sf_dir: str, cpus: int) -> dict | None:
             if not line.strip():
                 continue
             r = json.loads(line)
-            if r["sf"] == sf_val and r["cpus"] == cpus:
+            if r["sf"] == sf_val and r["cpus"] == cpus and not r.get("contended"):
                 prev = r
     return prev
 
@@ -143,6 +143,14 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
         entry["host_index"] = result["host_index"]
     if result.get("steal_pct") is not None:
         entry["steal_pct"] = result["steal_pct"]
+    if result.get("contended_load1") is not None:
+        # Contended runs ARE recorded (so repeated contention is visible
+        # in the trend table, not just a one-off stderr line) but carry
+        # a flag that excludes them from every gate baseline: they can
+        # neither trip the regression gate nor become the run a later
+        # quiet run is compared against.
+        entry["contended"] = True
+        entry["contended_load1"] = result["contended_load1"]
     runs = []
     if os.path.exists(hist_path):
         with open(hist_path) as fh:
@@ -173,8 +181,12 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
     for r in runs:
         q = r["queries"]
         prev = prev_by_cfg.get((r["sf"], r["cpus"]))
-        prev_by_cfg[(r["sf"], r["cpus"])] = r
-        cells = [r["at"], str(r["sf"]), str(r["cpus"]), str(len(q)), f"{sum(q.values()):.1f}"]
+        if not r.get("contended"):
+            prev_by_cfg[(r["sf"], r["cpus"])] = r
+        at_cell = r["at"]
+        if r.get("contended"):
+            at_cell += f" ⚠contended L={r.get('contended_load1', '?')}"
+        cells = [at_cell, str(r["sf"]), str(r["cpus"]), str(len(q)), f"{sum(q.values()):.1f}"]
         if prev is not None:
             common = sorted(set(q) & set(prev["queries"]))
             pq = prev["queries"]
@@ -206,9 +218,11 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
     comparable = [
         r
         for r in runs[:-1]
-        if r["sf"] == entry["sf"] and r["cpus"] == entry["cpus"]
+        if r["sf"] == entry["sf"]
+        and r["cpus"] == entry["cpus"]
+        and not r.get("contended")
     ]
-    if not comparable:
+    if entry.get("contended") or not comparable:
         return []
     return _regressions(
         comparable[-1]["queries"],
@@ -222,9 +236,11 @@ def _contention() -> tuple[bool, float]:
     item 2: BENCH_r08's rc=1 came from determinism-sweep JVMs sharing
     the host with the timed run). A 1-minute loadavg above a quarter of
     the cores means other work is competing for CPU; timings taken now
-    are not comparable, so the run still prints its JSON (rc=0) but is
-    NOT recorded into history and the regression gate does not fire —
-    a contended run can neither trip the gate nor become the baseline
+    are not comparable, so the run still prints its JSON (rc=0) and IS
+    recorded into history — flagged ``contended`` so repeated skips
+    stay visible in the trend table — but the regression gate does not
+    fire and the row is excluded from every later gate baseline: a
+    contended run can neither trip the gate nor become the baseline
     that later trips it. Override: SPARK_GRAFT_BENCH_FORCE_GATE=1."""
     if os.environ.get("SPARK_GRAFT_BENCH_FORCE_GATE"):
         return False, 0.0
@@ -242,8 +258,8 @@ def main() -> None:
     if contended:
         print(
             f"BENCH CONTENTION: loadavg1={load1:.1f} on {os.cpu_count()} cpus "
-            "before the timed runs — printing timings but skipping history "
-            "append and the regression gate (not comparable)",
+            "before the timed runs — recording a contended-flagged history "
+            "row but skipping the regression gate (not comparable)",
             file=sys.stderr,
         )
 
@@ -392,8 +408,9 @@ def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     # gate BEFORE the file write so BENCH_OUT.json records the regression
     # the run exits non-zero for (it documents itself as the full version
-    # of the printed line); a CONTENDED run is never recorded or gated
-    regressed = [] if contended else _update_history(repo_dir, result)
+    # of the printed line); a CONTENDED run is recorded with a flag that
+    # keeps it out of every gate baseline, and is never itself gated
+    regressed = _update_history(repo_dir, result)
     if regressed:
         result["regressed"] = regressed
     with open(os.path.join(repo_dir, "BENCH_OUT.json"), "w") as fh:

@@ -90,6 +90,43 @@ def test_update_history_preserves_note_sections(tmp_path):
     assert out.count("## Variance note") == 1 and "keep me" in out
 
 
+def test_contended_runs_recorded_but_never_baseline_or_gated(tmp_path):
+    """A contended run IS appended to history (flagged, so repeated
+    contention stays visible in the trend table) but is excluded from
+    every gate baseline and never itself gated (round-9 ADVICE: the
+    silent-skip version could stop the gate firing indefinitely on a
+    host with persistent modest load, with no record anywhere)."""
+    import json
+
+    from bench import _previous_comparable, _update_history
+
+    quiet = {"sf": 0.1, "cpus": 32, "queries": {"q1": 1.0}}
+    assert _update_history(str(tmp_path), quiet) == []
+    # contended run, wildly slower: recorded + flagged, gate silent
+    contended = {
+        "sf": 0.1,
+        "cpus": 32,
+        "queries": {"q1": 30.0},
+        "contended_load1": 12.3,
+    }
+    assert _update_history(str(tmp_path), contended) == []
+    rows = [
+        json.loads(line)
+        for line in (tmp_path / "BENCH_HISTORY.jsonl").read_text().splitlines()
+    ]
+    assert len(rows) == 2 and rows[1]["contended"] is True
+    assert "⚠contended" in (tmp_path / "BENCH_HISTORY.md").read_text()
+    # the next quiet run compares against the QUIET row, not the
+    # contended one — so q1 at 2.0s never reads as a 15x improvement,
+    # and a contended 30s baseline can't mask a later real regression
+    assert _previous_comparable(str(tmp_path), "/x/sf0.1", 32)["queries"] == {
+        "q1": 1.0
+    }
+    assert _update_history(str(tmp_path), {**quiet, "queries": {"q1": 2.5}}) == [
+        {"query": "q1", "prev_s": 1.0, "now_s": 2.5}
+    ]
+
+
 def test_steal_pct_from_proc_stat_deltas():
     """steal_pct is the stolen share of ALL cpu ticks between two
     snapshots; None-safe for platforms without /proc/stat and for

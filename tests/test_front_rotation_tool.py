@@ -40,6 +40,18 @@ def test_cohorts_fill_ascending_and_unreached_are_not_deferred():
     assert deferred == ["q04"]
 
 
+def test_boundary_cut_does_not_mislabel_unreached_cohort():
+    # The cap is exhausted exactly at the r3 cohort's boundary; the r4
+    # cohort was never reached by the stale fill, so it must NOT be
+    # deferred — even though the changed head query q00 happens to have
+    # latest == 4 (the old membership probe mislabeled this case).
+    reg = ["q00", "q01", "q02", "q03"]
+    latest = {"q00": 4, "q01": 3, "q02": 3, "q03": 4}
+    front, deferred = compose_front(reg, latest, ["q00"], cap=3)
+    assert front == ["q00", "q01", "q02"]
+    assert deferred == []
+
+
 def test_overflow_and_unknown_changed_raise():
     latest: dict[str, int] = {}
     with pytest.raises(ValueError, match="exceed"):

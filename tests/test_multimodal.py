@@ -171,6 +171,24 @@ def test_decode_media_dispatches_on_magic_and_matches_payload(spark, sf_dir):
         assert r["val_min"] <= r["val_sum"] / n_vals <= r["val_max"]
 
 
+def test_encode_containers_explicit_image_dims(spark, sf_dir):
+    """Payload lengths outside the two internal corpora (16/64 bytes)
+    encode via an explicit image_dims=(w, h) instead of raising."""
+    from pyspark.sql import functions as F
+
+    media = synthetic_media(
+        load_table(spark, sf_dir, "documents").limit(9)
+    ).filter("media_type = 'image'").withColumn(
+        # 32-byte payload: not in _PNG_DIMS_BY_LEN
+        "payload", F.expr("substring(concat(payload, payload), 1, 32)")
+    )
+    with pytest.raises(Exception, match="no PNG grid"):
+        encode_containers(media).collect()
+    decoded = decode_media(encode_containers(media, image_dims=(8, 4)))
+    for r in decoded.collect():
+        assert (r["width"], r["height"], r["container"]) == (8, 4, "png")
+
+
 def test_decode_media_rejects_unknown_magic(spark, sf_dir):
     raw = synthetic_media(load_table(spark, sf_dir, "documents").limit(2))
     with pytest.raises(Exception, match="unknown container magic"):

@@ -102,10 +102,14 @@ def compose_front(
         ]
         room = cap - len(front)
         if room <= 0:
-            # the cap cut INSIDE or before this cohort: only cohorts the
-            # fill actually reached count as deferred
-            if cohort and any(latest.get(n) == rnd for n in front):
-                deferred.extend(cohort)
+            # The stale fill never consumed a slot from this cohort (the
+            # cap was exhausted at or before the previous cohort's
+            # boundary), so it is not yet due — not a deferral. The only
+            # true deferrals are the remainder of a PARTIALLY-admitted
+            # cohort, recorded below where the fill actually cut inside
+            # one. Probing front membership by round here would mislabel
+            # (a changed head query whose latest happens to equal this
+            # round is not evidence the fill reached the cohort).
             break
         front.extend(cohort[:room])
         taken.update(cohort[:room])

@@ -302,12 +302,16 @@ def synthetic_media(docs: DataFrame) -> DataFrame:
 _PNG_DIMS_BY_LEN = {16: (4, 4), 64: (16, 4)}
 
 
-def encode_containers(media: DataFrame) -> DataFrame:
+def encode_containers(
+    media: DataFrame, image_dims: tuple[int, int] | None = None
+) -> DataFrame:
     """Wrap each raw payload in a REAL container for its media_type
     (Arrow-batched mapInPandas; schema preserved):
 
     * image -> PNG grayscale; dimensions by payload length (16 bytes =
-      4x4, 64 bytes = 16x4 — the fingerprint-corpus grid);
+      4x4, 64 bytes = 16x4 — the fingerprint-corpus grid), or an
+      explicit ``image_dims=(w, h)`` for payloads outside the two
+      internal corpora (w*h must equal the payload length);
     * audio -> WAV, PCM u8 mono 8 kHz, samples = the payload bytes
       (any length);
     * video -> Y4M, 2x2 mono, ``1 + payload[0] % 4`` frames, frame f =
@@ -320,12 +324,13 @@ def encode_containers(media: DataFrame) -> DataFrame:
             for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
                 raw = bytes(payload or b"")
                 if mtype == "image":
-                    dims = _PNG_DIMS_BY_LEN.get(len(raw))
+                    dims = image_dims or _PNG_DIMS_BY_LEN.get(len(raw))
                     if dims is None:
                         raise ValueError(
                             f"no PNG grid defined for a {len(raw)}-byte "
                             f"image payload (known: "
-                            f"{sorted(_PNG_DIMS_BY_LEN)})"
+                            f"{sorted(_PNG_DIMS_BY_LEN)}; pass "
+                            f"image_dims=(w, h) for other sizes)"
                         )
                     payloads.append(encode_png_gray8(raw, *dims))
                 elif mtype == "audio":

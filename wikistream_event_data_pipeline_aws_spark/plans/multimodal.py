@@ -758,7 +758,21 @@ def _mmcur_oracle_sql() -> str:
         byte_cols = ", ".join(f"{b} AS b{i}" for i, b in enumerate(bs))
         names = [f"b{i}" for i in range(n_bytes)]
         rng = f"GREATEST({', '.join(names)}) - LEAST({', '.join(names)})"
-        nf = f"1 + b0 % {Y4M_MAX_FRAMES}" if mtype == "video" else "NULL"
+        nf = "NULL"
+        if mtype == "video":
+            # media_signals decodes the Y4M container and ranges over
+            # the DECODED frames' luma bytes — the first 4*n_frames of
+            # the 16 payload bytes — so the oracle must CASE on
+            # n_frames like the decode oracle does, not range over all
+            # 16 (byte 0 picks n_frames; the clone perturbation is on
+            # byte 15, so nf is identical for original and clone).
+            nf = f"1 + b0 % {Y4M_MAX_FRAMES}"
+            arms = " ".join(
+                f"WHEN {k} THEN GREATEST({', '.join(names[: 4 * k])})"
+                f" - LEAST({', '.join(names[: 4 * k])})"
+                for k in range(1, Y4M_MAX_FRAMES + 1)
+            )
+            rng = f"CASE {nf} {arms} END"
         return f"""
   SELECT media_id, '{mtype}' AS media_type,
          CAST({nf} AS INTEGER) AS n_frames,
