@@ -2123,3 +2123,101 @@ def test_sweep_recall_denominator_tracks_the_audit_sample(spark, sf_dir, monkeyp
     rows = S.similarity_ann_sweep(spark, sf_dir).collect()
     assert rows and all(r.n_exact == S.TOP_K * n_aud for r in rows)
     assert all(0 <= r.n_hits <= r.n_exact for r in rows)
+
+
+def test_substring_spans_surface_planted_clones(spark, sf_dir):
+    """Every window of a cloned original is duplicated (the clone
+    contains the original's token stream verbatim), so originals 0-19
+    report full-length runs; each clone's body duplicates too, minus
+    the <= 3 windows touching its unique '... cloned tail token'
+    suffix (unique because they start with original-specific tokens)."""
+    from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+        CLONE_OFFSET,
+        SUBSTR_K,
+        dedup_substring_spans,
+    )
+
+    rows = {r.doc_id: r for r in dedup_substring_spans(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert 1 <= r.n_dup_windows <= r.n_windows
+        assert 1 <= r.longest_dup_run <= r.n_dup_windows
+    for doc_id in range(20):
+        orig, clone = rows[doc_id], rows[doc_id + CLONE_OFFSET]
+        assert orig.n_dup_windows == orig.n_windows
+        assert orig.longest_dup_run == orig.n_windows
+        assert clone.n_windows == orig.n_windows + 3  # 3 appended tokens
+        assert clone.n_dup_windows >= clone.n_windows - 3
+        assert clone.longest_dup_run >= clone.n_windows - 3
+    assert SUBSTR_K >= 2  # window grain sanity
+
+
+def test_containment_planted_pairs_score_one(spark, sf_dir):
+    """Each planted clone CONTAINS its original's shingle set fully
+    (the appended tail only adds shingles), so every (orig, clone)
+    pair scores containment exactly 1.0 — the asymmetric signal
+    Jaccard under-reports (jaccard = n_a/n_b < 1 for those pairs)."""
+    from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+        CLONE_OFFSET,
+        CONTAIN_TAU,
+        dedup_containment,
+    )
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    assert rows
+    by_pair = {(r.id_a, r.id_b): r for r in rows}
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert CONTAIN_TAU <= r.containment <= 1.0
+        assert r.n_shared <= min(r.n_a, r.n_b)
+    for doc_id in range(20):
+        r = by_pair[(doc_id, doc_id + CLONE_OFFSET)]
+        assert r.containment == 1.0
+        assert r.n_shared == min(r.n_a, r.n_b)
+
+
+def test_mannwhitney_matches_pure_python(spark, sf_dir):
+    """The exact-BIGINT rank algebra reproduces a single-node
+    tie-corrected Mann-Whitney recomputation, type by type."""
+    from collections import Counter
+
+    from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+    from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+        stats_mannwhitney_value,
+    )
+
+    got = {r.event_type: r for r in stats_mannwhitney_value(spark, sf_dir).collect()}
+    assert got
+    raw = [
+        (r.event_type, r.value)
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    ]
+    by_val = Counter(v for _, v in raw)
+    big_n = len(raw)
+    sum_t = sum(t * t * t - t for t in by_val.values())
+    # average rank of value v (doubled, to stay integral): 2c + t + 1
+    cum = 0
+    rank2 = {}
+    for v in sorted(by_val):
+        t = by_val[v]
+        rank2[v] = 2 * cum + t + 1
+        cum += t
+    per_type_r2 = Counter()
+    per_type_n = Counter()
+    for et, v in raw:
+        per_type_r2[et] += rank2[v]
+        per_type_n[et] += 1
+    assert set(got) == set(per_type_n)
+    for et, r in got.items():
+        n = per_type_n[et]
+        assert r.n == n
+        assert r.rank_sum_x2 == per_type_r2[et]
+        u_x2 = per_type_r2[et] - n * (n + 1)
+        assert r.u_x2 == u_x2
+        n2 = big_n - n
+        z = (u_x2 - n * n2) / (
+            (n * n2) * ((big_n + 1) - sum_t / (big_n * (big_n - 1))) / 3.0
+        ) ** 0.5
+        assert abs(r.z_score - z) <= 1e-9 * max(1.0, abs(z))

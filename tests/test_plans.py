@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 238
+EXPECTED_QUERY_COUNT = 241
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -149,7 +149,7 @@ def test_no_unpartitioned_windows_in_plan_sources():
     allowed = {
         "windows.py": 2,  # daily_lag_trend's two windows over daily agg
         "sketches.py": 2,  # histogram cumsums (batch + streaming reader), each over <= HIST_BINS rows
-        "stats.py": 2,  # KM life-table tail-sum; KS bucket-prefix (both calendar/domain-bounded)
+        "stats.py": 3,  # KM life-table tail-sum; KS bucket-prefix; Mann-Whitney rank-prefix over the distinct-value grain (all calendar/domain-bounded)
     }
     root = pathlib.Path(plans_pkg.__file__).parent
     for p in sorted(root.glob("*.py")):

@@ -17,6 +17,7 @@ from ..operators.textops import (
     MINHASH_PRIME,
     MINHASH_SEEDS,
     STOPWORDS,
+    exploded_shingles,
     fingerprint,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -1096,6 +1097,205 @@ FROM ranked GROUP BY doc_id
 """
 
 
+# -- substring-level dedup (Lee et al. 2022) -----------------------------------
+
+SUBSTR_K = 8  # tokens per window — the 'repeated substring' grain
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup evidence — the 'Deduplicating
+    Training Data Makes Language Models Better' (Lee et al. 2022) op:
+    find every {SUBSTR_K}-token window whose exact text occurs at two
+    or more positions corpus-wide, then report per document the
+    duplicated-window count and the LONGEST consecutive run of
+    duplicated positions (the span a substring-dedup pass would elide).
+    On the augmented corpus each planted clone's body duplicates its
+    original end-to-end, so both carry near-full-length runs.
+
+    Scale shape: window enumeration is one projection (transform over
+    sequence + posexplode — no join, no shuffle of the token arrays);
+    the corpus-wide occurrence count is ONE hash aggregation keyed on
+    md5(window) (16-byte keys shuffle instead of ~50-byte strings; a
+    collision would need ~2^64 windows); marking duplicated positions
+    is a semi-join against the (small) duplicated-hash set; runs are
+    gaps-and-islands windows partitioned per doc. Everything is linear
+    in total tokens — no pairwise anything."""
+    d = _docs_augmented(spark, sf_dir)
+    k = SUBSTR_K
+    # filter BEFORE sequence(): Spark's sequence(1, n) with n < 1 emits
+    # a DESCENDING [1, 0, ...] sequence, not an empty one
+    base = d.select("doc_id", tokenize(F.col("text")).alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    wins = base.select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - k + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+            )
+        ).alias("pos0", "h"),
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    dup_pos = wins.join(dup_h, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    runs = (
+        dup_pos.withColumn("grp", F.col("pos0") - F.row_number().over(w))
+        .groupBy("doc_id", "n_tokens", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("doc_id").agg(
+        (F.min("n_tokens") - k + 1).cast("long").alias("n_windows"),
+        F.sum("run_len").alias("n_dup_windows"),
+        F.max("run_len").alias("longest_dup_run"),
+    )
+
+
+DEDUP_SUBSTRING_SPANS_SQL = rf"""
+WITH docs_aug AS ({_DOCS_AUG_SQL}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs_aug
+),
+wins AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         unnest(range(1, GREATEST(len(t) - {SUBSTR_K} + 1, 0) + 1)) AS pos,
+         unnest(list_transform(
+             range(1, GREATEST(len(t) - {SUBSTR_K} + 1, 0) + 1),
+             i -> array_to_string(list_slice(t, i, i + {SUBSTR_K} - 1), ' ')
+         )) AS w
+  FROM toks
+),
+dupw AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2),
+dpos AS (
+  SELECT doc_id, n_tokens, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM wins WHERE w IN (SELECT w FROM dupw)
+),
+runs AS (
+  SELECT doc_id, MIN(n_tokens) AS n_tokens, COUNT(*) AS run_len
+  FROM dpos GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(MIN(n_tokens) - {SUBSTR_K} + 1 AS BIGINT) AS n_windows,
+       CAST(SUM(run_len) AS BIGINT) AS n_dup_windows,
+       CAST(MAX(run_len) AS BIGINT) AS longest_dup_run
+FROM runs
+GROUP BY doc_id
+"""
+
+
+# -- asymmetric containment near-dup --------------------------------------------
+
+CONTAIN_DF_MAX = 10  # document-frequency cut for candidate shingles
+CONTAIN_TAU = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup — catches doc-inside-doc
+    duplication (quotes, concatenations, re-posts with boilerplate)
+    that symmetric Jaccard under-scores: a small document fully
+    embedded in a large one has Jaccard |A|/|B| (tiny) but containment
+    |A∩B|/min(|A|,|B|) = 1. Pairs with containment >= {CONTAIN_TAU}
+    are emitted with their exact set sizes. Each planted clone
+    contains its original's shingle set completely (the appended tail
+    only adds shingles), so the planted pairs all score 1.0.
+
+    Scale shape — document-frequency cut, the CC-Net/Gopher-style
+    candidate bound: candidates come from co-occurrence in a RARE
+    shingle only (corpus document frequency <= {CONTAIN_DF_MAX}), so
+    candidate fan-out is bounded by df_max * total_shingles (linear in
+    the corpus at fixed df_max) instead of sum(df^2) over hot shingles
+    — no doc-count fence needed. The exact intersection is then
+    recomputed over the FULL shingle sets of candidate docs alone
+    (semi-join + one hash agg), so the df cut can only drop pairs
+    whose every shared shingle is ubiquitous — by construction not
+    near-dups but boilerplate overlap. The same cut and threshold are
+    in the oracle."""
+    d = _docs_augmented(spark, sf_dir)
+    sh = (
+        exploded_shingles(d, "doc_id", "text", k=3)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    df_cut = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_MAX)
+        .select("shingle")
+    )
+    rare = sh.join(df_cut, "shingle", "left_semi")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    scored = jaccard_pairs(d, "doc_id", "text", k=3, candidates=cand)
+    containment = F.col("n_shared") / F.least("n_a", "n_b")
+    return scored.filter(containment >= CONTAIN_TAU).select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        containment.alias("containment"),
+    )
+
+
+DEDUP_CONTAINMENT_SQL = rf"""
+WITH docs_aug AS ({_DOCS_AUG_SQL}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs_aug
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN list_transform(range(1, len(t) - 1),
+                                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                     ELSE [] END) AS shingle
+  FROM toks
+),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) <= {CONTAIN_DF_MAX}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM rare)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       n_shared / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_shared / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= CAST({CONTAIN_TAU} AS DOUBLE)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_passage_exact": dedup_passage_exact,
@@ -1110,6 +1310,8 @@ QUERIES = {
     "dedup_simhash_band60": dedup_simhash_band60,
     "dedup_method_agreement": dedup_method_agreement,
     "dedup_sim16_agreement": dedup_sim16_agreement,
+    "dedup_substring_spans": dedup_substring_spans,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLES = {
@@ -1126,4 +1328,6 @@ ORACLES = {
     "dedup_simhash_band60": DEDUP_SIMHASH_BAND60_SQL,
     "dedup_method_agreement": DEDUP_METHOD_AGREEMENT_SQL,
     "dedup_sim16_agreement": DEDUP_SIM16_AGREEMENT_SQL,
+    "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
 }

@@ -1371,7 +1371,109 @@ FROM scored GROUP BY event_type
 """
 
 
+def stats_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann–Whitney U (rank-sum) test, one-vs-rest per
+    event type over ``value`` — the NONPARAMETRIC complement of the
+    parametric drift checks (``dq_drift_halves`` compares moments,
+    ``stats_ks_value_drift`` the sup-gap): "does this event type's
+    value distribution stochastically dominate the rest?", robust to
+    the heavy right tail where a t-test is not.
+
+    Exact-integer discipline (the chi2/KS pattern): ranks never
+    materialize per row — counts collapse to the DISTINCT-VALUE grain
+    first (bounded domain, same validity note as the KS test), average
+    ranks come from the cumulative window over that grain, and
+    ``2·R₁`` (doubled rank sum — integral even with tied half-ranks),
+    ``2·U₁`` and the tie-correction term ``Σ(t³−t)`` are all exact
+    BIGINT. The z-score is the single float expression
+    ``(2U₁−n₁n₂) / sqrt(n₁n₂·((N+1) − ΣT/(N(N−1)))/3)`` evaluated
+    identically on both engines. Overflow: 2R ≤ N(N+1) fits BIGINT to
+    N≈3e9 rows; past that both engines fail loudly (ANSI overflow) —
+    widen to DECIMAL(38,0) intermediates before running there."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cell = e.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("g"))
+    vt = cell.groupBy("value").agg(F.sum("g").alias("t"))
+    wpre = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    vt = vt.select(
+        "value", "t", F.coalesce(F.sum("t").over(wpre), F.lit(0)).alias("c")
+    )
+    per_type = (
+        cell.join(vt, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("g").alias("n"),
+            F.sum(F.col("g") * (2 * F.col("c") + F.col("t") + 1)).alias(
+                "rank_sum_x2"
+            ),
+        )
+    )
+    tot = vt.agg(
+        F.sum("t").alias("big_n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("sum_t"),
+    )
+    j = per_type.join(F.broadcast(tot))
+    n2 = F.col("big_n") - F.col("n")
+    u_x2 = F.col("rank_sum_x2") - F.col("n") * (F.col("n") + 1)
+    num = u_x2 - F.col("n") * n2
+    z = num.cast("double") / F.sqrt(
+        (F.col("n").cast("double") * n2.cast("double"))
+        * (
+            (F.col("big_n") + 1).cast("double")
+            - F.col("sum_t").cast("double")
+            / (F.col("big_n").cast("double") * (F.col("big_n") - 1).cast("double"))
+        )
+        / F.lit(3.0)
+    )
+    return j.select(
+        "event_type",
+        "n",
+        "rank_sum_x2",
+        u_x2.alias("u_x2"),
+        z.alias("z_score"),
+    )
+
+
+STATS_MANNWHITNEY_VALUE_SQL = """
+WITH cell AS (
+  SELECT value, event_type, COUNT(*) AS g FROM events GROUP BY value, event_type
+),
+vt AS (
+  SELECT value, CAST(SUM(g) AS BIGINT) AS t FROM cell GROUP BY value
+),
+vtc AS (
+  SELECT value, t,
+         CAST(COALESCE(SUM(t) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+  FROM vt
+),
+per_type AS (
+  SELECT event_type,
+         CAST(SUM(g) AS BIGINT) AS n,
+         CAST(SUM(g * (2 * c + t + 1)) AS BIGINT) AS rank_sum_x2
+  FROM cell JOIN vtc USING (value)
+  GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS big_n,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS sum_t
+  FROM vtc
+)
+SELECT event_type, n, rank_sum_x2,
+       rank_sum_x2 - n * (n + 1) AS u_x2,
+       CAST(rank_sum_x2 - n * (n + 1) - n * (big_n - n) AS DOUBLE)
+       / sqrt(
+           (CAST(n AS DOUBLE) * CAST(big_n - n AS DOUBLE))
+           * (CAST(big_n + 1 AS DOUBLE)
+              - CAST(sum_t AS DOUBLE)
+                / (CAST(big_n AS DOUBLE) * CAST(big_n - 1 AS DOUBLE)))
+           / 3.0
+         ) AS z_score
+FROM per_type, tot
+"""
+
+
 QUERIES = {
+    "stats_mannwhitney_value": stats_mannwhitney_value,
     "stats_mad_outliers": stats_mad_outliers,
     "stats_autocorrelation": stats_autocorrelation,
     "value_decile_assignment": value_decile_assignment,
@@ -1393,6 +1495,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_mannwhitney_value": STATS_MANNWHITNEY_VALUE_SQL,
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
     "stats_autocorrelation": STATS_AUTOCORRELATION_SQL,
     "value_decile_assignment": VALUE_DECILE_ASSIGNMENT_SQL,

@@ -77,73 +77,79 @@ _ORACLES: dict[str, str] = {}
 # (emission-safe sequencing, VERDICT r6 item 1). Bump it together with
 # every front rotation; a CORRECTNESS file NEWER than it means a round
 # ran without rotation and the guard goes red.
-_FRONT_TARGET_ROUND = 9
+_FRONT_TARGET_ROUND = 10
 # Changed-output queries consuming front slots this round (distinct
 # from NEW queries, which have no prior row at all): the rotation-debt
 # guard subtracts these from the room available to the stalest cohort,
 # because "a changed plan must re-verify now" outranks the staleness
 # floor whenever the two compete for the 50-slot window. Reset this
 # each rotation to exactly the round's changed set.
-_FRONT_CHANGED: tuple[str, ...] = (
-    "multimodal_phash_neardup",
-    "multimodal_audio_fp_neardup",
-    "dedup_method_agreement",
-    "similarity_ann_recall",
-)
+#
+# Round 10 composition (tools/front_rotation.py --target-round 10):
+# three NEW queries head the front — dedup_substring_spans (Lee et al.
+# 2022 substring-level dedup: md5-keyed window occurrence agg +
+# gaps-and-islands runs), dedup_containment (asymmetric doc-inside-doc
+# near-dup via a document-frequency candidate cut — no doc-count
+# fence), stats_mannwhitney_value (tie-corrected rank-sum test, exact
+# BIGINT rank algebra at the distinct-value grain) — then the one r4
+# deferral (partition_evolution_audit, documented last round) and the
+# complete 46-row r5 cohort in registration order: 3 + 1 + 46 = 50
+# exactly, zero deferrals. No changed-output queries this round (the
+# round-10 advice fixes — mmcur video value_range oracle leg, bench
+# contended-row recording, rotation deferral reporting, encode dims
+# arg — are all output-identical, re-proven by the parity suite).
+_FRONT_CHANGED: tuple[str, ...] = ()
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- new or changed this round (must verify now) --
-    "curate_corpus_multimodal",
-    "dedup_sim16_agreement",
-    "multimodal_phash_neardup",
-    "multimodal_audio_fp_neardup",
-    "dedup_method_agreement",
-    "similarity_ann_recall",
-    # -- the r4 stalest cohort in registration order (44 of 45; the
-    # registration-last row defers to round 10 for the cap) --
-    "event_trigram_counts",
-    "rolling_active_users",
-    "cohort_ltv",
-    "tpch_volume_shipping",
-    "tpch_national_market_share",
-    "tpch_returned_item_customers",
-    "tpch_order_count_distribution",
-    "tpch_top_supplier",
-    "tpch_small_qty_revenue",
-    "tpch_large_volume_customers",
-    "tpch_disjunctive_revenue",
-    "tpch_idle_customers",
-    "record_linkage_matches",
-    "attribution_first_last_touch",
-    "metric_unpivot",
-    "join_null_safe_buckets",
-    "wma_user_value",
-    "customer_balance_quartiles",
-    "rolling_1h_user_value",
-    "running_distinct_types",
-    "twap_user_daily",
-    "peak_concurrency_daily",
-    "text_hashing_vectorize",
-    "mixture_temperature_weights",
-    "doc_chunk_overlap",
-    "doc_chunk_cdc",
-    "dedup_chunk_shared",
-    "hll_join_cardinality",
-    "stats_mad_outliers",
-    "basket_lift_pairs",
-    "gini_balance_by_nation",
-    "ab_test_first_touch",
-    "stats_corr_ols",
-    "privacy_k_anonymity",
-    "stats_cusum_changepoint",
-    "kmeans_embeddings",
-    "embedding_class_scatter",
-    "graph_pagerank",
-    "asof_next_purchase",
-    "dq_referential_integrity",
-    "scd2_customer_dim",
-    "scd2_point_in_time",
-    "scd2_stream_replay",
-    "streaming_interval_join_left",
+    "dedup_substring_spans",
+    "dedup_containment",
+    "stats_mannwhitney_value",
+    "partition_evolution_audit",
+    "funnel_time_to_convert",
+    "sequence_pattern_match",
+    "churn_label_features",
+    "tpch_revenue_share_hierarchy",
+    "tpch_supplier_leadtime",
+    "tpch_priority_sla",
+    "customer_rfm_segments",
+    "record_linkage_blocks",
+    "incremental_join_delta",
+    "join_longest_prefix_match",
+    "variant_props_stats",
+    "dedup_cluster_keepers",
+    "dedup_lsh_sweep",
+    "text_ngram_novelty",
+    "tokenizer_fertility_by_lang",
+    "context_window_fit",
+    "text_bigram_surprisal",
+    "split_leakage_audit",
+    "cv_fold_assignment",
+    "decontaminate_overlap_fraction",
+    "sample_weighted_wor",
+    "hll_rolling_distinct",
+    "kmv_set_operations",
+    "streaming_hll_users",
+    "streaming_histogram_quantiles",
+    "stats_autocorrelation",
+    "value_decile_assignment",
+    "stats_benford_prices",
+    "stats_seasonal_outliers",
+    "survival_km_order_gaps",
+    "tv_distance_source_mix",
+    "stats_ks_value_drift",
+    "stats_chi2_dow_type",
+    "privacy_l_diversity",
+    "embedding_pq_residuals",
+    "knn_classify_embeddings",
+    "semdedup_embeddings",
+    "graph_khop_features",
+    "graph_kcore_peel",
+    "graph_eigencentrality",
+    "graph_substitutes",
+    "decayed_user_value",
+    "table_merkle_sync",
+    "snapshot_time_travel",
+    "snapshot_changes",
+    "snapshot_mor_read",
 )
 
 
