@@ -1206,43 +1206,78 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains its original's shingle set completely (the appended tail
     only adds shingles), so the planted pairs all score 1.0.
 
-    Scale shape — document-frequency cut, the CC-Net/Gopher-style
-    candidate bound: candidates come from co-occurrence in a RARE
-    shingle only (corpus document frequency <= {CONTAIN_DF_MAX}), so
-    candidate fan-out is bounded by df_max * total_shingles (linear in
-    the corpus at fixed df_max) instead of sum(df^2) over hot shingles
-    — no doc-count fence needed. The exact intersection is then
-    recomputed over the FULL shingle sets of candidate docs alone
-    (semi-join + one hash agg), so the df cut can only drop pairs
-    whose every shared shingle is ubiquitous — by construction not
-    near-dups but boilerplate overlap. The same cut and threshold are
-    in the oracle."""
+    Scale shape — document-frequency cut plus a LOSSLESS count bound,
+    the CC-Net/Gopher-style candidate discipline: the pair-generating
+    self-join runs over RARE shingles only (corpus document frequency
+    <= {CONTAIN_DF_MAX}), bounding its fan-out by df_max x
+    total_shingles (linear at fixed df_max) instead of sum(df^2) over
+    hot shingles. Candidates are then pruned EXACTLY before the
+    expensive rescoring: containment >= tau needs
+    shared >= tau * min(n_a, n_b), and shared can never exceed
+    (rare shingles shared) + min(hot_a, hot_b), so any pair whose
+    integer upper bound misses the threshold is dropped with zero
+    false dismissals (the bound check is pure integer arithmetic —
+    5*bound >= 4*min_n for tau = 0.8 — no float edge). Only the
+    survivors (true near-dups plus a thin margin) get their exact
+    full-set intersection recomputed via two keyed joins against the
+    fenced shingle set. The oracle states the same semantics directly
+    (candidates from rare co-occurrence, exact rescoring) — the prune
+    is invisible to it by construction."""
+    assert CONTAIN_TAU == 0.8, "integer prune below encodes tau = 4/5"
     d = _docs_augmented(spark, sf_dir)
     sh = (
         exploded_shingles(d, "doc_id", "text", k=3)
         .distinct()
         .localCheckpoint(eager=False)
     )
-    df_cut = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= CONTAIN_DF_MAX)
-        .select("shingle")
+    # df via a shingle-partitioned window: one shuffle, no join, and —
+    # unlike broadcasting the distinct-shingle table — it scales (the
+    # shingle universe at 100 TB is billions of rows)
+    shdf = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
-    rare = sh.join(df_cut, "shingle", "left_semi")
+    per_doc = shdf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("df") > CONTAIN_DF_MAX).cast("long")).alias("n_hot"),
+    )
+    rare = shdf.filter(F.col("df") <= CONTAIN_DF_MAX).select("doc_id", "shingle")
     a, b = rare.alias("a"), rare.alias("b")
-    cand = (
+    prs = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_rare_shared"))
     )
-    scored = jaccard_pairs(d, "doc_id", "text", k=3, candidates=cand)
+    pa = per_doc.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("n_hot").alias("hot_a"),
+    )
+    pb = per_doc.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("n_hot").alias("hot_b"),
+    )
+    bound = F.col("n_rare_shared") + F.least("hot_a", "hot_b")
+    surv = (
+        prs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .filter(5 * bound >= 4 * F.least("n_a", "n_b"))
+        .select("id_a", "id_b", "n_a", "n_b")
+    )
+    sha = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    scored = (
+        surv.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
     containment = F.col("n_shared") / F.least("n_a", "n_b")
     return scored.filter(containment >= CONTAIN_TAU).select(
         "id_a",
