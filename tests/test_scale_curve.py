@@ -35,6 +35,7 @@ def summary(spark):
 
 GATED_FAMILIES = (
     "minhash_lsh", "simhash60", "semdedup", "embedding_lsh", "phash", "afp",
+    "containment_rare",
 )
 
 

@@ -386,6 +386,32 @@ def semdedup_candidates(emb: DataFrame, k_cells: int) -> int:
     return int(row["cand"] or 0)
 
 
+def containment_candidates(docs: DataFrame) -> int:
+    """``dedup_containment``'s candidate-generating work: the rare-
+    shingle self-join emits sum over shingles with df <= CONTAIN_DF_MAX
+    of df*(df-1)/2 ordered pairs (its downstream integer prune and the
+    exact rescoring are candidate-bounded, so this join IS the scale
+    term). The corpus expansion keeps per-copy shingle universes
+    disjoint, so df per shingle is scale-invariant and the sum grows
+    ~linearly in N — the claim this family measures."""
+    from wikistream_event_data_pipeline_aws_spark.operators.textops import (
+        exploded_shingles,
+    )
+    from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+        CONTAIN_DF_MAX,
+    )
+
+    sh = exploded_shingles(docs, "doc_id", "text", k=3).distinct()
+    row = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_MAX)
+        .agg(F.sum(F.expr("df * (df - 1) / 2")).alias("cand"))
+        .first()
+    )
+    return int(row["cand"] or 0)
+
+
 def fit_exponent(points: list[tuple[int, int]]) -> float:
     """Least-squares slope of log(candidates) vs log(N)."""
     xs = [math.log(n) for n, _ in points]
@@ -433,7 +459,7 @@ def run(
 
     families = [
         "minhash_lsh", "simhash60", "semdedup", "embedding_lsh",
-        "phash", "afp",
+        "phash", "afp", "containment_rare",
     ]
     if include_pedagogical:
         families.append("simhash16_pedagogical")
@@ -455,6 +481,7 @@ def run(
             ("embedding_lsh", nv, embedding_lsh_candidates(e_s, n_planes, dim)),
             ("phash", nd, phash_candidates(d_s, b_media)),
             ("afp", nd, afp_candidates(d_s, b_media)),
+            ("containment_rare", nd, containment_candidates(d_s)),
         ]
         if include_pedagogical:
             rows.append(("simhash16_pedagogical", nd, simhash16_candidates(d_s)))
