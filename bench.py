@@ -170,6 +170,8 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
         "fixed CPU-bound JVM job, see `bench._host_index`; bigger = slower",
         "host) — divide totals by the idx ratio before reading a drifted row",
         "as a regression. Rows before 2026-08-15 predate the measurement.",
+        "Rows flagged ⚠contended ran under sibling load: recorded for",
+        "visibility, excluded from every gate baseline, never compared.",
         "",
         "| run (UTC) | sf | cpus | queries | total s | common prev s | common now s | worst ratio | host idx |",
         "|---|---|---|---|---|---|---|---|---|",
