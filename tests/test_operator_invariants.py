@@ -2221,3 +2221,71 @@ def test_mannwhitney_matches_pure_python(spark, sf_dir):
             (n * n2) * ((big_n + 1) - sum_t / (big_n * (big_n - 1))) / 3.0
         ) ** 0.5
         assert abs(r.z_score - z) <= 1e-9 * max(1.0, abs(z))
+
+
+def test_link_prediction_scores_match_pure_python(spark, sf_dir):
+    """Top-25 non-edge pairs: CN and PA reproduce a single-node
+    recomputation from the edge list, no predicted pair is an existing
+    edge, and the emitted ranking is the global (cn desc, pa desc,
+    id_a, id_b) order."""
+    from collections import defaultdict
+
+    from wikistream_event_data_pipeline_aws_spark.plans.graph import (
+        LINKPRED_TOP,
+        _cooccurrence_edges,
+        graph_link_prediction,
+    )
+
+    rows = graph_link_prediction(spark, sf_dir).collect()
+    assert len(rows) == LINKPRED_TOP
+    edges = {
+        (r.pa, r.pb) for r in _cooccurrence_edges(spark, sf_dir).collect()
+    }
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    keys = []
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert (r.id_a, r.id_b) not in edges
+        assert r.common_neighbors == len(nbrs[r.id_a] & nbrs[r.id_b]) >= 1
+        assert r.pref_attachment == len(nbrs[r.id_a]) * len(nbrs[r.id_b])
+        keys.append((-r.common_neighbors, -r.pref_attachment, r.id_a, r.id_b))
+    assert keys == sorted(keys)  # emitted in the total rank order
+
+
+def test_vocab_coverage_curve_matches_pure_python(spark, sf_dir):
+    """Checkpoints are exactly the power-of-two vocab sizes plus the
+    full vocab; cumulative counts reproduce a single-node recount under
+    the same (tf desc, token) total order; coverage ends at 1.0."""
+    from collections import Counter
+
+    from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+    from wikistream_event_data_pipeline_aws_spark.plans.llmprep import (
+        vocab_coverage_curve,
+    )
+
+    rows = sorted(
+        vocab_coverage_curve(spark, sf_dir).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert rows
+    tf = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        tf.update(r.text.strip().split())
+    ordered = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(tf.values())
+    n_vocab = len(ordered)
+    expect_sizes = sorted(
+        {s for s in (1 << k for k in range(n_vocab.bit_length())) if s <= n_vocab}
+        | {n_vocab}
+    )
+    assert [r.vocab_size for r in rows] == expect_sizes
+    for r in rows:
+        cum = sum(c for _, c in ordered[: r.vocab_size])
+        assert r.cum_occurrences == cum
+        assert r.total_occurrences == total
+        assert r.boundary_token == ordered[r.vocab_size - 1][0]
+        assert r.coverage == cum / total
+    assert rows[-1].coverage == 1.0

@@ -723,6 +723,103 @@ sym AS (
 """ + _RC_WALK_SQL.format(edges="sym").replace("WITH RECURSIVE", ",").lstrip()
 
 
+LINKPRED_TOP = 25
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-occurrence graph: for every
+    NON-adjacent canonical pair (u < w) sharing at least one neighbor,
+    the two classic exact-integer scores — common-neighbor count and
+    preferential attachment deg(u)*deg(w) — ranked to the top
+    {LINKPRED_TOP} (the 'parts likely to co-occur next quarter'
+    recommendation feed). Adamic-Adar is deliberately NOT emitted: its
+    per-neighbor 1/ln(deg) float sum is accumulation-order-dependent
+    and would break cross-engine value parity; CN + PA carry the same
+    ranking signal in exact BIGINT.
+
+    Shape: one wedge join (neighbor-list self-join keyed on the shared
+    node — sum-of-deg² work, the accepted triangle-count family) +
+    hash agg on the pair, an anti-join against the edge list to keep
+    non-edges only, two keyed joins for degrees, and a
+    TakeOrderedAndProject top-{LINKPRED_TOP} with a total tie-break
+    (cn desc, pa desc, id_a, id_b) — no full sort, no CartesianProduct,
+    ranking independent of partition order."""
+    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = edges.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionAll(edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
+    n1, n2 = sym.alias("n1"), sym.alias("n2")
+    cn = (
+        n1.join(
+            n2,
+            (F.col("n1.nbr") == F.col("n2.nbr"))
+            & (F.col("n1.node") < F.col("n2.node")),
+        )
+        .groupBy(
+            F.col("n1.node").alias("id_a"), F.col("n2.node").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    non_edges = cn.join(
+        edges,
+        (cn["id_a"] == edges["pa"]) & (cn["id_b"] == edges["pb"]),
+        "left_anti",
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("node").alias("id_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("id_b"), F.col("deg").alias("deg_b"))
+    return (
+        non_edges.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common_neighbors",
+            (F.col("deg_a") * F.col("deg_b")).alias("pref_attachment"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("pref_attachment").desc(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        )
+        .limit(LINKPRED_TOP)
+    )
+
+
+graph_link_prediction.__doc__ = graph_link_prediction.__doc__.format(
+    LINKPRED_TOP=LINKPRED_TOP
+)
+
+
+GRAPH_LINK_PREDICTION_SQL = f"""
+WITH {_EDGE_CTES_SQL},
+sym AS (
+  SELECT pa AS node, pb AS nbr FROM e
+  UNION ALL
+  SELECT pb AS node, pa AS nbr FROM e
+),
+cn AS (
+  SELECT n1.node AS id_a, n2.node AS id_b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM sym n1 JOIN sym n2 ON n1.nbr = n2.nbr AND n1.node < n2.node
+  GROUP BY n1.node, n2.node
+),
+non_edges AS (
+  SELECT c.* FROM cn c
+  LEFT JOIN e ON c.id_a = e.pa AND c.id_b = e.pb
+  WHERE e.pa IS NULL
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY node)
+SELECT ne.id_a, ne.id_b, ne.common_neighbors,
+       da.deg * db.deg AS pref_attachment
+FROM non_edges ne
+JOIN deg da ON ne.id_a = da.node
+JOIN deg db ON ne.id_b = db.node
+ORDER BY ne.common_neighbors DESC, pref_attachment DESC, ne.id_a ASC, ne.id_b ASC
+LIMIT {LINKPRED_TOP}
+"""
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
@@ -731,6 +828,7 @@ QUERIES = {
     "graph_eigencentrality": graph_eigencentrality,
     "graph_substitutes": graph_substitutes,
     "graph_recursive_reachability": graph_recursive_reachability,
+    "graph_link_prediction": graph_link_prediction,
 }
 
 ORACLES = {
@@ -741,4 +839,5 @@ ORACLES = {
     "graph_eigencentrality": GRAPH_EIGENCENTRALITY_SQL,
     "graph_substitutes": GRAPH_SUBSTITUTES_SQL,
     "graph_recursive_reachability": GRAPH_RECURSIVE_REACHABILITY_SQL,
+    "graph_link_prediction": GRAPH_LINK_PREDICTION_SQL,
 }

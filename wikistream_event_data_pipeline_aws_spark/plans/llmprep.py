@@ -432,6 +432,85 @@ LIMIT {VOCAB_K}
 """
 
 
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab coverage curve — "how big must the vocabulary
+    be to cover X% of corpus token occurrences?", the sizing diagnostic
+    a tokenizer build runs right after the counting pass
+    (``vocab_topk``). Tokens rank by (frequency desc, token) — a total
+    order, so the curve is deterministic — and the cumulative
+    occurrence share is emitted at power-of-two vocab sizes plus the
+    full-vocab point (bounded output at any corpus size).
+
+    Shape: one explode + hash agg collapses the corpus to the
+    DISTINCT-TOKEN grain first; the global rank/cumsum window runs
+    over that vocab-bounded grain only (same validity note as the KS
+    ECDF — a production vocab is ~1e5-1e6 rows, never data-scale), and
+    the single-row totals join is a broadcast. ``coverage`` is one
+    fixed float expression over exact BIGINT counts."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    ranked = tf.select(
+        "token",
+        F.row_number().over(w).alias("vocab_size"),
+        F.sum("tf")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_occurrences"),
+    )
+    tot = tf.agg(
+        F.sum("tf").alias("total_occurrences"),
+        F.count(F.lit(1)).cast("int").alias("n_vocab"),
+    )
+    return (
+        ranked.join(F.broadcast(tot))
+        .filter(
+            F.expr("(vocab_size & (vocab_size - 1)) = 0")
+            | (F.col("vocab_size") == F.col("n_vocab"))
+        )
+        .select(
+            "vocab_size",
+            F.col("token").alias("boundary_token"),
+            "cum_occurrences",
+            "total_occurrences",
+            (
+                F.col("cum_occurrences").cast("double")
+                / F.col("total_occurrences").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+VOCAB_COVERAGE_CURVE_SQL = rf"""
+WITH tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+  GROUP BY token
+),
+ranked AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS INTEGER) AS vocab_size,
+         CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_occurrences
+  FROM tf
+),
+tot AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS total_occurrences,
+         CAST(COUNT(*) AS INTEGER) AS n_vocab
+  FROM tf
+)
+SELECT vocab_size, token AS boundary_token, cum_occurrences, total_occurrences,
+       CAST(cum_occurrences AS DOUBLE) / CAST(total_occurrences AS DOUBLE)
+         AS coverage
+FROM ranked, tot
+WHERE (vocab_size & (vocab_size - 1)) = 0 OR vocab_size = n_vocab
+"""
+
+
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE training step's candidate table: corpus-wide counts of
     ADJACENT token pairs. The top pair is the merge a byte-pair-encoding
@@ -1134,6 +1213,7 @@ QUERIES = {
     "sample_stratified_hash": sample_stratified_hash,
     "redact_pii": redact_pii,
     "vocab_topk": vocab_topk,
+    "vocab_coverage_curve": vocab_coverage_curve,
     "bpe_merge_candidates": bpe_merge_candidates,
     "sample_importance_tokens": sample_importance_tokens,
     "text_repetition_filter": text_repetition_filter,
@@ -1155,6 +1235,7 @@ ORACLES = {
     "sample_stratified_hash": SAMPLE_STRATIFIED_SQL,
     "redact_pii": REDACT_PII_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
+    "vocab_coverage_curve": VOCAB_COVERAGE_CURVE_SQL,
     "bpe_merge_candidates": BPE_MERGE_CANDIDATES_SQL,
     "sample_importance_tokens": SAMPLE_IMPORTANCE_SQL,
     "text_repetition_filter": TEXT_REPETITION_SQL,

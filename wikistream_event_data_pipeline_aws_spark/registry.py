@@ -86,23 +86,31 @@ _FRONT_TARGET_ROUND = 10
 # each rotation to exactly the round's changed set.
 #
 # Round 10 composition (tools/front_rotation.py --target-round 10):
-# three NEW queries head the front — dedup_substring_spans (Lee et al.
+# five NEW queries head the front — dedup_substring_spans (Lee et al.
 # 2022 substring-level dedup: md5-keyed window occurrence agg +
 # gaps-and-islands runs), dedup_containment (asymmetric doc-inside-doc
-# near-dup via a document-frequency candidate cut — no doc-count
-# fence), stats_mannwhitney_value (tie-corrected rank-sum test, exact
-# BIGINT rank algebra at the distinct-value grain) — then the one r4
-# deferral (partition_evolution_audit, documented last round) and the
-# complete 46-row r5 cohort in registration order: 3 + 1 + 46 = 50
-# exactly, zero deferrals. No changed-output queries this round (the
-# round-10 advice fixes — mmcur video value_range oracle leg, bench
-# contended-row recording, rotation deferral reporting, encode dims
-# arg — are all output-identical, re-proven by the parity suite).
+# near-dup via a document-frequency candidate cut + lossless integer
+# prune), stats_mannwhitney_value (tie-corrected rank-sum test, exact
+# BIGINT rank algebra at the distinct-value grain),
+# vocab_coverage_curve (tokenizer vocab-sizing curve at power-of-two
+# checkpoints over the vocab-bounded grain), graph_link_prediction
+# (common-neighbor + preferential-attachment top-25 for non-edges,
+# exact-integer scores) — then the r4 deferral
+# (partition_evolution_audit, documented last round) and 44 of the 46
+# r5 rows in registration order: 5 + 1 + 44 = 50; the two
+# registration-last r5 rows (snapshot_changes, snapshot_mor_read)
+# defer to round 11 — new queries outrank the staleness floor. No
+# changed-output queries this round (the round-10 advice fixes — mmcur
+# video value_range oracle leg, bench contended-row recording,
+# rotation deferral reporting, encode dims arg — are all
+# output-identical, re-proven by the parity suite).
 _FRONT_CHANGED: tuple[str, ...] = ()
 _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_substring_spans",
     "dedup_containment",
     "stats_mannwhitney_value",
+    "vocab_coverage_curve",
+    "graph_link_prediction",
     "partition_evolution_audit",
     "funnel_time_to_convert",
     "sequence_pattern_match",
@@ -148,8 +156,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "decayed_user_value",
     "table_merkle_sync",
     "snapshot_time_travel",
-    "snapshot_changes",
-    "snapshot_mor_read",
 )
 
 
