@@ -756,3 +756,102 @@ def test_video_frame_keys_match_python_reference(spark, clips):
         for f in range(1 + p[0] % 4):
             want[(i, f)] = int.from_bytes(p[4 * f : 4 * f + 4], "big")
     assert got == want
+
+
+# -- round-10 dedup cores vs brute-force references -----------------------------
+
+_doc_text = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "aa"]), min_size=0, max_size=14
+).map(" ".join)
+_corpus = st.lists(_doc_text, min_size=0, max_size=18)
+
+
+def _docs_df(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows or [(0, "")], "doc_id long, text string"
+    ).limit(len(rows))
+
+
+def _shingle_set(text, k=3):
+    toks = text.split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+@SLOW
+@given(texts=_corpus)
+def test_containment_prune_is_lossless(spark, texts):
+    """The integer upper-bound prune must be INVISIBLE: the pipeline's
+    output equals a brute-force reference that scores every
+    rare-shingle-co-occurring pair with no prune at all. The tiny
+    5-word vocabulary drives shingles hot (df > CONTAIN_DF_MAX) as the
+    corpus grows, exercising both the df cut and the hot-count bound."""
+    from collections import Counter
+
+    from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+        CONTAIN_DF_MAX,
+        CONTAIN_TAU,
+        _containment_pairs,
+    )
+
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.n_a, r.n_b)
+        for r in _containment_pairs(_docs_df(spark, texts)).collect()
+    }
+    sets = {i: _shingle_set(t) for i, t in enumerate(texts)}
+    df = Counter(s for ss in sets.values() for s in ss)
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            shared_rare = {
+                s for s in sets[a] & sets[b] if df[s] <= CONTAIN_DF_MAX
+            }
+            if not shared_rare:
+                continue  # never a candidate
+            n_shared = len(sets[a] & sets[b])
+            if n_shared / min(len(sets[a]), len(sets[b])) >= CONTAIN_TAU:
+                want[(a, b)] = (n_shared, len(sets[a]), len(sets[b]))
+    assert got == want
+
+
+@SLOW
+@given(texts=_corpus)
+def test_substring_spans_match_brute_force(spark, texts):
+    """n_windows / n_dup_windows / longest_dup_run reproduce a pure-
+    python recount with k=2 windows (small k so short random docs
+    still produce windows and corpus-wide duplicates are common)."""
+    from collections import Counter
+
+    from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+        _substring_spans,
+    )
+
+    k = 2
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.longest_dup_run)
+        for r in _substring_spans(_docs_df(spark, texts), k=k).collect()
+    }
+    wins = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        wins[i] = [
+            " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+        ]
+    occ = Counter(w for ws in wins.values() for w in ws)
+    want = {}
+    for i, ws in wins.items():
+        dup_pos = [j for j, w in enumerate(ws) if occ[w] >= 2]
+        if not dup_pos:
+            continue
+        runs, cur = [], 1
+        for prev, nxt in zip(dup_pos, dup_pos[1:]):
+            if nxt == prev + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[i] = (len(ws), len(dup_pos), max(runs))
+    assert got == want

@@ -1120,8 +1120,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a semi-join against the (small) duplicated-hash set; runs are
     gaps-and-islands windows partitioned per doc. Everything is linear
     in total tokens — no pairwise anything."""
-    d = _docs_augmented(spark, sf_dir)
-    k = SUBSTR_K
+    return _substring_spans(_docs_augmented(spark, sf_dir))
+
+
+dedup_substring_spans.__doc__ = dedup_substring_spans.__doc__.format(
+    SUBSTR_K=SUBSTR_K
+)
+
+
+def _substring_spans(d: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Core of :func:`dedup_substring_spans` over any (doc_id, text)
+    frame — factored so the hypothesis property test can drive it with
+    randomized corpora against a brute-force reference."""
     # filter BEFORE sequence(): Spark's sequence(1, n) with n < 1 emits
     # a DESCENDING [1, 0, ...] sequence, not an empty one
     base = d.select("doc_id", tokenize(F.col("text")).alias("__toks")).filter(
@@ -1223,8 +1233,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fenced shingle set. The oracle states the same semantics directly
     (candidates from rare co-occurrence, exact rescoring) — the prune
     is invisible to it by construction."""
+    return _containment_pairs(_docs_augmented(spark, sf_dir))
+
+
+dedup_containment.__doc__ = dedup_containment.__doc__.format(
+    CONTAIN_TAU=CONTAIN_TAU, CONTAIN_DF_MAX=CONTAIN_DF_MAX
+)
+
+
+def _containment_pairs(d: DataFrame) -> DataFrame:
+    """Core of :func:`dedup_containment` over any (doc_id, text) frame
+    — factored so the hypothesis property test can prove the integer
+    prune LOSSLESS against a brute-force (prune-free) reference."""
     assert CONTAIN_TAU == 0.8, "integer prune below encodes tau = 4/5"
-    d = _docs_augmented(spark, sf_dir)
     sh = (
         exploded_shingles(d, "doc_id", "text", k=3)
         .distinct()
