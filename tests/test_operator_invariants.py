@@ -2289,3 +2289,36 @@ def test_vocab_coverage_curve_matches_pure_python(spark, sf_dir):
         assert r.boundary_token == ordered[r.vocab_size - 1][0]
         assert r.coverage == cum / total
     assert rows[-1].coverage == 1.0
+
+
+def test_substring_rewrite_collapses_clones_and_hashes_survivors(spark, sf_dir):
+    """Every doc (clones included) gets a row; each planted clone's
+    body elides in favor of the original's first occurrence, leaving
+    at most its 3-token tail; any doc with nothing removed hashes to
+    exactly md5(' '.join(tokens))."""
+    import hashlib
+
+    from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+    from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+        CLONE_OFFSET,
+        dedup_substring_rewrite,
+    )
+
+    rows = {r.doc_id: r for r in dedup_substring_rewrite(spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs + 20  # every doc + every clone, exactly once
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 20")
+        .collect()
+    }
+    for doc_id in range(20):
+        clone = rows[doc_id + CLONE_OFFSET]
+        assert clone.n_removed >= clone.n_tokens - 3
+        orig = rows[doc_id]
+        if orig.n_removed == 0:
+            joined = " ".join(texts[doc_id].strip().split())
+            assert orig.rewritten_md5 == hashlib.md5(joined.encode()).hexdigest()
+    for r in rows.values():
+        assert 0 <= r.n_removed <= r.n_tokens

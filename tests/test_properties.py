@@ -855,3 +855,47 @@ def test_substring_spans_match_brute_force(spark, texts):
         runs.append(cur)
         want[i] = (len(ws), len(dup_pos), max(runs))
     assert got == want
+
+
+@SLOW
+@given(texts=_corpus)
+def test_substring_rewrite_matches_brute_force(spark, texts):
+    """The apply step reproduces a pure-python reference: per window
+    hash, only the global-first (doc_id, pos) occurrence survives;
+    every other occurrence's k-token span is elided; survivors rejoin
+    in order (k=2 so short random docs still produce windows)."""
+    import hashlib
+    from collections import defaultdict
+
+    from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+        _substring_rewrite,
+    )
+
+    k = 2
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.rewritten_md5)
+        for r in _substring_rewrite(_docs_df(spark, texts), k=k).collect()
+    }
+    occs = defaultdict(list)
+    # mirror the engines' tokenizer convention: split(trim(''), '\s+')
+    # is [''] (ONE empty token), which re.split reproduces and
+    # str.split() does not
+    import re
+
+    toks = {i: re.split(r"\s+", t.strip()) for i, t in enumerate(texts)}
+    for i in sorted(toks):
+        for p in range(len(toks[i]) - k + 1):
+            occs[" ".join(toks[i][p : p + k])].append((i, p + 1))
+    covered = defaultdict(set)
+    for w, lst in occs.items():
+        for d, p in sorted(lst)[1:]:
+            covered[d].update(range(p, p + k))
+    want = {}
+    for i, ts in toks.items():
+        kept = [t for j, t in enumerate(ts, start=1) if j not in covered[i]]
+        want[i] = (
+            len(ts),
+            len(ts) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    assert got == want

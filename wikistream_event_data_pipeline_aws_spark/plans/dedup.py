@@ -1200,6 +1200,135 @@ GROUP BY doc_id
 """
 
 
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of substring-level dedup (Lee et al. 2022) —
+    companion to the evidence query :func:`dedup_substring_spans`:
+    every duplicated window keeps only its corpus-wide FIRST occurrence
+    (min (doc_id, pos) under the global total order); every other
+    occurrence's token span is elided, and each document's survivors
+    reassemble in token order. Output per doc: token counts, removed
+    count and the md5 of the rewritten text — a full string value
+    check of the transform (the ``dedup_passage_exact`` discipline one
+    grain finer). Planted clones collapse to their unique 3-token tail
+    (plus the window-boundary remainder); originals keep their text
+    unless they repeat a window internally or echo a smaller-id doc.
+
+    Scale shape: window enumeration and span expansion are pure
+    projections; first-occurrence selection is ONE window partitioned
+    by the window hash (hash-shuffled, never a global sort); the
+    covered-position set joins back at (doc, idx) grain; reassembly is
+    one hash agg with an in-group array_sort. Linear in total tokens."""
+    return _substring_rewrite(_docs_augmented(spark, sf_dir))
+
+
+def _substring_rewrite(d: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    toks = tokenize(F.col("text"))
+    base = d.select("doc_id", toks.alias("__toks")).localCheckpoint(eager=False)
+    wins = base.filter(F.size("__toks") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - k + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    w_first = Window.partitionBy("h").orderBy("doc_id", "pos")
+    occ = Window.partitionBy("h")
+    elide = (
+        wins.withColumn("rn", F.row_number().over(w_first))
+        .withColumn("n_occ", F.count(F.lit(1)).over(occ))
+        .filter((F.col("n_occ") >= 2) & (F.col("rn") > 1))
+    )
+    covered = elide.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("idx"),
+    ).distinct()
+    all_toks = base.select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.posexplode("__toks").alias("idx0", "token"),
+    ).select("doc_id", "n_tokens", (F.col("idx0") + 1).alias("idx"), "token")
+    kept = all_toks.join(covered, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.min("n_tokens").alias("n_kept_base"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("idx"), F.col("token")))
+                    ),
+                    lambda s: s["token"],
+                ),
+            )
+        ).alias("rewritten_md5"),
+    )
+    # left join keeps fully-elided docs out only if EVERY token was
+    # covered — emit those too, with the md5 of the empty string
+    sizes = base.select("doc_id", F.size("__toks").alias("n_tokens"))
+    return sizes.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("rewritten_md5"), F.md5(F.lit(""))).alias(
+            "rewritten_md5"
+        ),
+    )
+
+
+DEDUP_SUBSTRING_REWRITE_SQL = rf"""
+WITH docs_aug AS ({_DOCS_AUG_SQL}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs_aug
+),
+wins AS (
+  SELECT doc_id,
+         unnest(range(1, GREATEST(len(t) - {SUBSTR_K} + 1, 0) + 1)) AS pos,
+         unnest(list_transform(
+             range(1, GREATEST(len(t) - {SUBSTR_K} + 1, 0) + 1),
+             i -> array_to_string(list_slice(t, i, i + {SUBSTR_K} - 1), ' ')
+         )) AS w
+  FROM toks
+),
+marked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY w) AS n_occ
+  FROM wins
+),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + {SUBSTR_K})) AS idx
+  FROM marked WHERE n_occ >= 2 AND rn > 1
+),
+all_toks AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         unnest(range(1, len(t) + 1)) AS idx,
+         unnest(t) AS token
+  FROM toks
+),
+kept AS (
+  SELECT a.* FROM all_toks a
+  LEFT JOIN covered c ON a.doc_id = c.doc_id AND a.idx = c.idx
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(token, ' ' ORDER BY idx)) AS rewritten_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.rewritten_md5, md5('')) AS rewritten_md5
+FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) s
+LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+"""
+
+
 # -- asymmetric containment near-dup --------------------------------------------
 
 CONTAIN_DF_MAX = 10  # document-frequency cut for candidate shingles
@@ -1367,6 +1496,7 @@ QUERIES = {
     "dedup_method_agreement": dedup_method_agreement,
     "dedup_sim16_agreement": dedup_sim16_agreement,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_substring_rewrite": dedup_substring_rewrite,
     "dedup_containment": dedup_containment,
 }
 
@@ -1385,5 +1515,6 @@ ORACLES = {
     "dedup_method_agreement": DEDUP_METHOD_AGREEMENT_SQL,
     "dedup_sim16_agreement": DEDUP_SIM16_AGREEMENT_SQL,
     "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_SQL,
+    "dedup_substring_rewrite": DEDUP_SUBSTRING_REWRITE_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
 }

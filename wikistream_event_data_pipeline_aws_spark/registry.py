@@ -86,7 +86,7 @@ _FRONT_TARGET_ROUND = 10
 # each rotation to exactly the round's changed set.
 #
 # Round 10 composition (tools/front_rotation.py --target-round 10):
-# five NEW queries head the front — dedup_substring_spans (Lee et al.
+# six NEW queries head the front — dedup_substring_spans (Lee et al.
 # 2022 substring-level dedup: md5-keyed window occurrence agg +
 # gaps-and-islands runs), dedup_containment (asymmetric doc-inside-doc
 # near-dup via a document-frequency candidate cut + lossless integer
@@ -95,11 +95,14 @@ _FRONT_TARGET_ROUND = 10
 # vocab_coverage_curve (tokenizer vocab-sizing curve at power-of-two
 # checkpoints over the vocab-bounded grain), graph_link_prediction
 # (common-neighbor + preferential-attachment top-25 for non-edges,
-# exact-integer scores) — then the r4 deferral
-# (partition_evolution_audit, documented last round) and 44 of the 46
-# r5 rows in registration order: 5 + 1 + 44 = 50; the two
-# registration-last r5 rows (snapshot_changes, snapshot_mor_read)
-# defer to round 11 — new queries outrank the staleness floor. No
+# exact-integer scores), dedup_substring_rewrite (the APPLY step of
+# substring dedup: first-occurrence-wins span elision + reassembly,
+# md5-value-checked) — then the r4 deferral
+# (partition_evolution_audit, documented last round) and 43 of the 46
+# r5 rows in registration order: 6 + 1 + 43 = 50; the three
+# registration-last r5 rows (snapshot_time_travel, snapshot_changes,
+# snapshot_mor_read) defer to round 11 — new queries outrank the
+# staleness floor. No
 # changed-output queries this round (the round-10 advice fixes — mmcur
 # video value_range oracle leg, bench contended-row recording,
 # rotation deferral reporting, encode dims arg — are all
@@ -111,6 +114,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "stats_mannwhitney_value",
     "vocab_coverage_curve",
     "graph_link_prediction",
+    "dedup_substring_rewrite",
     "partition_evolution_audit",
     "funnel_time_to_convert",
     "sequence_pattern_match",
@@ -155,7 +159,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "graph_substitutes",
     "decayed_user_value",
     "table_merkle_sync",
-    "snapshot_time_travel",
 )
 
 
