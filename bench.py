@@ -189,8 +189,17 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
         if r.get("contended"):
             at_cell += f" ⚠contended L={r.get('contended_load1', '?')}"
         cells = [at_cell, str(r["sf"]), str(r["cpus"]), str(len(q)), f"{sum(q.values()):.1f}"]
-        if prev is not None:
-            common = sorted(set(q) & set(prev["queries"]))
+        # contended rows get NO comparison cells (the header promises
+        # they are never compared — a 30x "worst ratio" under sibling
+        # load reads as a regression); same blank when the runs share
+        # zero query names (max() over an empty set would throw AFTER
+        # the timed run, losing BENCH_OUT.json)
+        common = (
+            sorted(set(q) & set(prev["queries"]))
+            if prev is not None and not r.get("contended")
+            else []
+        )
+        if common:
             pq = prev["queries"]
             worst = max(
                 ((q[k] + 0.05) / (pq[k] + 0.05), k) for k in common

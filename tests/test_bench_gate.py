@@ -115,7 +115,14 @@ def test_contended_runs_recorded_but_never_baseline_or_gated(tmp_path):
         for line in (tmp_path / "BENCH_HISTORY.jsonl").read_text().splitlines()
     ]
     assert len(rows) == 2 and rows[1]["contended"] is True
-    assert "⚠contended" in (tmp_path / "BENCH_HISTORY.md").read_text()
+    md = (tmp_path / "BENCH_HISTORY.md").read_text()
+    contended_row = next(
+        l for l in md.splitlines() if l.startswith("| 2") and "⚠contended" in l
+    )
+    # the header promises contended rows are NEVER compared: the
+    # comparison cells must be blank, not a 30.00x pseudo-regression
+    assert "30.00x" not in contended_row
+    assert contended_row.rstrip().endswith("| — | — | — | — |")
     # the next quiet run compares against the QUIET row, not the
     # contended one — so q1 at 2.0s never reads as a 15x improvement,
     # and a contended 30s baseline can't mask a later real regression
@@ -125,6 +132,24 @@ def test_contended_runs_recorded_but_never_baseline_or_gated(tmp_path):
     assert _update_history(str(tmp_path), {**quiet, "queries": {"q1": 2.5}}) == [
         {"query": "q1", "prev_s": 1.0, "now_s": 2.5}
     ]
+
+
+def test_disjoint_query_sets_render_blank_comparison(tmp_path):
+    """Two runs at the same (sf, cpus) sharing ZERO query names (e.g.
+    queries renamed between rounds, or a hand-trimmed history) must not
+    crash the table render — max() over the empty common set used to
+    raise AFTER the timed run, losing BENCH_OUT.json."""
+    from bench import _update_history
+
+    assert _update_history(
+        str(tmp_path), {"sf": 0.1, "cpus": 32, "queries": {"old_q": 1.0}}
+    ) == []
+    assert _update_history(
+        str(tmp_path), {"sf": 0.1, "cpus": 32, "queries": {"new_q": 2.0}}
+    ) == []
+    md = (tmp_path / "BENCH_HISTORY.md").read_text()
+    new_row = [l for l in md.splitlines() if l.startswith("| 2")][-1]
+    assert new_row.rstrip().endswith("| 2.0 | — | — | — | — |")
 
 
 def test_steal_pct_from_proc_stat_deltas():

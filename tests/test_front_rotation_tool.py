@@ -52,7 +52,19 @@ def test_boundary_cut_does_not_mislabel_unreached_cohort():
     assert deferred == []
 
 
-def test_overflow_and_unknown_changed_raise():
+def test_head_displacing_whole_cohorts_reports_them_deferred():
+    # Policy item 3: EVERYTHING displaced is reported. When new+changed
+    # queries exhaust the cap exactly at a cohort boundary, the stale
+    # cohorts a head-free fill would have admitted are displaced whole —
+    # previously compose_front returned deferred=[] here, silently
+    # dropping entire cohorts from the round's documented deferral list.
+    reg = ["q00", "q01", "q02", "q03", "q04"]
+    latest = {"q02": 3, "q03": 3, "q04": 5}  # q00/q01 new
+    front, deferred = compose_front(reg, latest, [], cap=2)
+    assert front == ["q00", "q01"]
+    # a head-free fill would have admitted the r3 cohort; r5 is beyond
+    # even the counterfactual cap, so it is NOT a deferral (not yet due)
+    assert deferred == ["q02", "q03"]
     latest: dict[str, int] = {}
     with pytest.raises(ValueError, match="exceed"):
         compose_front(REG, latest, [], cap=5)  # 12 new > 5 slots

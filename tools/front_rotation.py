@@ -77,9 +77,12 @@ def compose_front(
 ) -> tuple[list[str], list[str]]:
     """(front, deferred_stalest) per the rotation policy.
 
-    ``deferred_stalest`` lists queries from cohorts the cap could only
-    partially admit — the round's documented deferrals. Cohorts young
-    enough that the cap never reached them are not deferrals (they are
+    ``deferred_stalest`` lists everything the cap displaced (policy
+    item 3): the remainder of a cohort the fill could only PARTIALLY
+    admit, plus — when a new/changed head consumed slots — any query
+    the stale fill would have admitted without the head (the
+    counterfactual no-head fill). Cohorts young enough that even a
+    head-free fill would never reach them are not deferrals (they are
     simply not due yet)."""
     unknown = [n for n in changed if n not in reg_order]
     if unknown:
@@ -104,11 +107,10 @@ def compose_front(
         if room <= 0:
             # The stale fill never consumed a slot from this cohort (the
             # cap was exhausted at or before the previous cohort's
-            # boundary), so it is not yet due — not a deferral. The only
-            # true deferrals are the remainder of a PARTIALLY-admitted
-            # cohort, recorded below where the fill actually cut inside
-            # one. Probing front membership by round here would mislabel
-            # (a changed head query whose latest happens to equal this
+            # boundary). Whether that makes it a deferral depends on WHY
+            # the cap ran out — the counterfactual check below decides;
+            # probing front membership by round here would mislabel (a
+            # changed head query whose latest happens to equal this
             # round is not evidence the fill reached the cohort).
             break
         front.extend(cohort[:room])
@@ -116,6 +118,19 @@ def compose_front(
         if len(cohort) > room:
             deferred.extend(cohort[room:])
             break
+    if head:
+        # Policy item 3: EVERYTHING displaced is reported. The loop
+        # above only catches the remainder of a partially-admitted
+        # cohort; a head big enough to exhaust the cap at a cohort
+        # BOUNDARY displaces whole cohorts with no partial cut. Those
+        # are exactly the queries a head-free PURE STALE fill (first
+        # ``cap`` verified queries, stalest cohorts first) would have
+        # admitted that the actual front doesn't contain.
+        stale_order = [
+            n for rnd in rounds for n in reg_order if latest.get(n) == rnd
+        ]
+        seen = taken | set(deferred)
+        deferred.extend(n for n in stale_order[:cap] if n not in seen)
     return front, deferred
 
 
