@@ -899,3 +899,62 @@ def test_substring_rewrite_matches_brute_force(spark, texts):
             hashlib.md5(" ".join(kept).encode()).hexdigest(),
         )
     assert got == want
+
+
+def test_det_ln_ratio_cross_engine_bit_identity(spark):
+    """operators/detmath: ln(a/b) must be BIT-IDENTICAL between Spark
+    and DuckDB (that is the module's whole claim — it exists because
+    libm ln() carries no such guarantee) and within 1e-10 relative of
+    the true log. Deterministic pseudo-random pairs + the adversarial
+    edges: equal args (ln 1 = 0 exactly), extreme ratios at the 2^62
+    validity bound, near-1 ratios where the series term dominates, and
+    exact powers of two (z = 0 on one side of the reduction)."""
+    import math
+    import random
+    import struct
+
+    import duckdb
+
+    from wikistream_event_data_pipeline_aws_spark.operators.detmath import (
+        det_ln_ratio,
+        ln_e_sql,
+        ln_m_sql,
+        ln_val_sql,
+        ln_z_sql,
+    )
+
+    rng = random.Random(20260816)
+    rows = [(rng.randrange(1, 1 << 62), rng.randrange(1, 1 << 62)) for _ in range(400)]
+    rows += [
+        (1, 1),
+        (1, (1 << 62) - 1),
+        ((1 << 62) - 1, 1),
+        (1 << 40, 1 << 13),
+        ((1 << 61) + 1, 1 << 61),
+        (10016, 10017),
+        (2, 3),
+    ]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.v
+        for r in df.select(
+            "a", "b", det_ln_ratio(F.col("a"), F.col("b")).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = f"""
+    WITH s1 AS (SELECT a, b, {ln_e_sql('a', 'b')} AS e FROM t),
+    s2 AS (SELECT *, {ln_m_sql('a', 'b', 'e')} AS m FROM s1),
+    s3 AS (SELECT *, {ln_z_sql('m')} AS z FROM s2),
+    s4 AS (SELECT *, z * z AS w FROM s3)
+    SELECT a, b, {ln_val_sql('e', 'z', 'w')} AS v FROM s4
+    """
+    oracle = {(a, b): v for a, b, v in con.execute(sql).fetchall()}
+    assert set(got) == set(oracle)
+    for k, v in got.items():
+        assert struct.pack("<d", v) == struct.pack("<d", oracle[k]), (k, v, oracle[k])
+        true = math.log(k[0] / k[1])
+        assert abs(v - true) <= 1e-10 * max(abs(true), 1e-9), (k, v, true)
+    assert got[(1, 1)] == 0.0

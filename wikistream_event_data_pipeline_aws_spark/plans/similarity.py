@@ -19,6 +19,7 @@ from ..operators.similarity import (
     brute_force_topk,
     cosine,
     embedding_near_duplicates,
+    ivf_assign_cells,
     ivf_topk,
     lsh_bucket_topk,
     lsh_multi_table_candidates,
@@ -1383,6 +1384,213 @@ LEFT JOIN exn ON a.query_id = exn.query_id
 """
 
 
+# --- IVF-PQ: product-quantized ADC search over the IVF cells ----------
+# Completes the ANN trio (LSH buckets / IVF cells / PQ codes): the
+# serving-tier layout where candidate distances come from compact codes
+# instead of raw vectors. DIM=64 splits into PQ_BLOCKS x PQ_BLOCK_DIM;
+# PQ_CODES codewords per block => each vector compresses to
+# PQ_BLOCKS small ints (here 4 nibbles — a 64x storage cut vs 64 f64).
+PQ_BLOCKS = 4
+PQ_BLOCK_DIM = DIM // PQ_BLOCKS
+PQ_CODES = 16
+
+
+def _sq_dist(x: Column | str, c: Column | str) -> Column:
+    """Left-fold Σ(x_i−c_i)² in double, dim order — the bit-stable twin
+    of ``_PQ_DIST_SQL`` (same shape as plans/kmeans._sq_dist)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(x) if isinstance(x, str) else x,
+            F.col(c) if isinstance(c, str) else c,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_blocks(col: Column) -> Column:
+    """The PQ_BLOCKS contiguous sub-vector slices of a DIM-double vector."""
+    return F.array(
+        *[
+            F.slice(col, m * PQ_BLOCK_DIM + 1, PQ_BLOCK_DIM)
+            for m in range(PQ_BLOCKS)
+        ]
+    )
+
+
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search (the FAISS ``IVFPQ`` shape, deterministic):
+    coarse cells route each query to a bounded candidate set (the
+    ``similarity_ann_ivf`` quantizer, nprobe=1), and candidate
+    distances are computed from {PQ_BLOCKS}-code PQ encodings via an
+    asymmetric-distance lookup table (ADC) instead of the raw
+    {DIM}-double vectors — the memory/bandwidth trade a billion-vector
+    serving tier makes (Jégou et al. 2011). ``exact_dist`` re-scores
+    only the surviving top-k from the raw vectors, so the quantization
+    error of the winning list is visible in every row.
+
+    Determinism & parity: block distances are the dim-order left-fold
+    (bit-stable on both engines); the ADC sum over the {PQ_BLOCKS}
+    per-block LUT entries casts each to DECIMAL(28,12) BEFORE summing
+    (order-free exact — the embedding_pq_residuals discipline); encode
+    argmin and ranking tie-break on code / neighbor_id. The codebook is
+    the block slices of the first {PQ_CODES} corpus vectors — same
+    deterministic-init discipline as the IVF centroids; a trained
+    k-means codebook is the drop-in at scale (``embedding_pq_residuals``
+    is the statistic that sizes it).
+
+    100 TB: codebook ({PQ_CODES}×{PQ_BLOCKS} rows) and the per-query
+    LUT (nq×{PQ_CODES}×{PQ_BLOCKS} rows) broadcast; corpus encoding is
+    a map-only broadcast argmin, linear in N, done once at index-build
+    time; query-time work is the cell equi-join (candidates bounded by
+    the IVF trade) + one keyed agg over codes — no raw-vector reads
+    until the final top-k re-score."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cwords = e.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("code"),
+        F.posexplode(_pq_blocks(F.col("x"))).alias("block", "cw"),
+    )
+    corp_bl = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode(_pq_blocks(F.col("x"))).alias("block", "bx"),
+    )
+    # Encode: per (vector, block) the argmin-L2 codeword. min over
+    # struct(dist, code) is order-free; dist is the bit-stable fold.
+    enc = (
+        corp_bl.join(F.broadcast(cwords), "block")
+        .select(
+            "neighbor_id",
+            "block",
+            F.struct(_sq_dist("bx", "cw").alias("d"), F.col("code")).alias("dc"),
+        )
+        .groupBy("neighbor_id", "block")
+        .agg(F.min("dc").alias("m"))
+        .select("neighbor_id", "block", F.col("m.code").alias("code"))
+    )
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("x").alias("__cent")
+    )
+    corp_cell = ivf_assign_cells(e, cents, vec_col="x").select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    q_cell = ivf_assign_cells(q, cents, vec_col="x").select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    q_bl = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(_pq_blocks(F.col("x"))).alias("block", "qbx"),
+    )
+    lut = q_bl.join(F.broadcast(cwords), "block").select(
+        "query_id",
+        "block",
+        "code",
+        _sq_dist("qbx", "cw").cast("decimal(28,12)").alias("qd"),
+    )
+    cand = (
+        q_cell.join(corp_cell, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    adc = (
+        cand.join(enc, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "block", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").alias("adc_dec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dec").asc(), F.col("neighbor_id").asc()
+    )
+    topk = adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("x").alias("qx"))
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("nx"))
+    return (
+        topk.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("adc_dec").cast("double").alias("adc_dist"),
+            _sq_dist("qx", "nx").alias("exact_dist"),
+        )
+    )
+
+
+_PQ_DIST_SQL = (
+    "list_sum(list_transform(list_zip({x}, {c}), t -> (t[1] - t[2]) * (t[1] - t[2])))"
+)
+_PQ_BLOCK_SQL = (
+    f"list_slice(x, b.block * {PQ_BLOCK_DIM} + 1, "
+    f"b.block * {PQ_BLOCK_DIM} + {PQ_BLOCK_DIM})"
+)
+
+SIMILARITY_ANN_PQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+),
+blocks AS (SELECT unnest(generate_series(0, {PQ_BLOCKS - 1})) AS block),
+cw AS (
+  SELECT vec_id AS code, b.block, {_PQ_BLOCK_SQL} AS cwv
+  FROM e, blocks b WHERE vec_id < {PQ_CODES}
+),
+corp_bl AS (
+  SELECT vec_id AS neighbor_id, b.block, {_PQ_BLOCK_SQL} AS bx
+  FROM e, blocks b
+),
+enc AS (
+  SELECT neighbor_id, block, code FROM (
+    SELECT cb.neighbor_id, cb.block, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY cb.neighbor_id, cb.block
+             ORDER BY {_PQ_DIST_SQL.format(x="cb.bx", c="c.cwv")} ASC,
+                      c.code ASC) AS rn
+    FROM corp_bl cb JOIN cw c ON cb.block = c.block
+  ) WHERE rn = 1
+),
+corp AS ({_ASSIGN_SQL.format(src="SELECT vec_id, embedding FROM embeddings")}),
+qry AS ({_ASSIGN_SQL.format(src=f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}")}),
+qbl AS (
+  SELECT vec_id AS query_id, b.block, {_PQ_BLOCK_SQL} AS qbx
+  FROM e, blocks b WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+  SELECT query_id, c.block, c.code,
+         CAST({_PQ_DIST_SQL.format(x="qbx", c="c.cwv")} AS DECIMAL(28,12)) AS qd
+  FROM qbl JOIN cw c ON qbl.block = c.block
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qry q JOIN corp c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+),
+adc AS (
+  SELECT cand.query_id, cand.neighbor_id, SUM(l.qd) AS adc_dec
+  FROM cand
+  JOIN enc ON cand.neighbor_id = enc.neighbor_id
+  JOIN lut l ON l.query_id = cand.query_id
+            AND l.block = enc.block AND l.code = enc.code
+  GROUP BY cand.query_id, cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dec ASC, neighbor_id ASC) AS rank
+  FROM adc
+)
+SELECT r.query_id, r.neighbor_id, r.rank,
+       CAST(CAST(r.adc_dec AS VARCHAR) AS DOUBLE) AS adc_dist,
+       {_PQ_DIST_SQL.format(x="q.x", c="n.x")} AS exact_dist
+FROM ranked r
+JOIN e q ON r.query_id = q.vec_id
+JOIN e n ON r.neighbor_id = n.vec_id
+WHERE r.rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "retrieval_rrf_hybrid": retrieval_rrf_hybrid,
@@ -1393,6 +1601,7 @@ QUERIES = {
     "streaming_ann_index_sink": streaming_ann_index_sink,
     "mine_hard_negatives": mine_hard_negatives,
     "similarity_ann_ivf": similarity_ann_ivf,
+    "similarity_ann_pq": similarity_ann_pq,
     "similarity_ann_recall": similarity_ann_recall,
     "similarity_ann_sweep": similarity_ann_sweep,
     "embedding_int8_codes": embedding_int8_codes,
@@ -1409,6 +1618,7 @@ ORACLES = {
     "similarity_embedding_neardup": SIMILARITY_EMBEDDING_NEARDUP_SQL,
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
     "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
+    "similarity_ann_pq": SIMILARITY_ANN_PQ_SQL,
     "similarity_ann_recall": SIMILARITY_ANN_RECALL_SQL,
     "embedding_int8_codes": EMBEDDING_INT8_CODES_SQL,
 }

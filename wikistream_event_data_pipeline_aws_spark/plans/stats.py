@@ -28,6 +28,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.detmath import (
+    det_ln_ratio,
+    ln_e_sql,
+    ln_m_sql,
+    ln_val_sql,
+    ln_z_sql,
+)
 
 MAD_K = 3.0  # flag beyond 3 robust sigmas
 MAD_SCALE = 1.4826  # MAD -> sigma under normality
@@ -1472,8 +1479,203 @@ FROM per_type, tot
 """
 
 
+# --- PSI + Jensen-Shannon drift (the log-family divergences) ----------
+# Unlocked by operators/detmath.det_ln_ratio: ln of an EXACT INTEGER
+# RATIO computed from IEEE-exact primitives only, bit-identical across
+# engines by construction — so PSI/JSD join the drift family
+# (dq_drift_halves moments, KS sup-gap, chi2, TVD, MW-U rank test)
+# WITHOUT breaking the no-libm parity discipline that made
+# tv_distance_source_mix choose TVD over KL.
+_PSI_NBUCKETS = 16
+_PSI_BUCKET_W = 32.0  # pinned [0, 512) range; production sizes from a range scan
+
+
+def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index + Jensen–Shannon divergence of the
+    ``value`` distribution, baseline (day-of-month ≤ 15, the
+    ``dq_drift_halves`` split) vs current, per event type — the two
+    log-family drift scores a model-serving / data-mixture stack
+    watches per feature per slice (PSI > 0.1 investigate, > 0.2 act —
+    the conventional banking-scorecard thresholds).
+
+    Exactness: counts collapse to the (type, half, bucket) grain
+    (16 fixed-width buckets over the pinned [0, 512) range, overflow
+    clamped into the top bucket; a bucket spine keeps EMPTY buckets in
+    the sum so the +1 Laplace smoothing denominators agree). Every log
+    argument is an exact BIGINT ratio — pₐ/p_b = u·q / v·p with
+    u = c_base+1, v = c_cur+1, p = n_base+16, q = n_cur+16, and the
+    JSD legs 2uq/(uq+vp), 2vp/(uq+vp) — evaluated by
+    ``operators/detmath.det_ln_ratio`` (bitlen-reduced atanh series,
+    IEEE-exact ops in pinned order, bit-identical cross-engine; ~1e-12
+    relative accuracy). Per-bucket terms cast to DECIMAL(28,12) before
+    the per-type sum (order-free exact). Overflow: u·q fits BIGINT to
+    ~3e9 rows per arm; past that both engines fail loudly.
+
+    Scale: one events scan → two bounded hash aggs (|types|×16 cells,
+    |types| totals) + broadcast spine/total joins; nothing row-scale
+    shuffles twice. The spine crossJoin is broadcast (|types| × 16)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofmonth("ts") <= 15).alias("is_base"),
+        F.least(
+            F.lit(_PSI_NBUCKETS - 1).cast("bigint"),
+            F.floor(F.col("value") / F.lit(_PSI_BUCKET_W)).cast("bigint"),
+        ).alias("bucket"),
+    )
+    cell = e.groupBy("event_type", "bucket").agg(
+        F.sum(F.col("is_base").cast("bigint")).alias("cb"),
+        F.sum((~F.col("is_base")).cast("bigint")).alias("cc"),
+    )
+    tot = e.groupBy("event_type").agg(
+        F.sum(F.col("is_base").cast("bigint")).alias("nb"),
+        F.sum((~F.col("is_base")).cast("bigint")).alias("nc"),
+    )
+    types = e.select("event_type").distinct()
+    buckets = spark.range(_PSI_NBUCKETS).select(F.col("id").alias("bucket"))
+    spine = types.crossJoin(F.broadcast(buckets))
+    full = (
+        spine.join(cell, ["event_type", "bucket"], "left")
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "nb",
+            "nc",
+            (F.coalesce(F.col("cb"), F.lit(0)) + 1).alias("u"),
+            (F.coalesce(F.col("cc"), F.lit(0)) + 1).alias("v"),
+            (F.col("nb") + _PSI_NBUCKETS).alias("p"),
+            (F.col("nc") + _PSI_NBUCKETS).alias("q"),
+        )
+    )
+    uq = F.col("u") * F.col("q")
+    vp = F.col("v") * F.col("p")
+    pa = F.col("u").cast("double") / F.col("p").cast("double")
+    pb = F.col("v").cast("double") / F.col("q").cast("double")
+    psi_term = (pa - pb) * det_ln_ratio(uq, vp)
+    jsd_term = F.lit(0.5) * pa * det_ln_ratio(F.lit(2) * uq, uq + vp) + F.lit(
+        0.5
+    ) * pb * det_ln_ratio(F.lit(2) * vp, uq + vp)
+    agg = (
+        full.select(
+            "event_type",
+            "nb",
+            "nc",
+            psi_term.cast("decimal(28,12)").alias("psi_t"),
+            jsd_term.cast("decimal(28,12)").alias("jsd_t"),
+        )
+        .groupBy("event_type", "nb", "nc")
+        .agg(F.sum("psi_t").alias("psi_d"), F.sum("jsd_t").alias("jsd_d"))
+    )
+    psi = F.col("psi_d").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("nb").alias("n_base"),
+        F.col("nc").alias("n_cur"),
+        psi.alias("psi"),
+        F.col("jsd_d").cast("double").alias("jsd_nats"),
+        F.when(psi > 0.2, "ALERT")
+        .when(psi > 0.1, "WARN")
+        .otherwise("OK")
+        .alias("psi_status"),
+    )
+
+
+def _psi_sql() -> str:
+    """DuckDB twin: the det_ln stages run as CTE columns (e/m/z/w per
+    log argument) so the series never nests inside itself."""
+    lnv = ln_val_sql
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         (date_part('day', ts) <= 15) AS is_base,
+         LEAST({_PSI_NBUCKETS - 1},
+               CAST(FLOOR(value / {_PSI_BUCKET_W!r}) AS BIGINT)) AS bucket
+  FROM events
+),
+cell AS (
+  SELECT event_type, bucket,
+         CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+         CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS cc
+  FROM ev GROUP BY event_type, bucket
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS nc
+  FROM ev GROUP BY event_type
+),
+spine AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       (SELECT unnest(generate_series(0, {_PSI_NBUCKETS - 1})) AS bucket) g
+),
+full_cell AS (
+  SELECT s.event_type, tot.nb, tot.nc,
+         COALESCE(cell.cb, 0) + 1 AS u,
+         COALESCE(cell.cc, 0) + 1 AS v,
+         tot.nb + {_PSI_NBUCKETS} AS p,
+         tot.nc + {_PSI_NBUCKETS} AS q
+  FROM spine s
+  LEFT JOIN cell ON s.event_type = cell.event_type AND s.bucket = cell.bucket
+  JOIN tot ON s.event_type = tot.event_type
+),
+t0 AS (
+  SELECT *, u * q AS uq, v * p AS vp FROM full_cell
+),
+l1 AS (
+  SELECT *,
+         {ln_e_sql("uq", "vp")} AS e1,
+         {ln_e_sql("2 * uq", "uq + vp")} AS e2,
+         {ln_e_sql("2 * vp", "uq + vp")} AS e3
+  FROM t0
+),
+l2 AS (
+  SELECT *,
+         {ln_m_sql("uq", "vp", "e1")} AS m1,
+         {ln_m_sql("2 * uq", "uq + vp", "e2")} AS m2,
+         {ln_m_sql("2 * vp", "uq + vp", "e3")} AS m3
+  FROM l1
+),
+l3 AS (
+  SELECT *, {ln_z_sql("m1")} AS z1, {ln_z_sql("m2")} AS z2,
+         {ln_z_sql("m3")} AS z3
+  FROM l2
+),
+l4 AS (
+  SELECT *, z1 * z1 AS w1, z2 * z2 AS w2, z3 * z3 AS w3 FROM l3
+),
+terms AS (
+  SELECT event_type, nb, nc,
+         (CAST(u AS DOUBLE) / CAST(p AS DOUBLE)
+          - CAST(v AS DOUBLE) / CAST(q AS DOUBLE))
+           * {lnv("e1", "z1", "w1")} AS psi_term,
+         CAST(0.5 AS DOUBLE) * (CAST(u AS DOUBLE) / CAST(p AS DOUBLE))
+           * {lnv("e2", "z2", "w2")}
+         + CAST(0.5 AS DOUBLE) * (CAST(v AS DOUBLE) / CAST(q AS DOUBLE))
+           * {lnv("e3", "z3", "w3")} AS jsd_term
+  FROM l4
+),
+agg AS (
+  SELECT event_type, nb, nc,
+         SUM(CAST(psi_term AS DECIMAL(28,12))) AS psi_d,
+         SUM(CAST(jsd_term AS DECIMAL(28,12))) AS jsd_d
+  FROM terms GROUP BY event_type, nb, nc
+)
+SELECT event_type, nb AS n_base, nc AS n_cur,
+       CAST(CAST(psi_d AS VARCHAR) AS DOUBLE) AS psi,
+       CAST(CAST(jsd_d AS VARCHAR) AS DOUBLE) AS jsd_nats,
+       CASE WHEN CAST(CAST(psi_d AS VARCHAR) AS DOUBLE) > 0.2 THEN 'ALERT'
+            WHEN CAST(CAST(psi_d AS VARCHAR) AS DOUBLE) > 0.1 THEN 'WARN'
+            ELSE 'OK' END AS psi_status
+FROM agg
+"""
+
+
+STATS_PSI_VALUE_DRIFT_SQL = _psi_sql()
+
+
 QUERIES = {
     "stats_mannwhitney_value": stats_mannwhitney_value,
+    "stats_psi_value_drift": stats_psi_value_drift,
     "stats_mad_outliers": stats_mad_outliers,
     "stats_autocorrelation": stats_autocorrelation,
     "value_decile_assignment": value_decile_assignment,
@@ -1496,6 +1698,7 @@ QUERIES = {
 
 ORACLES = {
     "stats_mannwhitney_value": STATS_MANNWHITNEY_VALUE_SQL,
+    "stats_psi_value_drift": STATS_PSI_VALUE_DRIFT_SQL,
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
     "stats_autocorrelation": STATS_AUTOCORRELATION_SQL,
     "value_decile_assignment": VALUE_DECILE_ASSIGNMENT_SQL,
