@@ -820,8 +820,133 @@ LIMIT {LINKPRED_TOP}
 """
 
 
+def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the BRAND partition over the part co-occurrence
+    graph — "do parts of the same brand co-occur in orders more than a
+    degree-preserving random graph predicts?", the community-quality
+    score (Newman-Girvan Q) evaluated for the catalog's natural
+    communities. Per brand c: Q_c = e_c/m − (d_c/2m)², where e_c =
+    within-brand edges, d_c = degree sum, m = |E|; Q = Σ_c Q_c rides on
+    every row (window sum over the |brands|-bounded grain). A Louvain
+    pass would OPTIMIZE Q by iterating exactly this evaluation — the
+    kernel is the reusable part; the brand labels make it
+    deterministic and oracle-checkable.
+
+    Exactness: e_c, d_c, m are exact BIGINTs; each contribution is one
+    fixed float expression; the global Q sums DECIMAL(28,12)-cast
+    contributions (order-free). Scale: the same windowed edge set as
+    the triangle/link-prediction kernels (bounded by the shipdate
+    window); two keyed joins against the part dim for endpoint brands
+    (broadcast at test SF, shuffle-join at catalog scale); aggs land
+    on the |brands| grain. No all-pairs anything."""
+    edges = _cooccurrence_edges(spark, sf_dir)
+    brand = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), "p_brand"
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m_edges"))
+    per_brand = (
+        deg.join(brand, "node")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    internal = (
+        edges.join(brand.select(F.col("node").alias("pa"), F.col("p_brand").alias("brand_a")), "pa")
+        .join(brand.select(F.col("node").alias("pb"), F.col("p_brand").alias("brand_b")), "pb")
+        .filter(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("p_brand"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    j = (
+        per_brand.join(internal, "p_brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "p_brand",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce(F.col("internal_edges"), F.lit(0)).alias("internal_edges"),
+            "m_edges",
+        )
+    )
+    frac_int = F.col("internal_edges").cast("double") / F.col("m_edges").cast(
+        "double"
+    )
+    frac_deg = F.col("degree_sum").cast("double") / (
+        F.lit(2) * F.col("m_edges")
+    ).cast("double")
+    contribution = frac_int - frac_deg * frac_deg
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return j.select(
+        "p_brand",
+        "n_nodes",
+        "degree_sum",
+        "internal_edges",
+        contribution.alias("contribution"),
+        F.sum(contribution.cast("decimal(28,12)"))
+        .over(wall)
+        .cast("double")
+        .alias("modularity_q"),
+    )
+
+
+GRAPH_MODULARITY_BRAND_SQL = f"""
+WITH {_EDGE_CTES_SQL},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+  GROUP BY node
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+per_brand AS (
+  SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg.deg) AS BIGINT) AS degree_sum
+  FROM deg JOIN part p ON deg.node = p.p_partkey
+  GROUP BY p.p_brand
+),
+internal AS (
+  SELECT pa_b.p_brand, CAST(COUNT(*) AS BIGINT) AS internal_edges
+  FROM e
+  JOIN part pa_b ON e.pa = pa_b.p_partkey
+  JOIN part pb_b ON e.pb = pb_b.p_partkey
+  WHERE pa_b.p_brand = pb_b.p_brand
+  GROUP BY pa_b.p_brand
+),
+j AS (
+  SELECT per_brand.p_brand, n_nodes, degree_sum,
+         COALESCE(internal_edges, CAST(0 AS BIGINT)) AS internal_edges,
+         m.m_edges
+  FROM per_brand LEFT JOIN internal ON per_brand.p_brand = internal.p_brand, m
+),
+c AS (
+  SELECT *,
+         CAST(internal_edges AS DOUBLE) / CAST(m_edges AS DOUBLE)
+         - (CAST(degree_sum AS DOUBLE) / CAST(2 * m_edges AS DOUBLE))
+           * (CAST(degree_sum AS DOUBLE) / CAST(2 * m_edges AS DOUBLE))
+           AS contribution
+  FROM j
+)
+SELECT p_brand, n_nodes, degree_sum, internal_edges, contribution,
+       CAST(CAST(SUM(CAST(contribution AS DECIMAL(28,12))) OVER ()
+                 AS VARCHAR) AS DOUBLE) AS modularity_q
+FROM c
+"""
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
+    "graph_modularity_brand": graph_modularity_brand,
     "graph_pagerank": graph_pagerank,
     "graph_khop_features": graph_khop_features,
     "graph_kcore_peel": graph_kcore_peel,
@@ -833,6 +958,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_triangle_count": GRAPH_TRIANGLE_COUNT_SQL,
+    "graph_modularity_brand": GRAPH_MODULARITY_BRAND_SQL,
     "graph_pagerank": GRAPH_PAGERANK_SQL,
     "graph_khop_features": GRAPH_KHOP_FEATURES_SQL,
     "graph_kcore_peel": GRAPH_KCORE_PEEL_SQL,

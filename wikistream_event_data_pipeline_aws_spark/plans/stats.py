@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.textops import hex_hash
 from ..operators.detmath import (
     det_ln_ratio,
     ln_e_sql,
@@ -1673,9 +1674,204 @@ FROM agg
 STATS_PSI_VALUE_DRIFT_SQL = _psi_sql()
 
 
+# --- Deterministic Poisson bootstrap -----------------------------------
+_BOOT_B = 64  # resamples; the knob a production caller raises to 1000+
+_BOOT_SEED = "boot"
+# Inverse Poisson(1) CDF breakpoints: P(X<=k) = e^-1 * sum 1/j! for
+# j<=k, hardcoded as double literals so BOTH engines branch on
+# bit-identical constants (no runtime exp()).
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+_TWO60 = float(1 << 60)
+
+
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95% CI for the mean ``value`` per event
+    type — the uncertainty quantification a metrics pipeline attaches
+    to every point estimate, made DETERMINISTIC (hence oracle-checkable
+    and retry-stable) by replacing the RNG with a hash: replica weights
+    are Poisson(1) draws via the inverse CDF applied to
+    ``md5(seed, event_id, b) / 2^60`` — the distributed "Poisson
+    bootstrap" (Chamandy et al., Google 2012), which needs no
+    per-resample shuffling of the data and no knowledge of n upfront.
+
+    Exactness: weights are exact ints; per-resample sums Σw·cents / Σw
+    are exact BIGINT on the cents grain (the ``dq_drift_halves``
+    decimal(18,2)·100 trick), so each resample mean is ONE double
+    division; the CI bounds are ORDER STATISTICS of the {_BOOT_B}
+    resample means (rank ⌈0.025B⌉ / ⌈0.975B⌉, ties broken by resample
+    id — no interpolation, no float accumulation); the bootstrap SE
+    comes from DECIMAL(28,12) power sums of the means combined in one
+    fixed float expression (the ``stats_corr_ols`` discipline).
+
+    Scale: the ×B row explosion collapses immediately into the
+    (type, b) partial agg — map-side combine means the shuffle carries
+    |types|·B rows, not N·B; the order-statistic window runs over B
+    rows per type. Σw·cents fits BIGINT to ~1e14 rows·cents; past that
+    both engines fail loudly (ANSI overflow)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    point = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias(
+            "point_mean_cents"
+        ),
+    )
+    rep = e.select(
+        "event_type",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    )
+    u = (
+        hex_hash(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("#"),
+                F.col("b").cast("string"),
+            ),
+            seed=_BOOT_SEED,
+        ).cast("double")
+        / F.lit(_TWO60)
+    )
+    w = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .when(u < _POIS_CDF[4], 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    per_b = (
+        rep.select("event_type", "b", w.alias("w"), F.col("cents"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("swc").cast("double") / F.col("sw").cast("double")).alias(
+                "mean_b"
+            ),
+        )
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.col("mean_b").asc(), F.col("b").asc()
+    )
+    lo_rank = -(-25 * _BOOT_B // 1000)  # ceil(0.025*B)
+    hi_rank = -(-975 * _BOOT_B // 1000)  # ceil(0.975*B)
+    ranked = per_b.withColumn("rn", F.row_number().over(wrk))
+    agg = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("mean_b"))).alias(
+            "ci_lo_cents"
+        ),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("mean_b"))).alias(
+            "ci_hi_cents"
+        ),
+        F.sum(F.col("mean_b").cast("decimal(28,12)")).alias("s1"),
+        F.sum((F.col("mean_b") * F.col("mean_b")).cast("decimal(28,12)")).alias(
+            "s2"
+        ),
+        F.count(F.lit(1)).alias("n_b"),
+    )
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    nb = F.col("n_b").cast("double")
+    boot_se = F.sqrt((s2 - s1 * s1 / nb) / (nb - F.lit(1.0)))
+    return agg.join(F.broadcast(point), "event_type").select(
+        "event_type",
+        "n",
+        "point_mean_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        boot_se.alias("boot_se_cents"),
+    )
+
+
+def _boot_sql() -> str:
+    cdf = _POIS_CDF
+    lo_rank = -(-25 * _BOOT_B // 1000)
+    hi_rank = -(-975 * _BOOT_B // 1000)
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+point AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS point_mean_cents
+  FROM e GROUP BY event_type
+),
+rep AS (
+  SELECT event_type, cents, b.b, event_id
+  FROM e, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+),
+weighted AS (
+  SELECT event_type, b, cents,
+         CASE WHEN u < CAST({cdf[0]!r} AS DOUBLE) THEN 0
+              WHEN u < CAST({cdf[1]!r} AS DOUBLE) THEN 1
+              WHEN u < CAST({cdf[2]!r} AS DOUBLE) THEN 2
+              WHEN u < CAST({cdf[3]!r} AS DOUBLE) THEN 3
+              WHEN u < CAST({cdf[4]!r} AS DOUBLE) THEN 4
+              ELSE 5 END AS w
+  FROM (
+    SELECT *,
+           CAST(CAST(concat('0x', substr(md5(concat('{_BOOT_SEED}',
+                 CAST(event_id AS VARCHAR), '#', CAST(b AS VARCHAR))), 1, 15))
+               AS BIGINT) AS DOUBLE) / CAST({_TWO60!r} AS DOUBLE) AS u
+    FROM rep
+  )
+),
+per_b AS (
+  SELECT event_type, b,
+         CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_b
+  FROM weighted GROUP BY event_type, b
+  HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY mean_b ASC, b ASC) AS rn
+  FROM per_b
+),
+agg AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = {lo_rank} THEN mean_b END) AS ci_lo_cents,
+         MIN(CASE WHEN rn = {hi_rank} THEN mean_b END) AS ci_hi_cents,
+         SUM(CAST(mean_b AS DECIMAL(28,12))) AS s1,
+         SUM(CAST(mean_b * mean_b AS DECIMAL(28,12))) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM ranked GROUP BY event_type
+)
+SELECT agg.event_type, point.n, point.point_mean_cents,
+       agg.ci_lo_cents, agg.ci_hi_cents,
+       sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE))
+            / (CAST(n_b AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS boot_se_cents
+FROM agg JOIN point ON agg.event_type = point.event_type
+"""
+
+
+STATS_BOOTSTRAP_CI_MEAN_SQL = _boot_sql()
+
+
 QUERIES = {
     "stats_mannwhitney_value": stats_mannwhitney_value,
     "stats_psi_value_drift": stats_psi_value_drift,
+    "stats_bootstrap_ci_mean": stats_bootstrap_ci_mean,
     "stats_mad_outliers": stats_mad_outliers,
     "stats_autocorrelation": stats_autocorrelation,
     "value_decile_assignment": value_decile_assignment,
@@ -1699,6 +1895,7 @@ QUERIES = {
 ORACLES = {
     "stats_mannwhitney_value": STATS_MANNWHITNEY_VALUE_SQL,
     "stats_psi_value_drift": STATS_PSI_VALUE_DRIFT_SQL,
+    "stats_bootstrap_ci_mean": STATS_BOOTSTRAP_CI_MEAN_SQL,
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
     "stats_autocorrelation": STATS_AUTOCORRELATION_SQL,
     "value_decile_assignment": VALUE_DECILE_ASSIGNMENT_SQL,

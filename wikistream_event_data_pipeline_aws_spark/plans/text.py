@@ -8,6 +8,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.detmath import det_ln_ratio
 from ..operators.textops import STOPWORDS, bpe_piece_count, fingerprint, tokenize
 
 _TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
@@ -793,7 +794,119 @@ FROM s GROUP BY doc_id
 """
 
 
+def text_entropy_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy (nats) + KL divergence vs the corpus
+    distribution, per document source — the information-theoretic
+    curation signals this engine previously could not ship under the
+    no-libm parity rule (``text_tfidf_topk`` swapped ln() for a
+    rational IDF for exactly that reason): a source whose entropy sits
+    far below the corpus is boilerplate/templated (dedup candidate);
+    a source with high KL against the corpus mix is distribution-
+    shifted (mixture-reweighting candidate — the DoReMi-style signal).
+
+    Both metrics reduce to logs of EXACT INTEGER RATIOS on the
+    (source, token) count grain — H_s = Σ (c/n_s)·ln(n_s/c),
+    KL(s‖corpus) = Σ (c/n_s)·ln(c·N / (n_s·d_w)) — evaluated by
+    ``operators/detmath.det_ln_ratio`` (bit-identical cross-engine;
+    see stats_psi_value_drift for the discipline) with DECIMAL(28,12)
+    term sums. Zero-count terms never arise (the grain only holds
+    observed (source, token) cells; corpus marginals d_w > 0 ⊇ every
+    source's support). Overflow: c·N fits BIGINT to ~3e9 corpus
+    tokens; past that both engines fail loudly — widen to
+    DECIMAL(38,0) first.
+
+    Scale: one documents scan → (source, token) hash agg; token-keyed
+    join for the corpus marginal; 1-row total broadcast; outputs on
+    the |sources| grain. The whitespace tokenizer is the repo-wide
+    convention (operators/textops.tokenize)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    cell = d.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    ns = cell.groupBy("source").agg(F.sum("c").alias("n_s"))
+    dw = cell.groupBy("token").agg(F.sum("c").alias("d_w"))
+    n = cell.agg(F.sum("c").alias("n_tot"))
+    t = cell.join(ns, "source").join(dw, "token").crossJoin(F.broadcast(n))
+    pa = F.col("c").cast("double") / F.col("n_s").cast("double")
+    ent_t = pa * det_ln_ratio(F.col("n_s"), F.col("c"))
+    kl_t = pa * det_ln_ratio(
+        F.col("c") * F.col("n_tot"), F.col("n_s") * F.col("d_w")
+    )
+    agg = (
+        t.select(
+            "source",
+            "n_s",
+            ent_t.cast("decimal(28,12)").alias("ent_t"),
+            kl_t.cast("decimal(28,12)").alias("kl_t"),
+        )
+        .groupBy("source", "n_s")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("ent_t").alias("ent_d"),
+            F.sum("kl_t").alias("kl_d"),
+        )
+    )
+    return agg.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "vocab_size",
+        F.col("ent_d").cast("double").alias("entropy_nats"),
+        F.col("kl_d").cast("double").alias("kl_vs_corpus_nats"),
+    )
+
+
+def _entropy_kl_sql() -> str:
+    from ..operators.detmath import ln_e_sql, ln_m_sql, ln_val_sql, ln_z_sql
+
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_SQL}) AS token FROM documents
+),
+cell AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, token
+),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cell GROUP BY source),
+dw AS (SELECT token, CAST(SUM(c) AS BIGINT) AS d_w FROM cell GROUP BY token),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM cell),
+t0 AS (
+  SELECT cell.source, c, n_s, c * n_tot AS a2, n_s * d_w AS b2
+  FROM cell JOIN ns USING (source) JOIN dw USING (token), n
+),
+l1 AS (
+  SELECT *, {ln_e_sql("n_s", "c")} AS e1, {ln_e_sql("a2", "b2")} AS e2 FROM t0
+),
+l2 AS (
+  SELECT *, {ln_m_sql("n_s", "c", "e1")} AS m1,
+         {ln_m_sql("a2", "b2", "e2")} AS m2
+  FROM l1
+),
+l3 AS (SELECT *, {ln_z_sql("m1")} AS z1, {ln_z_sql("m2")} AS z2 FROM l2),
+l4 AS (SELECT *, z1 * z1 AS w1, z2 * z2 AS w2 FROM l3),
+terms AS (
+  SELECT source, n_s,
+         (CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE)) * {ln_val_sql("e1", "z1", "w1")} AS ent_t,
+         (CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE)) * {ln_val_sql("e2", "z2", "w2")} AS kl_t
+  FROM l4
+),
+agg AS (
+  SELECT source, n_s, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         SUM(CAST(ent_t AS DECIMAL(28,12))) AS ent_d,
+         SUM(CAST(kl_t AS DECIMAL(28,12))) AS kl_d
+  FROM terms GROUP BY source, n_s
+)
+SELECT source, n_s AS n_tokens, vocab_size,
+       CAST(CAST(ent_d AS VARCHAR) AS DOUBLE) AS entropy_nats,
+       CAST(CAST(kl_d AS VARCHAR) AS DOUBLE) AS kl_vs_corpus_nats
+FROM agg
+"""
+
+
+TEXT_ENTROPY_KL_BY_SOURCE_SQL = _entropy_kl_sql()
+
+
 QUERIES = {
+    "text_entropy_kl_by_source": text_entropy_kl_by_source,
     "text_token_stats": text_token_stats,
     "text_ngram_novelty": text_ngram_novelty,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
@@ -819,6 +932,7 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
+    "text_entropy_kl_by_source": TEXT_ENTROPY_KL_BY_SOURCE_SQL,
     "text_bm25_topk": TEXT_BM25_TOPK_SQL,
     "text_inverted_index": TEXT_INVERTED_INDEX_SQL,
     "streaming_postings_sink": TEXT_INVERTED_INDEX_SQL,
