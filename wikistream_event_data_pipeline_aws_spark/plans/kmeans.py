@@ -613,8 +613,135 @@ SELECT * FROM positives UNION ALL SELECT * FROM negatives
 """
 
 
+def eval_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confusion statistics + macro-F1 over the k-NN
+    classifier's held-out predictions — the MODEL-EVAL half of the
+    label-quality probe (``knn_classify_embeddings`` emits the
+    predictions; this is the scorecard a re-embedding pipeline gates
+    on). One row per class observed in truth or predictions (a spine
+    over both sides, so a class that is ONLY ever predicted still
+    reports its false positives): support, tp/fp/fn, precision
+    (NULL when the class is never predicted), recall, f1, and the
+    macro-F1 across classes on every row.
+
+    Exactness: all confusion cells are exact BIGINTs from the bounded
+    |classes| grain; precision/recall/f1 are one float division each;
+    macro-F1 sums DECIMAL(28,12)-cast f1 over the |classes| window.
+    The eval set is the held-out 1-in-{mod} slice — bounded by design,
+    which is what keeps the upstream exact k-NN yardstick affordable;
+    at corpus scale the predictions feed from the ANN path instead
+    (same vote logic — see knn_classify_embeddings docstring)."""
+    p = knn_classify_embeddings(spark, sf_dir).select(
+        "true_label", "predicted_label"
+    )
+    classes = (
+        p.select(F.col("true_label").alias("label"))
+        .unionAll(p.select(F.col("predicted_label").alias("label")))
+        .distinct()
+    )
+    per_true = p.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("support"),
+        F.sum(
+            (F.col("predicted_label") == F.col("true_label")).cast("bigint")
+        ).alias("tp"),
+    )
+    per_pred = p.groupBy(F.col("predicted_label").alias("label")).agg(
+        F.sum(
+            (F.col("predicted_label") != F.col("true_label")).cast("bigint")
+        ).alias("fp")
+    )
+    j = (
+        classes.join(per_true, "label", "left")
+        .join(per_pred, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.col("fp"), F.lit(0)).alias("fp"),
+            (F.coalesce(F.col("support"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).alias("fn"),
+        )
+    )
+    tp, fp, fn, sup = (F.col(c) for c in ("tp", "fp", "fn", "support"))
+    precision = F.when(
+        tp + fp > 0, tp.cast("double") / (tp + fp).cast("double")
+    )
+    recall = F.when(sup > 0, tp.cast("double") / sup.cast("double"))
+    f1 = F.when(
+        F.lit(2) * tp + fp + fn > 0,
+        (F.lit(2) * tp).cast("double") / (F.lit(2) * tp + fp + fn).cast("double"),
+    )
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    macro_f1 = F.sum(f1.cast("decimal(28,12)")).over(wall).cast(
+        "double"
+    ) / F.count(f1).over(wall).cast("double")
+    return j.select(
+        "label",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+        macro_f1.alias("macro_f1"),
+    )
+
+
+EVAL_KNN_CONFUSION_SQL = f"""
+WITH preds AS ({KNN_CLASSIFY_SQL}),
+p AS (SELECT true_label, predicted_label FROM preds),
+classes AS (
+  SELECT DISTINCT label FROM (
+    SELECT true_label AS label FROM p
+    UNION ALL SELECT predicted_label AS label FROM p
+  )
+),
+per_true AS (
+  SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS support,
+         CAST(SUM(CASE WHEN predicted_label = true_label THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp
+  FROM p GROUP BY true_label
+),
+per_pred AS (
+  SELECT predicted_label AS label,
+         CAST(SUM(CASE WHEN predicted_label <> true_label THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM p GROUP BY predicted_label
+),
+j AS (
+  SELECT c.label,
+         COALESCE(support, CAST(0 AS BIGINT)) AS support,
+         COALESCE(tp, CAST(0 AS BIGINT)) AS tp,
+         COALESCE(fp, CAST(0 AS BIGINT)) AS fp,
+         COALESCE(support, CAST(0 AS BIGINT))
+           - COALESCE(tp, CAST(0 AS BIGINT)) AS fn
+  FROM classes c
+  LEFT JOIN per_true USING (label)
+  LEFT JOIN per_pred USING (label)
+),
+scored AS (
+  SELECT *,
+         CASE WHEN tp + fp > 0
+              THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+         CASE WHEN support > 0
+              THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END AS recall,
+         CASE WHEN 2 * tp + fp + fn > 0
+              THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+              END AS f1
+  FROM j
+)
+SELECT label, support, tp, fp, fn, precision, recall, f1,
+       CAST(CAST(SUM(CAST(f1 AS DECIMAL(28,12))) OVER () AS VARCHAR) AS DOUBLE)
+       / CAST(COUNT(f1) OVER () AS DOUBLE) AS macro_f1
+FROM scored
+"""
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
+    "eval_knn_confusion": eval_knn_confusion,
     "embedding_class_scatter": embedding_class_scatter,
     "embedding_pq_residuals": embedding_pq_residuals,
     "knn_classify_embeddings": knn_classify_embeddings,
@@ -623,6 +750,7 @@ QUERIES = {
 }
 ORACLES = {
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
+    "eval_knn_confusion": EVAL_KNN_CONFUSION_SQL,
     "embedding_class_scatter": EMBEDDING_CLASS_SCATTER_SQL,
     "embedding_pq_residuals": EMBEDDING_PQ_RESIDUALS_SQL,
     "knn_classify_embeddings": KNN_CLASSIFY_SQL,

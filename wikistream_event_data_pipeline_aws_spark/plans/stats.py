@@ -1868,10 +1868,117 @@ FROM agg JOIN point ON agg.event_type = point.event_type
 STATS_BOOTSTRAP_CI_MEAN_SQL = _boot_sql()
 
 
+def stats_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the DAILY EVENT VOLUME per event type
+    — the median of all pairwise slopes, the estimator that shrugs off
+    the single corrupted day that drags OLS (29% breakdown point vs
+    0%); the ``ols_slope`` column ships alongside as the contrast the
+    runbook shows when the two disagree. The volume trend per type is
+    the capacity-planning / incident signal (error-rate creep, traffic
+    decay) a streaming platform fits continuously.
+
+    Exactness: the series collapses to the DAY grain first (bounded —
+    the KS/chi2 validity discipline: pairwise enumeration happens on
+    the ~O(days²) bounded grain, never on raw rows), each pairwise
+    slope is ONE double division of exact BIGINTs, and the median is a
+    pure ORDER STATISTIC (lower median, rank ⌈P/2⌉, total order
+    (slope, x_i, x_j) — no float averaging). The OLS contrast uses
+    exact integer moment sums combined in one fixed float expression
+    (the ``stats_corr_ols`` discipline). Σx·Σxy products fit BIGINT
+    for series to ~50k days; far past any retention window."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+    )
+    daily = e.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("y"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.x") < F.col("b.x")))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.x").alias("xi"),
+            F.col("b.x").alias("xj"),
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wrk = Window.partitionBy("event_type").orderBy("slope", "xi", "xj")
+    wcnt = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("n_pairs"),
+    )
+    lower_median_rank = F.floor((F.col("n_pairs") + 1) / 2).cast("long")
+    ts = ranked.filter(F.col("rn") == lower_median_rank).select(
+        "event_type", "n_pairs", F.col("slope").alias("theilsen_slope")
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    ols = (
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return mom.join(ts, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "theilsen_slope",
+        ols.alias("ols_slope"),
+    )
+
+
+STATS_THEILSEN_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+),
+pairs AS (
+  SELECT a.event_type, a.x AS xi, b.x AS xj,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x < b.x
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, xi, xj) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+  FROM pairs
+),
+ts AS (
+  SELECT event_type, n_pairs, slope AS theilsen_slope
+  FROM ranked WHERE rn = (n_pairs + 1) // 2
+),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT mom.event_type, n_days, n_pairs, theilsen_slope,
+       CAST(n_days * sxy - sx * sy AS DOUBLE)
+       / CAST(n_days * sxx - sx * sx AS DOUBLE) AS ols_slope
+FROM mom JOIN ts ON mom.event_type = ts.event_type
+"""
+
+
 QUERIES = {
     "stats_mannwhitney_value": stats_mannwhitney_value,
     "stats_psi_value_drift": stats_psi_value_drift,
     "stats_bootstrap_ci_mean": stats_bootstrap_ci_mean,
+    "stats_theilsen_trend": stats_theilsen_trend,
     "stats_mad_outliers": stats_mad_outliers,
     "stats_autocorrelation": stats_autocorrelation,
     "value_decile_assignment": value_decile_assignment,
@@ -1896,6 +2003,7 @@ ORACLES = {
     "stats_mannwhitney_value": STATS_MANNWHITNEY_VALUE_SQL,
     "stats_psi_value_drift": STATS_PSI_VALUE_DRIFT_SQL,
     "stats_bootstrap_ci_mean": STATS_BOOTSTRAP_CI_MEAN_SQL,
+    "stats_theilsen_trend": STATS_THEILSEN_TREND_SQL,
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
     "stats_autocorrelation": STATS_AUTOCORRELATION_SQL,
     "value_decile_assignment": VALUE_DECILE_ASSIGNMENT_SQL,
