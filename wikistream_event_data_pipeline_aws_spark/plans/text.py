@@ -823,6 +823,15 @@ def text_entropy_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokenize(F.col("text"))).alias("token")
     )
     cell = d.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    return _entropy_kl_from_cells(cell)
+
+
+def _entropy_kl_from_cells(cell: DataFrame) -> DataFrame:
+    """The shared readout: per-source entropy/KL from the
+    (source, token, c) count grain — consumed by the batch query above
+    AND by ``streaming_entropy_sink`` (whose persistent state sums to
+    exactly this grain), so streamed == batch is checked through one
+    code path."""
     ns = cell.groupBy("source").agg(F.sum("c").alias("n_s"))
     dw = cell.groupBy("token").agg(F.sum("c").alias("d_w"))
     n = cell.agg(F.sum("c").alias("n_tot"))
@@ -905,8 +914,80 @@ FROM agg
 TEXT_ENTROPY_KL_BY_SOURCE_SQL = _entropy_kl_sql()
 
 
+_ENTROPY_SRC_CACHE: dict[str, str] = {}
+
+
+def streaming_entropy_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the (source, token) unigram counts
+    feeding the entropy/KL readout — the keyed-sum leg of the
+    streamed-index family (postings = set-insert, ANN signatures =
+    set-insert, HLL = register-max, histogram/THIS = keyed-sum): the
+    documents table replays as two deterministic micro-batches; each
+    batch's token counts are keyed by (batch_id, source, token) and
+    folded through the INSERT-ONLY merge, so a replayed batch is a
+    no-op BEFORE any write (sums are not idempotent; batch-keying
+    restores exactly-once from the algebra, not the checkpoint — the
+    ``start_histogram_sink`` discipline). The readout sums the state
+    to the cell grain and runs the SAME ``_entropy_kl_from_cells``
+    code path as the batch query, value-checked against the identical
+    DuckDB oracle — streamed == batch, bit for bit.
+
+    Scale: state is ≤ n_batches × |source,token| slim rows (no text,
+    no blobs); compaction to the cell grain is a metadata rewrite when
+    n_batches grows; the per-batch delta agg is map-side."""
+    import tempfile
+
+    from ..streaming.ingest import file_stream, start_mergeable_sink
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src = _ENTROPY_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="entropy_stream_src_") + "/src"
+        for parity in (0, 1):
+            d.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        _ENTROPY_SRC_CACHE[sf_dir] = src
+    tmp = tempfile.mkdtemp(prefix="entropy_stream_")
+    state_path, ckpt = f"{tmp}/cells", f"{tmp}/ckpt"
+    stream = file_stream(
+        spark,
+        src,
+        "doc_id bigint, source string, text string",
+        max_files_per_trigger=1,
+    )
+
+    def _delta(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        toks = batch_df.select(
+            "source", F.explode(tokenize(F.col("text"))).alias("token")
+        )
+        return (
+            toks.groupBy("source", "token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(batch_id).alias("batch_id"), "source", "token", "cnt")
+        )
+
+    q = start_mergeable_sink(
+        stream,
+        state_path,
+        ckpt,
+        _delta,
+        algebra="set-insert",
+        keys=["batch_id", "source", "token"],
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("entropy stream did not finish in 300s")
+    state = spark.read.parquet(state_path)
+    cell = state.groupBy("source", "token").agg(F.sum("cnt").alias("c"))
+    return _entropy_kl_from_cells(cell)
+
+
 QUERIES = {
     "text_entropy_kl_by_source": text_entropy_kl_by_source,
+    "streaming_entropy_sink": streaming_entropy_sink,
     "text_token_stats": text_token_stats,
     "text_ngram_novelty": text_ngram_novelty,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
@@ -933,6 +1014,7 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
     "text_entropy_kl_by_source": TEXT_ENTROPY_KL_BY_SOURCE_SQL,
+    "streaming_entropy_sink": TEXT_ENTROPY_KL_BY_SOURCE_SQL,
     "text_bm25_topk": TEXT_BM25_TOPK_SQL,
     "text_inverted_index": TEXT_INVERTED_INDEX_SQL,
     "streaming_postings_sink": TEXT_INVERTED_INDEX_SQL,
