@@ -97,16 +97,28 @@ _FRONT_TARGET_ROUND = 10
 # (common-neighbor + preferential-attachment top-25 for non-edges,
 # exact-integer scores), dedup_substring_rewrite (the APPLY step of
 # substring dedup: first-occurrence-wins span elision + reassembly,
-# md5-value-checked) — then the r4 deferral
-# (partition_evolution_audit, documented last round) and 43 of the 46
-# r5 rows in registration order: 6 + 1 + 43 = 50; the three
-# registration-last r5 rows (snapshot_time_travel, snapshot_changes,
-# snapshot_mor_read) defer to round 11 — new queries outrank the
-# staleness floor. No
+# md5-value-checked) — and the continuation session adds EIGHT more:
+# text_entropy_kl_by_source + stats_psi_value_drift (the log-family
+# divergences unlocked by operators/detmath.det_ln_ratio — a bit-stable
+# cross-engine ln over exact integer ratios), streaming_entropy_sink
+# (keyed-sum mergeable state feeding the same readout),
+# stats_bootstrap_ci_mean (deterministic Poisson bootstrap),
+# stats_theilsen_trend (median-of-slopes order statistic),
+# similarity_ann_pq (IVF-PQ ADC search — completes the LSH/IVF/PQ
+# trio), eval_knn_confusion (per-class confusion + macro-F1),
+# graph_modularity_brand (Newman-Girvan Q). 14 new + the r4 deferral
+# (partition_evolution_audit) + 35 of the 46 r5 rows in registration
+# order = 50; the eleven registration-last r5 rows
+# (knn_classify_embeddings … table_merkle_sync, snapshot_time_travel,
+# snapshot_changes, snapshot_mor_read) defer to round 11 — new
+# queries outrank the staleness floor (tools/front_rotation.py
+# --target-round 10 reproduces this block verbatim). No
 # changed-output queries this round (the round-10 advice fixes — mmcur
 # video value_range oracle leg, bench contended-row recording,
 # rotation deferral reporting, encode dims arg — are all
-# output-identical, re-proven by the parity suite).
+# output-identical, re-proven by the parity suite; the
+# text_entropy_kl_by_source readout refactor landed the same session
+# the query was born, so it rides the query's own NEW slot).
 _FRONT_CHANGED: tuple[str, ...] = ()
 _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_substring_spans",
@@ -115,6 +127,14 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "vocab_coverage_curve",
     "graph_link_prediction",
     "dedup_substring_rewrite",
+    "text_entropy_kl_by_source",
+    "streaming_entropy_sink",
+    "stats_psi_value_drift",
+    "stats_bootstrap_ci_mean",
+    "stats_theilsen_trend",
+    "similarity_ann_pq",
+    "eval_knn_confusion",
+    "graph_modularity_brand",
     "partition_evolution_audit",
     "funnel_time_to_convert",
     "sequence_pattern_match",
@@ -151,14 +171,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "stats_chi2_dow_type",
     "privacy_l_diversity",
     "embedding_pq_residuals",
-    "knn_classify_embeddings",
-    "semdedup_embeddings",
-    "graph_khop_features",
-    "graph_kcore_peel",
-    "graph_eigencentrality",
-    "graph_substitutes",
-    "decayed_user_value",
-    "table_merkle_sync",
 )
 
 
