@@ -839,7 +839,9 @@ def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); two keyed joins against the part dim for endpoint brands
     (broadcast at test SF, shuffle-join at catalog scale); aggs land
     on the |brands| grain. No all-pairs anything."""
-    edges = _cooccurrence_edges(spark, sf_dir)
+    # the edge set feeds three consumers (degree table, |E|, internal-
+    # edge count) — fence it so the lineitem self-join runs once
+    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
     brand = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), "p_brand"
     )

@@ -631,9 +631,11 @@ def eval_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what keeps the upstream exact k-NN yardstick affordable;
     at corpus scale the predictions feed from the ANN path instead
     (same vote logic — see knn_classify_embeddings docstring)."""
+    # three consumers (class spine, per-true, per-pred) — fence the
+    # prediction set so the exact-kNN scoring join runs ONCE
     p = knn_classify_embeddings(spark, sf_dir).select(
         "true_label", "predicted_label"
-    )
+    ).localCheckpoint(eager=False)
     classes = (
         p.select(F.col("true_label").alias("label"))
         .unionAll(p.select(F.col("predicted_label").alias("label")))
