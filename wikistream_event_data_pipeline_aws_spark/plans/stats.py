@@ -1974,11 +1974,194 @@ FROM mom JOIN ts ON mom.event_type = ts.event_type
 """
 
 
+def stats_gtest_dow_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio) independence statistic for the
+    (day-of-week × event-type) contingency table — the log-family
+    sibling of ``stats_chi2_dow_type`` (additive over cells, the form
+    hierarchical log-linear models decompose; preferred over χ² when
+    any O/E ratio is far from 1). Per cell: G-term = 2·O·ln(O·T/(r·c)),
+    an exact-integer-ratio log via ``det_ln_ratio``; zero-observed
+    cells contribute 0 and never materialize (the grain holds observed
+    cells only). The global G rides on every row via the
+    DECIMAL(28,12)-cast window sum over the ≤7×|types| grain; dof =
+    (7−1)(|types|−1) computed from the same marginal aggs. Validity:
+    O·T fits BIGINT (and det_ln's 2^62 bound) to ~3e9 events — past
+    that both engines fail loudly; widen the operands first."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).alias("dow"), "event_type"
+    )
+    cell = e.groupBy("dow", "event_type").agg(F.count(F.lit(1)).alias("o"))
+    rtot = e.groupBy("dow").agg(F.count(F.lit(1)).alias("r"))
+    ctot = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = e.agg(F.count(F.lit(1)).alias("t"))
+    j = (
+        cell.join(F.broadcast(rtot), "dow")
+        .join(F.broadcast(ctot), "event_type")
+        .join(F.broadcast(tot))
+    )
+    g_term = (
+        F.lit(2.0)
+        * F.col("o").cast("double")
+        * det_ln_ratio(F.col("o") * F.col("t"), F.col("r") * F.col("c"))
+    )
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_dow = F.size(F.collect_set("dow").over(wall))
+    n_typ = F.size(F.collect_set("event_type").over(wall))
+    return j.select(
+        "dow",
+        "event_type",
+        F.col("o").alias("observed"),
+        (
+            (F.col("r") * F.col("c")).cast("double")
+            / F.col("t").cast("double")
+        ).alias("expected"),
+        g_term.alias("g_term"),
+        F.sum(g_term.cast("decimal(28,12)"))
+        .over(wall)
+        .cast("double")
+        .alias("g_stat"),
+        ((n_dow - F.lit(1)) * (n_typ - F.lit(1))).cast("long").alias("dof"),
+    )
+
+
+def _gtest_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT date_part('dow', ts) AS dow, event_type FROM events
+),
+cell AS (SELECT dow, event_type, CAST(COUNT(*) AS BIGINT) AS o
+         FROM e GROUP BY dow, event_type),
+rtot AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS r FROM e GROUP BY dow),
+ctot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+         FROM e GROUP BY event_type),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM e),
+t0 AS (
+  SELECT cell.dow, cell.event_type, o, r, c, t,
+         o * t AS a1, r * c AS b1
+  FROM cell JOIN rtot USING (dow) JOIN ctot USING (event_type), tot
+),
+l1 AS (SELECT *, {ln_e_sql("a1", "b1")} AS e1 FROM t0),
+l2 AS (SELECT *, {ln_m_sql("a1", "b1", "e1")} AS m1 FROM l1),
+l3 AS (SELECT *, {ln_z_sql("m1")} AS z1 FROM l2),
+l4 AS (SELECT *, z1 * z1 AS w1 FROM l3),
+terms AS (
+  SELECT dow, event_type, o, r, c, t,
+         CAST(2.0 AS DOUBLE) * CAST(o AS DOUBLE) * {ln_val_sql("e1", "z1", "w1")} AS g_term
+  FROM l4
+)
+SELECT dow, event_type, o AS observed,
+       CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE) AS expected,
+       g_term,
+       CAST(CAST(SUM(CAST(g_term AS DECIMAL(28,12))) OVER () AS VARCHAR)
+            AS DOUBLE) AS g_stat,
+       CAST((COUNT(DISTINCT dow) OVER () - 1)
+            * (COUNT(DISTINCT event_type) OVER () - 1) AS BIGINT) AS dof
+FROM terms
+"""
+
+
+STATS_GTEST_DOW_TYPE_SQL = _gtest_sql()
+
+
+# --- Deterministic-hash Laplace release (DP mechanism shape) -----------
+_DP_SEED = "dplap"
+_DP_EPSILON = 1.0
+_TWO59 = 1 << 59
+_TWO60_INT = 1 << 60
+
+
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release for the (event_type, day)
+    histogram — the ε-differential-privacy OUTPUT SHAPE (sensitivity-1
+    counts + Laplace(1/ε) noise, ε = {eps}) that completes the privacy
+    family (k-anonymity/l-diversity/t-closeness audit the inputs; this
+    is the noisy-release side). THE NOISE HERE IS A DETERMINISTIC HASH
+    SUBSTITUTE, NOT PRIVACY: md5-uniform u → inverse Laplace CDF —
+    deterministic so the release is oracle-checkable and retry-stable
+    in tests; a production deployment swaps ONE expression (the hash
+    uniform) for a calibrated RNG draw and keeps everything else.
+
+    The inverse CDF's log is ``det_ln_ratio`` on the EXACT DYADIC
+    RATIONAL the hash provides: u = h/2^60, 1−2|u−½| = (2^60−2|h−2^59|)
+    / 2^60 — an integer ratio, floored at 1/2^60 to dodge ln 0 (the
+    one-in-2^59 hash value that would blow up). Grain is bounded
+    (|types|×days); one scan, one hash agg, map-side noise."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    cell = e.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    h = hex_hash(
+        F.concat(F.col("event_type"), F.lit("|"), F.col("day").cast("string")),
+        seed=_DP_SEED,
+    )
+    num = F.greatest(
+        F.lit(1).cast("long"),
+        F.lit(_TWO60_INT) - F.lit(2) * F.abs(h - F.lit(_TWO59)),
+    )
+    sgn = F.when(h >= _TWO59, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = (
+        F.lit(-1.0 / _DP_EPSILON)
+        * sgn
+        * det_ln_ratio(num, F.lit(_TWO60_INT))
+    )
+    return cell.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        (F.col("n").cast("double") + noise).alias("noisy_count"),
+        F.lit(_DP_EPSILON).alias("epsilon"),
+    )
+
+
+privacy_dp_counts.__doc__ = privacy_dp_counts.__doc__.format(eps=_DP_EPSILON)
+
+
+def _dp_sql() -> str:
+    h = (
+        f"CAST(concat('0x', substr(md5(concat('{_DP_SEED}', event_type, '|', "
+        f"CAST(day AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH cell AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+t0 AS (
+  SELECT *, {h} AS h FROM cell
+),
+t1 AS (
+  SELECT *,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST({_TWO60_INT} AS BIGINT)
+                  - 2 * ABS(h - CAST({_TWO59} AS BIGINT))) AS num,
+         CASE WHEN h >= CAST({_TWO59} AS BIGINT)
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+  FROM t0
+),
+l1 AS (SELECT *, {ln_e_sql("num", str(_TWO60_INT))} AS e1 FROM t1),
+l2 AS (SELECT *, {ln_m_sql("num", str(_TWO60_INT), "e1")} AS m1 FROM l1),
+l3 AS (SELECT *, {ln_z_sql("m1")} AS z1 FROM l2),
+l4 AS (SELECT *, z1 * z1 AS w1 FROM l3)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       CAST(n AS DOUBLE)
+       + CAST({-1.0 / _DP_EPSILON!r} AS DOUBLE) * sgn
+         * {ln_val_sql("e1", "z1", "w1")} AS noisy_count,
+       CAST({_DP_EPSILON!r} AS DOUBLE) AS epsilon
+FROM l4
+"""
+
+
+PRIVACY_DP_COUNTS_SQL = _dp_sql()
+
+
 QUERIES = {
     "stats_mannwhitney_value": stats_mannwhitney_value,
     "stats_psi_value_drift": stats_psi_value_drift,
     "stats_bootstrap_ci_mean": stats_bootstrap_ci_mean,
     "stats_theilsen_trend": stats_theilsen_trend,
+    "stats_gtest_dow_type": stats_gtest_dow_type,
+    "privacy_dp_counts": privacy_dp_counts,
     "stats_mad_outliers": stats_mad_outliers,
     "stats_autocorrelation": stats_autocorrelation,
     "value_decile_assignment": value_decile_assignment,
@@ -2004,6 +2187,8 @@ ORACLES = {
     "stats_psi_value_drift": STATS_PSI_VALUE_DRIFT_SQL,
     "stats_bootstrap_ci_mean": STATS_BOOTSTRAP_CI_MEAN_SQL,
     "stats_theilsen_trend": STATS_THEILSEN_TREND_SQL,
+    "stats_gtest_dow_type": STATS_GTEST_DOW_TYPE_SQL,
+    "privacy_dp_counts": PRIVACY_DP_COUNTS_SQL,
     "stats_mad_outliers": STATS_MAD_OUTLIERS_SQL,
     "stats_autocorrelation": STATS_AUTOCORRELATION_SQL,
     "value_decile_assignment": VALUE_DECILE_ASSIGNMENT_SQL,

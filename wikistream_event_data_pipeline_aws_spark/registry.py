@@ -106,10 +106,13 @@ _FRONT_TARGET_ROUND = 10
 # stats_theilsen_trend (median-of-slopes order statistic),
 # similarity_ann_pq (IVF-PQ ADC search — completes the LSH/IVF/PQ
 # trio), eval_knn_confusion (per-class confusion + macro-F1),
-# graph_modularity_brand (Newman-Girvan Q). 14 new + the r4 deferral
-# (partition_evolution_audit) + 35 of the 46 r5 rows in registration
-# order = 50; the eleven registration-last r5 rows
-# (knn_classify_embeddings … table_merkle_sync, snapshot_time_travel,
+# graph_modularity_brand (Newman-Girvan Q), stats_gtest_dow_type
+# (likelihood-ratio independence — chi2's log-family sibling), and
+# privacy_dp_counts (the Laplace-mechanism release shape with
+# deterministic hash noise). 16 new + the r4 deferral
+# (partition_evolution_audit) + 33 of the 46 r5 rows in registration
+# order = 50; the thirteen registration-last r5 rows
+# (privacy_l_diversity … table_merkle_sync, snapshot_time_travel,
 # snapshot_changes, snapshot_mor_read) defer to round 11 — new
 # queries outrank the staleness floor (tools/front_rotation.py
 # --target-round 10 reproduces this block verbatim). No
@@ -135,6 +138,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "similarity_ann_pq",
     "eval_knn_confusion",
     "graph_modularity_brand",
+    "stats_gtest_dow_type",
+    "privacy_dp_counts",
     "partition_evolution_audit",
     "funnel_time_to_convert",
     "sequence_pattern_match",
@@ -169,8 +174,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tv_distance_source_mix",
     "stats_ks_value_drift",
     "stats_chi2_dow_type",
-    "privacy_l_diversity",
-    "embedding_pq_residuals",
 )
 
 
