@@ -1706,8 +1706,23 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     division; the CI bounds are ORDER STATISTICS of the {_BOOT_B}
     resample means (rank ⌈0.025B⌉ / ⌈0.975B⌉, ties broken by resample
     id — no interpolation, no float accumulation); the bootstrap SE
-    comes from DECIMAL(28,12) power sums of the means combined in one
-    fixed float expression (the ``stats_corr_ols`` discipline).
+    comes from EXACT BIGINT power sums of the CENTERED, micro-cent-
+    QUANTIZED deviations: dev_q = floor((mean_b − point_mean)·10³ +
+    0.5) — floor/multiply are IEEE-exact, Σdev_q and Σdev_q² are
+    integers, and Var = ((Σq² − (Σq)²/B)/(B−1))/10⁶ is one fixed
+    float expression (the bigram-surprisal integer-quantization
+    discipline; the 10⁻³-cent quantization bias is ~1e-7/12 cents² —
+    documented noise, zero parity risk). The first draft used
+    double→DECIMAL(28,12) power sums of the RAW means and the sf0.1
+    scale sweep caught it: Spark's double→DECIMAL cast routes through
+    the shortest string repr (≤17 significant digits, ZERO-PADDED
+    beyond) while DuckDB expands the true binary value, so that cast
+    is bit-identical only while int_digits + scale ≲ 15 — mean² terms
+    at ~1e9 × scale 12 sit at 22 and diverged in the 11th decimal.
+    Centering + integer quantization removes the cast entirely.
+    Overflow: Σdev_q² ≤ B·(5.6e7)² ≈ 2e17 fits BIGINT with 45× head-
+    room; dev_q is bounded by the cents domain, not the row count, so
+    the bound is SF-invariant.
 
     Scale: the ×B row explosion collapses immediately into the
     (type, b) partial agg — map-side combine means the shuffle carries
@@ -1772,25 +1787,36 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo_rank = -(-25 * _BOOT_B // 1000)  # ceil(0.025*B)
     hi_rank = -(-975 * _BOOT_B // 1000)  # ceil(0.975*B)
-    ranked = per_b.withColumn("rn", F.row_number().over(wrk))
-    agg = ranked.groupBy("event_type").agg(
+    dev_q = F.floor(
+        (F.col("mean_b") - F.col("point_mean_cents")) * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    ranked = per_b.join(F.broadcast(point), "event_type").select(
+        "event_type",
+        "n",
+        "point_mean_cents",
+        "mean_b",
+        dev_q.alias("dev_q"),
+        F.row_number().over(wrk).alias("rn"),
+    )
+    agg = ranked.groupBy("event_type", "n", "point_mean_cents").agg(
         F.min(F.when(F.col("rn") == lo_rank, F.col("mean_b"))).alias(
             "ci_lo_cents"
         ),
         F.min(F.when(F.col("rn") == hi_rank, F.col("mean_b"))).alias(
             "ci_hi_cents"
         ),
-        F.sum(F.col("mean_b").cast("decimal(28,12)")).alias("s1"),
-        F.sum((F.col("mean_b") * F.col("mean_b")).cast("decimal(28,12)")).alias(
-            "s2"
-        ),
+        F.sum("dev_q").alias("s1"),
+        F.sum(F.col("dev_q") * F.col("dev_q")).alias("s2"),
         F.count(F.lit(1)).alias("n_b"),
     )
     s1 = F.col("s1").cast("double")
     s2 = F.col("s2").cast("double")
     nb = F.col("n_b").cast("double")
-    boot_se = F.sqrt((s2 - s1 * s1 / nb) / (nb - F.lit(1.0)))
-    return agg.join(F.broadcast(point), "event_type").select(
+    boot_se = (
+        F.sqrt((s2 - s1 * s1 / nb) / (nb - F.lit(1.0))) / F.lit(1000.0)
+    )
+    return agg.select(
         "event_type",
         "n",
         "point_mean_cents",
@@ -1842,26 +1868,29 @@ per_b AS (
   HAVING SUM(w) > 0
 ),
 ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-                               ORDER BY mean_b ASC, b ASC) AS rn
-  FROM per_b
+  SELECT per_b.event_type, point.n, point.point_mean_cents, mean_b,
+         CAST(FLOOR((mean_b - point.point_mean_cents) * CAST(1000.0 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dev_q,
+         ROW_NUMBER() OVER (PARTITION BY per_b.event_type
+                            ORDER BY mean_b ASC, b ASC) AS rn
+  FROM per_b JOIN point ON per_b.event_type = point.event_type
 ),
 agg AS (
-  SELECT event_type,
+  SELECT event_type, n, point_mean_cents,
          MIN(CASE WHEN rn = {lo_rank} THEN mean_b END) AS ci_lo_cents,
          MIN(CASE WHEN rn = {hi_rank} THEN mean_b END) AS ci_hi_cents,
-         SUM(CAST(mean_b AS DECIMAL(28,12))) AS s1,
-         SUM(CAST(mean_b * mean_b AS DECIMAL(28,12))) AS s2,
+         CAST(SUM(dev_q) AS BIGINT) AS s1,
+         CAST(SUM(dev_q * dev_q) AS BIGINT) AS s2,
          CAST(COUNT(*) AS BIGINT) AS n_b
-  FROM ranked GROUP BY event_type
+  FROM ranked GROUP BY event_type, n, point_mean_cents
 )
-SELECT agg.event_type, point.n, point.point_mean_cents,
-       agg.ci_lo_cents, agg.ci_hi_cents,
-       sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
-             - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
-               * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE))
-            / (CAST(n_b AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS boot_se_cents
-FROM agg JOIN point ON agg.event_type = point.event_type
+SELECT event_type, n, point_mean_cents,
+       ci_lo_cents, ci_hi_cents,
+       sqrt((CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_b AS DOUBLE))
+            / (CAST(n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+       / CAST(1000.0 AS DOUBLE) AS boot_se_cents
+FROM agg
 """
 
 
