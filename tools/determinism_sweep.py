@@ -40,6 +40,9 @@ MASTER = os.environ.get("SWEEP_MASTER", "local[32]")
 SHUFFLE = os.environ.get("SWEEP_SHUFFLE", "8")
 OUT = os.environ.get("SWEEP_OUT", "/tmp/determinism_hashes.json")
 SF_DIR = os.environ.get("SWEEP_SF", "/root/testdata/sf0.01")
+# comma-separated allowlist for targeted re-sweeps after a single-query
+# fix (empty = every registered query)
+ONLY = {n for n in os.environ.get("SWEEP_ONLY", "").split(",") if n}
 
 
 def main() -> int:
@@ -62,6 +65,8 @@ def main() -> int:
 
     hashes: dict[str, object] = {}
     for name, fn in entry.queries().items():
+        if ONLY and name not in ONLY:
+            continue
         try:
             pdf = fn(spark, SF_DIR).toPandas()
             cols = sorted(pdf.columns)
