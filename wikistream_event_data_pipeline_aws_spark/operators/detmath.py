@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 # DuckDB SQL (wrapped in CAST AS DOUBLE), so both engines start from
 # bit-identical constants.
 _LN2 = 0.6931471805599453
+LN2 = _LN2  # public: callers converting ln -> log2 use the same literal
 _ODD = tuple(range(3, 27, 2))  # series denominators 3..25 (12 Horner levels)
 
 

@@ -13,6 +13,14 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.detmath import (
+    LN2,
+    det_ln_ratio,
+    ln_e_sql,
+    ln_m_sql,
+    ln_val_sql,
+    ln_z_sql,
+)
 from ..operators.textops import hex_hash
 from ..operators.textops import tokenize as _tokenize
 from ..operators.similarity import (
@@ -348,6 +356,135 @@ SELECT e.query_id,
 FROM exact e
 LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
+"""
+
+
+def eval_ann_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking metrics for the production ANN path — nDCG@k and
+    (M)RR, the two scores a retrieval deployment actually reports
+    (``similarity_ann_recall`` answers "did the true neighbors
+    appear?"; this answers "did they appear IN THE RIGHT ORDER, near
+    the top?"). Relevance is graded from the exact top-k: the rank-j
+    exact neighbor carries rel = k+1−j, so swapping positions 1 and 10
+    costs nDCG even at recall 1.0.
+
+    The log2 discount is ``det_ln_ratio(rank+1, 1) / ln2`` — an exact
+    integer-argument log (bit-identical cross-engine; the same ln2
+    double literal on both sides), so even the discount curve is
+    value-hash-checked. DCG/iDCG sums cast DECIMAL(28,12) (terms
+    ≤ k·1.45 — far inside the ≤15-sig-digit cast-parity bound); RR is
+    one exact division; MRR is the windowed mean over queries. The
+    exact leg is the same bounded-nq audit discipline as the recall
+    query (AUDIT knob documented there)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    exact = (
+        brute_force_topk(queries, e, k=TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").alias("exact_rank"))
+        .localCheckpoint(eager=False)  # consumed by the rel join AND the iDCG leg
+    )
+    ann = similarity_ann_lsh_multi(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    one = F.lit(1).cast("long")
+    j = ann.join(exact, ["query_id", "neighbor_id"], "left")
+    rel = F.when(
+        F.col("exact_rank").isNotNull(), F.lit(TOP_K + 1) - F.col("exact_rank")
+    ).otherwise(F.lit(0)).cast("long")
+    dcg_term = (rel.cast("double") * F.lit(LN2)) / det_ln_ratio(
+        F.col("rank") + 1, one
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.sum((rel > 0).cast("bigint")).alias("n_hits"),
+        F.sum(dcg_term.cast("decimal(28,12)")).alias("dcg_d"),
+        F.min(F.when(rel > 0, F.col("rank"))).alias("first_hit_rank"),
+    )
+    idcg_term = (
+        (F.lit(TOP_K + 1) - F.col("exact_rank")).cast("double") * F.lit(LN2)
+    ) / det_ln_ratio(F.col("exact_rank") + 1, one)
+    ideal = exact.groupBy("query_id").agg(
+        F.sum(idcg_term.cast("decimal(28,12)")).alias("idcg_d")
+    )
+    rr = F.when(
+        F.col("first_hit_rank").isNotNull(),
+        F.lit(1.0) / F.col("first_hit_rank").cast("double"),
+    ).otherwise(F.lit(0.0))
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = per_q.join(ideal, "query_id").select(
+        "query_id",
+        "n_hits",
+        F.col("dcg_d").cast("double").alias("dcg"),
+        F.col("idcg_d").cast("double").alias("idcg"),
+        (
+            F.col("dcg_d").cast("double") / F.col("idcg_d").cast("double")
+        ).alias("ndcg_at_k"),
+        rr.alias("reciprocal_rank"),
+    )
+    return out.select(
+        "*",
+        (
+            F.sum(F.col("reciprocal_rank").cast("decimal(28,12)"))
+            .over(wall)
+            .cast("double")
+            / F.count(F.lit(1)).over(wall).cast("double")
+        ).alias("mrr"),
+    )
+
+
+EVAL_ANN_RANKING_SQL = f"""
+WITH exact AS ({SIMILARITY_COSINE_TOPK_SQL.replace("rank", "exact_rank")}),
+ann AS ({SIMILARITY_ANN_LSH_MULTI_SQL}),
+j AS (
+  SELECT a.query_id, a.rank,
+         CASE WHEN e.neighbor_id IS NOT NULL
+              THEN CAST({TOP_K + 1} - e.exact_rank AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS rel,
+         a.rank + 1 AS arg1
+  FROM ann a
+  LEFT JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+),
+jl1 AS (SELECT *, {ln_e_sql("arg1", "1")} AS e1 FROM j),
+jl2 AS (SELECT *, {ln_m_sql("arg1", "1", "e1")} AS m1 FROM jl1),
+jl3 AS (SELECT *, {ln_z_sql("m1")} AS z1 FROM jl2),
+jl4 AS (SELECT *, z1 * z1 AS w1 FROM jl3),
+per_q AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         SUM(CAST((CAST(rel AS DOUBLE) * CAST({LN2!r} AS DOUBLE))
+                  / {ln_val_sql("e1", "z1", "w1")} AS DECIMAL(28,12))) AS dcg_d,
+         MIN(CASE WHEN rel > 0 THEN rank END) AS first_hit_rank
+  FROM jl4 GROUP BY query_id
+),
+ex0 AS (SELECT query_id, exact_rank, exact_rank + 1 AS arg2 FROM exact),
+el1 AS (SELECT *, {ln_e_sql("arg2", "1")} AS e2 FROM ex0),
+el2 AS (SELECT *, {ln_m_sql("arg2", "1", "e2")} AS m2 FROM el1),
+el3 AS (SELECT *, {ln_z_sql("m2")} AS z2 FROM el2),
+el4 AS (SELECT *, z2 * z2 AS w2 FROM el3),
+ideal AS (
+  SELECT query_id,
+         SUM(CAST((CAST({TOP_K + 1} - exact_rank AS DOUBLE)
+                   * CAST({LN2!r} AS DOUBLE))
+                  / {ln_val_sql("e2", "z2", "w2")} AS DECIMAL(28,12))) AS idcg_d
+  FROM el4 GROUP BY query_id
+),
+out AS (
+  SELECT p.query_id, p.n_hits,
+         CAST(CAST(p.dcg_d AS VARCHAR) AS DOUBLE) AS dcg,
+         CAST(CAST(i.idcg_d AS VARCHAR) AS DOUBLE) AS idcg,
+         CAST(CAST(p.dcg_d AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(i.idcg_d AS VARCHAR) AS DOUBLE) AS ndcg_at_k,
+         CASE WHEN p.first_hit_rank IS NOT NULL
+              THEN CAST(1.0 AS DOUBLE) / CAST(p.first_hit_rank AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS reciprocal_rank
+  FROM per_q p JOIN ideal i ON p.query_id = i.query_id
+)
+SELECT *,
+       CAST(CAST(SUM(CAST(reciprocal_rank AS DECIMAL(28,12))) OVER ()
+                 AS VARCHAR) AS DOUBLE)
+       / CAST(COUNT(*) OVER () AS DOUBLE) AS mrr
+FROM out
 """
 
 
@@ -1603,6 +1740,7 @@ QUERIES = {
     "similarity_ann_ivf": similarity_ann_ivf,
     "similarity_ann_pq": similarity_ann_pq,
     "similarity_ann_recall": similarity_ann_recall,
+    "eval_ann_ranking": eval_ann_ranking,
     "similarity_ann_sweep": similarity_ann_sweep,
     "embedding_int8_codes": embedding_int8_codes,
 }
@@ -1620,5 +1758,6 @@ ORACLES = {
     "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
     "similarity_ann_pq": SIMILARITY_ANN_PQ_SQL,
     "similarity_ann_recall": SIMILARITY_ANN_RECALL_SQL,
+    "eval_ann_ranking": EVAL_ANN_RANKING_SQL,
     "embedding_int8_codes": EMBEDDING_INT8_CODES_SQL,
 }

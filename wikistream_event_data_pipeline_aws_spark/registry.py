@@ -109,10 +109,11 @@ _FRONT_TARGET_ROUND = 10
 # graph_modularity_brand (Newman-Girvan Q), stats_gtest_dow_type
 # (likelihood-ratio independence — chi2's log-family sibling), and
 # privacy_dp_counts (the Laplace-mechanism release shape with
-# deterministic hash noise). 16 new + the r4 deferral
-# (partition_evolution_audit) + 33 of the 46 r5 rows in registration
-# order = 50; the thirteen registration-last r5 rows
-# (privacy_l_diversity … table_merkle_sync, snapshot_time_travel,
+# deterministic hash noise), and eval_ann_ranking (graded nDCG@k +
+# MRR for the ANN path — the log2 discount is det_ln too). 17 new +
+# the r4 deferral (partition_evolution_audit) + 32 of the 46 r5 rows
+# in registration order = 50; the fourteen registration-last r5 rows
+# (stats_chi2_dow_type … table_merkle_sync, snapshot_time_travel,
 # snapshot_changes, snapshot_mor_read) defer to round 11 — new
 # queries outrank the staleness floor (tools/front_rotation.py
 # --target-round 10 reproduces this block verbatim). No
@@ -140,6 +141,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "graph_modularity_brand",
     "stats_gtest_dow_type",
     "privacy_dp_counts",
+    "eval_ann_ranking",
     "partition_evolution_audit",
     "funnel_time_to_convert",
     "sequence_pattern_match",
@@ -173,7 +175,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "survival_km_order_gaps",
     "tv_distance_source_mix",
     "stats_ks_value_drift",
-    "stats_chi2_dow_type",
 )
 
 
