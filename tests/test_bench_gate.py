@@ -167,3 +167,45 @@ def test_steal_pct_from_proc_stat_deltas():
     ticks = _cpu_ticks()
     if ticks is not None:  # Linux: 8 monotone counters
         assert len(ticks) == 8 and all(v >= 0 for v in ticks)
+
+
+def test_degraded_host_runs_recorded_but_never_baseline_or_gated(tmp_path):
+    """A hypervisor-degraded run (host idx past the absolute bound /
+    high steal) carries the same record-but-never-compare contract as
+    a contended one: flagged in history, blank comparison cells,
+    excluded from later baselines, never itself gated. Round-10
+    evidence: at host idx 0.84 / 7% steal one query measured 27x its
+    baseline while the index ratio said only 1.6x — the [1,2]
+    host-scale clamp cannot absorb that, so the run must not produce
+    a red record or poison the next baseline."""
+    import json
+
+    from bench import _previous_comparable, _update_history
+
+    quiet = {"sf": 0.1, "cpus": 32, "queries": {"q1": 1.0}, "host_index": 0.45}
+    assert _update_history(str(tmp_path), quiet) == []
+    degraded = {
+        "sf": 0.1,
+        "cpus": 32,
+        "queries": {"q1": 27.0},
+        "host_index": 0.84,
+        "degraded_host": True,
+    }
+    assert _update_history(str(tmp_path), degraded) == []
+    rows = [
+        json.loads(line)
+        for line in (tmp_path / "BENCH_HISTORY.jsonl").read_text().splitlines()
+    ]
+    assert len(rows) == 2 and rows[1]["degraded_host"] is True
+    md = (tmp_path / "BENCH_HISTORY.md").read_text()
+    degraded_row = next(
+        l for l in md.splitlines() if l.startswith("| 2") and "⚠degraded" in l
+    )
+    assert "27.00x" not in degraded_row
+    assert degraded_row.rstrip().endswith("| — | — | — | 0.84 |")
+    assert _previous_comparable(str(tmp_path), "/x/sf0.1", 32)["queries"] == {
+        "q1": 1.0
+    }
+    assert _update_history(str(tmp_path), {**quiet, "queries": {"q1": 2.5}}) == [
+        {"query": "q1", "prev_s": 1.0, "now_s": 2.5}
+    ]
