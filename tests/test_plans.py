@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 255
+EXPECTED_QUERY_COUNT = 257
 
 
 def _plan(spark, sf_dir, name: str) -> str:

@@ -35,7 +35,7 @@ def summary(spark):
 
 GATED_FAMILIES = (
     "minhash_lsh", "simhash60", "semdedup", "embedding_lsh", "phash", "afp",
-    "containment_rare",
+    "containment_rare", "substring_dup",
 )
 
 
@@ -52,6 +52,20 @@ def test_candidates_stay_below_all_pairs(summary):
     for fam, s in summary.items():
         big = s["rows"][-1]
         assert big["candidates"] < big["all_pairs"], (fam, big)
+
+
+def test_bootstrap_b_knob_is_priced(summary):
+    """The stats_bootstrap_ci_mean B-knob claim (VERDICT r10 item 4):
+    shuffle rows grow ~linearly in B (|types|·B — a per-resample
+    repartition would instead carry N·B) and wall-clock stays in the
+    linear regime (fixed overhead deflates the exponent at small B; a
+    shuffle cliff would inflate it past the gate)."""
+    s = summary["bootstrap_B"]
+    assert s["gated"] and s["linear"], s
+    assert s["candidate_exponent"] < scale_curve.EXPONENT_LIMIT, s
+    assert s["time_exponent"] < scale_curve.EXPONENT_LIMIT, s
+    big = s["rows"][-1]
+    assert big["candidates"] < big["all_pairs"], big
 
 
 def test_pedagogical_canary_reads_saturated(summary):

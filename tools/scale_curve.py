@@ -412,6 +412,86 @@ def containment_candidates(docs: DataFrame) -> int:
     return int(row["cand"] or 0)
 
 
+def substring_candidates(docs: DataFrame) -> int:
+    """``dedup_substring_spans``'s scale-carrying term: the number of
+    duplicated-window OCCURRENCES that survive the md5-keyed hash agg
+    and flow into the per-doc gaps-and-islands window (everything
+    upstream is a map-side projection; everything downstream is
+    per-doc bounded). The op has no pairwise stage at all, so this IS
+    its only data-dependent fan-out — expected exponent ~1.0. Each
+    corpus copy gets its own planted whole-doc clones (ids offset past
+    the expansion's 10M stride), mirroring the registered query's
+    augmented corpus, so duplicate density is scale-invariant like the
+    other families."""
+    from wikistream_event_data_pipeline_aws_spark.plans.dedup import (
+        _substring_spans,
+    )
+
+    clones = docs.filter(F.col("doc_id") % 10_000_000 < 10).select(
+        (F.col("doc_id") + 500_000_000).alias("doc_id"), "text"
+    )
+    res = _substring_spans(docs.unionByName(clones))
+    row = res.agg(F.sum("n_dup_windows").alias("cand")).first()
+    return int(row["cand"] or 0)
+
+
+def bootstrap_b_family(
+    spark: SparkSession, sf_dir: str, bs: list[int]
+) -> dict:
+    """The ``stats_bootstrap_ci_mean`` B-knob cost curve (VERDICT r10
+    item 4): the docstring claims CPU linear in B with the shuffle
+    pinned at |types|·B rows regardless of B — "production raises B to
+    1000+" is only honest if that's MEASURED. Axis here is B (not
+    corpus size): per B, run the real factored plan
+    (``plans.stats._bootstrap_ci_plan``) end-to-end and time it, and
+    count the rows the (type, b) partial agg actually shuffles.
+    ``candidates`` = measured shuffle rows (expected exactly |types|·B,
+    exponent 1.0); ``all_pairs`` = N·B, the naive full-resample
+    materialization a per-resample repartition would carry;
+    ``time_exponent`` = fitted wall-clock growth vs B — overhead
+    deflates it below 1 at small B, a shuffle cliff would push it
+    past the gate."""
+    import time
+
+    from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+    from wikistream_event_data_pipeline_aws_spark.plans.stats import (
+        _bootstrap_ci_plan,
+    )
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    rows = []
+    for b in bs:
+        shuffle_rows = _bootstrap_ci_plan(
+            spark, sf_dir, b, means_only=True
+        ).count()
+        t0 = time.monotonic()
+        _bootstrap_ci_plan(spark, sf_dir, b).collect()
+        dt = time.monotonic() - t0
+        rows.append(
+            {
+                "scale": b,
+                "n": b,
+                "candidates": shuffle_rows,
+                "all_pairs": n_events * b,
+                "seconds": round(dt, 3),
+            }
+        )
+    exp_c = fit_exponent([(r["n"], r["candidates"]) for r in rows])
+    exp_t = fit_exponent(
+        [(r["n"], max(int(r["seconds"] * 1000), 1)) for r in rows]
+    )
+    return {
+        "rows": rows,
+        "candidate_exponent": round(exp_c, 3),
+        "all_pairs_exponent": round(
+            fit_exponent([(r["n"], r["all_pairs"]) for r in rows]), 3
+        ),
+        "time_exponent": round(exp_t, 3),
+        "linear": exp_c < EXPONENT_LIMIT and exp_t < EXPONENT_LIMIT,
+        "gated": True,
+    }
+
+
 def fit_exponent(points: list[tuple[int, int]]) -> float:
     """Least-squares slope of log(candidates) vs log(N)."""
     xs = [math.log(n) for n, _ in points]
@@ -431,6 +511,7 @@ def run(
     scales: list[int],
     spark: SparkSession | None = None,
     include_pedagogical: bool = False,
+    boot_bs: tuple[int, ...] = (64, 256),
 ) -> dict:
     owns = spark is None
     if owns:
@@ -459,7 +540,7 @@ def run(
 
     families = [
         "minhash_lsh", "simhash60", "semdedup", "embedding_lsh",
-        "phash", "afp", "containment_rare",
+        "phash", "afp", "containment_rare", "substring_dup",
     ]
     if include_pedagogical:
         families.append("simhash16_pedagogical")
@@ -482,6 +563,7 @@ def run(
             ("phash", nd, phash_candidates(d_s, b_media)),
             ("afp", nd, afp_candidates(d_s, b_media)),
             ("containment_rare", nd, containment_candidates(d_s)),
+            ("substring_dup", nd, substring_candidates(d_s)),
         ]
         if include_pedagogical:
             rows.append(("simhash16_pedagogical", nd, simhash16_candidates(d_s)))
@@ -506,6 +588,7 @@ def run(
             "linear": exp_c < EXPONENT_LIMIT,
             "gated": fam not in GATE_EXEMPT,
         }
+    summary["bootstrap_B"] = bootstrap_b_family(spark, sf_dir, list(boot_bs))
     if owns:
         spark.stop()
     return summary
@@ -517,10 +600,17 @@ def main() -> int:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--scales", default="1,3,10")
+    ap.add_argument("--boot-bs", default="64,256,1024")
     ap.add_argument("--include-pedagogical", action="store_true")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
-    summary = run(args.sf_dir, scales, include_pedagogical=args.include_pedagogical)
+    boot_bs = tuple(int(b) for b in args.boot_bs.split(","))
+    summary = run(
+        args.sf_dir,
+        scales,
+        include_pedagogical=args.include_pedagogical,
+        boot_bs=boot_bs,
+    )
     ok = True
     for fam, s in summary.items():
         for r in s["rows"]:

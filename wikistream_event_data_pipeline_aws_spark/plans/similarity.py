@@ -434,7 +434,14 @@ def eval_ann_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVAL_ANN_RANKING_SQL = f"""
-WITH exact AS ({SIMILARITY_COSINE_TOPK_SQL.replace("rank", "exact_rank")}),
+WITH exact AS (
+  -- outer-select alias, NOT a .replace("rank", "exact_rank") on the base
+  -- SQL: a blanket substring replace would silently corrupt this oracle
+  -- the moment the base text grows another 'rank' in a different role
+  -- (a rank() window, a rank_score column).
+  SELECT query_id, neighbor_id, rank AS exact_rank
+  FROM ({SIMILARITY_COSINE_TOPK_SQL})
+),
 ann AS ({SIMILARITY_ANN_LSH_MULTI_SQL}),
 j AS (
   SELECT a.query_id, a.rank,

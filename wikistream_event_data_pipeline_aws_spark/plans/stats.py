@@ -1500,9 +1500,12 @@ def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the conventional banking-scorecard thresholds).
 
     Exactness: counts collapse to the (type, half, bucket) grain
-    (16 fixed-width buckets over the pinned [0, 512) range, overflow
-    clamped into the top bucket; a bucket spine keeps EMPTY buckets in
-    the sum so the +1 Laplace smoothing denominators agree). Every log
+    (16 fixed-width buckets over the pinned [0, 512) range, clamped
+    SYMMETRICALLY — overflow into the top bucket, negatives into bucket
+    0: a one-sided clamp would let a negative value fall off the 0..15
+    spine, dropping it from the PSI/JSD numerators while still counting
+    it in the n_base/n_cur denominators. A bucket spine keeps EMPTY
+    buckets in the sum so the +1 Laplace smoothing denominators agree). Every log
     argument is an exact BIGINT ratio — pₐ/p_b = u·q / v·p with
     u = c_base+1, v = c_cur+1, p = n_base+16, q = n_cur+16, and the
     JSD legs 2uq/(uq+vp), 2vp/(uq+vp) — evaluated by
@@ -1518,9 +1521,12 @@ def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         (F.dayofmonth("ts") <= 15).alias("is_base"),
-        F.least(
-            F.lit(_PSI_NBUCKETS - 1).cast("bigint"),
-            F.floor(F.col("value") / F.lit(_PSI_BUCKET_W)).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(
+                F.lit(_PSI_NBUCKETS - 1).cast("bigint"),
+                F.floor(F.col("value") / F.lit(_PSI_BUCKET_W)).cast("bigint"),
+            ),
         ).alias("bucket"),
     )
     cell = e.groupBy("event_type", "bucket").agg(
@@ -1588,8 +1594,9 @@ def _psi_sql() -> str:
 WITH ev AS (
   SELECT event_type,
          (date_part('day', ts) <= 15) AS is_base,
-         LEAST({_PSI_NBUCKETS - 1},
-               CAST(FLOOR(value / {_PSI_BUCKET_W!r}) AS BIGINT)) AS bucket
+         GREATEST(CAST(0 AS BIGINT),
+                  LEAST({_PSI_NBUCKETS - 1},
+                        CAST(FLOOR(value / {_PSI_BUCKET_W!r}) AS BIGINT))) AS bucket
   FROM events
 ),
 cell AS (
@@ -1675,7 +1682,14 @@ STATS_PSI_VALUE_DRIFT_SQL = _psi_sql()
 
 
 # --- Deterministic Poisson bootstrap -----------------------------------
-_BOOT_B = 64  # resamples; the knob a production caller raises to 1000+
+# Resamples. CPU cost is LINEAR in B by construction (the explode
+# materializes N·B weight rows but they collapse into the map-side
+# (type, b) partial agg, so the SHUFFLE stays |types|·B regardless);
+# the B-knob scaling is MEASURED — see the `bootstrap_B` family in
+# tools/scale_curve.py (suite-gated by tests/test_scale_curve.py) —
+# so "production raises B to 1000+" is a priced claim, not a hope.
+# The B=64 default keeps the per-round gate cheap.
+_BOOT_B = 64
 _BOOT_SEED = "boot"
 # Inverse Poisson(1) CDF breakpoints: P(X<=k) = e^-1 * sum 1/j! for
 # j<=k, hardcoded as double literals so BOTH engines branch on
@@ -1729,6 +1743,21 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|·B rows, not N·B; the order-statistic window runs over B
     rows per type. Σw·cents fits BIGINT to ~1e14 rows·cents; past that
     both engines fail loudly (ANSI overflow)."""
+    return _bootstrap_ci_plan(spark, sf_dir, _BOOT_B)
+
+
+def _bootstrap_ci_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    b_resamples: int,
+    means_only: bool = False,
+):
+    """B-parametrized core of :func:`stats_bootstrap_ci_mean` —
+    factored so ``tools/scale_curve.py``'s ``bootstrap_B`` family can
+    measure the B-knob's cost curve on the REAL plan (the registered
+    query is exactly ``b_resamples=_BOOT_B``). ``means_only`` stops at
+    the per-resample means (the shuffle-carrying grain) so the curve
+    can count shuffle rows without paying the window stage twice."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -1743,7 +1772,7 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = e.select(
         "event_type",
         "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(b_resamples - 1))).alias("b"),
         "event_id",
     )
     u = (
@@ -1782,11 +1811,13 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    if means_only:
+        return per_b
     wrk = Window.partitionBy("event_type").orderBy(
         F.col("mean_b").asc(), F.col("b").asc()
     )
-    lo_rank = -(-25 * _BOOT_B // 1000)  # ceil(0.025*B)
-    hi_rank = -(-975 * _BOOT_B // 1000)  # ceil(0.975*B)
+    lo_rank = -(-25 * b_resamples // 1000)  # ceil(0.025*B)
+    hi_rank = -(-975 * b_resamples // 1000)  # ceil(0.975*B)
     dev_q = F.floor(
         (F.col("mean_b") - F.col("point_mean_cents")) * F.lit(1000.0)
         + F.lit(0.5)
@@ -2011,11 +2042,20 @@ def stats_gtest_dow_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     any O/E ratio is far from 1). Per cell: G-term = 2·O·ln(O·T/(r·c)),
     an exact-integer-ratio log via ``det_ln_ratio``; zero-observed
     cells contribute 0 and never materialize (the grain holds observed
-    cells only). The global G rides on every row via the
-    DECIMAL(28,12)-cast window sum over the ≤7×|types| grain; dof =
-    (7−1)(|types|−1) computed from the same marginal aggs. Validity:
-    O·T fits BIGINT (and det_ln's 2^62 bound) to ~3e9 events — past
-    that both engines fail loudly; widen the operands first."""
+    cells only). The global G rides on every row via a window sum of
+    the MICRO-QUANTIZED terms — g_q = floor(g_term·10⁶ + 0.5) summed
+    as BIGINT, then /10⁶ (the bootstrap-SE integer-quantization
+    discipline): g_term grows with event counts, and a raw
+    double→DECIMAL(28,12) cast is bit-identical across engines only
+    while int_digits + scale ≲ 15 significant digits — terms past ~1e3
+    would break parity in the low decimals. floor/·10⁶ are IEEE-exact
+    on the bit-identical det_ln product, so the BIGINT sum is exact and
+    order-free; quantization bias ≤ 5e-7 per cell is identical on both
+    engines by construction. dof = (7−1)(|types|−1) from the same
+    marginal aggs. Validity: O·T fits BIGINT (and det_ln's 2^62 bound)
+    to ~3e9 events, where Σ|g_q| ≤ 2·T·lnT·10⁶ ≈ 1.3e17 keeps ~70×
+    BIGINT headroom — past that both engines fail loudly; widen the
+    operands first."""
     e = load_table(spark, sf_dir, "events").select(
         (F.dayofweek("ts") - 1).alias("dow"), "event_type"
     )
@@ -2047,10 +2087,14 @@ def stats_gtest_dow_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("t").cast("double")
         ).alias("expected"),
         g_term.alias("g_term"),
-        F.sum(g_term.cast("decimal(28,12)"))
-        .over(wall)
-        .cast("double")
-        .alias("g_stat"),
+        (
+            F.sum(
+                F.floor(g_term * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+            )
+            .over(wall)
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("g_stat"),
         ((n_dow - F.lit(1)) * (n_typ - F.lit(1))).cast("long").alias("dof"),
     )
 
@@ -2083,8 +2127,8 @@ terms AS (
 SELECT dow, event_type, o AS observed,
        CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE) AS expected,
        g_term,
-       CAST(CAST(SUM(CAST(g_term AS DECIMAL(28,12))) OVER () AS VARCHAR)
-            AS DOUBLE) AS g_stat,
+       CAST(SUM(CAST(FLOOR(g_term * 1000000.0 + 0.5) AS BIGINT)) OVER ()
+            AS DOUBLE) / 1000000.0 AS g_stat,
        CAST((COUNT(DISTINCT dow) OVER () - 1)
             * (COUNT(DISTINCT event_type) OVER () - 1) AS BIGINT) AS dof
 FROM terms

@@ -914,6 +914,265 @@ FROM agg
 TEXT_ENTROPY_KL_BY_SOURCE_SQL = _entropy_kl_sql()
 
 
+def text_crossentropy_heldout_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Held-out cross-entropy / bits-per-token per source — the
+    perplexity-family curation readout one step past
+    ``text_entropy_kl_by_source``: score each source's token stream
+    under the unigram model trained on the REST of the corpus
+    (leave-one-source-out, add-1 smoothed over the corpus vocab), so a
+    source is never flattered by its own counts. High bits-per-token =
+    the rest of the corpus predicts this source poorly (distribution-
+    shifted or noisy — downweight/inspect); low = redundant with the
+    mix (boilerplate candidate). This is the data-mixture signal
+    DoReMi/DSIR-style pipelines compute with an LM; the unigram version
+    is the exact, oracle-checkable floor of that family.
+
+    Exactness: for token w in source s, the held-out probability is
+    q_w = (d_w − c + 1) / (N − n_s + V) — every factor an exact BIGINT
+    (corpus margin minus own count, add-1; vocab-size V smoothing mass)
+    — so H(s) = Σ (c/n_s)·ln((N − n_s + V)/(d_w − c + 1)) is a sum of
+    ``det_ln_ratio`` terms (bit-identical cross-engine) with
+    DECIMAL(28,12) term sums; bits_per_token divides by the shared LN2
+    literal. PERPLEXITY ITSELF IS LEFT IN LOG DOMAIN (bits_per_token =
+    log2 ppl): exp() has no cross-engine bit guarantee, and the
+    |sources|-grain output is cheap to exponentiate consumer-side.
+    Overflow: N − n_s + V < 2N fits det_ln's 2^62 bound to ~2e18
+    corpus tokens.
+
+    Scale: identical shape to the entropy query — one scan, one
+    (source, token) hash agg, token-keyed marginal join, two 1-row
+    broadcast scalars (N, V); output on the |sources| grain."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    cell = d.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    ns = cell.groupBy("source").agg(F.sum("c").alias("n_s"))
+    dw = cell.groupBy("token").agg(F.sum("c").alias("d_w"))
+    nv = cell.agg(
+        F.sum("c").alias("n_tot"),
+        F.count_distinct("token").alias("vocab"),
+    )
+    t = cell.join(ns, "source").join(dw, "token").crossJoin(F.broadcast(nv))
+    coef = F.col("c").cast("double") / F.col("n_s").cast("double")
+    hx_t = coef * det_ln_ratio(
+        F.col("n_tot") - F.col("n_s") + F.col("vocab"),
+        F.col("d_w") - F.col("c") + F.lit(1),
+    )
+    agg = (
+        t.select("source", "n_s", hx_t.cast("decimal(28,12)").alias("hx_t"))
+        .groupBy("source", "n_s")
+        .agg(F.count(F.lit(1)).alias("vocab_size"), F.sum("hx_t").alias("hx_d"))
+    )
+    from ..operators.detmath import LN2
+
+    return agg.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "vocab_size",
+        F.col("hx_d").cast("double").alias("cross_entropy_nats"),
+        (F.col("hx_d").cast("double") / F.lit(LN2)).alias("bits_per_token"),
+    )
+
+
+def _crossentropy_heldout_sql() -> str:
+    from ..operators.detmath import LN2, ln_e_sql, ln_m_sql, ln_val_sql, ln_z_sql
+
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_SQL}) AS token FROM documents
+),
+cell AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, token
+),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cell GROUP BY source),
+dw AS (SELECT token, CAST(SUM(c) AS BIGINT) AS d_w FROM cell GROUP BY token),
+nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot,
+              CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab FROM cell),
+t0 AS (
+  SELECT cell.source, c, n_s,
+         n_tot - n_s + vocab AS a1, d_w - c + 1 AS b1
+  FROM cell JOIN ns USING (source) JOIN dw USING (token), nv
+),
+l1 AS (SELECT *, {ln_e_sql("a1", "b1")} AS e1 FROM t0),
+l2 AS (SELECT *, {ln_m_sql("a1", "b1", "e1")} AS m1 FROM l1),
+l3 AS (SELECT *, {ln_z_sql("m1")} AS z1 FROM l2),
+l4 AS (SELECT *, z1 * z1 AS w1 FROM l3),
+terms AS (
+  SELECT source, n_s,
+         (CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE)) * {ln_val_sql("e1", "z1", "w1")} AS hx_t
+  FROM l4
+),
+agg AS (
+  SELECT source, n_s, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         SUM(CAST(hx_t AS DECIMAL(28,12))) AS hx_d
+  FROM terms GROUP BY source, n_s
+)
+SELECT source, n_s AS n_tokens, vocab_size,
+       CAST(CAST(hx_d AS VARCHAR) AS DOUBLE) AS cross_entropy_nats,
+       CAST(CAST(hx_d AS VARCHAR) AS DOUBLE) / CAST({LN2!r} AS DOUBLE)
+         AS bits_per_token
+FROM agg
+"""
+
+
+TEXT_CROSSENTROPY_HELDOUT_BY_SOURCE_SQL = _crossentropy_heldout_sql()
+
+
+def text_jsd_pairwise_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between every pair of
+    document sources over their unigram token distributions — the
+    symmetric, bounded ([0, ln 2]) source-similarity matrix a mixture
+    designer clusters before assigning sampling weights (near-zero JSD
+    pairs are interchangeable slices to merge; high-JSD pairs are the
+    diversity the mixture must preserve). Completes the detmath log
+    family: PSI/KL (stats_psi_value_drift, text_entropy_kl_by_source)
+    are asymmetric two-arm scores; JSD here is the all-pairs symmetric
+    one the module docstring promised.
+
+    Exactness: for pair (a, b) and shared token w, both JSD legs are
+    logs of EXACT INTEGER RATIOS — 2p₁/(p₁+p₂) = 2·c₁·n₂/(c₁n₂ + c₂n₁)
+    — via ``det_ln_ratio`` with DECIMAL(28,12) term sums. Tokens in
+    only ONE source contribute exactly p·ln 2, so their mass folds in
+    CLOSED FORM from BIGINT shared-count sums: Σ_{A∖B} p₁·ln2 =
+    ((n₁−S₁)/n₁)·ln2 with S₁ = Σ_shared c₁ — no vocab spine, no full
+    outer join, no per-token double accumulation. The combine is one
+    fixed float expression mirrored token-for-token in the oracle.
+    Overflow: c₁·n₂ ≤ n₁·n₂ must fit BIGINT/2^62 — valid to ~2e9
+    tokens per source; past that widen to DECIMAL(38,0) first (both
+    engines fail loudly on the cast).
+
+    Scale: (source, token) hash agg, then a TOKEN-KEYED self-join —
+    per-token fan-out is (#sources containing it)², bounded by
+    |sources|² ≪ corpus size; output is the C(|sources|, 2) grain.
+    No all-pairs document scan anywhere."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    cell = d.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    ns = cell.groupBy("source").agg(F.sum("c").alias("n_s"))
+    a = cell.join(ns, "source").select(
+        F.col("source").alias("s1"),
+        "token",
+        F.col("c").alias("c1"),
+        F.col("n_s").alias("n1"),
+    )
+    b = cell.join(ns, "source").select(
+        F.col("source").alias("s2"),
+        "token",
+        F.col("c").alias("c2"),
+        F.col("n_s").alias("n2"),
+    )
+    j = a.join(b, "token").filter(F.col("s1") < F.col("s2"))
+    den = F.col("c1") * F.col("n2") + F.col("c2") * F.col("n1")
+    t1 = (F.col("c1").cast("double") / F.col("n1").cast("double")) * det_ln_ratio(
+        F.lit(2) * F.col("c1") * F.col("n2"), den
+    )
+    t2 = (F.col("c2").cast("double") / F.col("n2").cast("double")) * det_ln_ratio(
+        F.lit(2) * F.col("c2") * F.col("n1"), den
+    )
+    agg = (
+        j.select(
+            "s1",
+            "s2",
+            "n1",
+            "n2",
+            "c1",
+            "c2",
+            t1.cast("decimal(28,12)").alias("t1"),
+            t2.cast("decimal(28,12)").alias("t2"),
+        )
+        .groupBy("s1", "s2", "n1", "n2")
+        .agg(
+            F.count(F.lit(1)).alias("shared_vocab"),
+            F.sum("c1").alias("sc1"),
+            F.sum("c2").alias("sc2"),
+            F.sum("t1").alias("t1_d"),
+            F.sum("t2").alias("t2_d"),
+        )
+    )
+    from ..operators.detmath import LN2
+
+    jsd = F.lit(0.5) * (
+        F.col("t1_d").cast("double") + F.col("t2_d").cast("double")
+    ) + F.lit(0.5) * F.lit(LN2) * (
+        (F.col("n1") - F.col("sc1")).cast("double") / F.col("n1").cast("double")
+        + (F.col("n2") - F.col("sc2")).cast("double")
+        / F.col("n2").cast("double")
+    )
+    return agg.select(
+        "s1",
+        "s2",
+        F.col("n1").alias("n1_tokens"),
+        F.col("n2").alias("n2_tokens"),
+        "shared_vocab",
+        jsd.alias("jsd_nats"),
+        (jsd / F.lit(LN2)).alias("jsd_normalized"),
+    )
+
+
+def _jsd_pairwise_sql() -> str:
+    from ..operators.detmath import LN2, ln_e_sql, ln_m_sql, ln_val_sql, ln_z_sql
+
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_SQL}) AS token FROM documents
+),
+cell AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, token
+),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cell GROUP BY source),
+cw AS (SELECT cell.source, token, c, n_s FROM cell JOIN ns USING (source)),
+j AS (
+  SELECT a.source AS s1, b.source AS s2, a.c AS c1, b.c AS c2,
+         a.n_s AS n1, b.n_s AS n2,
+         2 * a.c * b.n_s AS a1, 2 * b.c * a.n_s AS a2,
+         a.c * b.n_s + b.c * a.n_s AS bb
+  FROM cw a JOIN cw b ON a.token = b.token AND a.source < b.source
+),
+l1 AS (SELECT *, {ln_e_sql("a1", "bb")} AS e1, {ln_e_sql("a2", "bb")} AS e2 FROM j),
+l2 AS (
+  SELECT *, {ln_m_sql("a1", "bb", "e1")} AS m1,
+         {ln_m_sql("a2", "bb", "e2")} AS m2
+  FROM l1
+),
+l3 AS (SELECT *, {ln_z_sql("m1")} AS z1, {ln_z_sql("m2")} AS z2 FROM l2),
+l4 AS (SELECT *, z1 * z1 AS w1, z2 * z2 AS w2 FROM l3),
+terms AS (
+  SELECT s1, s2, n1, n2, c1, c2,
+         (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * {ln_val_sql("e1", "z1", "w1")} AS t1,
+         (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * {ln_val_sql("e2", "z2", "w2")} AS t2
+  FROM l4
+),
+agg AS (
+  SELECT s1, s2, n1, n2, CAST(COUNT(*) AS BIGINT) AS shared_vocab,
+         CAST(SUM(c1) AS BIGINT) AS sc1, CAST(SUM(c2) AS BIGINT) AS sc2,
+         SUM(CAST(t1 AS DECIMAL(28,12))) AS t1_d,
+         SUM(CAST(t2 AS DECIMAL(28,12))) AS t2_d
+  FROM terms GROUP BY s1, s2, n1, n2
+),
+fin AS (
+  SELECT s1, s2, n1, n2, shared_vocab,
+         CAST(0.5 AS DOUBLE)
+           * (CAST(CAST(t1_d AS VARCHAR) AS DOUBLE)
+              + CAST(CAST(t2_d AS VARCHAR) AS DOUBLE))
+         + CAST(0.5 AS DOUBLE) * CAST({LN2!r} AS DOUBLE)
+           * (CAST(n1 - sc1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              + CAST(n2 - sc2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS jsd_nats
+  FROM agg
+)
+SELECT s1, s2, n1 AS n1_tokens, n2 AS n2_tokens, shared_vocab, jsd_nats,
+       jsd_nats / CAST({LN2!r} AS DOUBLE) AS jsd_normalized
+FROM fin
+"""
+
+
+TEXT_JSD_PAIRWISE_SOURCES_SQL = _jsd_pairwise_sql()
+
+
 _ENTROPY_SRC_CACHE: dict[str, str] = {}
 
 
@@ -987,6 +1246,8 @@ def streaming_entropy_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_entropy_kl_by_source": text_entropy_kl_by_source,
+    "text_crossentropy_heldout_by_source": text_crossentropy_heldout_by_source,
+    "text_jsd_pairwise_sources": text_jsd_pairwise_sources,
     "streaming_entropy_sink": streaming_entropy_sink,
     "text_token_stats": text_token_stats,
     "text_ngram_novelty": text_ngram_novelty,
@@ -1014,6 +1275,8 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
     "text_entropy_kl_by_source": TEXT_ENTROPY_KL_BY_SOURCE_SQL,
+    "text_crossentropy_heldout_by_source": TEXT_CROSSENTROPY_HELDOUT_BY_SOURCE_SQL,
+    "text_jsd_pairwise_sources": TEXT_JSD_PAIRWISE_SOURCES_SQL,
     "streaming_entropy_sink": TEXT_ENTROPY_KL_BY_SOURCE_SQL,
     "text_bm25_topk": TEXT_BM25_TOPK_SQL,
     "text_inverted_index": TEXT_INVERTED_INDEX_SQL,
