@@ -831,7 +831,11 @@ def _entropy_kl_from_cells(cell: DataFrame) -> DataFrame:
     (source, token, c) count grain — consumed by the batch query above
     AND by ``streaming_entropy_sink`` (whose persistent state sums to
     exactly this grain), so streamed == batch is checked through one
-    code path."""
+    code path. The cell grain feeds FOUR consumers (per-source totals,
+    token marginals, the corpus total, and the term join), so it is
+    fenced — without it the scan→tokenize→explode→agg subtree runs
+    once per consumer (the multiply-consumed-subtree discipline)."""
+    cell = cell.localCheckpoint(eager=False)
     ns = cell.groupBy("source").agg(F.sum("c").alias("n_s"))
     dw = cell.groupBy("token").agg(F.sum("c").alias("d_w"))
     n = cell.agg(F.sum("c").alias("n_tot"))
@@ -947,7 +951,13 @@ def text_crossentropy_heldout_by_source(
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(tokenize(F.col("text"))).alias("token")
     )
-    cell = d.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    # four consumers of the cell grain below — fence the expensive
+    # scan→tokenize→explode→agg subtree so it runs once
+    cell = (
+        d.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     ns = cell.groupBy("source").agg(F.sum("c").alias("n_s"))
     dw = cell.groupBy("token").agg(F.sum("c").alias("d_w"))
     nv = cell.agg(
@@ -1051,7 +1061,13 @@ def text_jsd_pairwise_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(tokenize(F.col("text"))).alias("token")
     )
-    cell = d.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    # three consumers of the cell grain (totals + both join legs) —
+    # fence the scan→tokenize→explode→agg subtree so it runs once
+    cell = (
+        d.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     ns = cell.groupBy("source").agg(F.sum("c").alias("n_s"))
     a = cell.join(ns, "source").select(
         F.col("source").alias("s1"),
