@@ -2049,13 +2049,24 @@ def stats_gtest_dow_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     double→DECIMAL(28,12) cast is bit-identical across engines only
     while int_digits + scale ≲ 15 significant digits — terms past ~1e3
     would break parity in the low decimals. floor/·10⁶ are IEEE-exact
-    on the bit-identical det_ln product, so the BIGINT sum is exact and
-    order-free; quantization bias ≤ 5e-7 per cell is identical on both
-    engines by construction. dof = (7−1)(|types|−1) from the same
-    marginal aggs. Validity: O·T fits BIGINT (and det_ln's 2^62 bound)
-    to ~3e9 events, where Σ|g_q| ≤ 2·T·lnT·10⁶ ≈ 1.3e17 keeps ~70×
-    BIGINT headroom — past that both engines fail loudly; widen the
-    operands first."""
+    on the bit-identical det_ln product — PROVIDED each g_term·10⁶
+    stays below 2^53 (g_term ≲ 9e9), the double-representability bound
+    for the micro-quantized integer; beyond it the intermediate double
+    silently coarsens the quantization grain in that cell (both engines
+    coarsen IDENTICALLY — same IEEE ops — so cross-engine determinism
+    survives, but the stated ≤5e-7 per-cell bias does not). A single
+    cell's g_term = 2·O·ln(O·T/(r·c)) can cross 9e9 well before the
+    BIGINT-overflow event count in heavily skewed tables (e.g. one
+    cell holding ~2e8 events at an O/E ratio of e¹⁰), so the honest
+    validity window is min(per-term 2^53/10⁶ representability,
+    O·T BIGINT/det_ln 2^62) — the BIGINT sum itself keeps ~70×
+    headroom (Σ|g_q| ≤ 2·T·lnT·10⁶ ≈ 1.3e17 at ~3e9 events). Past
+    either bound, scale the quantum down (10⁴) or widen the operands;
+    the integer casts fail loudly, the representability bound does
+    not — check max(g_term) when auditing extreme skew. Quantization
+    bias ≤ 5e-7 per cell inside the window, identical on both engines
+    by construction. dof = (7−1)(|types|−1) from the same marginal
+    aggs."""
     e = load_table(spark, sf_dir, "events").select(
         (F.dayofweek("ts") - 1).alias("dow"), "event_type"
     )
