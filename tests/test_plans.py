@@ -841,3 +841,38 @@ def test_rrf_ann_ranking_leg_is_bucket_join_not_scan(spark, sf_dir):
     plan = ranking._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_jsd_emits_disjoint_vocabulary_pairs_spark(spark, tmp_path):
+    """Spark twin of the DuckDB oracle test (ADVICE r11): a source pair
+    with zero shared tokens must still emit a row — the ns x ns pair
+    spine left-joined with the shared-token aggregate yields
+    shared_vocab = 0 and jsd_nats = ln 2 exactly."""
+    import math
+
+    from wikistream_event_data_pipeline_aws_spark.plans.text import (
+        text_jsd_pairwise_sources,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, "a", "alpha beta beta"),
+            (2, "b", "gamma delta"),
+            (3, "c", "alpha gamma epsilon"),
+        ],
+        "doc_id int, source string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        (r["s1"], r["s2"]): r
+        for r in text_jsd_pairwise_sources(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = rows[("a", "b")]
+    assert (ab["n1_tokens"], ab["n2_tokens"], ab["shared_vocab"]) == (3, 2, 0)
+    assert ab["jsd_nats"] == pytest.approx(math.log(2), abs=1e-12)
+    assert ab["jsd_normalized"] == pytest.approx(1.0, abs=1e-12)
+    for key in (("a", "c"), ("b", "c")):
+        assert rows[key]["shared_vocab"] == 1
+        assert 0.0 < rows[key]["jsd_nats"] < math.log(2)

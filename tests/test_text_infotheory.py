@@ -119,3 +119,38 @@ def test_heldout_crossentropy_matches_brute_force(counts, oracle):
         assert n_tokens == n_s and vocab_size == len(c)
         assert ce_nats == pytest.approx(brute, abs=1e-9)
         assert bpt == pytest.approx(brute / math.log(2), abs=1e-9)
+
+
+def test_jsd_emits_disjoint_vocabulary_pairs():
+    """ADVICE r11: a source pair sharing ZERO tokens must still emit a
+    row — shared_vocab = 0 and jsd_nats = ln 2 exactly (the closed-form
+    single-source mass IS the whole divergence). The token-keyed inner
+    join alone would silently omit the pair; the ns x ns pair spine +
+    left join restores it. Three sources: a/b disjoint, c overlaps both,
+    so the same query exercises disjoint and shared pairs side by side."""
+    from wikistream_event_data_pipeline_aws_spark.plans.text import (
+        TEXT_JSD_PAIRWISE_SOURCES_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE VIEW documents AS
+        SELECT * FROM (VALUES
+          (1, 'a', 'alpha beta beta'),
+          (2, 'b', 'gamma delta'),
+          (3, 'c', 'alpha gamma epsilon')
+        ) AS t(doc_id, source, text)
+        """
+    )
+    rows = {(r[0], r[1]): r for r in con.execute(TEXT_JSD_PAIRWISE_SOURCES_SQL).fetchall()}
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    s1, s2, n1, n2, shared, jsd_nats, jsd_norm = rows[("a", "b")]
+    assert (n1, n2, shared) == (3, 2, 0)
+    assert jsd_nats == pytest.approx(math.log(2), abs=1e-12)
+    assert jsd_norm == pytest.approx(1.0, abs=1e-12)
+    # the mixed pairs still carry shared mass and stay strictly inside (0, ln 2)
+    for key in (("a", "c"), ("b", "c")):
+        _, _, _, _, shared_k, jsd_k, _ = rows[key]
+        assert shared_k == 1
+        assert 0.0 < jsd_k < math.log(2)

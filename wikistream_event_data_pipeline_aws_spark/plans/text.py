@@ -1056,7 +1056,13 @@ def text_jsd_pairwise_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: (source, token) hash agg, then a TOKEN-KEYED self-join —
     per-token fan-out is (#sources containing it)², bounded by
-    |sources|² ≪ corpus size; output is the C(|sources|, 2) grain.
+    |sources|² ≪ corpus size; output is the FULL C(|sources|, 2) grain:
+    the pair spine is seeded from ns × ns (|sources|² rows, broadcast)
+    and the shared-token aggregate LEFT-joins onto it, so a pair with
+    fully disjoint vocabularies — which the token-keyed join alone
+    would silently omit (ADVICE r11) — still emits a row with
+    shared_vocab = 0 and jsd_nats = ln 2 exactly (the closed-form
+    single-source mass is the whole divergence).
     No all-pairs document scan anywhere."""
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(tokenize(F.col("text"))).alias("token")
@@ -1089,18 +1095,16 @@ def text_jsd_pairwise_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = (F.col("c2").cast("double") / F.col("n2").cast("double")) * det_ln_ratio(
         F.lit(2) * F.col("c2") * F.col("n1"), den
     )
-    agg = (
+    shared = (
         j.select(
             "s1",
             "s2",
-            "n1",
-            "n2",
             "c1",
             "c2",
             t1.cast("decimal(28,12)").alias("t1"),
             t2.cast("decimal(28,12)").alias("t2"),
         )
-        .groupBy("s1", "s2", "n1", "n2")
+        .groupBy("s1", "s2")
         .agg(
             F.count(F.lit(1)).alias("shared_vocab"),
             F.sum("c1").alias("sc1"),
@@ -1109,10 +1113,33 @@ def text_jsd_pairwise_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t2").alias("t2_d"),
         )
     )
+    # pair spine: every unordered source pair exists even when the
+    # token-keyed join produced nothing for it (disjoint vocabularies);
+    # ns is |sources| rows, so the inequality join is a broadcast
+    # nested-loop over a handful of rows — bounded driver-free combine
+    pairs = ns.select(
+        F.col("source").alias("s1"), F.col("n_s").alias("n1")
+    ).join(
+        ns.select(F.col("source").alias("s2"), F.col("n_s").alias("n2")),
+        F.col("s1") < F.col("s2"),
+    )
+    agg = pairs.join(shared, ["s1", "s2"], "left").select(
+        "s1",
+        "s2",
+        "n1",
+        "n2",
+        F.coalesce(F.col("shared_vocab"), F.lit(0).cast("long")).alias(
+            "shared_vocab"
+        ),
+        F.coalesce(F.col("sc1"), F.lit(0).cast("long")).alias("sc1"),
+        F.coalesce(F.col("sc2"), F.lit(0).cast("long")).alias("sc2"),
+        F.coalesce(F.col("t1_d").cast("double"), F.lit(0.0)).alias("t1_d"),
+        F.coalesce(F.col("t2_d").cast("double"), F.lit(0.0)).alias("t2_d"),
+    )
     from ..operators.detmath import LN2
 
     jsd = F.lit(0.5) * (
-        F.col("t1_d").cast("double") + F.col("t2_d").cast("double")
+        F.col("t1_d") + F.col("t2_d")
     ) + F.lit(0.5) * F.lit(LN2) * (
         (F.col("n1") - F.col("sc1")).cast("double") / F.col("n1").cast("double")
         + (F.col("n2") - F.col("sc2")).cast("double")
@@ -1164,21 +1191,27 @@ terms AS (
   FROM l4
 ),
 agg AS (
-  SELECT s1, s2, n1, n2, CAST(COUNT(*) AS BIGINT) AS shared_vocab,
+  SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS shared_vocab,
          CAST(SUM(c1) AS BIGINT) AS sc1, CAST(SUM(c2) AS BIGINT) AS sc2,
          SUM(CAST(t1 AS DECIMAL(28,12))) AS t1_d,
          SUM(CAST(t2 AS DECIMAL(28,12))) AS t2_d
-  FROM terms GROUP BY s1, s2, n1, n2
+  FROM terms GROUP BY s1, s2
+),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2, a.n_s AS n1, b.n_s AS n2
+  FROM ns a JOIN ns b ON a.source < b.source
 ),
 fin AS (
-  SELECT s1, s2, n1, n2, shared_vocab,
+  SELECT pairs.s1, pairs.s2, n1, n2,
+         COALESCE(shared_vocab, CAST(0 AS BIGINT)) AS shared_vocab,
          CAST(0.5 AS DOUBLE)
-           * (CAST(CAST(t1_d AS VARCHAR) AS DOUBLE)
-              + CAST(CAST(t2_d AS VARCHAR) AS DOUBLE))
+           * (COALESCE(CAST(CAST(t1_d AS VARCHAR) AS DOUBLE), 0.0)
+              + COALESCE(CAST(CAST(t2_d AS VARCHAR) AS DOUBLE), 0.0))
          + CAST(0.5 AS DOUBLE) * CAST({LN2!r} AS DOUBLE)
-           * (CAST(n1 - sc1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-              + CAST(n2 - sc2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS jsd_nats
-  FROM agg
+           * (CAST(n1 - COALESCE(sc1, 0) AS DOUBLE) / CAST(n1 AS DOUBLE)
+              + CAST(n2 - COALESCE(sc2, 0) AS DOUBLE) / CAST(n2 AS DOUBLE))
+           AS jsd_nats
+  FROM pairs LEFT JOIN agg ON pairs.s1 = agg.s1 AND pairs.s2 = agg.s2
 )
 SELECT s1, s2, n1 AS n1_tokens, n2 AS n2_tokens, shared_vocab, jsd_nats,
        jsd_nats / CAST({LN2!r} AS DOUBLE) AS jsd_normalized
