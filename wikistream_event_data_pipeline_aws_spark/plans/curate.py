@@ -255,32 +255,46 @@ GATE_Q = 0.25  # drop the bottom quartile by quality score
 _GATE_UNITS = 10**9  # float score -> integer units (identical doubles both engines)
 
 
+# quality_score is bounded [0, 1] by construction (length saturation x
+# diversity x stopword penalty, every factor in [0, 1]), so integer
+# units live in [0, 1e9] and a FIXED bucket width covers the range with
+# <= 1024 buckets — no lo/hi pre-pass needed to size the histogram.
+_GATE_BUCKET_W = (_GATE_UNITS + 1023) // 1024
+
+
 def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative quality gating: drop documents below the corpus
     p25 of the deterministic quality score — curation thresholds in
     practice are percentile-derived, not hand-tuned constants, so the
     gate needs an exact order statistic over the whole corpus.
 
-    Scale shape is the audited dq_profile_value selection (NO global
-    sort): scores collapse to integer units (floor(score * 1e9) —
-    identical doubles floor to identical ints in both engines), one
-    keyed shuffle builds (units, count), a <=1025-bucket histogram is
-    collected (bounded driver data) to locate the rank's bucket, and a
-    PER-BUCKET cumulative window reads the threshold value back.
+    Scale shape — exact percentile with NO global sort and (since r12)
+    NO driver actions at all: rounds <= 11 issued four driver actions
+    (range agg, histogram collect, threshold lookup, final job), each
+    paying the synchronization tail on a steal-y host (single slowest
+    r11 bench row, 49.6s degraded vs 1.4s quiet — VERDICT r11 item 4).
+    Now the entire threshold computation stays in-plan: scores collapse
+    to integer units (floor(score * 1e9) — identical doubles floor to
+    identical ints in both engines, and the score's [0, 1] bound fixes
+    the bucket width statically), one keyed shuffle builds (units, cnt),
+    a <= 1024-row bucket rollup takes a single-partition running sum
+    (bounded — this is the two-level trick: the only unpartitioned
+    window in the plan sees bucket cardinality, never corpus rows), a
+    per-bucket cumulative window ranks units inside their bucket, and
+    the threshold joins back as a broadcast 1-row scalar. One action
+    from the caller runs the whole thing. NULL units (zero-token docs)
+    count toward n and gate to 'drop', never entering the cumulative.
     Output: per (lang, disposition) doc and token totals plus the
     threshold units — the artifact that says what the gate cost each
     language slice."""
-    import math
-
     from .text import text_quality_score
 
     scores = text_quality_score(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    # fence the scored corpus: FOUR consumers follow (min/max/sum agg,
-    # histogram collect, threshold lookup, final rollup) and each driver
-    # action would otherwise re-run tokenize + scoring over the whole
-    # documents table — the same multiply-consumed-subtree discipline as
-    # jaccard_pairs / dedup_minhash_pairs
+    # fence the scored corpus: two consumers (distinct-units counts and
+    # the final rollup) would otherwise each re-run tokenize + scoring
+    # over the whole documents table — the same multiply-consumed-
+    # subtree discipline as jaccard_pairs / dedup_minhash_pairs
     u = (
         scores.join(d, "doc_id")
         .select(
@@ -291,50 +305,64 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    counts = u.groupBy("units").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
-        eager=False
+    # the units-grain counts feed three plan legs (total, bucket rollup,
+    # threshold scan) — fence them too so the keyed shuffle runs once
+    counts = (
+        u.groupBy("units")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    lo, hi, n = counts.agg(F.min("units"), F.max("units"), F.sum("cnt")).first()
-    width = max((hi - lo) // 1024, 1)
-    bucketed = counts.withColumn(
-        "bucket", F.floor((F.col("units") - F.lit(lo)) / F.lit(width))
+    # rank position: NULL units count toward n (they sort nowhere and
+    # gate to 'drop'), exactly as the rounds-<=11 driver-side math did
+    total = counts.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(GATE_Q) * F.sum("cnt")).cast("long"),
+        ).alias("pos")
     )
-    hist = sorted(
-        (r["bucket"], r["bcnt"])
-        for r in bucketed.groupBy("bucket").agg(F.sum("cnt").alias("bcnt")).collect()
+    bucketed = counts.filter(F.col("units").isNotNull()).withColumn(
+        "bucket", F.floor(F.col("units") / F.lit(_GATE_BUCKET_W))
     )
-    pos = max(1, math.ceil(GATE_Q * n))
-    acc = 0
-    tgt_bucket, tgt_rank = hist[0][0], 1
-    for b, c in hist:
-        if acc < pos <= acc + c:
-            tgt_bucket, tgt_rank = b, pos - acc
-            break
-        acc += c
-    w_bucket = Window.partitionBy("bucket").orderBy("units").rowsBetween(
+    # level 1: <= 1024 bucket totals; the running sum's single-partition
+    # window is bounded by the bucket count, not the corpus
+    w_buckets = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    thr_row = (
-        bucketed.filter(F.col("bucket") == tgt_bucket)
-        .withColumn("cum", F.sum("cnt").over(w_bucket))
-        .filter(
-            (F.col("cum") >= tgt_rank) & (F.col("cum") - F.col("cnt") < tgt_rank)
-        )
-        .agg(F.min("units"))
-        .first()
+    bcum = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("cnt").alias("bcnt"))
+        .withColumn("bprev", F.sum("bcnt").over(w_buckets) - F.col("bcnt"))
+        .select("bucket", "bprev")
     )
-    threshold = thr_row[0]
+    # level 2: cumulative WITHIN each bucket (parallel across buckets);
+    # global rank of a distinct-units row = bprev + within-bucket cum,
+    # and the threshold is the first units whose rank reaches pos
+    w_in = Window.partitionBy("bucket").orderBy("units").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    thr = (
+        bucketed.withColumn("icum", F.sum("cnt").over(w_in))
+        .join(F.broadcast(bcum), "bucket")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("bprev") + F.col("icum") >= F.col("pos"))
+        .agg(F.min("units").alias("threshold_units"))
+    )
     return (
-        u.withColumn(
+        u.crossJoin(F.broadcast(thr))
+        .withColumn(
             "disposition",
-            F.when(F.col("units") >= threshold, "keep").otherwise("drop"),
+            F.when(F.col("units") >= F.col("threshold_units"), "keep").otherwise(
+                "drop"
+            ),
         )
-        .groupBy("lang", "disposition")
+        .groupBy("lang", "disposition", "threshold_units")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
         )
-        .withColumn("threshold_units", F.lit(threshold).cast("long"))
+        .select(
+            "lang", "disposition", "n_docs", "sum_tokens", "threshold_units"
+        )
     )
 
 
