@@ -154,3 +154,46 @@ def test_jsd_emits_disjoint_vocabulary_pairs():
         _, _, _, _, shared_k, jsd_k, _ = rows[key]
         assert shared_k == 1
         assert 0.0 < jsd_k < math.log(2)
+
+
+def test_mutual_information_matches_brute_force(counts):
+    """I(source; token) from raw counts in pure Python vs the DuckDB
+    oracle: MI = sum over observed cells of (c/N) ln(c N / (n_s d_w)),
+    H(S) = sum (n_s/N) ln(N/n_s); the per-source decomposition must sum
+    to the global MI exactly (it IS the (n_s/N)-weighted KL), and
+    Theil's U = MI/H(S) must land in [0, 1]."""
+    from wikistream_event_data_pipeline_aws_spark.plans.text import (
+        TEXT_MUTUAL_INFORMATION_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    rows = {r[0]: r for r in con.execute(TEXT_MUTUAL_INFORMATION_SQL).fetchall()}
+    ns = {s: sum(c.values()) for s, c in counts.items()}
+    N = sum(ns.values())
+    dw = Counter()
+    for c in counts.values():
+        dw.update(c)
+    mi = sum(
+        (cnt / N) * math.log(cnt * N / (ns[s] * dw[w]))
+        for s, c in counts.items()
+        for w, cnt in c.items()
+    )
+    h_s = sum((n / N) * math.log(N / n) for n in ns.values())
+    assert set(rows) == set(counts)
+    term_sum = 0.0
+    for s, c in counts.items():
+        (_, n_tokens, vocab, term, mi_o, h_o, u_o) = rows[s]
+        assert n_tokens == ns[s] and vocab == len(c)
+        brute_term = sum(
+            (cnt / N) * math.log(cnt * N / (ns[s] * dw[w])) for w, cnt in c.items()
+        )
+        assert term == pytest.approx(brute_term, abs=1e-9)
+        assert mi_o == pytest.approx(mi, abs=1e-9)
+        assert h_o == pytest.approx(h_s, abs=1e-9)
+        assert u_o == pytest.approx(mi / h_s, abs=1e-9)
+        assert 0.0 <= u_o <= 1.0
+        term_sum += term
+    assert term_sum == pytest.approx(mi_o, abs=1e-9)

@@ -1222,6 +1222,153 @@ FROM fin
 TEXT_JSD_PAIRWISE_SOURCES_SQL = _jsd_pairwise_sql()
 
 
+def text_mutual_information_source_token(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information I(source; token) over the unigram grain — the
+    cheap completion of the detmath log family (VERDICT r11 item 6):
+    entropy/KL score each source against the corpus, JSD scores pairs,
+    MI scores the WHOLE partition at once — how many nats knowing the
+    source buys about the next token (equivalently: how far the corpus
+    is from being one exchangeable pile). Near-zero MI says the source
+    labels carry no distributional signal (mixture weights won't
+    matter); MI near H(source) says sources are almost disjoint
+    sublanguages (per-source models beat a pooled one). The per-source
+    decomposition mi_term = (n_s/N)·KL(s‖corpus) ranks who contributes
+    the separation — the same ranking DoReMi-style reweighting consumes.
+
+    Exactness: every log is an EXACT INTEGER RATIO on the fenced
+    (source, token) cell grain — per cell (c/N)·ln(c·N/(n_s·d_w)) and
+    per source (n_s/N)·ln(N/n_s) via ``det_ln_ratio`` — summed as
+    DECIMAL(28,12) (terms are ≤ ln N ≈ 30, so the double→decimal cast
+    stays inside the ≤15-significant-digit bit-identical window). The
+    global MI and H(source) ride on every row via a window over the
+    |sources| grain: a sum of exact decimals is order-free, so no
+    micro-quantization is needed (contrast stats_gtest, whose terms
+    grow with counts). uncertainty_coefficient = MI / H(source) ∈
+    [0, 1] (Theil's U), NULL when a single source makes H(source) = 0.
+    Overflow: c·N and n_s·d_w fit BIGINT to ~3e9 corpus tokens; both
+    engines fail loudly past that — widen to DECIMAL(38,0) first.
+
+    Scale: the text_entropy_kl_by_source shape exactly — one documents
+    scan → (source, token) hash agg (fenced, four consumers),
+    token-keyed marginal join, 1-row total broadcast, |sources|-grain
+    output; the unpartitioned window sees |sources| rows, never the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    cell = (
+        d.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    ns = cell.groupBy("source").agg(F.sum("c").alias("n_s"))
+    dw = cell.groupBy("token").agg(F.sum("c").alias("d_w"))
+    n = cell.agg(F.sum("c").alias("n_tot"))
+    t = cell.join(ns, "source").join(dw, "token").crossJoin(F.broadcast(n))
+    mi_t = (F.col("c").cast("double") / F.col("n_tot").cast("double")) * det_ln_ratio(
+        F.col("c") * F.col("n_tot"), F.col("n_s") * F.col("d_w")
+    )
+    per_src = (
+        t.select(
+            "source",
+            "n_s",
+            "n_tot",
+            mi_t.cast("decimal(28,12)").alias("mi_t"),
+        )
+        .groupBy("source", "n_s", "n_tot")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("mi_t").alias("mi_s_d"),
+        )
+    )
+    # h_t's det_ln is evaluated INSIDE the window aggregate, not as a
+    # post-agg projection: projected it would fuse into the corpus-scale
+    # hashAgg's whole-stage codegen and blow the 64 KB method limit
+    # (observed — Spark then falls back to the interpreted path for the
+    # WHOLE stage); as a window input expression it is evaluated by
+    # WindowExec above the exchange, over |sources| rows only
+    h_t = (
+        (F.col("n_s").cast("double") / F.col("n_tot").cast("double"))
+        * det_ln_ratio(F.col("n_tot"), F.col("n_s"))
+    ).cast("decimal(28,12)")
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mi = F.sum("mi_s_d").over(wall).cast("double")
+    h_src = F.sum(h_t).over(wall).cast("double")
+    return per_src.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "vocab_size",
+        F.col("mi_s_d").cast("double").alias("mi_term_nats"),
+        mi.alias("mi_nats"),
+        h_src.alias("h_source_nats"),
+        F.when(h_src != F.lit(0.0), mi / h_src).alias("uncertainty_coefficient"),
+    )
+
+
+def _mutual_information_sql() -> str:
+    from ..operators.detmath import ln_e_sql, ln_m_sql, ln_val_sql, ln_z_sql
+
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_SQL}) AS token FROM documents
+),
+cell AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, token
+),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cell GROUP BY source),
+dw AS (SELECT token, CAST(SUM(c) AS BIGINT) AS d_w FROM cell GROUP BY token),
+nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM cell),
+t0 AS (
+  SELECT cell.source, c, n_s, n_tot, c * n_tot AS a1, n_s * d_w AS b1
+  FROM cell JOIN ns USING (source) JOIN dw USING (token), nv
+),
+l1 AS (SELECT *, {ln_e_sql("a1", "b1")} AS e1 FROM t0),
+l2 AS (SELECT *, {ln_m_sql("a1", "b1", "e1")} AS m1 FROM l1),
+l3 AS (SELECT *, {ln_z_sql("m1")} AS z1 FROM l2),
+l4 AS (SELECT *, z1 * z1 AS w1 FROM l3),
+terms AS (
+  SELECT source, n_s, n_tot,
+         (CAST(c AS DOUBLE) / CAST(n_tot AS DOUBLE)) * {ln_val_sql("e1", "z1", "w1")} AS mi_t
+  FROM l4
+),
+per_src AS (
+  SELECT source, n_s, n_tot, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         SUM(CAST(mi_t AS DECIMAL(28,12))) AS mi_s_d
+  FROM terms GROUP BY source, n_s, n_tot
+),
+s0 AS (SELECT *, n_tot AS a2, n_s AS b2 FROM per_src),
+g1 AS (SELECT *, {ln_e_sql("a2", "b2")} AS e2 FROM s0),
+g2 AS (SELECT *, {ln_m_sql("a2", "b2", "e2")} AS m2 FROM g1),
+g3 AS (SELECT *, {ln_z_sql("m2")} AS z2 FROM g2),
+g4 AS (SELECT *, z2 * z2 AS w2 FROM g3),
+hsrc AS (
+  SELECT source, n_s, vocab_size, mi_s_d,
+         CAST((CAST(n_s AS DOUBLE) / CAST(n_tot AS DOUBLE))
+              * {ln_val_sql("e2", "z2", "w2")} AS DECIMAL(28,12)) AS h_t
+  FROM g4
+),
+win AS (
+  SELECT source, n_s, vocab_size, mi_s_d,
+         CAST(CAST(SUM(mi_s_d) OVER () AS VARCHAR) AS DOUBLE) AS mi,
+         CAST(CAST(SUM(h_t) OVER () AS VARCHAR) AS DOUBLE) AS h_src
+  FROM hsrc
+)
+SELECT source, n_s AS n_tokens, vocab_size,
+       CAST(CAST(mi_s_d AS VARCHAR) AS DOUBLE) AS mi_term_nats,
+       mi AS mi_nats, h_src AS h_source_nats,
+       CASE WHEN h_src <> 0.0 THEN mi / h_src END AS uncertainty_coefficient
+FROM win
+"""
+
+
+TEXT_MUTUAL_INFORMATION_SQL = _mutual_information_sql()
+
+
 _ENTROPY_SRC_CACHE: dict[str, str] = {}
 
 
@@ -1297,6 +1444,7 @@ QUERIES = {
     "text_entropy_kl_by_source": text_entropy_kl_by_source,
     "text_crossentropy_heldout_by_source": text_crossentropy_heldout_by_source,
     "text_jsd_pairwise_sources": text_jsd_pairwise_sources,
+    "text_mutual_information_source_token": text_mutual_information_source_token,
     "streaming_entropy_sink": streaming_entropy_sink,
     "text_token_stats": text_token_stats,
     "text_ngram_novelty": text_ngram_novelty,
@@ -1326,6 +1474,7 @@ ORACLES = {
     "text_entropy_kl_by_source": TEXT_ENTROPY_KL_BY_SOURCE_SQL,
     "text_crossentropy_heldout_by_source": TEXT_CROSSENTROPY_HELDOUT_BY_SOURCE_SQL,
     "text_jsd_pairwise_sources": TEXT_JSD_PAIRWISE_SOURCES_SQL,
+    "text_mutual_information_source_token": TEXT_MUTUAL_INFORMATION_SQL,
     "streaming_entropy_sink": TEXT_ENTROPY_KL_BY_SOURCE_SQL,
     "text_bm25_topk": TEXT_BM25_TOPK_SQL,
     "text_inverted_index": TEXT_INVERTED_INDEX_SQL,
