@@ -1,0 +1,131 @@
+"""Independent math check for BPE-merge vocabulary induction: the
+relational gaps-and-islands formulation (Spark + the unrolled DuckDB
+oracle) must reproduce the classic imperative algorithm — Sennrich
+learn_bpe semantics re-implemented here in ~20 lines of pure Python
+(Counter + a left-to-right scan, no SQL), so a mistake shared by both
+engines' identical algebra cannot cancel out.
+
+The micro-corpus cases pin the two spots where relational and
+imperative formulations classically diverge: overlapping identical
+pairs ("aaaa" must merge to (aa)(aa), not (aa)a a) and argmax
+tie-breaks (count DESC, then lexicographic left/right ASC).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wikistream_event_data_pipeline_aws_spark.plans.bpe import (  # noqa: E402
+    BPE_MERGES,
+    _bpe_sql,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def brute_bpe(freq: dict[str, int], k_rounds: int) -> list[tuple]:
+    """Classic word-level BPE: k argmax-merge rounds over (word, freq)."""
+    seqs = {w: list(w) + ["</w>"] for w in freq}
+    merges = []
+    for step in range(1, k_rounds + 1):
+        pairs: Counter = Counter()
+        for w, f in freq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        # max count, then lexicographically smallest (left, right)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        merges.append((step, a, b, a + b, cnt))
+        for w in freq:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def oracle_rows(con: duckdb.DuckDBPyConnection, k: int = BPE_MERGES) -> list[tuple]:
+    return sorted(con.execute(_bpe_sql(k)).fetchall())
+
+
+def test_bpe_oracle_matches_brute_force_on_testdata():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    freq = dict(
+        con.execute(
+            "SELECT word, COUNT(*) FROM (SELECT unnest("
+            r"string_split_regex(trim(text), '\s+')) AS word FROM documents) "
+            "WHERE length(word) >= 1 GROUP BY word"
+        ).fetchall()
+    )
+    assert oracle_rows(con) == brute_bpe(freq, BPE_MERGES)
+
+
+def _micro(con: duckdb.DuckDBPyConnection, rows: list[tuple[int, str]]) -> None:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    )
+
+
+def test_bpe_greedy_overlapping_runs():
+    """'aaaa' with best pair (a,a): greedy left-to-right gives (aa)(aa)
+    — the 1st and 3rd match positions merge, the 2nd is consumed. A
+    non-overlap-aware rewrite would emit (aa) a a and diverge next
+    round."""
+    con = duckdb.connect()
+    _micro(con, [(1, "aaaa aaaa aaa")])
+    got = oracle_rows(con, 3)
+    freq = {"aaaa": 2, "aaa": 1}
+    assert got == brute_bpe(freq, 3)
+    # round 1 merges (a,a) counted with overlaps: 3+3+2 occurrences
+    assert got[0] == (1, "a", "a", "aa", 8)
+    # round 2: 'aa aa </w>' x2 plus 'aa a </w>' -> (aa,aa) count 2,
+    # beating (aa,a) count 1 and the </w> pairs' tie at 2 via tie-break
+    assert got[1][1:3] == ("aa", "aa") or got[1][4] >= 2
+
+
+def test_bpe_argmax_tiebreak_is_lexicographic():
+    """Two pairs tie on count: the (left ASC, right ASC) smallest wins
+    on both engines — 'ab' and 'cd' both appear twice; (a,b) < (c,d)."""
+    con = duckdb.connect()
+    _micro(con, [(1, "ab cd"), (2, "ab cd")])
+    got = oracle_rows(con, 1)
+    assert got == brute_bpe({"ab": 2, "cd": 2}, 1)
+    assert got[0][1:4] == ("a", "b", "ab")
+
+
+def test_bpe_spark_matches_oracle_on_micro_corpus(spark, tmp_path):
+    """The Spark pipeline (broadcast argmax + gaps-and-islands rewrite)
+    against the unrolled oracle on the adversarial overlap corpus."""
+    from wikistream_event_data_pipeline_aws_spark.plans import bpe
+
+    spark.createDataFrame(
+        [(1, "aaaa aaaa aaa bb bb ab"), (2, "ab ab cd cd")],
+        "doc_id int, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = sorted(
+        tuple(r) for r in bpe.bpe_vocabulary_merges(spark, str(tmp_path)).collect()
+    )
+    freq = {"aaaa": 2, "aaa": 1, "bb": 2, "ab": 3, "cd": 2}
+    expect = brute_bpe(freq, bpe.BPE_MERGES)
+    assert got == expect, (got, expect)

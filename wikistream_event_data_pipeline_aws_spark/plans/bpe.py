@@ -1,0 +1,262 @@
+"""BPE-merge vocabulary induction — the tokenizer-level operator a
+training-data pipeline needs between "text analysis" and an actual
+tokenizer (VERDICT r11 item 3): ``vocab_topk`` ranks whole words; this
+learns the SUBWORD merge table those words decompose into.
+
+Semantics are classic word-level BPE (Sennrich et al. 2016, the
+public ``learn_bpe`` reference algorithm): each distinct word becomes
+a symbol sequence (characters + a terminal ``</w>`` marker), then
+``BPE_MERGES`` deterministic rounds each (1) count adjacent symbol
+pairs weighted by word frequency — overlapping occurrences all count,
+exactly like the reference's ``get_stats`` — (2) pick the argmax pair
+with a total-order tie-break (count DESC, left ASC, right ASC), and
+(3) rewrite every sequence greedily left-to-right (in a run of
+identical overlapping matches, the 1st/3rd/5th... merge, matching the
+reference's single-pass scan). Output: one row per merge round —
+(step, left_sym, right_sym, merged_sym, pair_count) — the merge table
+a tokenizer ships.
+
+Spark-first formulation (no Python loop over data, no collect):
+
+- The corpus is touched ONCE: tokenize → explode → (word, freq) hash
+  agg. Everything after runs on the VOCABULARY grain (distinct words ×
+  avg word length symbol rows), which grows sublinearly with corpus
+  size — the 100 TB story is that 8 merge rounds over a 10M-word vocab
+  is ~100M-row stages regardless of corpus row count.
+- Per round: one ``lead()`` window keyed by word, one (pair → count)
+  hash agg, a 1-row TakeOrderedAndProject argmax, and a rewrite built
+  from the argmax as a BROADCAST 1-row join (never a driver value —
+  the whole K-round pipeline is one lazy plan; fixed K keeps it
+  finite). Greedy run-splitting is gaps-and-islands: match positions
+  minus their per-word row_number group consecutive runs, and even
+  offsets from each run's min survive.
+- Rounds are fenced with lazy ``localCheckpoint`` (the
+  multiply-consumed-subtree discipline): each round's sequence table
+  feeds both the pair count and the rewrite, and round k+1 compounds
+  on round k — unfenced, the recompute would grow 3^K.
+
+The DuckDB oracle is the same relational algebra unrolled K times
+(generated CTE chain — the "k-step recursive CTE / unrolled SQL"
+shape), so the driver's hash compare checks every round's argmax AND
+the greedy rewrite behind it.
+
+Reference anchor: extends the §2.9 string-function surface (the
+reference's deepest text op is the regexp/URL-decode chain in
+``silver_batch_job.py:107-112``; it has no subword machinery at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.textops import tokenize
+
+BPE_MERGES = 8
+_EOW = "</w>"
+
+# DuckDB-side tokenizer, kept textually identical to plans.text._TOKS_SQL
+_TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+
+def _bpe_round(seq: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
+    """One merge round over the (word, freq, pos, sym) sequence grain.
+
+    Returns (next_seq, record) where record is the 1-row merge-table
+    entry for this round (empty if no adjacent pair exists — sequences
+    all length 1 — in which case next_seq passes through unchanged on
+    BOTH engines: the match join is inner, so an empty argmax keeps
+    nothing and drops nothing)."""
+    w_word = Window.partitionBy("word").orderBy("pos")
+    x = seq.withColumn("nxt", F.lead("sym").over(w_word)).localCheckpoint(
+        eager=False
+    )
+    best = (
+        x.filter(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(
+            F.col("pair_count").desc(), F.col("sym").asc(), F.col("nxt").asc()
+        )
+        .limit(1)
+        .select(F.col("sym").alias("ba"), F.col("nxt").alias("bb"), "pair_count")
+        .localCheckpoint(eager=False)
+    )
+    # match positions -> greedy selection: consecutive match runs (only
+    # possible when left == right) collapse to even offsets from the
+    # run head — the gaps-and-islands split of the reference's
+    # left-to-right scan
+    m = x.join(
+        F.broadcast(best),
+        (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")),
+    ).select("word", "pos")
+    m = m.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_word)
+    )
+    keep = (
+        m.withColumn(
+            "off",
+            F.col("pos") - F.min("pos").over(Window.partitionBy("word", "grp")),
+        )
+        .filter(F.col("off") % 2 == 0)
+        .select("word", "pos")
+        .localCheckpoint(eager=False)
+    )
+    heads = keep.withColumn("is_head", F.lit(True))
+    tails = keep.select(
+        "word", (F.col("pos") + F.lit(1)).alias("pos")
+    ).withColumn("is_tail", F.lit(True))
+    y = (
+        x.join(heads, ["word", "pos"], "left")
+        .join(tails, ["word", "pos"], "left")
+        .filter(F.col("is_tail").isNull())
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.when(
+                F.col("is_head"), F.concat(F.col("sym"), F.col("nxt"))
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    next_seq = y.select(
+        "word",
+        "freq",
+        F.row_number().over(w_word).alias("pos"),
+        "sym",
+    ).localCheckpoint(eager=False)
+    record = best.select(
+        F.lit(step).cast("int").alias("step"),
+        F.col("ba").alias("left_sym"),
+        F.col("bb").alias("right_sym"),
+        F.concat("ba", "bb").alias("merged_sym"),
+        "pair_count",
+    )
+    return next_seq, record
+
+
+def bpe_vocabulary_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K-round merge table over the corpus vocabulary (module
+    docstring has the full story). Empty words are excluded on both
+    engines up front: Spark's ``sequence(1, 0)`` counts DOWN while
+    DuckDB's ``range(1, 1)`` is empty, so a zero-length token would
+    diverge — and carries no pairs anyway."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    vocab = (
+        d.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 1)
+        .localCheckpoint(eager=False)
+    )
+    chars = vocab.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+    ).select(
+        "word", "freq", "pos", F.expr("substring(word, pos, 1)").alias("sym")
+    )
+    terminal = vocab.select(
+        "word",
+        "freq",
+        (F.length("word") + F.lit(1)).alias("pos"),
+        F.lit(_EOW).alias("sym"),
+    )
+    seq = chars.unionByName(terminal).localCheckpoint(eager=False)
+    records: list[DataFrame] = []
+    for k in range(1, BPE_MERGES + 1):
+        seq, rec = _bpe_round(seq, k)
+        records.append(rec)
+    out = records[0]
+    for rec in records[1:]:
+        out = out.unionByName(rec)
+    return out
+
+
+def _bpe_sql(k_rounds: int = BPE_MERGES) -> str:
+    """The same algebra unrolled ``k_rounds`` times for DuckDB."""
+    parts = [
+        f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest({_TOKS_SQL}) AS word FROM documents
+),
+vocab AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks WHERE length(word) >= 1 GROUP BY word
+),
+seq_1 AS MATERIALIZED (
+  SELECT word, freq, pos, substr(word, CAST(pos AS INTEGER), 1) AS sym
+  FROM (
+    SELECT word, freq,
+           CAST(unnest(range(1, CAST(length(word) AS BIGINT) + 1)) AS INTEGER) AS pos
+    FROM vocab
+  )
+  UNION ALL
+  SELECT word, freq, CAST(length(word) + 1 AS INTEGER) AS pos, '{_EOW}' AS sym
+  FROM vocab
+)"""
+    ]
+    for k in range(1, k_rounds + 1):
+        rewrite = (
+            f""",
+m_{k} AS MATERIALIZED (
+  SELECT word, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+  FROM x_{k} JOIN best_{k} ON sym = ba AND nxt = bb
+),
+keep_{k} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos, pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+    FROM m_{k}
+  ) WHERE off % 2 = 0
+),
+seq_{k + 1} AS MATERIALIZED (
+  SELECT x.word, x.freq,
+         CAST(ROW_NUMBER() OVER (PARTITION BY x.word ORDER BY x.pos) AS INTEGER) AS pos,
+         CASE WHEN h.pos IS NOT NULL THEN x.sym || x.nxt ELSE x.sym END AS sym
+  FROM x_{k} x
+  LEFT JOIN keep_{k} h ON x.word = h.word AND x.pos = h.pos
+  LEFT JOIN keep_{k} t ON x.word = t.word AND x.pos = t.pos + 1
+  WHERE t.pos IS NULL
+)"""
+            if k < k_rounds
+            else ""
+        )
+        parts.append(
+            f""",
+x_{k} AS MATERIALIZED (
+  SELECT word, freq, pos, sym,
+         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM seq_{k}
+),
+best_{k} AS MATERIALIZED (
+  SELECT sym AS ba, nxt AS bb, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM x_{k} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY pair_count DESC, ba ASC, bb ASC
+  LIMIT 1
+)"""
+            + rewrite
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, ba AS left_sym, bb AS right_sym,"
+        f" ba || bb AS merged_sym, pair_count FROM best_{k}"
+        for k in range(1, k_rounds + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+BPE_VOCABULARY_MERGES_SQL = _bpe_sql()
+
+
+QUERIES = {
+    "bpe_vocabulary_merges": bpe_vocabulary_merges,
+}
+
+ORACLES = {
+    "bpe_vocabulary_merges": BPE_VOCABULARY_MERGES_SQL,
+}

@@ -138,6 +138,7 @@ def _load() -> None:
         "json_ops",
         "dedup",
         "text",
+        "bpe",
         "llmprep",
         "curate",
         "sketches",
