@@ -44,14 +44,17 @@ def _regressions(prev_q: dict, cur_q: dict, host_scale: float = 1.0) -> list[dic
     return out
 
 
-# Absolute degraded-host bounds (VERDICT r9 lesson, extended this
-# round): quiet windows on this host measure host_index 0.44-0.60;
-# a window past 0.70, or hypervisor steal past 3% during the timed
-# loop, distorts individual queries far beyond the gate's [1,2]
-# host-scale clamp (observed: 28x on one query at idx 0.84 / 7%
-# steal while the index ratio said only 1.6x). Such runs are
-# recorded with a ``degraded_host`` flag — visible in the trend
-# table, excluded from every gate baseline, never themselves gated.
+# Absolute degraded-host bounds (VERDICT r9 lesson, extended r11/r12):
+# quiet windows on this host measure host_index 0.44-0.60; a window
+# past 0.70, or hypervisor steal past 3% during the timed loop,
+# distorts individual queries far beyond what any host-scale ratio can
+# express (observed: 28x on one query at idx 0.84 / 7% steal while the
+# index ratio said only 1.6x) — the EXCLUSION of such rows from every
+# gate baseline is the load-bearing guard, not the [1,2] scale clamp.
+# Degraded runs are recorded flagged and can never become a baseline;
+# since r12 they ARE gated, but only in ADVISORY mode against the
+# committed min-extraction baseline (best-of-3 candidate retries,
+# suspect_regressions recorded, rc 0 — see main()).
 DEGRADED_HOST_INDEX = 0.70
 DEGRADED_STEAL_PCT = 3.0
 
@@ -99,6 +102,27 @@ def _host_index(spark, cpus: int) -> float:
         job()
         runs.append(time.perf_counter() - t0)
     return round(sorted(runs)[1], 4)
+
+
+def _standing_baseline(repo_dir: str, sf_dir: str, cpus: int) -> dict | None:
+    """The committed min-extraction baseline (BENCH_BASELINE.json, built
+    by tools/robust_baseline.py — VERDICT r11 item 1), if it matches
+    this run's (sf, cpus). Per-query minima across every recorded run
+    are host-independent in the way single quiet rows are not: steal
+    inflates means 10-35x but barely touches the minimum over repeats,
+    so the gate keeps a trustworthy bar even when the host never offers
+    a quiet window. Returns a row-shaped dict ({"queries", "host_index"})
+    so _host_scale/_regressions consume it like a history row."""
+    path = os.path.join(repo_dir, "BENCH_BASELINE.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        base = json.load(fh)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    if base.get("sf") != sf_val or base.get("cpus") != cpus:
+        return None
+    return base
 
 
 def _previous_comparable(repo_dir: str, sf_dir: str, cpus: int) -> dict | None:
@@ -399,35 +423,49 @@ def main() -> None:
     if degraded:
         print(
             f"BENCH DEGRADED HOST: host index {host_index} / steal "
-            f"{steal_pct}% — run recorded flagged, gate skipped "
+            f"{steal_pct}% — run recorded flagged; hard gate disabled, "
+            "advisory gate vs the standing min-baseline if present "
             "(SPARK_GRAFT_BENCH_FORCE_GATE=1 overrides)",
             file=sys.stderr,
         )
 
     # Regression-gate retry (the gate's first live firing was a cold-run
     # artifact: 1.2s -> 2.6s that re-ran warm at 1.0s): before failing,
-    # re-run each candidate once in the same session and keep the best
-    # time — a genuine plan regression reproduces, JIT/page-cache noise
-    # does not.
-    prev = _previous_comparable(
-        os.path.dirname(os.path.abspath(__file__)), sf_dir, cpus
-    )
-    if contended or degraded:
-        prev = None  # contended/degraded timings are not gate-comparable
+    # re-run each candidate in the same session and keep the best time —
+    # a genuine plan regression reproduces, JIT/page-cache/steal noise
+    # does not. The gate baseline is the COMMITTED min-extraction file
+    # when present (host-independent — see _standing_baseline), else the
+    # last quiet history row. On a contended/degraded host the gate runs
+    # in ADVISORY mode against the standing baseline: candidates get
+    # best-of-3 retries (the per-query minimum is what steal cannot
+    # inflate) and survivors are recorded as suspect_regressions without
+    # failing the run — a degraded window cannot convict, but it can
+    # point the next quiet window at what to check.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    standing = _standing_baseline(repo_dir, sf_dir, cpus)
+    advisory = contended or degraded
+    prev = standing or _previous_comparable(repo_dir, sf_dir, cpus)
+    if advisory and standing is None:
+        prev = None  # raw history rows are not comparable from a degraded run
+    regressed = []
     if prev is not None:
         scale = _host_scale(prev, host_index)
         if not 0.8 <= scale <= 1.25:
             print(
                 f"BENCH HOST DRIFT: host index {host_index:.2f}s vs "
-                f"{prev.get('host_index'):.2f}s last comparable run "
+                f"{prev.get('host_index'):.2f}s gate baseline "
                 f"({scale:.2f}x) — gate comparisons scaled accordingly",
                 file=sys.stderr,
             )
         for cand in _regressions(prev["queries"], timings, scale):
             name = cand["query"]
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
-            timings[name] = round(min(timings[name], time.perf_counter() - t0), 4)
+            for _ in range(3 if advisory else 1):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                timings[name] = round(
+                    min(timings[name], time.perf_counter() - t0), 4
+                )
+        regressed = _regressions(prev["queries"], timings, scale)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -457,14 +495,16 @@ def main() -> None:
     # capture window: 3-decimal timings, and if still too long the fastest
     # queries are dropped from the printed dict (never from the file),
     # with the omission counted.
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    # gate BEFORE the file write so BENCH_OUT.json records the regression
-    # the run exits non-zero for (it documents itself as the full version
-    # of the printed line); a CONTENDED run is recorded with a flag that
-    # keeps it out of every gate baseline, and is never itself gated
-    regressed = _update_history(repo_dir, result)
+    #
+    # The gate verdict was computed above (standing min-baseline first);
+    # _update_history's own comparable-row comparison is now display-only
+    # (trend table), so its return is ignored. Gate fields land in the
+    # result BEFORE the file write so BENCH_OUT.json records what the run
+    # exits non-zero for; contended/degraded rows stay flagged and out of
+    # every history baseline exactly as before.
+    _update_history(repo_dir, result)
     if regressed:
-        result["regressed"] = regressed
+        result["suspect_regressions" if advisory else "regressed"] = regressed
     with open(os.path.join(repo_dir, "BENCH_OUT.json"), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -488,7 +528,20 @@ def main() -> None:
             line = json.dumps(printed, separators=(",", ":"))
     print(line)
     spark.stop()
-    if regressed:
+    if regressed and advisory:
+        # a degraded/contended window cannot convict (per-query tails hit
+        # 10-35x); suspects are recorded for the next quiet run, rc stays 0
+        print(
+            "BENCH GATE (advisory — degraded/contended host): "
+            f"{len(regressed)} suspect"
+            f" quer{'y' if len(regressed) == 1 else 'ies'} after best-of-3: "
+            + ", ".join(
+                f"{r['query']} {r['prev_s']:.2f}s->{r['now_s']:.2f}s"
+                for r in regressed
+            ),
+            file=sys.stderr,
+        )
+    elif regressed:
         # failing, not just visible: the driver/CI sees a non-zero rc
         # whenever a common-subset query regresses >2x AND >1s absolute
         print(

@@ -209,3 +209,82 @@ def test_degraded_host_runs_recorded_but_never_baseline_or_gated(tmp_path):
     assert _update_history(str(tmp_path), {**quiet, "queries": {"q1": 2.5}}) == [
         {"query": "q1", "prev_s": 1.0, "now_s": 2.5}
     ]
+
+
+def test_min_extraction_builds_host_independent_baseline():
+    """VERDICT r11 item 1: the standing baseline is the per-query MIN
+    across every recorded run at (sf, cpus) — degraded rows included,
+    because steal inflates means but not minima — paired with the
+    minimum host_index so measured-host scaling can only relax."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from robust_baseline import extract_min_baseline
+
+    runs = [
+        {"sf": 0.1, "cpus": 32, "host_index": 0.53, "queries": {"a": 1.0, "b": 5.0}},
+        {
+            "sf": 0.1,
+            "cpus": 32,
+            "host_index": 0.90,
+            "degraded_host": True,
+            "queries": {"a": 0.8, "b": 50.0, "c": 2.0},
+        },
+        {"sf": 0.01, "cpus": 32, "queries": {"a": 0.1}},
+        {"sf": 0.1, "cpus": 8, "queries": {"a": 0.2}},
+    ]
+    base = extract_min_baseline(runs, 0.1, 32)
+    assert base["queries"] == {"a": 0.8, "b": 5.0, "c": 2.0}
+    assert base["host_index"] == 0.53
+    assert base["runs_used"] == 2
+    assert base["samples"] == {"a": 2, "b": 2, "c": 1}
+
+
+def test_standing_baseline_loads_only_matching_config(tmp_path):
+    import json
+
+    from bench import _standing_baseline
+
+    path = tmp_path / "BENCH_BASELINE.json"
+    path.write_text(
+        json.dumps(
+            {"sf": 0.1, "cpus": 32, "host_index": 0.44, "queries": {"a": 1.0}}
+        )
+    )
+    row = _standing_baseline(str(tmp_path), "/data/sf0.1", 32)
+    assert row is not None and row["queries"] == {"a": 1.0}
+    assert _standing_baseline(str(tmp_path), "/data/sf0.01", 32) is None
+    assert _standing_baseline(str(tmp_path), "/data/sf0.1", 8) is None
+    assert _standing_baseline(str(tmp_path / "nope"), "/data/sf0.1", 32) is None
+
+
+def test_committed_baseline_covers_full_registry():
+    """The committed BENCH_BASELINE.json must cover every query the last
+    recorded full run timed — the gate's 'active again for all queries'
+    contract. (New queries registered since the last bench run join the
+    file on the next robust_baseline rebuild; this pins coverage vs the
+    history the file was built from.)"""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_BASELINE.json")) as fh:
+        base = json.load(fh)
+    last_full: set = set()
+    with open(os.path.join(repo, "BENCH_HISTORY.jsonl")) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            r = json.loads(line)
+            if r.get("sf") == base["sf"] and r.get("cpus") == base["cpus"]:
+                if len(r.get("queries", {})) >= len(last_full):
+                    last_full = set(r["queries"])
+    assert last_full <= set(base["queries"])
+    assert base["host_index"] is not None
+    assert all(v > 0 for v in base["queries"].values())

@@ -39,68 +39,72 @@ _ORACLES: dict[str, str] = {}
 # cannot retroactively invalidate the front that produced it. Bump it
 # together with every rotation; a CORRECTNESS file NEWER than it means
 # a round ran without rotation and the guard goes red.
-_FRONT_TARGET_ROUND = 11
-# Round 11 (tools/front_rotation.py --target-round 11 --changed
-# stats_gtest_dow_type): 2 NEW (text_crossentropy_heldout_by_source,
-# text_jsd_pairwise_sources — the detmath log-family completions) + 1
-# CHANGED (stats_gtest_dow_type: g_stat switched from double->DECIMAL
-# window sum to micro-quantized BIGINT sum, the bootstrap-SE parity
-# discipline) + the 14 deferred r5 rows + 33 of the 48 r6 rows; the 15
-# registration-last r6 rows defer to round 12.
+_FRONT_TARGET_ROUND = 12
+# Round 12 (tools/front_rotation.py --target-round 12 --changed
+# bpe_vocabulary_merges,text_mutual_information_source_token): 2 NEW
+# (bpe_vocabulary_merges — the k-round merge-table induction;
+# text_mutual_information_source_token — the detmath log-family MI
+# completion) + the 15 registration-last r6 rows deferred from round
+# 11 (retiring the last rotation debt: staleness floor rises to r7)
+# + 33 of the 47 r7 rows; 14 r7 rows defer to round 13. The round's
+# two same-output refactors (text_jsd_pairwise_sources' disjoint-pair
+# spine, quality_percentile_gate's in-plan threshold) take no slots —
+# parity-proven identical at driver SF.
 _FRONT_CHANGED: tuple[str, ...] = (
-    "stats_gtest_dow_type",
+    "bpe_vocabulary_merges",
+    "text_mutual_information_source_token",
 )
 _DRIVER_FRONT: tuple[str, ...] = (
-    "text_crossentropy_heldout_by_source",
-    "text_jsd_pairwise_sources",
-    "stats_gtest_dow_type",
-    "stats_chi2_dow_type",
-    "privacy_l_diversity",
-    "embedding_pq_residuals",
-    "knn_classify_embeddings",
-    "semdedup_embeddings",
-    "graph_khop_features",
-    "graph_kcore_peel",
-    "graph_eigencentrality",
-    "graph_substitutes",
-    "decayed_user_value",
-    "table_merkle_sync",
-    "snapshot_time_travel",
-    "snapshot_changes",
-    "snapshot_mor_read",
-    "lateral_topn_orders",
-    "surrogate_key_md5",
-    "null_defaulting",
-    "conditional_mapping",
-    "string_cleaning",
-    "timestamp_normalize",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "text_tfidf_topk",
-    "text_inverted_index",
-    "decontaminate_ngram_overlap",
-    "sample_stratified_hash",
-    "redact_pii",
-    "vocab_topk",
-    "text_repetition_filter",
-    "corpus_shuffle_hash",
-    "domain_mixture_sample",
-    "curate_corpus",
-    "hll_distinct_events",
-    "hll_distinct_users_by_type",
-    "heavy_hitters_cms",
-    "histogram_quantiles_by_type",
-    "privacy_t_closeness",
-    "forecast_seasonal_naive_backtest",
-    "similarity_cosine_topk",
+    "text_mutual_information_source_token",
+    "bpe_vocabulary_merges",
+    "similarity_embedding_neardup",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "embedding_int8_codes",
+    "embedding_training_pairs",
+    "graph_recursive_reachability",
+    "multimodal_metadata",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_audio_energy",
+    "pivot_type_counts_by_date",
+    "rollup_date_type",
+    "cube_type_hour",
+    "map_explode_props",
+    "sql_udf_value_bands",
+    "hourly_stats",
+    "user_daily_metrics",
+    "risk_scores",
+    "daily_summary",
+    "top_risk_alerts",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "dedup_simhash_band60",
+    "text_bm25_topk",
+    "histogram_quantiles_value",
+    "user_value_median_pandas",
+    "props_kv_udtf",
+    "cogroup_click_purchase_lag",
+    "retrieval_rrf_hybrid",
+    "similarity_ann_lsh_multi",
+    "join_salted_skew",
+    "grouping_sets_type_date",
+    "asof_latest_click",
+    "range_join_next_hour",
+    "user_value_trend",
+    "bloom_semi_join_stats",
+    "dq_completeness",
+    "dq_containment",
+    "dq_uniqueness",
+    "dq_range",
+    "dq_accuracy_recompute",
+    "dq_cross_column",
+    "dq_profile_value",
+    "dq_drift_halves",
+    "dq_freshness",
+    "merge_insert_only_orders",
+    "merge_upsert_orders",
+    "snapshot_mor_position_deletes",
 )
 
 
