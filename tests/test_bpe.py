@@ -129,3 +129,52 @@ def test_bpe_spark_matches_oracle_on_micro_corpus(spark, tmp_path):
     freq = {"aaaa": 2, "aaa": 1, "bb": 2, "ab": 3, "cd": 2}
     expect = brute_bpe(freq, bpe.BPE_MERGES)
     assert got == expect, (got, expect)
+
+
+def test_bpe_fertility_oracle_matches_brute_force():
+    """Encode-side: segment every word with the brute-force learned
+    merges, recompute per-source fertility in pure Python, compare."""
+    from wikistream_event_data_pipeline_aws_spark.plans.bpe import (
+        BPE_SEGMENTATION_FERTILITY_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    pairs = con.execute(
+        "SELECT source, word, COUNT(*) FROM (SELECT source, unnest("
+        r"string_split_regex(trim(text), '\s+')) AS word FROM documents) "
+        "WHERE length(word) >= 1 GROUP BY source, word"
+    ).fetchall()
+    freq: Counter = Counter()
+    for _, w, c in pairs:
+        freq[w] += c
+    merges = brute_bpe(dict(freq), BPE_MERGES)
+    seqs = {w: list(w) + ["</w>"] for w in freq}
+    for _, a, b, _, _ in merges:
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    by_src: dict[str, list] = {}
+    for src, w, c in pairs:
+        agg = by_src.setdefault(src, [0, 0, set()])
+        agg[0] += c
+        agg[1] += c * len(seqs[w])
+        agg[2].update(seqs[w])
+    got = {
+        r[0]: r for r in con.execute(BPE_SEGMENTATION_FERTILITY_SQL).fetchall()
+    }
+    assert set(got) == set(by_src)
+    for src, (nw, nsub, subs) in by_src.items():
+        row = got[src]
+        assert row[1] == nw and row[2] == nsub, (src, row)
+        assert row[3] == pytest.approx(nsub / nw, abs=1e-12)
+        assert row[4] == len(subs)

@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 259
+EXPECTED_QUERY_COUNT = 260
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -151,6 +151,7 @@ def test_no_unpartitioned_windows_in_plan_sources():
         "sketches.py": 2,  # histogram cumsums (batch + streaming reader), each over <= HIST_BINS rows
         "stats.py": 3,  # KM life-table tail-sum; KS bucket-prefix; Mann-Whitney rank-prefix over the distinct-value grain (all calendar/domain-bounded)
         "llmprep.py": 1,  # vocab-coverage rank/cumsum over the DISTINCT-TOKEN grain (vocab-bounded, ~1e5-1e6 rows in production)
+        "curate.py": 1,  # quality-gate bucket running sum over <= 1024 fixed histogram buckets (r12 in-plan threshold)
     }
     root = pathlib.Path(plans_pkg.__file__).parent
     for p in sorted(root.glob("*.py")):

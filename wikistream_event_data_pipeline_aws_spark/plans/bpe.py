@@ -138,12 +138,15 @@ def _bpe_round(seq: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
     return next_seq, record
 
 
-def bpe_vocabulary_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The K-round merge table over the corpus vocabulary (module
-    docstring has the full story). Empty words are excluded on both
-    engines up front: Spark's ``sequence(1, 0)`` counts DOWN while
-    DuckDB's ``range(1, 1)`` is empty, so a zero-length token would
-    diverge — and carries no pairs anyway."""
+def _bpe_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared K-round pipeline: (per-round merge records, FINAL
+    sequence table) — merges and the encode/fertility readout consume
+    the same rounds, so the two queries cannot drift. Empty words are
+    excluded on both engines up front: Spark's ``sequence(1, 0)``
+    counts DOWN while DuckDB's ``range(1, 1)`` is empty, so a
+    zero-length token would diverge — and carries no pairs anyway."""
     d = load_table(spark, sf_dir, "documents").select(
         F.explode(tokenize(F.col("text"))).alias("word")
     )
@@ -171,14 +174,83 @@ def bpe_vocabulary_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, BPE_MERGES + 1):
         seq, rec = _bpe_round(seq, k)
         records.append(rec)
+    return records, seq
+
+
+def bpe_vocabulary_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K-round merge table over the corpus vocabulary (module
+    docstring has the full story)."""
+    records, _ = _bpe_pipeline(spark, sf_dir)
     out = records[0]
     for rec in records[1:]:
         out = out.unionByName(rec)
     return out
 
 
-def _bpe_sql(k_rounds: int = BPE_MERGES) -> str:
-    """The same algebra unrolled ``k_rounds`` times for DuckDB."""
+def bpe_segmentation_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE-side readout of the learned merge table: segment every
+    vocabulary word with the final K-round state and report per-source
+    subword fertility — subword tokens emitted per word token, the
+    number that prices a tokenizer against a corpus slice (fertility
+    near 1 = the vocab covers the slice; high fertility = the slice
+    fragments, so its effective sequence length inflates). This is the
+    learned-subword twin of ``tokenizer_fertility_by_lang`` (which
+    measures the whitespace proxy): same decision surface, real BPE.
+
+    The final sequence table IS the segmentation (BPE encoding of a
+    known word = replaying the merges, which the pipeline has already
+    done), so the encode step costs one (word → symbol-count) agg plus
+    a vocabulary-keyed join against per-(source, word) counts — no
+    second pass over the corpus text beyond the (source, word) grain,
+    and the symbol count includes the ``</w>`` terminal (merged into
+    its neighbor or not — document-level framing, identical on both
+    engines). distinct_subwords counts the subword types a source's
+    slice touches — its effective vocab footprint.
+
+    Scale: corpus → (source, word) hash agg (the one corpus-scale
+    stage), everything else on the vocab × |sources| grain."""
+    records, final_seq = _bpe_pipeline(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    wordsrc = (
+        d.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("word") >= 1)
+        .localCheckpoint(eager=False)
+    )
+    seg = final_seq.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
+    base = (
+        wordsrc.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_word_tokens"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subword_tokens"),
+        )
+    )
+    subw = (
+        wordsrc.join(final_seq.select("word", "sym"), "word")
+        .groupBy("source")
+        .agg(F.countDistinct("sym").alias("distinct_subwords"))
+    )
+    return base.join(subw, "source").select(
+        "source",
+        "n_word_tokens",
+        "n_subword_tokens",
+        (
+            F.col("n_subword_tokens").cast("double")
+            / F.col("n_word_tokens").cast("double")
+        ).alias("fertility"),
+        "distinct_subwords",
+    )
+
+
+def _bpe_sql(k_rounds: int = BPE_MERGES, with_final_seq: bool = False) -> str:
+    """The same algebra unrolled ``k_rounds`` times for DuckDB. With
+    ``with_final_seq`` the last round's rewrite is also emitted (CTE
+    ``seq_{k_rounds + 1}`` — the final segmentation the encode-side
+    fertility oracle reads); without it the chain stops at the last
+    argmax, which is all the merge-table oracle needs."""
     parts = [
         f"""
 WITH toks AS MATERIALIZED (
@@ -223,7 +295,7 @@ seq_{k + 1} AS MATERIALIZED (
   LEFT JOIN keep_{k} t ON x.word = t.word AND x.pos = t.pos + 1
   WHERE t.pos IS NULL
 )"""
-            if k < k_rounds
+            if k < k_rounds or with_final_seq
             else ""
         )
         parts.append(
@@ -250,13 +322,52 @@ best_{k} AS MATERIALIZED (
     return "".join(parts) + "\n" + selects
 
 
+def _bpe_fertility_sql(k_rounds: int = BPE_MERGES) -> str:
+    """Encode-side oracle: the unrolled chain INCLUDING the final
+    rewrite, read out as per-source fertility over the (source, word)
+    grain — mirrors bpe_segmentation_fertility column for column."""
+    final = f"seq_{k_rounds + 1}"
+    chain = _bpe_sql(k_rounds, with_final_seq=True)
+    head, _, _ = chain.rpartition("\nSELECT CAST(1 AS INTEGER)")
+    return (
+        head
+        + f""",
+wordsrc AS MATERIALIZED (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest({_TOKS_SQL}) AS word FROM documents)
+  WHERE length(word) >= 1 GROUP BY source, word
+),
+seg AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub FROM {final} GROUP BY word
+),
+base AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_word_tokens,
+         CAST(SUM(cnt * n_sub) AS BIGINT) AS n_subword_tokens
+  FROM wordsrc JOIN seg USING (word) GROUP BY source
+),
+subw AS (
+  SELECT source, CAST(COUNT(DISTINCT sym) AS BIGINT) AS distinct_subwords
+  FROM wordsrc JOIN {final} USING (word) GROUP BY source
+)
+SELECT base.source, n_word_tokens, n_subword_tokens,
+       CAST(n_subword_tokens AS DOUBLE) / CAST(n_word_tokens AS DOUBLE)
+         AS fertility,
+       distinct_subwords
+FROM base JOIN subw ON base.source = subw.source
+"""
+    )
+
+
 BPE_VOCABULARY_MERGES_SQL = _bpe_sql()
+BPE_SEGMENTATION_FERTILITY_SQL = _bpe_fertility_sql()
 
 
 QUERIES = {
     "bpe_vocabulary_merges": bpe_vocabulary_merges,
+    "bpe_segmentation_fertility": bpe_segmentation_fertility,
 }
 
 ORACLES = {
     "bpe_vocabulary_merges": BPE_VOCABULARY_MERGES_SQL,
+    "bpe_segmentation_fertility": BPE_SEGMENTATION_FERTILITY_SQL,
 }
