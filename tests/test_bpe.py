@@ -178,3 +178,41 @@ def test_bpe_fertility_oracle_matches_brute_force():
         assert row[1] == nw and row[2] == nsub, (src, row)
         assert row[3] == pytest.approx(nsub / nw, abs=1e-12)
         assert row[4] == len(subs)
+
+
+def test_bpe_plan_shape(spark, sf_dir):
+    """Scale pins on an UNFENCED round (the production pipeline's lazy
+    checkpoints hide each round's subplans from executedPlan): the
+    argmax must compile to TakeOrderedAndProject (a global sort of the
+    pair-count table would be the classic regression), the 1-row best
+    must sit on the broadcast side of the match join, and no stage may
+    plan a cartesian product."""
+    from pyspark.sql import functions as F
+
+    from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+    from wikistream_event_data_pipeline_aws_spark.operators.textops import (
+        tokenize,
+    )
+    from wikistream_event_data_pipeline_aws_spark.plans import bpe
+
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 1)
+    )
+    seq = vocab.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+    ).select(
+        "word", "freq", "pos", F.expr("substring(word, pos, 1)").alias("sym")
+    )
+    next_seq, record = bpe._bpe_round(seq, 1, fence=False)
+    for df in (next_seq, record):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+    rewrite_plan = next_seq._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in rewrite_plan, rewrite_plan

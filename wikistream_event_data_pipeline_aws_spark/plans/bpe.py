@@ -60,7 +60,9 @@ _EOW = "</w>"
 _TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
 
 
-def _bpe_round(seq: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
+def _bpe_round(
+    seq: DataFrame, step: int, fence: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """One merge round over the (word, freq, pos, sym) sequence grain.
 
     Returns (next_seq, record) where record is the 1-row merge-table
@@ -68,10 +70,14 @@ def _bpe_round(seq: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
     all length 1 — in which case next_seq passes through unchanged on
     BOTH engines: the match join is inner, so an empty argmax keeps
     nothing and drops nothing)."""
+    def _fence(df: DataFrame) -> DataFrame:
+        # ``fence=False`` exists for plan-shape tests only: checkpoints
+        # hide the round's subplans from executedPlan(), so the test
+        # builds an unfenced round to assert on the full algebra
+        return df.localCheckpoint(eager=False) if fence else df
+
     w_word = Window.partitionBy("word").orderBy("pos")
-    x = seq.withColumn("nxt", F.lead("sym").over(w_word)).localCheckpoint(
-        eager=False
-    )
+    x = _fence(seq.withColumn("nxt", F.lead("sym").over(w_word)))
     best = (
         x.filter(F.col("nxt").isNotNull())
         .groupBy("sym", "nxt")
@@ -81,8 +87,8 @@ def _bpe_round(seq: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
         )
         .limit(1)
         .select(F.col("sym").alias("ba"), F.col("nxt").alias("bb"), "pair_count")
-        .localCheckpoint(eager=False)
     )
+    best = _fence(best)
     # match positions -> greedy selection: consecutive match runs (only
     # possible when left == right) collapse to even offsets from the
     # run head — the gaps-and-islands split of the reference's
@@ -101,8 +107,8 @@ def _bpe_round(seq: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
         )
         .filter(F.col("off") % 2 == 0)
         .select("word", "pos")
-        .localCheckpoint(eager=False)
     )
+    keep = _fence(keep)
     heads = keep.withColumn("is_head", F.lit(True))
     tails = keep.select(
         "word", (F.col("pos") + F.lit(1)).alias("pos")
@@ -122,12 +128,14 @@ def _bpe_round(seq: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
             .alias("sym"),
         )
     )
-    next_seq = y.select(
-        "word",
-        "freq",
-        F.row_number().over(w_word).alias("pos"),
-        "sym",
-    ).localCheckpoint(eager=False)
+    next_seq = _fence(
+        y.select(
+            "word",
+            "freq",
+            F.row_number().over(w_word).alias("pos"),
+            "sym",
+        )
+    )
     record = best.select(
         F.lit(step).cast("int").alias("step"),
         F.col("ba").alias("left_sym"),
