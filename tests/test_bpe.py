@@ -216,3 +216,61 @@ def test_bpe_plan_shape(spark, sf_dir):
         assert "TakeOrderedAndProject" in plan, plan
     rewrite_plan = next_seq._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in rewrite_plan, rewrite_plan
+
+
+def test_bpe_curve_matches_brute_force_and_is_monotone():
+    """Training-curve oracle vs pure-Python segmentation replay: after
+    each merge round, corpus symbol mass and distinct symbol types must
+    match, corpus_symbols must fall monotonically, and each round's
+    drop equals its number of MERGED occurrences (<= pair_count, with
+    equality when left != right — overlap runs merge only every other
+    match)."""
+    from wikistream_event_data_pipeline_aws_spark.plans.bpe import (
+        BPE_VOCABULARY_CURVE_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    freq = dict(
+        con.execute(
+            "SELECT word, COUNT(*) FROM (SELECT unnest("
+            r"string_split_regex(trim(text), '\s+')) AS word FROM documents) "
+            "WHERE length(word) >= 1 GROUP BY word"
+        ).fetchall()
+    )
+    merges = brute_bpe(freq, BPE_MERGES)
+    got = sorted(con.execute(BPE_VOCABULARY_CURVE_SQL).fetchall())
+    n_word_tokens = sum(freq.values())
+    seqs = {w: list(w) + ["</w>"] for w in freq}
+
+    def state(step):
+        return (
+            sum(f * len(seqs[w]) for w, f in freq.items()),
+            len({s for w in seqs for s in seqs[w]}),
+        )
+
+    sym0, dis0 = state(0)
+    assert got[0] == (0, sym0, dis0, n_word_tokens, sym0 / n_word_tokens)
+    prev = sym0
+    for step, a, b, _, cnt in merges:
+        for w in freq:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+        symk, disk = state(step)
+        row = got[step]
+        assert row[1] == symk and row[2] == disk, (step, row)
+        assert row[4] == pytest.approx(symk / n_word_tokens, abs=1e-12)
+        drop = prev - symk
+        assert 0 < drop <= cnt, (step, drop, cnt)
+        if a != b:
+            assert drop == cnt, (step, drop, cnt)
+        prev = symk

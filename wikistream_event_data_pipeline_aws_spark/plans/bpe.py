@@ -155,15 +155,19 @@ def _bpe_round(
 # (observed 15.3s + 19.7s in a degraded window). Keyed by applicationId
 # so a new SparkSession (whose checkpointed RDDs died with the old
 # context) can never see stale entries.
-_PIPELINE_CACHE: dict[tuple[str, str], tuple[list[DataFrame], DataFrame]] = {}
+_PIPELINE_CACHE: dict[
+    tuple[str, str], tuple[list[DataFrame], list[DataFrame], DataFrame]
+] = {}
 
 
 def _bpe_pipeline(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[DataFrame], DataFrame]:
-    """The shared K-round pipeline: (per-round merge records, FINAL
-    sequence table) — merges and the encode/fertility readout consume
-    the same rounds, so the two queries cannot drift. Empty words are
+) -> tuple[list[DataFrame], list[DataFrame], DataFrame]:
+    """The shared K-round pipeline: (per-round merge records, sequence
+    tables seqs[0..K] — seqs[0] is the initial char decomposition,
+    seqs[k] the state after round k — and the (word, freq) vocab) —
+    merges, the encode/fertility readout and the vocabulary curve all
+    consume the same rounds, so the three queries cannot drift. Empty words are
     excluded on both engines up front: Spark's ``sequence(1, 0)``
     counts DOWN while DuckDB's ``range(1, 1)`` is empty, so a
     zero-length token would diverge — and carries no pairs anyway."""
@@ -195,17 +199,19 @@ def _bpe_pipeline(
     )
     seq = chars.unionByName(terminal).localCheckpoint(eager=False)
     records: list[DataFrame] = []
+    seqs: list[DataFrame] = [seq]
     for k in range(1, BPE_MERGES + 1):
         seq, rec = _bpe_round(seq, k)
         records.append(rec)
-    _PIPELINE_CACHE[key] = (records, seq)
-    return records, seq
+        seqs.append(seq)
+    _PIPELINE_CACHE[key] = (records, seqs, vocab)
+    return records, seqs, vocab
 
 
 def bpe_vocabulary_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The K-round merge table over the corpus vocabulary (module
     docstring has the full story)."""
-    records, _ = _bpe_pipeline(spark, sf_dir)
+    records, _, _ = _bpe_pipeline(spark, sf_dir)
     out = records[0]
     for rec in records[1:]:
         out = out.unionByName(rec)
@@ -234,7 +240,8 @@ def bpe_segmentation_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: corpus → (source, word) hash agg (the one corpus-scale
     stage), everything else on the vocab × |sources| grain."""
-    records, final_seq = _bpe_pipeline(spark, sf_dir)
+    _, seqs, _ = _bpe_pipeline(spark, sf_dir)
+    final_seq = seqs[-1]
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(tokenize(F.col("text"))).alias("word")
     )
@@ -267,6 +274,49 @@ def bpe_segmentation_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_word_tokens").cast("double")
         ).alias("fertility"),
         "distinct_subwords",
+    )
+
+
+def bpe_vocabulary_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING CURVE: corpus compression state after every
+    merge round (step 0 = raw character decomposition, step k = after
+    merge k) — corpus_symbols (frequency-weighted symbol count, the
+    sequence length a subword tokenizer at that vocab size would emit),
+    distinct_symbols (the vocab size bought so far), and
+    symbols_per_word (the fertility trajectory). This is the curve a
+    tokenizer build plots to pick its merge budget: corpus_symbols
+    falls by exactly the merged-pair count each round, so the
+    diminishing-returns knee is visible and oracle-checkable.
+
+    Cost: K+1 tiny aggs over the ALREADY-materialized (memoized)
+    sequence checkpoints — the pipeline runs once per session per SF
+    however many of the three BPE queries the caller invokes."""
+    _, seqs, vocab = _bpe_pipeline(spark, sf_dir)
+    nw = vocab.agg(F.sum("freq").alias("n_word_tokens"))
+    rows = []
+    for k, s in enumerate(seqs):
+        rows.append(
+            s.agg(
+                F.sum("freq").alias("corpus_symbols"),
+                F.countDistinct("sym").alias("distinct_symbols"),
+            ).select(
+                F.lit(k).cast("int").alias("step"),
+                "corpus_symbols",
+                "distinct_symbols",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.crossJoin(F.broadcast(nw)).select(
+        "step",
+        "corpus_symbols",
+        "distinct_symbols",
+        "n_word_tokens",
+        (
+            F.col("corpus_symbols").cast("double")
+            / F.col("n_word_tokens").cast("double")
+        ).alias("symbols_per_word"),
     )
 
 
@@ -383,16 +433,46 @@ FROM base JOIN subw ON base.source = subw.source
     )
 
 
+def _bpe_curve_sql(k_rounds: int = BPE_MERGES) -> str:
+    """Training-curve oracle: one rollup per seq_k in the unrolled
+    chain (seq_1 = step 0 ... seq_{k_rounds+1} = step k_rounds)."""
+    chain = _bpe_sql(k_rounds, with_final_seq=True)
+    head, _, _ = chain.rpartition("\nSELECT CAST(1 AS INTEGER)")
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS step,"
+        f" CAST(SUM(freq) AS BIGINT) AS corpus_symbols,"
+        f" CAST(COUNT(DISTINCT sym) AS BIGINT) AS distinct_symbols"
+        f" FROM seq_{k + 1}"
+        for k in range(0, k_rounds + 1)
+    )
+    return (
+        head
+        + f""",
+nw AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_word_tokens FROM vocab),
+curve AS (
+{steps}
+)
+SELECT step, corpus_symbols, distinct_symbols, n_word_tokens,
+       CAST(corpus_symbols AS DOUBLE) / CAST(n_word_tokens AS DOUBLE)
+         AS symbols_per_word
+FROM curve, nw
+"""
+    )
+
+
 BPE_VOCABULARY_MERGES_SQL = _bpe_sql()
 BPE_SEGMENTATION_FERTILITY_SQL = _bpe_fertility_sql()
+BPE_VOCABULARY_CURVE_SQL = _bpe_curve_sql()
 
 
 QUERIES = {
     "bpe_vocabulary_merges": bpe_vocabulary_merges,
     "bpe_segmentation_fertility": bpe_segmentation_fertility,
+    "bpe_vocabulary_curve": bpe_vocabulary_curve,
 }
 
 ORACLES = {
     "bpe_vocabulary_merges": BPE_VOCABULARY_MERGES_SQL,
     "bpe_segmentation_fertility": BPE_SEGMENTATION_FERTILITY_SQL,
+    "bpe_vocabulary_curve": BPE_VOCABULARY_CURVE_SQL,
 }

@@ -42,13 +42,15 @@ _ORACLES: dict[str, str] = {}
 _FRONT_TARGET_ROUND = 12
 # Round 12 (tools/front_rotation.py --target-round 12 --changed
 # bpe_vocabulary_merges,text_mutual_information_source_token,
-# bpe_segmentation_fertility): 3 NEW (bpe_vocabulary_merges — the
-# k-round merge-table induction; bpe_segmentation_fertility — its
-# encode-side fertility readout; text_mutual_information_source_token
-# — the detmath log-family MI completion) + the 15 registration-last
-# r6 rows deferred from round 11 (retiring the last rotation debt:
-# staleness floor rises to r7) + 32 of the 47 r7 rows; 15 r7 rows
-# defer to round 13. The round's
+# bpe_segmentation_fertility,bpe_vocabulary_curve): 4 NEW
+# (bpe_vocabulary_merges — the k-round merge-table induction;
+# bpe_segmentation_fertility — its encode-side fertility readout;
+# bpe_vocabulary_curve — the training curve over the same memoized
+# rounds; text_mutual_information_source_token — the detmath
+# log-family MI completion) + the 15 registration-last r6 rows
+# deferred from round 11 (retiring the last rotation debt: staleness
+# floor rises to r7) + 31 of the 47 r7 rows; 16 r7 rows defer to
+# round 13. The round's
 # two same-output refactors (text_jsd_pairwise_sources' disjoint-pair
 # spine, quality_percentile_gate's in-plan threshold) take no slots —
 # parity-proven identical at driver SF.
@@ -56,11 +58,13 @@ _FRONT_CHANGED: tuple[str, ...] = (
     "bpe_vocabulary_merges",
     "text_mutual_information_source_token",
     "bpe_segmentation_fertility",
+    "bpe_vocabulary_curve",
 )
 _DRIVER_FRONT: tuple[str, ...] = (
     "text_mutual_information_source_token",
     "bpe_vocabulary_merges",
     "bpe_segmentation_fertility",
+    "bpe_vocabulary_curve",
     "similarity_embedding_neardup",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
@@ -107,7 +111,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dq_drift_halves",
     "dq_freshness",
     "merge_insert_only_orders",
-    "merge_upsert_orders",
 )
 
 
