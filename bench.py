@@ -145,6 +145,11 @@ def _previous_comparable(repo_dir: str, sf_dir: str, cpus: int) -> dict | None:
                 and r["cpus"] == cpus
                 and not r.get("contended")
                 and not r.get("degraded_host")
+                # partial rows from tools/spot_measure.py carry only the
+                # re-measured suspects — folding one in here would shrink
+                # the gate to that subset; they feed the min-extraction
+                # baseline instead
+                and not r.get("spot")
             ):
                 prev = r
     return prev
@@ -332,7 +337,21 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
 
     qs = registry.queries()
-    timings: dict[str, float] = {}
+    warmup(spark, sf_dir, qs)
+    # Measure the host-speed reference AFTER the warm-ups and BEFORE the
+    # timed queries, so it reflects the same steady-state JVM the
+    # timings come from. Recorded in the result + history row; the
+    # regression gate scales the previous run's timings by the index
+    # ratio so hypervisor-level host drift (uniform, loadavg-invisible)
+    # doesn't read as a plan regression — and a genuine plan regression
+    # still cannot hide, because the scale is measured, not asserted.
+    host_index = _host_index(spark, cpus)
+    _timed(spark, sf_dir, cpus, qs, contended, load1, host_index)
+
+
+def warmup(spark, sf_dir: str, qs: dict) -> None:
+    """Shared pre-timing warm-up (bench + tools/spot_measure.py): JIT /
+    IO / setup-artifact costs paid OUTSIDE every timed run."""
     # Warm the JVM/IO path (codegen JIT + parquet footer cache) once per
     # table family so cold-start cost doesn't land on whichever query
     # happens to sort first; the timed runs then measure the plans.
@@ -383,15 +402,9 @@ def main() -> None:
     # fixture. One tiny run at the smallest SF pays it here instead.
     qs["sse_replay_source_stats"](spark, "/root/testdata/sf0.001").count()
 
-    # Measure the host-speed reference AFTER the warm-ups and BEFORE the
-    # timed queries, so it reflects the same steady-state JVM the
-    # timings come from. Recorded in the result + history row; the
-    # regression gate scales the previous run's timings by the index
-    # ratio so hypervisor-level host drift (uniform, loadavg-invisible)
-    # doesn't read as a plan regression — and a genuine plan regression
-    # still cannot hide, because the scale is measured, not asserted.
-    host_index = _host_index(spark, cpus)
 
+def _timed(spark, sf_dir, cpus, qs, contended, load1, host_index) -> None:
+    timings: dict[str, float] = {}
     # Stateful streaming queries pay a state-store/MicroBatchExecution
     # setup cost with ~1.5x run-to-run variance on this host (r02 verdict:
     # their deltas were harness noise, not plan changes). They are timed
@@ -509,24 +522,14 @@ def main() -> None:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
-    budget = 1950
-    printed = dict(result)
-    printed.pop("noisy_query_runs", None)
-    printed["queries"] = {k: round(v, 3) for k, v in timings.items()}
-    line = json.dumps(printed, separators=(",", ":"))
-    if len(line) > budget:
-        by_time = sorted(timings, key=timings.get)
-        omitted = 0
-        while len(line) > budget and by_time:
-            dropped = by_time.pop(0)
-            omitted += 1
-            printed["queries"] = {
-                k: round(v, 3) for k, v in timings.items() if k in set(by_time)
-            }
-            printed["queries_omitted"] = omitted
-            printed["full_results"] = "BENCH_OUT.json"
-            line = json.dumps(printed, separators=(",", ":"))
-    print(line)
+    # The summary JSON line must be the LAST thing this process writes:
+    # the driver keeps only the final ~2000 chars of captured output, and
+    # r12 lost the line's head because the advisory gate text + Spark
+    # shutdown logs landed AFTER it in a merged capture (BENCH_r12.json
+    # "parsed": null). So: stop Spark first, emit gate text first, THEN
+    # the line — sized well under the window with a deterministic
+    # truncation ladder (drop fastest queries, then shrink the suspect
+    # list to names) so it always fits whole.
     spark.stop()
     if regressed and advisory:
         # a degraded/contended window cannot convict (per-query tails hit
@@ -550,6 +553,33 @@ def main() -> None:
             + ", ".join(f"{r['query']} {r['prev_s']:.2f}s->{r['now_s']:.2f}s" for r in regressed),
             file=sys.stderr,
         )
+    sys.stderr.flush()
+
+    budget = 1500
+    printed = dict(result)
+    printed.pop("noisy_query_runs", None)
+    printed["queries"] = {k: round(v, 3) for k, v in timings.items()}
+    line = json.dumps(printed, separators=(",", ":"))
+    if len(line) > budget:
+        by_time = sorted(timings, key=timings.get)
+        omitted = 0
+        while len(line) > budget and by_time:
+            by_time.pop(0)
+            omitted += 1
+            printed["queries"] = {
+                k: round(v, 3) for k, v in timings.items() if k in set(by_time)
+            }
+            printed["queries_omitted"] = omitted
+            printed["full_results"] = "BENCH_OUT.json"
+            line = json.dumps(printed, separators=(",", ":"))
+    key = "suspect_regressions" if advisory else "regressed"
+    if len(line) > budget and printed.get(key):
+        # last rung: the per-entry prev/now detail lives in BENCH_OUT.json
+        printed[key] = [r["query"] for r in regressed]
+        line = json.dumps(printed, separators=(",", ":"))
+    print(line)
+    sys.stdout.flush()
+    if regressed and not advisory:
         sys.exit(1)
 
 

@@ -274,3 +274,157 @@ def test_bpe_curve_matches_brute_force_and_is_monotone():
         if a != b:
             assert drop == cnt, (step, drop, cnt)
         prev = symk
+
+
+def _split_of(doc_id: int) -> int:
+    """Pure-Python twin of the md5 split hash (_SPLIT_HASH_SQL)."""
+    import hashlib
+
+    h = hashlib.md5(f"bpesplit{doc_id}".encode()).hexdigest()[:15]
+    return int(h, 16) % 5
+
+
+def brute_apply(merges: list[tuple], word: str) -> list[str]:
+    """Sennrich ENCODE loop: repeatedly merge the lowest-rank bigram
+    present (greedy left-to-right within a pass) until none applies —
+    deliberately NOT the sequential-pass formulation the engine uses,
+    so the test pins the documented equivalence between the two."""
+    rank = {(a, b): i for i, (_, a, b, _, _) in enumerate(merges)}
+    s = list(word) + ["</w>"]
+    while True:
+        present = {(s[i], s[i + 1]) for i in range(len(s) - 1) if (s[i], s[i + 1]) in rank}
+        if not present:
+            return s
+        a, b = min(present, key=lambda p: rank[p])
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+
+
+def test_bpe_heldout_encode_oracle_matches_brute_force():
+    """Held-out encode oracle vs an independent imperative pipeline:
+    train classic BPE on the ~80% md5 split, encode the held-out words
+    with the min-rank-present Sennrich loop (not the engine's
+    sequential passes), recompute per-source fertility + OOV mass."""
+    from wikistream_event_data_pipeline_aws_spark.plans.bpe import (
+        BPE_ENCODE_HELDOUT_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    rows = con.execute(
+        "SELECT doc_id, source, word FROM (SELECT doc_id, source, unnest("
+        r"string_split_regex(trim(text), '\s+')) AS word FROM documents) "
+        "WHERE length(word) >= 1"
+    ).fetchall()
+    train_freq: Counter = Counter()
+    held: Counter = Counter()  # (source, word) -> cnt
+    for doc_id, src, w in rows:
+        if _split_of(doc_id) != 0:
+            train_freq[w] += 1
+        else:
+            held[(src, w)] += 1
+    assert held, "sf0.001 must yield a non-empty held-out split"
+    merges = brute_bpe(dict(train_freq), BPE_MERGES)
+    seg = {w: brute_apply(merges, w) for w in {w for _, w in held}}
+    by_src: dict[str, list] = {}
+    for (src, w), c in held.items():
+        agg = by_src.setdefault(src, [0, 0, 0, set()])
+        agg[0] += c
+        if w not in train_freq:
+            agg[1] += c
+        agg[2] += c * len(seg[w])
+        agg[3].update(seg[w])
+    got = {r[0]: r for r in con.execute(BPE_ENCODE_HELDOUT_SQL).fetchall()}
+    assert set(got) == set(by_src)
+    for src, (nw, oov, nsub, subs) in by_src.items():
+        row = got[src]
+        assert row[1:4] == (nw, oov, nsub), (src, row, (nw, oov, nsub))
+        assert row[4] == pytest.approx(nsub / nw, abs=1e-12)
+        assert row[5] == len(subs)
+
+
+def test_bpe_heldout_oov_word_encodes_via_chars(spark, tmp_path):
+    """An out-of-vocabulary held-out word (never seen in training) must
+    still encode — decomposed to chars with learned merges applied
+    where they match — and be counted in oov_word_tokens; Spark and the
+    DuckDB oracle must agree on the result."""
+    from wikistream_event_data_pipeline_aws_spark.plans import bpe
+
+    train_id = next(i for i in range(1, 50) if _split_of(i) != 0)
+    held_id = next(i for i in range(1, 50) if _split_of(i) == 0)
+    docs = [
+        (train_id, "abab abab abba", "src_t"),
+        (held_id, "abab zq abba", "src_h"),  # 'zq' is OOV: z/q unseen
+    ]
+    spark.createDataFrame(
+        docs, "doc_id int, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["source"]: r
+        for r in bpe.bpe_encode_heldout_fertility(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"src_h"}
+    row = out["src_h"]
+    assert row["n_word_tokens"] == 3
+    assert row["oov_word_tokens"] == 1  # 'zq'
+    # independent check: train on the train doc, encode the held-out one
+    merges = brute_bpe({"abab": 2, "abba": 1}, bpe.BPE_MERGES)
+    nsub = sum(len(brute_apply(merges, w)) for w in ("abab", "zq", "abba"))
+    assert row["n_subword_tokens"] == nsub
+    subs = set()
+    for w in ("abab", "zq", "abba"):
+        subs.update(brute_apply(merges, w))
+    assert row["distinct_subwords"] == len(subs)
+    # oracle agreement on the same micro-corpus
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    orc = con.execute(bpe.BPE_ENCODE_HELDOUT_SQL).fetchall()
+    assert sorted(tuple(r) for r in out.values()) == sorted(orc)
+
+
+def test_bpe_memo_invalidated_on_rewritten_sf_dir(spark, tmp_path):
+    """ADVICE r12: the pipeline memo keys on a file-identity fingerprint
+    (path, size, mtime_ns), so rewriting an sf_dir IN PLACE must serve
+    fresh results, never stale checkpoints."""
+    import os as _os
+
+    from wikistream_event_data_pipeline_aws_spark.plans import bpe
+
+    path = str(tmp_path / "documents.parquet")
+
+    def write(text: str) -> None:
+        spark.createDataFrame(
+            [(1, text, "s")], "doc_id int, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    write("ab ab ab")
+    first = sorted(
+        tuple(r) for r in bpe.bpe_vocabulary_merges(spark, str(tmp_path)).collect()
+    )
+    write("cd cd cd")
+    # force a distinct mtime_ns even on coarse-clock filesystems
+    for dirpath, _, names in _os.walk(path):
+        for n in names:
+            p = _os.path.join(dirpath, n)
+            st = _os.stat(p)
+            _os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    second = sorted(
+        tuple(r) for r in bpe.bpe_vocabulary_merges(spark, str(tmp_path)).collect()
+    )
+    assert first != second
+    assert first[0][1:4] == ("a", "b", "ab")
+    assert second[0][1:4] == ("c", "d", "cd")

@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 261
+EXPECTED_QUERY_COUNT = 262
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -877,6 +877,18 @@ def test_jsd_emits_disjoint_vocabulary_pairs_spark(spark, tmp_path):
     for key in (("a", "c"), ("b", "c")):
         assert rows[key]["shared_vocab"] == 1
         assert 0.0 < rows[key]["jsd_nats"] < math.log(2)
+
+
+def test_jsd_pair_spine_is_broadcast_not_cartesian(spark, sf_dir):
+    """ADVICE r12: the ns x ns inequality join that seeds the pair
+    spine carries an explicit F.broadcast hint, so it must plan as a
+    BroadcastNestedLoopJoin over the |sources|-row aggregate — if
+    Spark's size estimate ever exceeded autoBroadcastJoinThreshold
+    without the hint, the same join would degrade to a
+    CartesianProduct (corpus-scale shuffle of both sides)."""
+    plan = _plan(spark, sf_dir, "text_jsd_pairwise_sources")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
 
 
 def test_quality_gate_constructs_with_zero_driver_actions(spark, sf_dir):

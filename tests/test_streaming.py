@@ -1118,3 +1118,87 @@ def test_mergeable_commit_register_max_replay_and_reorder_fixed_point(
     s1 = {(r.bucket, r.M) for r in spark.read.parquet(p1).collect()}
     s2 = {(r.bucket, r.M) for r in spark.read.parquet(p2).collect()}
     assert s1 == s2 == {(0, 7), (1, 5), (2, 1)}
+
+
+def test_interval_join_tight_watermark_evicts_late_purchase(spark, tmp_path, batches_dir):
+    """T5 for STREAM-STREAM joins (VERDICT r12 item 4): the registered
+    interval join only ever runs with a fixture-wide watermark, so this
+    replays the same core (plans.streaming_live.
+    interval_join_clicks_purchases) with a TIGHT 10-minute watermark
+    across four micro-batches: once the global watermark passes a
+    click's join-window close (c_ts + 1h), its buffered state is
+    evicted and a later-arriving in-window purchase must NOT pair with
+    it — bounded state, the contract that keeps this join viable on an
+    unbounded stream."""
+    from wikistream_event_data_pipeline_aws_spark.plans.streaming_live import (
+        interval_join_clicks_purchases,
+    )
+    from wikistream_event_data_pipeline_aws_spark.streaming.ingest import (
+        file_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mi = dt.timedelta(minutes=1)
+    # b1: click u1 + in-window purchase u1 (positive control)
+    _write_batch(
+        spark,
+        batches_dir,
+        [
+            (1, t0, 1, "click", 1.0),
+            (50, t0 + 10 * mi, 1, "purchase", 1.0),
+        ],
+        "b1.parquet",
+    )
+    # b2: click+purchase for u2 three hours on — advances BOTH sides'
+    # watermarks to ~t0+170min (10-min delay), far past click 1's
+    # window close at t0+1h
+    _write_batch(
+        spark,
+        batches_dir,
+        [
+            (2, t0 + 180 * mi, 2, "click", 1.0),
+            (60, t0 + 181 * mi, 2, "purchase", 1.0),
+        ],
+        "b2.parquet",
+    )
+    # b3: filler trigger — state REMOVAL runs at end-of-batch with the
+    # watermark advanced by the PREVIOUS batch, so an intermediate
+    # micro-batch is what actually evicts click 1 (its window closed at
+    # t0+1h, far below the ~t0+170min watermark b2 established)
+    _write_batch(
+        spark,
+        batches_dir,
+        [(3, t0 + 182 * mi, 99, "click", 1.0)],
+        "b3.parquet",
+    )
+    # b4: LATE purchase for u1 at t0+30min — inside click 1's hour
+    # window, but the click's state is gone: must NOT pair
+    _write_batch(
+        spark,
+        batches_dir,
+        [(70, t0 + 30 * mi, 1, "purchase", 1.0)],
+        "b4.parquet",
+    )
+
+    joined = interval_join_clicks_purchases(
+        file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=1),
+        file_stream(spark, batches_dir, SCHEMA, max_files_per_trigger=1),
+        "10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("tight_interval_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tight"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM tight_interval_out").collect()
+    }
+    assert (1, 50) in pairs and (2, 60) in pairs, pairs
+    assert (1, 70) not in pairs, pairs  # late purchase evicted, not joined

@@ -47,6 +47,8 @@ reference's deepest text op is the regexp/URL-decode chain in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -60,41 +62,24 @@ _EOW = "</w>"
 _TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
 
 
-def _bpe_round(
-    seq: DataFrame, step: int, fence: bool = True
-) -> tuple[DataFrame, DataFrame]:
-    """One merge round over the (word, freq, pos, sym) sequence grain.
-
-    Returns (next_seq, record) where record is the 1-row merge-table
-    entry for this round (empty if no adjacent pair exists — sequences
-    all length 1 — in which case next_seq passes through unchanged on
-    BOTH engines: the match join is inner, so an empty argmax keeps
-    nothing and drops nothing)."""
+def _greedy_rewrite(
+    x: DataFrame, best: DataFrame, fence: bool = True
+) -> DataFrame:
+    """Apply one merge pair (ba, bb) greedily left-to-right over the
+    (word, freq, pos, sym, nxt) grain — the gaps-and-islands split of
+    the reference's single-pass scan, shared by TRAINING rounds (best =
+    this round's argmax) and ENCODE rounds (best = a learned merge-table
+    row broadcast against held-out text). An empty ``best`` passes the
+    sequence through unchanged (inner match join keeps nothing)."""
     def _fence(df: DataFrame) -> DataFrame:
-        # ``fence=False`` exists for plan-shape tests only: checkpoints
-        # hide the round's subplans from executedPlan(), so the test
-        # builds an unfenced round to assert on the full algebra
         return df.localCheckpoint(eager=False) if fence else df
 
     w_word = Window.partitionBy("word").orderBy("pos")
-    x = _fence(seq.withColumn("nxt", F.lead("sym").over(w_word)))
-    best = (
-        x.filter(F.col("nxt").isNotNull())
-        .groupBy("sym", "nxt")
-        .agg(F.sum("freq").alias("pair_count"))
-        .orderBy(
-            F.col("pair_count").desc(), F.col("sym").asc(), F.col("nxt").asc()
-        )
-        .limit(1)
-        .select(F.col("sym").alias("ba"), F.col("nxt").alias("bb"), "pair_count")
-    )
-    best = _fence(best)
     # match positions -> greedy selection: consecutive match runs (only
     # possible when left == right) collapse to even offsets from the
-    # run head — the gaps-and-islands split of the reference's
-    # left-to-right scan
+    # run head
     m = x.join(
-        F.broadcast(best),
+        F.broadcast(best.select("ba", "bb")),
         (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")),
     ).select("word", "pos")
     m = m.withColumn(
@@ -128,7 +113,7 @@ def _bpe_round(
             .alias("sym"),
         )
     )
-    next_seq = _fence(
+    return _fence(
         y.select(
             "word",
             "freq",
@@ -136,6 +121,38 @@ def _bpe_round(
             "sym",
         )
     )
+
+
+def _bpe_round(
+    seq: DataFrame, step: int, fence: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """One merge round over the (word, freq, pos, sym) sequence grain.
+
+    Returns (next_seq, record) where record is the 1-row merge-table
+    entry for this round (empty if no adjacent pair exists — sequences
+    all length 1 — in which case next_seq passes through unchanged on
+    BOTH engines: the match join is inner, so an empty argmax keeps
+    nothing and drops nothing)."""
+    def _fence(df: DataFrame) -> DataFrame:
+        # ``fence=False`` exists for plan-shape tests only: checkpoints
+        # hide the round's subplans from executedPlan(), so the test
+        # builds an unfenced round to assert on the full algebra
+        return df.localCheckpoint(eager=False) if fence else df
+
+    w_word = Window.partitionBy("word").orderBy("pos")
+    x = _fence(seq.withColumn("nxt", F.lead("sym").over(w_word)))
+    best = (
+        x.filter(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(
+            F.col("pair_count").desc(), F.col("sym").asc(), F.col("nxt").asc()
+        )
+        .limit(1)
+        .select(F.col("sym").alias("ba"), F.col("nxt").alias("bb"), "pair_count")
+    )
+    best = _fence(best)
+    next_seq = _greedy_rewrite(x, best, fence=fence)
     record = best.select(
         F.lit(step).cast("int").alias("step"),
         F.col("ba").alias("left_sym"),
@@ -146,22 +163,66 @@ def _bpe_round(
     return next_seq, record
 
 
-# (applicationId, sf_dir) -> (records, final_seq): the merges query and
-# the fertility readout share one pipeline; memoizing the lazily
-# checkpointed DataFrames means whichever query runs first materializes
-# the 8 rounds ONCE and the other reuses the checkpointed RDDs — the
-# per-round stages are fixed-overhead-bound at bench SFs (32 checkpoint
-# materializations), so running them twice doubled pure scheduling cost
-# (observed 15.3s + 19.7s in a degraded window). Keyed by applicationId
-# so a new SparkSession (whose checkpointed RDDs died with the old
-# context) can never see stale entries.
+# (applicationId, sf_dir, data_fingerprint) -> (records, seqs, vocab):
+# the merges query and the fertility readout share one pipeline;
+# memoizing the lazily checkpointed DataFrames means whichever query
+# runs first materializes the 8 rounds ONCE and the other reuses the
+# checkpointed RDDs — the per-round stages are fixed-overhead-bound at
+# bench SFs (32 checkpoint materializations), so running them twice
+# doubled pure scheduling cost (observed 15.3s + 19.7s in a degraded
+# window). Keyed by applicationId so a new SparkSession (whose
+# checkpointed RDDs died with the old context) can never see stale
+# entries, and by a cheap file-identity fingerprint (path, size,
+# mtime_ns of every data file under documents.parquet) so an sf_dir
+# rewritten IN PLACE invalidates the memo instead of serving stale
+# checkpoints (ADVICE r12). Insertion evicts every entry from a
+# different application — dead contexts can't pin RDD blocks forever.
 _PIPELINE_CACHE: dict[
-    tuple[str, str], tuple[list[DataFrame], list[DataFrame], DataFrame]
+    tuple, tuple[list[DataFrame], list[DataFrame], DataFrame]
 ] = {}
 
 
+def _data_fingerprint(sf_dir: str) -> tuple:
+    """(path, size, mtime_ns) per data file the pipeline reads —
+    documents.parquet as a single file or a directory of parts."""
+    root = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(root):
+            out = []
+            for dirpath, _, names in sorted(os.walk(root)):
+                for n in sorted(names):
+                    p = os.path.join(dirpath, n)
+                    st = os.stat(p)
+                    out.append((p, st.st_size, st.st_mtime_ns))
+            return tuple(out)
+        st = os.stat(root)
+        return ((root, st.st_size, st.st_mtime_ns),)
+    except OSError:
+        # non-local path (s3a:// etc.) — fall back to path-only keying;
+        # the immutable-input contract is then the caller's to uphold
+        return (root,)
+
+
+# deterministic md5-uniform doc split for held-out encode evaluation:
+# hash(doc_id) mod 5 == 0 is HELD OUT (~20%), the rest is TRAIN —
+# reproducible on any engine, stable under reruns (same idiom as
+# plans/llmprep.py's stratified sampler)
+_SPLIT_SEED = "bpesplit"
+_SPLIT_MOD = 5
+_SPLIT_HASH_SQL = (
+    f"CAST(concat('0x', substr(md5(concat('{_SPLIT_SEED}',"
+    f" CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % {_SPLIT_MOD}"
+)
+
+
+def _split_hash() -> F.Column:
+    from ..operators.textops import hex_hash
+
+    return hex_hash(F.col("doc_id").cast("string"), seed=_SPLIT_SEED) % _SPLIT_MOD
+
+
 def _bpe_pipeline(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, split: str | None = None
 ) -> tuple[list[DataFrame], list[DataFrame], DataFrame]:
     """The shared K-round pipeline: (per-round merge records, sequence
     tables seqs[0..K] — seqs[0] is the initial char decomposition,
@@ -171,13 +232,17 @@ def _bpe_pipeline(
     excluded on both engines up front: Spark's ``sequence(1, 0)``
     counts DOWN while DuckDB's ``range(1, 1)`` is empty, so a
     zero-length token would diverge — and carries no pairs anyway."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, split, _data_fingerprint(sf_dir))
     cached = _PIPELINE_CACHE.get(key)
     if cached is not None:
         return cached
-    d = load_table(spark, sf_dir, "documents").select(
-        F.explode(tokenize(F.col("text"))).alias("word")
-    )
+    for k in [k for k in _PIPELINE_CACHE if k[0] != app_id]:
+        del _PIPELINE_CACHE[k]
+    docs = load_table(spark, sf_dir, "documents")
+    if split == "train":
+        docs = docs.filter(_split_hash() != 0)
+    d = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
     vocab = (
         d.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -320,16 +385,129 @@ def bpe_vocabulary_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql(k_rounds: int = BPE_MERGES, with_final_seq: bool = False) -> str:
-    """The same algebra unrolled ``k_rounds`` times for DuckDB. With
-    ``with_final_seq`` the last round's rewrite is also emitted (CTE
-    ``seq_{k_rounds + 1}`` — the final segmentation the encode-side
-    fertility oracle reads); without it the chain stops at the last
-    argmax, which is all the merge-table oracle needs."""
+def bpe_encode_heldout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode UNSEEN text by APPLYING the learned merge table (VERDICT
+    r12 item 3): train on the ~80% md5-split of documents, then encode
+    the held-out ~20% — including out-of-vocabulary words the trainer
+    never saw — by replaying the K merges in learned order as K full
+    rewrite passes over the char-decomposed held-out vocabulary.
+
+    Sequential-pass-in-rank-order is EXACTLY Sennrich's encode loop
+    (repeatedly merge the lowest-rank bigram present): a merge learned
+    at rank k can only pair symbols produced by merges ranked < k, so
+    applying rank j > k can never create a new rank-k occurrence —
+    passes in learned order converge to the same fixed point
+    (tests/test_bpe.py pins this against the imperative loop, OOV words
+    included). OOV words need no special case: they decompose to chars
+    and merges apply where they match.
+
+    Scale: the merge table is K rows BROADCAST into each rewrite; the
+    encode rounds run on the held-out VOCABULARY grain (no pair agg, no
+    argmax — cheaper than a training round); the corpus is touched once
+    for the (source, word) agg. ``oov_word_tokens`` counts held-out
+    word tokens absent from the train vocabulary — the honesty readout
+    the in-vocabulary fertility query can't provide.
+
+    Reference anchor: extends §2.9 (the reference's deepest text op is
+    ``silver_batch_job.py:107-112``'s regexp chain; no subword
+    machinery)."""
+    records, _, train_vocab = _bpe_pipeline(spark, sf_dir, split="train")
+    merges = records[0]
+    for rec in records[1:]:
+        merges = merges.unionByName(rec)
+    merges = merges.select("step", "left_sym", "right_sym").localCheckpoint(
+        eager=False
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(_split_hash() == 0)
+    wordsrc = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("word") >= 1)
+        .localCheckpoint(eager=False)
+    )
+    hvocab = wordsrc.select("word").distinct()
+    chars = hvocab.select(
+        "word",
+        F.lit(1).alias("freq"),
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+    ).select(
+        "word", "freq", "pos", F.expr("substring(word, pos, 1)").alias("sym")
+    )
+    terminal = hvocab.select(
+        "word",
+        F.lit(1).alias("freq"),
+        (F.length("word") + F.lit(1)).alias("pos"),
+        F.lit(_EOW).alias("sym"),
+    )
+    seq = chars.unionByName(terminal).localCheckpoint(eager=False)
+    w_word = Window.partitionBy("word").orderBy("pos")
+    for k in range(1, BPE_MERGES + 1):
+        x = seq.withColumn("nxt", F.lead("sym").over(w_word)).localCheckpoint(
+            eager=False
+        )
+        best_k = merges.filter(F.col("step") == k).select(
+            F.col("left_sym").alias("ba"), F.col("right_sym").alias("bb")
+        )
+        seq = _greedy_rewrite(x, best_k)
+
+    seg = seq.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
+    oov = F.when(F.col("in_train").isNull(), F.col("cnt")).otherwise(F.lit(0))
+    # word-keyed left join (NOT a forced broadcast: the train vocabulary
+    # is vocab-grain like everything here — millions of rows at 100 TB —
+    # so AQE picks broadcast only when it actually fits)
+    ws = wordsrc.join(
+        train_vocab.select("word").withColumn("in_train", F.lit(True)),
+        "word",
+        "left",
+    )
+    base = (
+        ws.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_word_tokens"),
+            F.sum(oov).cast("long").alias("oov_word_tokens"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subword_tokens"),
+        )
+    )
+    subw = (
+        wordsrc.join(seq.select("word", "sym"), "word")
+        .groupBy("source")
+        .agg(F.countDistinct("sym").alias("distinct_subwords"))
+    )
+    return base.join(subw, "source").select(
+        "source",
+        "n_word_tokens",
+        "oov_word_tokens",
+        "n_subword_tokens",
+        (
+            F.col("n_subword_tokens").cast("double")
+            / F.col("n_word_tokens").cast("double")
+        ).alias("fertility"),
+        "distinct_subwords",
+    )
+
+
+def _bpe_sql_parts(
+    k_rounds: int = BPE_MERGES,
+    with_final_seq: bool = False,
+    doc_where: str = "",
+) -> tuple[str, str]:
+    """(cte_chain, merge_table_select) for the algebra unrolled
+    ``k_rounds`` times in DuckDB SQL. With ``with_final_seq`` the last
+    round's rewrite is also emitted (CTE ``seq_{k_rounds + 1}`` — the
+    final segmentation the encode-side fertility oracle reads); without
+    it the chain stops at the last argmax, which is all the merge-table
+    oracle needs. Returning the two pieces separately lets the
+    fertility/curve oracles append their own CTEs + readout to the
+    chain without reverse-parsing the concatenated string (ADVICE r12:
+    the old ``rpartition`` splice would split at the wrong point if the
+    select template ever appeared inside a CTE)."""
     parts = [
         f"""
 WITH toks AS MATERIALIZED (
-  SELECT unnest({_TOKS_SQL}) AS word FROM documents
+  SELECT unnest({_TOKS_SQL}) AS word FROM documents{doc_where}
 ),
 vocab AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -394,7 +572,13 @@ best_{k} AS MATERIALIZED (
         f" ba || bb AS merged_sym, pair_count FROM best_{k}"
         for k in range(1, k_rounds + 1)
     )
-    return "".join(parts) + "\n" + selects
+    return "".join(parts), selects
+
+
+def _bpe_sql(k_rounds: int = BPE_MERGES, with_final_seq: bool = False) -> str:
+    """The complete merge-table oracle: chain + readout."""
+    chain, selects = _bpe_sql_parts(k_rounds, with_final_seq)
+    return chain + "\n" + selects
 
 
 def _bpe_fertility_sql(k_rounds: int = BPE_MERGES) -> str:
@@ -402,10 +586,9 @@ def _bpe_fertility_sql(k_rounds: int = BPE_MERGES) -> str:
     rewrite, read out as per-source fertility over the (source, word)
     grain — mirrors bpe_segmentation_fertility column for column."""
     final = f"seq_{k_rounds + 1}"
-    chain = _bpe_sql(k_rounds, with_final_seq=True)
-    head, _, _ = chain.rpartition("\nSELECT CAST(1 AS INTEGER)")
+    chain, _ = _bpe_sql_parts(k_rounds, with_final_seq=True)
     return (
-        head
+        chain
         + f""",
 wordsrc AS MATERIALIZED (
   SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -436,8 +619,7 @@ FROM base JOIN subw ON base.source = subw.source
 def _bpe_curve_sql(k_rounds: int = BPE_MERGES) -> str:
     """Training-curve oracle: one rollup per seq_k in the unrolled
     chain (seq_1 = step 0 ... seq_{k_rounds+1} = step k_rounds)."""
-    chain = _bpe_sql(k_rounds, with_final_seq=True)
-    head, _, _ = chain.rpartition("\nSELECT CAST(1 AS INTEGER)")
+    chain, _ = _bpe_sql_parts(k_rounds, with_final_seq=True)
     steps = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS INTEGER) AS step,"
         f" CAST(SUM(freq) AS BIGINT) AS corpus_symbols,"
@@ -446,7 +628,7 @@ def _bpe_curve_sql(k_rounds: int = BPE_MERGES) -> str:
         for k in range(0, k_rounds + 1)
     )
     return (
-        head
+        chain
         + f""",
 nw AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_word_tokens FROM vocab),
 curve AS (
@@ -460,19 +642,116 @@ FROM curve, nw
     )
 
 
+def _bpe_encode_heldout_sql(k_rounds: int = BPE_MERGES) -> str:
+    """Held-out encode oracle: the TRAIN chain (toks filtered to the
+    ~80% md5 split) supplies best_1..best_K and the train vocab; an
+    ENCODE chain replays those merges in learned order over the
+    char-decomposed held-out vocabulary (no pair agg, no argmax), then
+    reads out per-source fertility + OOV mass — mirrors
+    bpe_encode_heldout_fertility column for column."""
+    chain, _ = _bpe_sql_parts(
+        k_rounds, doc_where=f"\n  WHERE {_SPLIT_HASH_SQL} <> 0"
+    )
+    parts = [
+        chain,
+        f""",
+h_wordsrc AS MATERIALIZED (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT source, unnest({_TOKS_SQL}) AS word FROM documents
+    WHERE {_SPLIT_HASH_SQL} = 0
+  )
+  WHERE length(word) >= 1 GROUP BY source, word
+),
+h_vocab AS MATERIALIZED (SELECT DISTINCT word FROM h_wordsrc),
+e_seq_1 AS MATERIALIZED (
+  SELECT word, pos, substr(word, CAST(pos AS INTEGER), 1) AS sym
+  FROM (
+    SELECT word,
+           CAST(unnest(range(1, CAST(length(word) AS BIGINT) + 1)) AS INTEGER) AS pos
+    FROM h_vocab
+  )
+  UNION ALL
+  SELECT word, CAST(length(word) + 1 AS INTEGER) AS pos, '{_EOW}' AS sym
+  FROM h_vocab
+)""",
+    ]
+    for k in range(1, k_rounds + 1):
+        parts.append(
+            f""",
+e_x_{k} AS MATERIALIZED (
+  SELECT word, pos, sym,
+         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM e_seq_{k}
+),
+e_m_{k} AS MATERIALIZED (
+  SELECT word, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+  FROM e_x_{k} JOIN best_{k} ON sym = ba AND nxt = bb
+),
+e_keep_{k} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos, pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+    FROM e_m_{k}
+  ) WHERE off % 2 = 0
+),
+e_seq_{k + 1} AS MATERIALIZED (
+  SELECT x.word,
+         CAST(ROW_NUMBER() OVER (PARTITION BY x.word ORDER BY x.pos) AS INTEGER) AS pos,
+         CASE WHEN h.pos IS NOT NULL THEN x.sym || x.nxt ELSE x.sym END AS sym
+  FROM e_x_{k} x
+  LEFT JOIN e_keep_{k} h ON x.word = h.word AND x.pos = h.pos
+  LEFT JOIN e_keep_{k} t ON x.word = t.word AND x.pos = t.pos + 1
+  WHERE t.pos IS NULL
+)""",
+        )
+    final = f"e_seq_{k_rounds + 1}"
+    parts.append(
+        f""",
+e_seg AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub FROM {final} GROUP BY word
+),
+base AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS n_word_tokens,
+         CAST(SUM(CASE WHEN v.word IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+           AS oov_word_tokens,
+         CAST(SUM(cnt * n_sub) AS BIGINT) AS n_subword_tokens
+  FROM h_wordsrc w
+  JOIN e_seg USING (word)
+  LEFT JOIN vocab v ON w.word = v.word
+  GROUP BY source
+),
+subw AS (
+  SELECT source, CAST(COUNT(DISTINCT sym) AS BIGINT) AS distinct_subwords
+  FROM h_wordsrc JOIN {final} USING (word) GROUP BY source
+)
+SELECT base.source, n_word_tokens, oov_word_tokens, n_subword_tokens,
+       CAST(n_subword_tokens AS DOUBLE) / CAST(n_word_tokens AS DOUBLE)
+         AS fertility,
+       distinct_subwords
+FROM base JOIN subw ON base.source = subw.source
+""",
+    )
+    return "".join(parts)
+
+
 BPE_VOCABULARY_MERGES_SQL = _bpe_sql()
 BPE_SEGMENTATION_FERTILITY_SQL = _bpe_fertility_sql()
 BPE_VOCABULARY_CURVE_SQL = _bpe_curve_sql()
+BPE_ENCODE_HELDOUT_SQL = _bpe_encode_heldout_sql()
 
 
 QUERIES = {
     "bpe_vocabulary_merges": bpe_vocabulary_merges,
     "bpe_segmentation_fertility": bpe_segmentation_fertility,
     "bpe_vocabulary_curve": bpe_vocabulary_curve,
+    "bpe_encode_heldout_fertility": bpe_encode_heldout_fertility,
 }
 
 ORACLES = {
     "bpe_vocabulary_merges": BPE_VOCABULARY_MERGES_SQL,
     "bpe_segmentation_fertility": BPE_SEGMENTATION_FERTILITY_SQL,
     "bpe_vocabulary_curve": BPE_VOCABULARY_CURVE_SQL,
+    "bpe_encode_heldout_fertility": BPE_ENCODE_HELDOUT_SQL,
 }

@@ -194,34 +194,38 @@ GROUP BY 1, 2
 """
 
 
-def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join: each click pairs with the same
-    user's purchases in the following hour. Both sides carry watermarks
-    (the state-cleanup contract of stream-stream joins); the join
-    condition is equality on user plus a bounded time range, so state
-    per side is watermark-bounded at scale. AvailableNow delivers all
-    rows, making the inner-join result equal to the batch range join."""
+def interval_join_clicks_purchases(
+    click_events: DataFrame, purchase_events: DataFrame, watermark: str
+) -> DataFrame:
+    """The interval-join core over two events-schema streams: each
+    click pairs with the same user's purchases in the following hour.
+    Both sides carry ``watermark`` (the state-cleanup contract of
+    stream-stream joins): Spark evicts a buffered click once the
+    global watermark passes ``c_ts + 1h`` and drops later-arriving
+    rows older than the watermark — bounded state at scale.
+    tests/test_streaming.py replays this with a TIGHT watermark and a
+    late purchase to pin the eviction (T5); the registered query uses
+    a fixture-wide watermark so AvailableNow replay keeps every
+    historical row and equals the batch range join."""
     clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        click_events.filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
         )
-        .withWatermark("c_ts", "3650 days")
+        .withWatermark("c_ts", watermark)
     )
     purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        purchase_events.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
         )
-        .withWatermark("p_ts", "3650 days")
+        .withWatermark("p_ts", watermark)
     )
-    joined = clicks.join(
+    return clicks.join(
         purchases,
         F.expr(
             "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
@@ -231,6 +235,20 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.col("c_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delta_us"),
+    )
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (core + eviction contract:
+    interval_join_clicks_purchases). The fixture-wide 3650-day
+    watermark makes the AvailableNow inner-join result equal the batch
+    range join over the historical testdata; the bounded-watermark
+    eviction semantics are pinned separately by the tight-watermark
+    replay test."""
+    joined = interval_join_clicks_purchases(
+        _events_stream(spark, sf_dir),
+        _events_stream(spark, sf_dir),
+        "3650 days",
     )
     return _run_to_memory(joined, "mem_streaming_interval_join", "append")
 

@@ -1115,12 +1115,17 @@ def text_jsd_pairwise_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pair spine: every unordered source pair exists even when the
     # token-keyed join produced nothing for it (disjoint vocabularies);
-    # ns is |sources| rows, so the inequality join is a broadcast
-    # nested-loop over a handful of rows — bounded driver-free combine
+    # ns is |sources| rows by construction, so the explicit broadcast
+    # hint forces BroadcastNestedLoopJoin regardless of Spark's size
+    # estimate — without it, an estimate above
+    # autoBroadcastJoinThreshold would degrade this inequality join to
+    # a CartesianProduct (ADVICE r12; plan test pins the shape)
     pairs = ns.select(
         F.col("source").alias("s1"), F.col("n_s").alias("n1")
     ).join(
-        ns.select(F.col("source").alias("s2"), F.col("n_s").alias("n2")),
+        F.broadcast(
+            ns.select(F.col("source").alias("s2"), F.col("n_s").alias("n2"))
+        ),
         F.col("s1") < F.col("s2"),
     )
     agg = pairs.join(shared, ["s1", "s2"], "left").select(

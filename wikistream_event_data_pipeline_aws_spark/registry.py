@@ -39,78 +39,66 @@ _ORACLES: dict[str, str] = {}
 # cannot retroactively invalidate the front that produced it. Bump it
 # together with every rotation; a CORRECTNESS file NEWER than it means
 # a round ran without rotation and the guard goes red.
-_FRONT_TARGET_ROUND = 12
-# Round 12 (tools/front_rotation.py --target-round 12 --changed
-# bpe_vocabulary_merges,text_mutual_information_source_token,
-# bpe_segmentation_fertility,bpe_vocabulary_curve): 4 NEW
-# (bpe_vocabulary_merges — the k-round merge-table induction;
-# bpe_segmentation_fertility — its encode-side fertility readout;
-# bpe_vocabulary_curve — the training curve over the same memoized
-# rounds; text_mutual_information_source_token — the detmath
-# log-family MI completion) + the 15 registration-last r6 rows
-# deferred from round 11 (retiring the last rotation debt: staleness
-# floor rises to r7) + 31 of the 47 r7 rows; 16 r7 rows defer to
-# round 13. The round's
-# two same-output refactors (text_jsd_pairwise_sources' disjoint-pair
-# spine, quality_percentile_gate's in-plan threshold) take no slots —
-# parity-proven identical at driver SF.
-_FRONT_CHANGED: tuple[str, ...] = (
-    "bpe_vocabulary_merges",
-    "text_mutual_information_source_token",
-    "bpe_segmentation_fertility",
-    "bpe_vocabulary_curve",
-)
+_FRONT_TARGET_ROUND = 13
+# Round 13 (tools/front_rotation.py --target-round 13): 1 NEW
+# (bpe_encode_heldout_fertility — apply the learned merge table to the
+# held-out md5 split, incl. OOV words) + the 16 r7-stale rows (floor
+# rises to r8) + 33 of the 46 r8 rows; 13 r8 rows defer to round 14.
+# The round's same-output refactors (bpe oracle-SQL chain split, JSD
+# pair-spine broadcast hint, BPE memo fingerprint key, interval-join
+# core extraction) take no slots — plan/parity-only changes.
+_FRONT_CHANGED: tuple[str, ...] = ()
 _DRIVER_FRONT: tuple[str, ...] = (
-    "text_mutual_information_source_token",
-    "bpe_vocabulary_merges",
-    "bpe_segmentation_fertility",
-    "bpe_vocabulary_curve",
-    "similarity_embedding_neardup",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "embedding_int8_codes",
-    "embedding_training_pairs",
-    "graph_recursive_reachability",
-    "multimodal_metadata",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_audio_energy",
-    "pivot_type_counts_by_date",
-    "rollup_date_type",
-    "cube_type_hour",
-    "map_explode_props",
-    "sql_udf_value_bands",
-    "hourly_stats",
-    "user_daily_metrics",
-    "risk_scores",
-    "daily_summary",
-    "top_risk_alerts",
-    "funnel_view_click_purchase",
-    "retention_cohorts",
-    "dedup_simhash_band60",
-    "text_bm25_topk",
-    "histogram_quantiles_value",
-    "user_value_median_pandas",
-    "props_kv_udtf",
-    "cogroup_click_purchase_lag",
-    "retrieval_rrf_hybrid",
-    "similarity_ann_lsh_multi",
-    "join_salted_skew",
-    "grouping_sets_type_date",
-    "asof_latest_click",
-    "range_join_next_hour",
-    "user_value_trend",
-    "bloom_semi_join_stats",
-    "dq_completeness",
-    "dq_containment",
-    "dq_uniqueness",
-    "dq_range",
-    "dq_accuracy_recompute",
-    "dq_cross_column",
-    "dq_profile_value",
-    "dq_drift_halves",
-    "dq_freshness",
-    "merge_insert_only_orders",
+    "bpe_encode_heldout_fertility",
+    "merge_upsert_orders",
+    "snapshot_mor_position_deletes",
+    "snapshot_tag_retention_read",
+    "tumbling_hourly_counts",
+    "tumbling_15min_by_type",
+    "sliding_1h_15m_counts",
+    "session_window_user_stats",
+    "streaming_tumbling_hourly",
+    "streaming_dedup_watermark",
+    "streaming_stateful_running_count",
+    "streaming_static_enrich",
+    "streaming_interval_join",
+    "quality_flags",
+    "peak_hour_analytic",
+    "gate_status_rollup",
+    "zorder_cluster_stats",
+    "event_transition_matrix",
+    "tpch_pricing_summary",
+    "tpch_shipping_priority",
+    "tpch_local_supplier_revenue",
+    "join_semi_building_orders",
+    "join_anti_customers_without_orders",
+    "join_left_customer_order_profile",
+    "tpch_order_priority_count",
+    "tpch_forecast_revenue",
+    "tpch_promo_revenue",
+    "dedup_keep_first",
+    "daily_lag_trend",
+    "running_total_per_user",
+    "rank_customers_by_balance",
+    "top3_orders_per_customer",
+    "user_sessionization",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_union_all_slices",
+    "json_extract_props",
+    "envelope_parse",
+    "json_assemble_evidence",
+    "dedup_passage_exact",
+    "dedup_simhash_pairs",
+    "streaming_postings_sink",
+    "pack_sequences",
+    "bpe_merge_candidates",
+    "sample_importance_tokens",
+    "quality_percentile_gate",
+    "sse_replay_source_stats",
+    "retrieval_rrf_ann",
+    "streaming_ann_index_sink",
 )
 
 

@@ -293,7 +293,7 @@ def tws_available() -> bool:
     protobuf, so the ``google.protobuf`` package must be importable by
     the TWS driver worker (probed round 3: absent in this container —
     the worker crashes with ImportError in StateMessage_pb2 otherwise;
-    re-probed rounds 11 and 12 (2026-08-16): still absent, no wheel in
+    re-probed rounds 11-13 (latest 2026-08-17): still absent, no wheel in
     the local pip cache either (`pip download --no-index protobuf` →
     no matching distribution), and the environment forbids network
     installs — the runtime gate stands, not vendored by design).
