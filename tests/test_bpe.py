@@ -428,3 +428,68 @@ def test_bpe_memo_invalidated_on_rewritten_sf_dir(spark, tmp_path):
     assert first != second
     assert first[0][1:4] == ("a", "b", "ab")
     assert second[0][1:4] == ("c", "d", "cd")
+
+
+def test_bpe_heldout_curve_matches_brute_force_and_final_step():
+    """Held-out validation curve vs imperative replay: apply the first
+    k train merges (sequential passes) to every held-out word, weight
+    by held-out token counts; step K must equal the fertility query's
+    total subword mass, and heldout_symbols must fall monotonically."""
+    from wikistream_event_data_pipeline_aws_spark.plans.bpe import (
+        BPE_ENCODE_CURVE_SQL,
+        BPE_ENCODE_HELDOUT_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    rows = con.execute(
+        "SELECT doc_id, word FROM (SELECT doc_id, unnest("
+        r"string_split_regex(trim(text), '\s+')) AS word FROM documents) "
+        "WHERE length(word) >= 1"
+    ).fetchall()
+    train_freq: Counter = Counter()
+    held: Counter = Counter()
+    for doc_id, w in rows:
+        if _split_of(doc_id) != 0:
+            train_freq[w] += 1
+        else:
+            held[w] += 1
+    merges = brute_bpe(dict(train_freq), BPE_MERGES)
+    got = sorted(con.execute(BPE_ENCODE_CURVE_SQL).fetchall())
+    n_word_tokens = sum(held.values())
+    seqs = {w: list(w) + ["</w>"] for w in held}
+
+    def state():
+        return (
+            sum(c * len(seqs[w]) for w, c in held.items()),
+            len({s for w in seqs for s in seqs[w]}),
+        )
+
+    sym, dis = state()
+    assert got[0] == (0, sym, dis, n_word_tokens, sym / n_word_tokens)
+    prev = sym
+    applied = 0
+    for step, a, b, _, _ in merges:
+        for w in held:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+        applied = step
+        sym, dis = state()
+        row = got[step]
+        assert row[1] == sym and row[2] == dis, (step, row, (sym, dis))
+        assert row[4] == pytest.approx(sym / n_word_tokens, abs=1e-12)
+        assert row[1] <= prev  # a merge can only shrink held-out mass
+        prev = sym
+    assert applied == BPE_MERGES
+    # step-K mass equals the fertility readout's total subword mass
+    fert = con.execute(BPE_ENCODE_HELDOUT_SQL).fetchall()
+    assert got[BPE_MERGES][1] == sum(r[3] for r in fert)

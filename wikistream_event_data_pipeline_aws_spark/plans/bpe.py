@@ -385,32 +385,29 @@ def bpe_vocabulary_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_encode_heldout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode UNSEEN text by APPLYING the learned merge table (VERDICT
-    r12 item 3): train on the ~80% md5-split of documents, then encode
-    the held-out ~20% — including out-of-vocabulary words the trainer
-    never saw — by replaying the K merges in learned order as K full
-    rewrite passes over the char-decomposed held-out vocabulary.
+# (applicationId, sf_dir, fingerprint) -> (wordsrc, eseqs, train_vocab):
+# the held-out ENCODE pipeline shared by the fertility readout and the
+# held-out curve — same memo discipline as _PIPELINE_CACHE (the train
+# pipeline), same eviction, same fingerprint invalidation.
+_ENCODE_CACHE: dict[tuple, tuple[DataFrame, list[DataFrame], DataFrame]] = {}
 
-    Sequential-pass-in-rank-order is EXACTLY Sennrich's encode loop
-    (repeatedly merge the lowest-rank bigram present): a merge learned
-    at rank k can only pair symbols produced by merges ranked < k, so
-    applying rank j > k can never create a new rank-k occurrence —
-    passes in learned order converge to the same fixed point
-    (tests/test_bpe.py pins this against the imperative loop, OOV words
-    included). OOV words need no special case: they decompose to chars
-    and merges apply where they match.
 
-    Scale: the merge table is K rows BROADCAST into each rewrite; the
-    encode rounds run on the held-out VOCABULARY grain (no pair agg, no
-    argmax — cheaper than a training round); the corpus is touched once
-    for the (source, word) agg. ``oov_word_tokens`` counts held-out
-    word tokens absent from the train vocabulary — the honesty readout
-    the in-vocabulary fertility query can't provide.
-
-    Reference anchor: extends §2.9 (the reference's deepest text op is
-    ``silver_batch_job.py:107-112``'s regexp chain; no subword
-    machinery)."""
+def _encode_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    """Train on the ~80% md5 split, then REPLAY the learned merges over
+    the char-decomposed held-out vocabulary: returns (wordsrc — the
+    held-out (source, word, cnt) grain, eseqs[0..K] — the held-out
+    sequence state after each merge application, train_vocab). Encode
+    rounds carry no pair agg and no argmax (the merge table is a K-row
+    broadcast), so they are strictly cheaper than training rounds."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, _data_fingerprint(sf_dir))
+    cached = _ENCODE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _ENCODE_CACHE if k[0] != app_id]:
+        del _ENCODE_CACHE[k]
     records, _, train_vocab = _bpe_pipeline(spark, sf_dir, split="train")
     merges = records[0]
     for rec in records[1:]:
@@ -443,6 +440,7 @@ def bpe_encode_heldout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seq = chars.unionByName(terminal).localCheckpoint(eager=False)
     w_word = Window.partitionBy("word").orderBy("pos")
+    eseqs: list[DataFrame] = [seq]
     for k in range(1, BPE_MERGES + 1):
         x = seq.withColumn("nxt", F.lead("sym").over(w_word)).localCheckpoint(
             eager=False
@@ -451,7 +449,39 @@ def bpe_encode_heldout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("left_sym").alias("ba"), F.col("right_sym").alias("bb")
         )
         seq = _greedy_rewrite(x, best_k)
+        eseqs.append(seq)
+    _ENCODE_CACHE[key] = (wordsrc, eseqs, train_vocab)
+    return wordsrc, eseqs, train_vocab
 
+
+def bpe_encode_heldout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode UNSEEN text by APPLYING the learned merge table (VERDICT
+    r12 item 3): train on the ~80% md5-split of documents, then encode
+    the held-out ~20% — including out-of-vocabulary words the trainer
+    never saw — by replaying the K merges in learned order as K full
+    rewrite passes over the char-decomposed held-out vocabulary.
+
+    Sequential-pass-in-rank-order is EXACTLY Sennrich's encode loop
+    (repeatedly merge the lowest-rank bigram present): a merge learned
+    at rank k can only pair symbols produced by merges ranked < k, so
+    applying rank j > k can never create a new rank-k occurrence —
+    passes in learned order converge to the same fixed point
+    (tests/test_bpe.py pins this against the imperative loop, OOV words
+    included). OOV words need no special case: they decompose to chars
+    and merges apply where they match.
+
+    Scale: the merge table is K rows BROADCAST into each rewrite; the
+    encode rounds run on the held-out VOCABULARY grain (no pair agg, no
+    argmax — cheaper than a training round); the corpus is touched once
+    for the (source, word) agg. ``oov_word_tokens`` counts held-out
+    word tokens absent from the train vocabulary — the honesty readout
+    the in-vocabulary fertility query can't provide.
+
+    Reference anchor: extends §2.9 (the reference's deepest text op is
+    ``silver_batch_job.py:107-112``'s regexp chain; no subword
+    machinery)."""
+    wordsrc, eseqs, train_vocab = _encode_pipeline(spark, sf_dir)
+    seq = eseqs[-1]
     seg = seq.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
     oov = F.when(F.col("in_train").isNull(), F.col("cnt")).otherwise(F.lit(0))
     # word-keyed left join (NOT a forced broadcast: the train vocabulary
@@ -486,6 +516,51 @@ def bpe_encode_heldout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_word_tokens").cast("double")
         ).alias("fertility"),
         "distinct_subwords",
+    )
+
+
+def bpe_encode_heldout_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALIDATION curve the training curve can't give: held-out
+    fertility after every merge budget (step 0 = raw chars, step k =
+    first k learned merges applied). ``bpe_vocabulary_curve`` measures
+    compression on the data the merges were FIT to — this measures it
+    on the md5 held-out split the trainer never saw, which is the
+    number a tokenizer build actually uses to pick its merge budget
+    (when the held-out curve flattens while the train curve keeps
+    falling, additional merges are memorizing the corpus).
+
+    heldout_symbols is cnt-weighted over held-out word TOKENS;
+    distinct_symbols is the held-out symbol-type count at that budget.
+    Cost: K+1 tiny aggs over the ALREADY-memoized encode checkpoints
+    joined with the (word -> token count) weights — the encode pipeline
+    runs once per session per SF across both held-out queries."""
+    wordsrc, eseqs, _ = _encode_pipeline(spark, sf_dir)
+    hw = wordsrc.groupBy("word").agg(F.sum("cnt").alias("wcnt"))
+    nw = hw.agg(F.sum("wcnt").alias("n_word_tokens"))
+    rows = []
+    for k, s in enumerate(eseqs):
+        rows.append(
+            s.join(hw, "word").agg(
+                F.sum("wcnt").alias("heldout_symbols"),
+                F.countDistinct("sym").alias("distinct_symbols"),
+            ).select(
+                F.lit(k).cast("int").alias("step"),
+                "heldout_symbols",
+                "distinct_symbols",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.crossJoin(F.broadcast(nw)).select(
+        "step",
+        "heldout_symbols",
+        "distinct_symbols",
+        "n_word_tokens",
+        (
+            F.col("heldout_symbols").cast("double")
+            / F.col("n_word_tokens").cast("double")
+        ).alias("symbols_per_word"),
     )
 
 
@@ -642,13 +717,13 @@ FROM curve, nw
     )
 
 
-def _bpe_encode_heldout_sql(k_rounds: int = BPE_MERGES) -> str:
-    """Held-out encode oracle: the TRAIN chain (toks filtered to the
-    ~80% md5 split) supplies best_1..best_K and the train vocab; an
-    ENCODE chain replays those merges in learned order over the
-    char-decomposed held-out vocabulary (no pair agg, no argmax), then
-    reads out per-source fertility + OOV mass — mirrors
-    bpe_encode_heldout_fertility column for column."""
+def _bpe_encode_sql_chain(k_rounds: int = BPE_MERGES) -> str:
+    """The shared held-out encode CTE chain: the TRAIN chain (toks
+    filtered to the ~80% md5 split) supplies best_1..best_K and the
+    train vocab; an ENCODE chain replays those merges in learned order
+    over the char-decomposed held-out vocabulary (no pair agg, no
+    argmax). The fertility and held-out-curve oracles append their own
+    readouts."""
     chain, _ = _bpe_sql_parts(
         k_rounds, doc_where=f"\n  WHERE {_SPLIT_HASH_SQL} <> 0"
     )
@@ -705,8 +780,14 @@ e_seq_{k + 1} AS MATERIALIZED (
   WHERE t.pos IS NULL
 )""",
         )
+    return "".join(parts)
+
+
+def _bpe_encode_heldout_sql(k_rounds: int = BPE_MERGES) -> str:
+    """Per-source fertility + OOV readout over the encode chain —
+    mirrors bpe_encode_heldout_fertility column for column."""
     final = f"e_seq_{k_rounds + 1}"
-    parts.append(
+    return _bpe_encode_sql_chain(k_rounds) + (
         f""",
 e_seg AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub FROM {final} GROUP BY word
@@ -731,15 +812,44 @@ SELECT base.source, n_word_tokens, oov_word_tokens, n_subword_tokens,
          AS fertility,
        distinct_subwords
 FROM base JOIN subw ON base.source = subw.source
-""",
+"""
     )
-    return "".join(parts)
+
+
+def _bpe_encode_curve_sql(k_rounds: int = BPE_MERGES) -> str:
+    """Held-out validation-curve readout over the encode chain: one
+    cnt-weighted rollup per e_seq_k (step 0 = raw chars ... step K) —
+    mirrors bpe_encode_heldout_curve column for column."""
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS step,"
+        f" CAST(SUM(wcnt) AS BIGINT) AS heldout_symbols,"
+        f" CAST(COUNT(DISTINCT sym) AS BIGINT) AS distinct_symbols"
+        f" FROM e_seq_{k + 1} JOIN hw USING (word)"
+        for k in range(0, k_rounds + 1)
+    )
+    return (
+        _bpe_encode_sql_chain(k_rounds)
+        + f""",
+hw AS MATERIALIZED (
+  SELECT word, CAST(SUM(cnt) AS BIGINT) AS wcnt FROM h_wordsrc GROUP BY word
+),
+nw AS (SELECT CAST(SUM(wcnt) AS BIGINT) AS n_word_tokens FROM hw),
+curve AS (
+{steps}
+)
+SELECT step, heldout_symbols, distinct_symbols, n_word_tokens,
+       CAST(heldout_symbols AS DOUBLE) / CAST(n_word_tokens AS DOUBLE)
+         AS symbols_per_word
+FROM curve, nw
+"""
+    )
 
 
 BPE_VOCABULARY_MERGES_SQL = _bpe_sql()
 BPE_SEGMENTATION_FERTILITY_SQL = _bpe_fertility_sql()
 BPE_VOCABULARY_CURVE_SQL = _bpe_curve_sql()
 BPE_ENCODE_HELDOUT_SQL = _bpe_encode_heldout_sql()
+BPE_ENCODE_CURVE_SQL = _bpe_encode_curve_sql()
 
 
 QUERIES = {
@@ -747,6 +857,7 @@ QUERIES = {
     "bpe_segmentation_fertility": bpe_segmentation_fertility,
     "bpe_vocabulary_curve": bpe_vocabulary_curve,
     "bpe_encode_heldout_fertility": bpe_encode_heldout_fertility,
+    "bpe_encode_heldout_curve": bpe_encode_heldout_curve,
 }
 
 ORACLES = {
@@ -754,4 +865,5 @@ ORACLES = {
     "bpe_segmentation_fertility": BPE_SEGMENTATION_FERTILITY_SQL,
     "bpe_vocabulary_curve": BPE_VOCABULARY_CURVE_SQL,
     "bpe_encode_heldout_fertility": BPE_ENCODE_HELDOUT_SQL,
+    "bpe_encode_heldout_curve": BPE_ENCODE_CURVE_SQL,
 }
