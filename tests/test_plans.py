@@ -16,7 +16,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-EXPECTED_QUERY_COUNT = 263
+EXPECTED_QUERY_COUNT = 264
 
 
 def _plan(spark, sf_dir, name: str) -> str:

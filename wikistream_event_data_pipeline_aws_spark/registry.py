@@ -40,12 +40,13 @@ _ORACLES: dict[str, str] = {}
 # together with every rotation; a CORRECTNESS file NEWER than it means
 # a round ran without rotation and the guard goes red.
 _FRONT_TARGET_ROUND = 13
-# Round 13 (tools/front_rotation.py --target-round 13): 2 NEW
+# Round 13 (tools/front_rotation.py --target-round 13): 3 NEW
 # (bpe_encode_heldout_fertility — apply the learned merge table to the
 # held-out md5 split, incl. OOV words; bpe_encode_heldout_curve — the
-# held-out validation curve per merge budget) + the 16 r7-stale rows
-# (floor rises to r8) + 32 of the 46 r8 rows; 14 r8 rows defer to
-# round 14.
+# held-out validation curve per merge budget; unigram_viterbi_nll —
+# SentencePiece-family Viterbi scoring via integer min-plus repeated
+# squaring) + the 16 r7-stale rows (floor rises to r8) + 31 of the 46
+# r8 rows; 15 r8 rows defer to round 14.
 # The round's same-output refactors (bpe oracle-SQL chain split, JSD
 # pair-spine broadcast hint, BPE memo fingerprint key, interval-join
 # core extraction) take no slots — plan/parity-only changes.
@@ -53,6 +54,7 @@ _FRONT_CHANGED: tuple[str, ...] = ()
 _DRIVER_FRONT: tuple[str, ...] = (
     "bpe_encode_heldout_fertility",
     "bpe_encode_heldout_curve",
+    "unigram_viterbi_nll",
     "merge_upsert_orders",
     "snapshot_mor_position_deletes",
     "snapshot_tag_retention_read",
@@ -100,7 +102,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "sample_importance_tokens",
     "quality_percentile_gate",
     "sse_replay_source_stats",
-    "retrieval_rrf_ann",
 )
 
 
@@ -139,6 +140,7 @@ def _load() -> None:
         "dedup",
         "text",
         "bpe",
+        "unigram",
         "llmprep",
         "curate",
         "sketches",
