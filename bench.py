@@ -235,9 +235,14 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
     for r in runs:
         q = r["queries"]
         prev = prev_by_cfg.get((r["sf"], r["cpus"]))
-        if not r.get("contended") and not r.get("degraded_host"):
+        # spot rows (tools/spot_measure.py partials, keyed "ts" not "at")
+        # carry only the re-measured suspects: letting one become prev
+        # would shrink the next row's common subset to that handful
+        if not r.get("contended") and not r.get("degraded_host") and not r.get("spot"):
             prev_by_cfg[(r["sf"], r["cpus"])] = r
-        at_cell = r["at"]
+        at_cell = r.get("at") or r.get("ts", "?")
+        if r.get("spot"):
+            at_cell += " ⚠spot partial"
         if r.get("contended"):
             at_cell += f" ⚠contended L={r.get('contended_load1', '?')}"
         if r.get("degraded_host"):
@@ -253,6 +258,7 @@ def _update_history(repo_dir: str, result: dict) -> list[dict]:
             if prev is not None
             and not r.get("contended")
             and not r.get("degraded_host")
+            and not r.get("spot")
             else []
         )
         if common:

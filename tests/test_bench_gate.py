@@ -288,3 +288,39 @@ def test_committed_baseline_covers_full_registry():
     assert last_full <= set(base["queries"])
     assert base["host_index"] is not None
     assert all(v > 0 for v in base["queries"].values())
+
+
+def test_spot_partial_rows_render_and_never_become_prev(tmp_path):
+    """Regression test for the round-13 bench crash: a spot_measure
+    partial row (keyed ``ts`` not ``at``, flagged ``spot``) must not
+    KeyError the trend-table rebuild, must not become the display
+    comparison baseline (it carries only the re-measured suspects), and
+    must not itself be compared."""
+    import json
+
+    from bench import _update_history
+
+    quiet = {"sf": 0.1, "cpus": 32, "queries": {"q1": 1.0, "q2": 2.0}}
+    assert _update_history(str(tmp_path), quiet) == []
+    spot_row = {
+        "ts": "2026-08-17T01:14:23Z",
+        "spot": True,
+        "sf": 0.1,
+        "cpus": 32,
+        "host_index": 0.62,
+        "steal_pct": 7.8,
+        "queries": {"q1": 9.0},
+    }
+    with open(tmp_path / "BENCH_HISTORY.jsonl", "a") as fh:
+        fh.write(json.dumps(spot_row) + "\n")
+    # the next full run must rebuild the table without crashing and
+    # compare against the QUIET row (both queries), not the spot partial
+    assert _update_history(
+        str(tmp_path), {"sf": 0.1, "cpus": 32, "queries": {"q1": 1.1, "q2": 2.1}}
+    ) == []
+    md = (tmp_path / "BENCH_HISTORY.md").read_text()
+    spot_line = next(l for l in md.splitlines() if "⚠spot partial" in l)
+    assert "9.00x" not in spot_line  # spot rows are never compared
+    last = [l for l in md.splitlines() if l.startswith("| 2")][-1]
+    # common-subset cells cover both queries => prev was the quiet row
+    assert "| 3.0 | 3.2 |" in last

@@ -120,7 +120,7 @@ def main() -> None:
     # bench's last-row gate skips it; robust_baseline folds the minima)
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     row = {
-        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "spot": True,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": args.cpus,
