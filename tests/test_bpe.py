@@ -209,13 +209,18 @@ def test_bpe_plan_shape(spark, sf_dir):
     ).select(
         "word", "freq", "pos", F.expr("substring(word, pos, 1)").alias("sym")
     )
-    next_seq, record = bpe._bpe_round(seq, 1, fence=False)
+    next_seq, record = bpe._bpe_round(bpe._attach_nxt(seq), 1, fence=False)
     for df in (next_seq, record):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "TakeOrderedAndProject" in plan, plan
     rewrite_plan = next_seq._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in rewrite_plan, rewrite_plan
+    # r13: the greedy rewrite is a single window cascade — the old
+    # heads/tails sequence-width joins (shuffle joins at scale) must not
+    # come back; the only join is the 1-row broadcast match join
+    assert "SortMergeJoin" not in rewrite_plan, rewrite_plan
+    assert "BroadcastNestedLoopJoin" not in rewrite_plan, rewrite_plan
 
 
 def test_bpe_curve_matches_brute_force_and_is_monotone():

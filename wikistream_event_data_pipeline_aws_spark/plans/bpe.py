@@ -62,6 +62,16 @@ _EOW = "</w>"
 _TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
 
 
+def _attach_nxt(seq: DataFrame) -> DataFrame:
+    """(word, freq, pos, sym) -> + nxt = lead(sym). Sequence tables in
+    the pipeline CARRY their lookahead column (r13 optimization): the
+    rewrite emits next round's ``nxt`` inside its own window pass, so
+    the separate per-round lead() stage (and its checkpoint) is gone.
+    This helper exists only for the INITIAL decomposition (and tests)."""
+    w_word = Window.partitionBy("word").orderBy("pos")
+    return seq.withColumn("nxt", F.lead("sym").over(w_word))
+
+
 def _greedy_rewrite(
     x: DataFrame, best: DataFrame, fence: bool = True
 ) -> DataFrame:
@@ -70,79 +80,90 @@ def _greedy_rewrite(
     the reference's single-pass scan, shared by TRAINING rounds (best =
     this round's argmax) and ENCODE rounds (best = a learned merge-table
     row broadcast against held-out text). An empty ``best`` passes the
-    sequence through unchanged (inner match join keeps nothing)."""
+    sequence through unchanged (left match join hits nothing).
+
+    r13 optimization (guide §2.4, §2.1): the old shape materialized the
+    match-position table, ran two window stages over it, then re-joined
+    it against the sequence twice (heads/tails) — per round that cost
+    two extra checkpoints and two sequence-width joins that plan as
+    shuffle joins at scale. Greedy selection is really a RUNNING
+    computation along each word's position axis, so the whole rewrite
+    now runs as ONE window cascade over ``partitionBy(word)``: the
+    1-row ``best`` broadcast-left-joins in (equi keys (sym, nxt) =
+    (ba, bb) -> BroadcastHashJoin, never a cartesian), then hit-run
+    heads, even-offset keeps, tail drops, the renumbering AND next
+    round's ``nxt`` all come from windows sharing the same partitioning
+    — one Exchange per round instead of five-plus, zero sequence-width
+    joins, and the only intermediate worth fencing is the round's
+    output itself. Results are bit-identical: run heads / parity /
+    tie-breaks are the same algebra (tests pin brute-force equality)."""
     def _fence(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=False) if fence else df
 
     w_word = Window.partitionBy("word").orderBy("pos")
-    # match positions -> greedy selection: consecutive match runs (only
-    # possible when left == right) collapse to even offsets from the
-    # run head
+    w_run = w_word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # hit = this position starts a (ba, bb) match; consecutive hit runs
+    # (only possible when ba == bb) collapse greedily to even offsets
+    # from the run head
     m = x.join(
         F.broadcast(best.select("ba", "bb")),
         (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")),
-    ).select("word", "pos")
+        "left",
+    ).select(
+        "word", "freq", "pos", "sym", "nxt", F.col("ba").isNotNull().alias("hit")
+    )
     m = m.withColumn(
-        "grp", F.col("pos") - F.row_number().over(w_word)
+        "head_pos",
+        F.max(
+            F.when(
+                F.col("hit") & ~F.lag("hit", 1, False).over(w_word), F.col("pos")
+            )
+        ).over(w_run),
+    ).withColumn(
+        "keep",
+        F.col("hit") & ((F.col("pos") - F.col("head_pos")) % 2 == 0),
     )
-    keep = (
-        m.withColumn(
-            "off",
-            F.col("pos") - F.min("pos").over(Window.partitionBy("word", "grp")),
-        )
-        .filter(F.col("off") % 2 == 0)
-        .select("word", "pos")
-    )
-    keep = _fence(keep)
-    heads = keep.withColumn("is_head", F.lit(True))
-    tails = keep.select(
-        "word", (F.col("pos") + F.lit(1)).alias("pos")
-    ).withColumn("is_tail", F.lit(True))
     y = (
-        x.join(heads, ["word", "pos"], "left")
-        .join(tails, ["word", "pos"], "left")
-        .filter(F.col("is_tail").isNull())
+        m.withColumn("drop_tail", F.lag("keep", 1, False).over(w_word))
+        .filter(~F.col("drop_tail"))
         .select(
             "word",
             "freq",
             "pos",
-            F.when(
-                F.col("is_head"), F.concat(F.col("sym"), F.col("nxt"))
-            )
+            F.when(F.col("keep"), F.concat(F.col("sym"), F.col("nxt")))
             .otherwise(F.col("sym"))
             .alias("sym"),
         )
     )
-    return _fence(
-        y.select(
-            "word",
-            "freq",
-            F.row_number().over(w_word).alias("pos"),
-            "sym",
-        )
+    out = y.select(
+        "word",
+        "freq",
+        F.row_number().over(w_word).alias("pos"),
+        "sym",
     )
+    return _fence(out.withColumn("nxt", F.lead("sym").over(w_word)))
 
 
 def _bpe_round(
     seq: DataFrame, step: int, fence: bool = True
 ) -> tuple[DataFrame, DataFrame]:
-    """One merge round over the (word, freq, pos, sym) sequence grain.
+    """One merge round over the (word, freq, pos, sym, nxt) sequence
+    grain (``nxt`` is carried by every sequence table — see
+    :func:`_attach_nxt`).
 
     Returns (next_seq, record) where record is the 1-row merge-table
     entry for this round (empty if no adjacent pair exists — sequences
     all length 1 — in which case next_seq passes through unchanged on
-    BOTH engines: the match join is inner, so an empty argmax keeps
-    nothing and drops nothing)."""
+    BOTH engines: the match join is a left join against an empty
+    broadcast, so an empty argmax keeps nothing and drops nothing)."""
     def _fence(df: DataFrame) -> DataFrame:
         # ``fence=False`` exists for plan-shape tests only: checkpoints
         # hide the round's subplans from executedPlan(), so the test
         # builds an unfenced round to assert on the full algebra
         return df.localCheckpoint(eager=False) if fence else df
 
-    w_word = Window.partitionBy("word").orderBy("pos")
-    x = _fence(seq.withColumn("nxt", F.lead("sym").over(w_word)))
     best = (
-        x.filter(F.col("nxt").isNotNull())
+        seq.filter(F.col("nxt").isNotNull())
         .groupBy("sym", "nxt")
         .agg(F.sum("freq").alias("pair_count"))
         .orderBy(
@@ -152,7 +173,7 @@ def _bpe_round(
         .select(F.col("sym").alias("ba"), F.col("nxt").alias("bb"), "pair_count")
     )
     best = _fence(best)
-    next_seq = _greedy_rewrite(x, best, fence=fence)
+    next_seq = _greedy_rewrite(seq, best, fence=fence)
     record = best.select(
         F.lit(step).cast("int").alias("step"),
         F.col("ba").alias("left_sym"),
@@ -262,7 +283,7 @@ def _bpe_pipeline(
         (F.length("word") + F.lit(1)).alias("pos"),
         F.lit(_EOW).alias("sym"),
     )
-    seq = chars.unionByName(terminal).localCheckpoint(eager=False)
+    seq = _attach_nxt(chars.unionByName(terminal)).localCheckpoint(eager=False)
     records: list[DataFrame] = []
     seqs: list[DataFrame] = [seq]
     for k in range(1, BPE_MERGES + 1):
@@ -358,21 +379,23 @@ def bpe_vocabulary_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     however many of the three BPE queries the caller invokes."""
     _, seqs, vocab = _bpe_pipeline(spark, sf_dir)
     nw = vocab.agg(F.sum("freq").alias("n_word_tokens"))
-    rows = []
-    for k, s in enumerate(seqs):
-        rows.append(
-            s.agg(
-                F.sum("freq").alias("corpus_symbols"),
-                F.countDistinct("sym").alias("distinct_symbols"),
-            ).select(
-                F.lit(k).cast("int").alias("step"),
-                "corpus_symbols",
-                "distinct_symbols",
-            )
+    # r13 (guide §2.4): one union with a step column + ONE grouped agg
+    # instead of K+1 independent global-agg branches — the old shape
+    # paid 2 exchanges per step for the countDistinct (partial by sym,
+    # then global); this shape pays them once for all steps.
+    stepped = [
+        s.select(
+            F.lit(k).cast("int").alias("step"), "freq", "sym"
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+        for k, s in enumerate(seqs)
+    ]
+    u = stepped[0]
+    for s in stepped[1:]:
+        u = u.unionByName(s)
+    out = u.groupBy("step").agg(
+        F.sum("freq").alias("corpus_symbols"),
+        F.countDistinct("sym").alias("distinct_symbols"),
+    )
     return out.crossJoin(F.broadcast(nw)).select(
         "step",
         "corpus_symbols",
@@ -438,17 +461,13 @@ def _encode_pipeline(
         (F.length("word") + F.lit(1)).alias("pos"),
         F.lit(_EOW).alias("sym"),
     )
-    seq = chars.unionByName(terminal).localCheckpoint(eager=False)
-    w_word = Window.partitionBy("word").orderBy("pos")
+    seq = _attach_nxt(chars.unionByName(terminal)).localCheckpoint(eager=False)
     eseqs: list[DataFrame] = [seq]
     for k in range(1, BPE_MERGES + 1):
-        x = seq.withColumn("nxt", F.lead("sym").over(w_word)).localCheckpoint(
-            eager=False
-        )
         best_k = merges.filter(F.col("step") == k).select(
             F.col("left_sym").alias("ba"), F.col("right_sym").alias("bb")
         )
-        seq = _greedy_rewrite(x, best_k)
+        seq = _greedy_rewrite(seq, best_k)
         eseqs.append(seq)
     _ENCODE_CACHE[key] = (wordsrc, eseqs, train_vocab)
     return wordsrc, eseqs, train_vocab
@@ -535,23 +554,24 @@ def bpe_encode_heldout_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined with the (word -> token count) weights — the encode pipeline
     runs once per session per SF across both held-out queries."""
     wordsrc, eseqs, _ = _encode_pipeline(spark, sf_dir)
-    hw = wordsrc.groupBy("word").agg(F.sum("cnt").alias("wcnt"))
+    hw = wordsrc.groupBy("word").agg(F.sum("cnt").alias("wcnt")).localCheckpoint(
+        eager=False
+    )
     nw = hw.agg(F.sum("wcnt").alias("n_word_tokens"))
-    rows = []
-    for k, s in enumerate(eseqs):
-        rows.append(
-            s.join(hw, "word").agg(
-                F.sum("wcnt").alias("heldout_symbols"),
-                F.countDistinct("sym").alias("distinct_symbols"),
-            ).select(
-                F.lit(k).cast("int").alias("step"),
-                "heldout_symbols",
-                "distinct_symbols",
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+    # r13 (guide §2.4): union-with-step + ONE (join, grouped agg) pass
+    # instead of K+1 independent join+global-agg branches — same values,
+    # one exchange pair for all steps instead of per step.
+    stepped = [
+        s.select(F.lit(k).cast("int").alias("step"), "word", "sym")
+        for k, s in enumerate(eseqs)
+    ]
+    u = stepped[0]
+    for s in stepped[1:]:
+        u = u.unionByName(s)
+    out = u.join(hw, "word").groupBy("step").agg(
+        F.sum("wcnt").alias("heldout_symbols"),
+        F.countDistinct("sym").alias("distinct_symbols"),
+    )
     return out.crossJoin(F.broadcast(nw)).select(
         "step",
         "heldout_symbols",

@@ -126,17 +126,32 @@ def unigram_viterbi_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "word", "i", "j", (F.col("cost") * F.lit(64) + F.lit(1)).alias("w")
     )
-    dist = edges.localCheckpoint(eager=False)
+    # r13 (guide §2.4): hash-partition the DP table by word at every
+    # round boundary, so WITHIN a round nothing re-exchanges: under
+    # ``requireAllClusterKeysForCoPartition=false`` (engine default,
+    # see session.py) the self-join on (word, k) reuses the word-only
+    # partitioning of both sides (word is high-cardinality by
+    # construction — no skew risk), the via agg on (word, i, j) reuses
+    # it too, and the full-outer least-combine joins two word-clustered
+    # sides sort-only. The combine's FullOuter output drops partitioning
+    # METADATA (outer joins report UnknownPartitioning), so each round
+    # re-establishes it with one repartition — 1 exchange per round vs
+    # 3 in the old union+groupBy shape (self-join both sides + the
+    # union agg). Per (word, i, j) the value is identical:
+    # min(dist ∪ via) = least(dist, min(via)).
+    dist = edges.repartition("word").localCheckpoint(eager=False)
     for _ in range(VITERBI_ROUNDS):
         a = dist.select("word", "i", F.col("j").alias("k"), F.col("w").alias("wa"))
         b = dist.select("word", F.col("i").alias("k"), "j", F.col("w").alias("wb"))
-        via = a.join(b, ["word", "k"]).select(
-            "word", "i", "j", (F.col("wa") + F.col("wb")).alias("w")
+        via = (
+            a.join(b, ["word", "k"])
+            .groupBy("word", "i", "j")
+            .agg(F.min(F.col("wa") + F.col("wb")).alias("wv"))
         )
         dist = (
-            dist.unionByName(via)
-            .groupBy("word", "i", "j")
-            .agg(F.min("w").alias("w"))
+            dist.join(via, ["word", "i", "j"], "full")
+            .select("word", "i", "j", F.least("w", "wv").alias("w"))
+            .repartition("word")
             .localCheckpoint(eager=False)
         )
     best = dist.filter(

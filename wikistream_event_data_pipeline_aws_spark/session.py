@@ -56,6 +56,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # partition dirs like event_date=2024-01-19 stay strings on read
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # r13 optimization (guide §2.4): let joins reuse an existing
+        # partitioning on a SUBSET of the join keys instead of forcing a
+        # re-exchange on all keys. The engine's iterative plans (unigram
+        # min-plus squaring, BPE rounds) deliberately cluster by a
+        # high-cardinality key (word) and join on superset keys — the
+        # skew hazard this conf guards against (few distinct subset
+        # values) does not apply, and the determinism sweep verifies
+        # results are partitioning-invariant.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
@@ -77,6 +86,8 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    # subset-key co-partition reuse (see get_spark) — runtime-settable
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     # Match get_spark's broadcast band: a driver-provided session with the
     # stock 10MB threshold would silently demote the dimension joins the
     # local plan tests validate as broadcast into sort-merge joins —
