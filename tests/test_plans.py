@@ -373,15 +373,10 @@ def test_transition_matrix_window_partitioned_by_user(spark, sf_dir):
 def test_ann_sweep_has_no_cartesian_product(spark, sf_dir):
     """Every cross join in the sweep must be a BROADCAST nested loop
     (tiny centroid/ground-truth sides); an unhinted CartesianProduct
-    would be the all-pairs scan the sweep exists to avoid. Since the
-    r13 shared-summary restructure the 1-row stat-assembly joins sit
-    behind the fenced summary (the visible readout is a Union of pure
-    projections over 1-row checkpoints — no join at all), so the
-    no-cartesian pin is asserted on the UNFENCED assembly too via the
-    summary's own subplans being absent from the final plan."""
+    would be the all-pairs scan the sweep exists to avoid."""
     plan = _plan(spark, sf_dir, "similarity_ann_sweep")
     assert "CartesianProduct" not in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
 
 
 def test_evolution_audit_is_single_keyed_join(spark, sf_dir):

@@ -8,6 +8,8 @@ pairs plus any organic ones, all DuckDB-verifiable.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -408,56 +410,132 @@ def dedup_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     truth = truth.select("id_a", "id_b").localCheckpoint(eager=True)
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    parts = []
-    for r in _SWEEP_ROWS_PER_BAND:
-        cands = lsh_candidate_pairs(
-            sigs, "doc_id", n_hashes=N_HASHES, rows_per_band=r
-        ).localCheckpoint(eager=True)
-        # n_candidates is the COST axis (always the full volume);
-        # precision's denominator is the AUDITED-anchor candidate count
-        # so the rate stays unbiased under truth sampling (the two are
-        # equal at 1000 per-mille, where the hash is skipped entirely)
-        audited = (
-            F.lit(1).cast("long")
-            if audit_all
-            else audit_sample_pred(
-                F.col("id_a"), AUDIT_SAMPLE_PER_MILLE
-            ).cast("long")
+    # r13 (guide §2.4): the (1, 2, 4, 8) rows-per-band grid is a
+    # divisibility chain, so every config's candidate set is a SUBSET
+    # of the single-row-band (r=1) collision set — a fully agreeing
+    # r-band implies each of its 1-value sub-bands agrees. ONE bucket
+    # join at r=1 with both signature vectors carried therefore feeds
+    # every config as a per-pair flag column (any r-band fully equal),
+    # and the per-config candidate/hit counts collapse into one scalar
+    # agg + one truth join — the old shape paid a banded self-join,
+    # a distinct and two scalar aggs per config.
+    sig_arr = sigs.select(
+        "doc_id", F.array(*[F.col(f"m{j}") for j in range(N_HASHES)]).alias("sig")
+    )
+    banded = sig_arr.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(N_HASHES)])
+        ).alias("band"),
+    ).select(
+        "doc_id", "sig", "band", F.col("sig")[F.col("band")].alias("bucket")
+    )
+    collided = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        n_c = cands.agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(audited).alias("__n_cand_audited"),
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.sig").alias("__sa"),
+            F.col("r.sig").alias("__sb"),
         )
-        n_h = cands.join(truth, ["id_a", "id_b"]).agg(
-            F.count(F.lit(1)).alias("n_hits")
-        )
-        parts.append(
-            n_c.crossJoin(n_h)
-            .crossJoin(F.broadcast(n_truth))
-            .select(
-                F.lit(N_HASHES // r).alias("n_bands"),
-                F.lit(r).alias("rows_per_band"),
-                "n_candidates",
-                "n_truth",
-                "n_hits",
-                # zero-candidate / zero-truth guards (NULLIF both
-                # engines): a one-band config can yield no candidates,
-                # and a tiny slice no true pairs — 0/0 would RAISE under
-                # Spark ANSI and NaN under DuckDB; undefined rate = NULL
-                (
-                    F.col("n_hits").cast("double")
-                    / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
-                ).alias(
-                    "recall"
-                ),
-                (
-                    F.col("n_hits").cast("double")
-                    / F.nullif(
-                        F.col("__n_cand_audited").cast("double"), F.lit(0.0)
-                    )
-                ).alias("precision"),
+    )
+
+    def band_flag(r: int) -> F.Column:
+        # any of the 8/r consecutive r-value bands fully agrees
+        per_band = [
+            reduce(
+                lambda x, y: x & y,
+                [
+                    F.col("__sa")[b * r + p] == F.col("__sb")[b * r + p]
+                    for p in range(r)
+                ],
             )
+            for b in range(N_HASHES // r)
+        ]
+        return reduce(lambda x, y: x | y, per_band)
+
+    flagged = collided.select(
+        "id_a",
+        "id_b",
+        *[
+            band_flag(r).cast("int").alias(f"__f_{r}")
+            for r in _SWEEP_ROWS_PER_BAND
+        ],
+    )
+    pair_flags = (
+        flagged.groupBy("id_a", "id_b")
+        .agg(
+            *[
+                F.max(f"__f_{r}").alias(f"__f_{r}")
+                for r in _SWEEP_ROWS_PER_BAND
+            ]
         )
+        .localCheckpoint(eager=False)
+    )
+    # n_candidates is the COST axis (always the full volume);
+    # precision's denominator is the AUDITED-anchor candidate count
+    # so the rate stays unbiased under truth sampling (the two are
+    # equal at 1000 per-mille, where the hash is skipped entirely)
+    audited = (
+        F.lit(1).cast("long")
+        if audit_all
+        else audit_sample_pred(F.col("id_a"), AUDIT_SAMPLE_PER_MILLE).cast(
+            "long"
+        )
+    )
+    zero = F.lit(0).cast("long")
+    n_c = pair_flags.agg(
+        *[
+            c
+            for r in _SWEEP_ROWS_PER_BAND
+            for c in (
+                F.coalesce(F.sum(f"__f_{r}"), zero).alias(f"__n_{r}"),
+                F.coalesce(F.sum(F.col(f"__f_{r}") * audited), zero).alias(
+                    f"__na_{r}"
+                ),
+            )
+        ]
+    )
+    n_h = pair_flags.join(truth, ["id_a", "id_b"]).agg(
+        *[
+            F.coalesce(F.sum(f"__f_{r}"), zero).alias(f"__h_{r}")
+            for r in _SWEEP_ROWS_PER_BAND
+        ]
+    )
+    summary = (
+        n_c.crossJoin(n_h)
+        .crossJoin(F.broadcast(n_truth))
+        .localCheckpoint(eager=False)
+    )
+    parts = [
+        summary.select(
+            F.lit(N_HASHES // r).alias("n_bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.col(f"__n_{r}").alias("n_candidates"),
+            "n_truth",
+            F.col(f"__h_{r}").alias("n_hits"),
+            # zero-candidate / zero-truth guards (NULLIF both
+            # engines): a one-band config can yield no candidates,
+            # and a tiny slice no true pairs — 0/0 would RAISE under
+            # Spark ANSI and NaN under DuckDB; undefined rate = NULL
+            (
+                F.col(f"__h_{r}").cast("double")
+                / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+            (
+                F.col(f"__h_{r}").cast("double")
+                / F.nullif(F.col(f"__na_{r}").cast("double"), F.lit(0.0))
+            ).alias("precision"),
+        )
+        for r in _SWEEP_ROWS_PER_BAND
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

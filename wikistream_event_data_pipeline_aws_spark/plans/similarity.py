@@ -597,67 +597,45 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    # r13 (guide §2.4): the per-config assembly used to pay, for EVERY
-    # config, one hashpartitioning(query_id) exchange of the candidate
-    # table (its rank window) plus two SinglePartition scalar aggs —
-    # 9 + 18 shuffles for 9 configs. Every config's rank within its own
-    # candidate subset is a RUNNING CONDITIONAL COUNT over the shared
-    # (cosine DESC, neighbor_id ASC) order, so ALL configs now share
-    # ONE window pass (their rank columns live in the same Window
-    # operator) and collapse into ONE candidate-count agg + ONE
-    # hits agg + ONE shared n_exact agg. Identical values: for rows
-    # with flag=1 the running sum of flags IS row_number() over the
-    # flag-filtered subset, and the (cosine, neighbor_id) order is a
-    # total order per query.
-    w_run = (
-        Window.partitionBy("query_id")
-        .orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
-    n_exact_row = exact.agg(F.count(F.lit(1)).alias("n_exact"))
 
-    def summary_rows(
-        ranked: DataFrame, configs: list, family: str
-    ) -> list[DataFrame]:
-        """Per-config result rows from a RANKED candidate table whose
-        columns include __f_{a}_{b} (int membership flag) and
-        __r_{a}_{b} (running rank among flag rows) per (a, b) config.
-        One scalar agg counts every config's candidates; one broadcast
-        join + agg counts every config's exact-top-k hits; each config
-        row is then a pure projection of the fenced 1-row summary."""
-        zero = F.lit(0).cast("long")
-        n_cand = ranked.agg(
-            *[
-                F.coalesce(F.sum(f"__f_{a}_{b}"), zero).alias(f"__n_{a}_{b}")
-                for a, b in configs
-            ]
+    def config_row(cand: DataFrame, family: str, pa: int, pb: int) -> DataFrame:
+        """Cost + recall row for one config from its SCORED candidate
+        pairs (columns: query_id, neighbor_id, cosine_sim). Scoring
+        happens upstream, before any pair-keyed shuffle — the shuffle
+        then carries an 8-byte double per pair instead of two
+        DIM-length float vectors."""
+        # NOT fenced: cand is a pure column-filter over the already-
+        # checkpointed pair_flags/cell tables, so its two consumers
+        # re-filter a materialized RDD (cheap, executor-side) — while a
+        # localCheckpoint here costs a full analyze+optimize+plan pass
+        # on the driver PER CONFIG (~0.2s x 9 configs measured; lazy
+        # checkpoints still plan eagerly to build their RDD).
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        ann = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
         )
-        hit = lambda a, b: (  # noqa: E731
-            (F.col(f"__f_{a}_{b}") == 1) & (F.col(f"__r_{a}_{b}") <= TOP_K)
-        ).cast("long")
-        hits = ranked.join(
-            F.broadcast(exact), ["query_id", "neighbor_id"]
-        ).agg(
-            *[
-                F.coalesce(F.sum(hit(a, b)), zero).alias(f"__h_{a}_{b}")
-                for a, b in configs
-            ]
+        # ann is <= N_QUERIES * TOP_K rows by construction — broadcast it
+        # (the checkpointed inputs carry no size stats, so the planner
+        # would otherwise fall back to a sort-merge join)
+        rec = exact.join(F.broadcast(ann), ["query_id", "neighbor_id"], "left").agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
         )
-        summary = (
-            n_cand.crossJoin(hits).crossJoin(n_exact_row).localCheckpoint(eager=False)
+        return n_cand.crossJoin(rec).select(
+            F.lit(family).alias("index_family"),
+            F.lit(pa).cast("long").alias("param_a"),
+            F.lit(pb).cast("long").alias("param_b"),
+            "n_candidates",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_exact")).alias("micro_recall"),
         )
-        return [
-            summary.select(
-                F.lit(family).alias("index_family"),
-                F.lit(a).cast("long").alias("param_a"),
-                F.lit(b).cast("long").alias("param_b"),
-                F.col(f"__n_{a}_{b}").alias("n_candidates"),
-                "n_exact",
-                F.col(f"__h_{a}_{b}").alias("n_hits"),
-                (F.col(f"__h_{a}_{b}") / F.col("n_exact")).alias("micro_recall"),
-            )
-            for a, b in configs
-        ]
 
     # ONE bucket join at the coarsest granularity (all tables, minimum
     # plane count) feeds every LSH config: coarser buckets collide a
@@ -720,14 +698,8 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine("__qv", "__cv").alias("cosine_sim"),
         *[agree[npl].alias(f"__m{npl}") for npl in plane_lens],
     )
-    # repartition by query_id BEFORE the pair agg: the agg reuses the
-    # subset clustering (no second exchange) and its output stays
-    # query_id-clustered, so the shared rank window below adds NO
-    # exchange — the old shape re-shuffled this same table once per
-    # config for each config's rank window
     pair_flags = (
-        scored_rows.repartition("query_id")
-        .groupBy("query_id", "neighbor_id")
+        scored_rows.groupBy("query_id", "neighbor_id")
         .agg(
             F.first("cosine_sim").alias("cosine_sim"),
             *[
@@ -743,29 +715,16 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    def lsh_flag(nt: int, npl: int) -> F.Column:
-        return reduce(
+    parts = []
+    for nt, npl in SWEEP_CONFIGS:
+        flag = reduce(
             lambda a, b: a | b,
             [F.col(f"__hit_{t}_{npl}") == 1 for t in range(nt)],
         )
-
-    lsh_ranked = pair_flags.select(
-        "query_id",
-        "neighbor_id",
-        "cosine_sim",
-        *[
-            lsh_flag(nt, npl).cast("int").alias(f"__f_{nt}_{npl}")
-            for nt, npl in SWEEP_CONFIGS
-        ],
-    )
-    lsh_ranked = lsh_ranked.select(
-        "*",
-        *[
-            F.sum(f"__f_{nt}_{npl}").over(w_run).alias(f"__r_{nt}_{npl}")
-            for nt, npl in SWEEP_CONFIGS
-        ],
-    ).localCheckpoint(eager=False)
-    parts = summary_rows(lsh_ranked, list(SWEEP_CONFIGS), "lsh_multi")
+        cand = pair_flags.filter(flag).select(
+            "query_id", "neighbor_id", "cosine_sim"
+        )
+        parts.append(config_row(cand, "lsh_multi", nt, npl))
 
     for n_cells in sorted({c for c, _ in IVF_SWEEP_CONFIGS}):
         cents = e.filter(F.col("vec_id") < n_cells).select(
@@ -805,37 +764,29 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("probe_rank") <= max_probe)
             .localCheckpoint(eager=False)
         )
-        cfgs = [(ca, pb) for ca, pb in IVF_SWEEP_CONFIGS if ca == n_cells]
-        # ONE candidate join at max_probe feeds every nprobe config of
-        # this quantizer (an nprobe-p candidate set is exactly the rows
-        # with probe_rank <= p; pairs are unique by construction — one
-        # cell per neighbor), scored once; each config is a flag column
-        # in the shared rank window, as in the LSH family above. The
-        # probe side is <= N_QUERIES x max_probe rows — broadcast it
-        # (checkpointed corp_cells carries no size stats, so the
-        # planner would otherwise sort-merge).
-        cand_all = (
-            F.broadcast(qry_cells)
-            .join(corp_cells, "cell")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                cosine("__qv", "__cv").alias("cosine_sim"),
-                *[
-                    (F.col("probe_rank") <= pb).cast("int").alias(f"__f_{ca}_{pb}")
-                    for ca, pb in cfgs
-                ],
+        for ca, nprobe in IVF_SWEEP_CONFIGS:
+            if ca != n_cells:
+                continue
+            cand = (
+                # the probe side is <= N_QUERIES x nprobe rows —
+                # broadcast it (checkpointed corp_cells carries no size
+                # stats, so the planner would otherwise sort-merge)
+                F.broadcast(
+                    qry_cells.filter(F.col("probe_rank") <= nprobe).drop(
+                        "probe_rank"
+                    )
+                )
+                .join(corp_cells, "cell")
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+                # IVF pairs are unique by construction (one cell per
+                # neighbor) — score inline, no dedup needed
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    cosine("__qv", "__cv").alias("cosine_sim"),
+                )
             )
-        )
-        ivf_ranked = cand_all.select(
-            "*",
-            *[
-                F.sum(f"__f_{ca}_{pb}").over(w_run).alias(f"__r_{ca}_{pb}")
-                for ca, pb in cfgs
-            ],
-        ).localCheckpoint(eager=False)
-        parts.extend(summary_rows(ivf_ranked, cfgs, "ivf"))
+            parts.append(config_row(cand, "ivf", n_cells, nprobe))
 
     return reduce(lambda a, b: a.unionByName(b), parts)
 
