@@ -40,21 +40,32 @@ _ORACLES: dict[str, str] = {}
 # together with every rotation; a CORRECTNESS file NEWER than it means
 # a round ran without rotation and the guard goes red.
 _FRONT_TARGET_ROUND = 13
-# Round 13 (tools/front_rotation.py --target-round 13): 3 NEW
-# (bpe_encode_heldout_fertility — apply the learned merge table to the
-# held-out md5 split, incl. OOV words; bpe_encode_heldout_curve — the
-# held-out validation curve per merge budget; unigram_viterbi_nll —
-# SentencePiece-family Viterbi scoring via integer min-plus repeated
-# squaring) + the 16 r7-stale rows (floor rises to r8) + 31 of the 46
-# r8 rows; 15 r8 rows defer to round 14.
-# The round's same-output refactors (bpe oracle-SQL chain split, JSD
-# pair-spine broadcast hint, BPE memo fingerprint key, interval-join
-# core extraction) take no slots — plan/parity-only changes.
-_FRONT_CHANGED: tuple[str, ...] = ()
+# Round 13 (tools/front_rotation.py --target-round 13 --changed
+# bpe_vocabulary_merges,bpe_segmentation_fertility,bpe_vocabulary_curve,
+# dedup_lsh_sweep): 3 NEW (bpe_encode_heldout_fertility — apply the
+# learned merge table to the held-out md5 split, incl. OOV words;
+# bpe_encode_heldout_curve — the held-out validation curve per merge
+# budget; unigram_viterbi_nll — SentencePiece-family Viterbi scoring
+# via integer min-plus repeated squaring) + 4 CHANGED-plan rows from
+# the r13 optimization round (the BPE one-window-cascade rewrite +
+# curve union-agg readouts; dedup_lsh_sweep's shared-flag collapse) —
+# same-output refactors parity-proven locally, fronted anyway given
+# their size — + the 16 r7-stale rows (floor rises to r8) + 27 of the
+# 46 r8 rows; 19 r8 rows defer to round 14.
+_FRONT_CHANGED: tuple[str, ...] = (
+    "bpe_vocabulary_merges",
+    "bpe_segmentation_fertility",
+    "bpe_vocabulary_curve",
+    "dedup_lsh_sweep",
+)
 _DRIVER_FRONT: tuple[str, ...] = (
     "bpe_encode_heldout_fertility",
     "bpe_encode_heldout_curve",
     "unigram_viterbi_nll",
+    "dedup_lsh_sweep",
+    "bpe_vocabulary_merges",
+    "bpe_segmentation_fertility",
+    "bpe_vocabulary_curve",
     "merge_upsert_orders",
     "snapshot_mor_position_deletes",
     "snapshot_tag_retention_read",
@@ -98,10 +109,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "streaming_postings_sink",
     "pack_sequences",
-    "bpe_merge_candidates",
-    "sample_importance_tokens",
-    "quality_percentile_gate",
-    "sse_replay_source_stats",
 )
 
 
