@@ -898,16 +898,35 @@ def _agreement_rollup(
     its membership class ('a+b+c', 'a+b', 'c_only', ...), flag planted
     pairs by id arithmetic, and roll up per-class counts — the shared
     shape of both method-agreement artifacts."""
-    j = None
-    for df, name in legs:
-        leg = df.select("id_a", "id_b").withColumn(f"in_{name}", F.lit(1))
-        j = leg if j is None else j.join(leg, ["id_a", "id_b"], "full_outer")
+    # r13 (guide §2.4): tag-union + ONE pair-keyed agg instead of N-1
+    # full-outer sort-merge joins (each with its own exchange+sort of
+    # the pair sets) — the same shape the DuckDB oracle always used, so
+    # the membership algebra is now identical on both engines. Each leg
+    # emits distinct pairs, so MAX(membership) over the union equals
+    # the full-outer join's null pattern exactly.
     names = [name for _, name in legs]
+    tagged = [
+        df.select(
+            "id_a",
+            "id_b",
+            *[
+                F.lit(1 if n == name else 0).alias(f"in_{n}")
+                for n in names
+            ],
+        )
+        for df, name in legs
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    j = u.groupBy("id_a", "id_b").agg(
+        *[F.max(f"in_{n}").alias(f"in_{n}") for n in names]
+    )
     cls = F.concat_ws(
-        "+", *[F.when(F.col(f"in_{n}").isNotNull(), n) for n in names]
+        "+", *[F.when(F.col(f"in_{n}") == 1, n) for n in names]
     )
     n_members = sum(
-        (F.col(f"in_{n}").isNotNull().cast("int") for n in names), F.lit(0)
+        ((F.col(f"in_{n}") == 1).cast("int") for n in names), F.lit(0)
     )
     cls = F.when(n_members == 1, F.concat(cls, F.lit("_only"))).otherwise(cls)
     planted = (
