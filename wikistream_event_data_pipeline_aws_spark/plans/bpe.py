@@ -242,6 +242,50 @@ def _split_hash() -> F.Column:
     return hex_hash(F.col("doc_id").cast("string"), seed=_SPLIT_SEED) % _SPLIT_MOD
 
 
+# (applicationId, sf_dir, fingerprint) -> fenced (is_heldout, source,
+# word, cnt) grain. r13 optimization (guide §2.3 "aggregate before you
+# shuffle" + §1.2 "don't compute things twice"): the BPE/unigram family
+# used to tokenize and explode the FULL corpus five times — full-corpus
+# vocab, train-split vocab, per-(source, word) counts for the fertility
+# readout, held-out (source, word) counts, and the unigram readout's
+# word-source grain. Every one of those is a pure aggregation of this
+# single (is_heldout, source, word) grain, so the corpus-scale
+# tokenize+explode+agg now runs ONCE per session per sf_dir and each
+# consumer derives its grain with a vocabulary-scale agg. At 100 TB the
+# corpus pass IS the dominant cost of the family; this takes it from
+# five passes to one. Same memo discipline as _PIPELINE_CACHE (app-id
+# eviction + file-identity fingerprint).
+_WORDGRAIN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _word_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, _data_fingerprint(sf_dir))
+    cached = _WORDGRAIN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _WORDGRAIN_CACHE if k[0] != app_id]:
+        del _WORDGRAIN_CACHE[k]
+    docs = load_table(spark, sf_dir, "documents")
+    # micro-corpus fixtures (tests) may lack `source`; vocab-grain
+    # consumers never read it, and per-source readouts only run against
+    # the real documents table, which carries it
+    src = F.col("source") if "source" in docs.columns else F.lit(None).cast("string")
+    g = (
+        docs.select(
+            (_split_hash() == 0).alias("is_heldout"),
+            src.alias("source"),
+            F.explode(tokenize(F.col("text"))).alias("word"),
+        )
+        .filter(F.length("word") >= 1)
+        .groupBy("is_heldout", "source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    _WORDGRAIN_CACHE[key] = g
+    return g
+
+
 def _bpe_pipeline(
     spark: SparkSession, sf_dir: str, split: str | None = None
 ) -> tuple[list[DataFrame], list[DataFrame], DataFrame]:
@@ -260,14 +304,12 @@ def _bpe_pipeline(
         return cached
     for k in [k for k in _PIPELINE_CACHE if k[0] != app_id]:
         del _PIPELINE_CACHE[k]
-    docs = load_table(spark, sf_dir, "documents")
+    g = _word_grain(spark, sf_dir)
     if split == "train":
-        docs = docs.filter(_split_hash() != 0)
-    d = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        g = g.filter(~F.col("is_heldout"))
     vocab = (
-        d.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.length("word") >= 1)
+        g.groupBy("word")
+        .agg(F.sum("cnt").alias("freq"))
         .localCheckpoint(eager=False)
     )
     chars = vocab.select(
@@ -328,13 +370,10 @@ def bpe_segmentation_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage), everything else on the vocab × |sources| grain."""
     _, seqs, _ = _bpe_pipeline(spark, sf_dir)
     final_seq = seqs[-1]
-    d = load_table(spark, sf_dir, "documents").select(
-        "source", F.explode(tokenize(F.col("text"))).alias("word")
-    )
     wordsrc = (
-        d.groupBy("source", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.length("word") >= 1)
+        _word_grain(spark, sf_dir)
+        .groupBy("source", "word")
+        .agg(F.sum("cnt").alias("cnt"))
         .localCheckpoint(eager=False)
     )
     seg = final_seq.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
@@ -439,12 +478,11 @@ def _encode_pipeline(
         eager=False
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(_split_hash() == 0)
     wordsrc = (
-        docs.select("source", F.explode(tokenize(F.col("text"))).alias("word"))
+        _word_grain(spark, sf_dir)
+        .filter(F.col("is_heldout"))
         .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.length("word") >= 1)
+        .agg(F.sum("cnt").alias("cnt"))
         .localCheckpoint(eager=False)
     )
     hvocab = wordsrc.select("word").distinct()

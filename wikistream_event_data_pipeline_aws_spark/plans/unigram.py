@@ -54,9 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
 from ..operators.detmath import det_ln_ratio, ln_e_sql, ln_m_sql, ln_val_sql, ln_z_sql
-from ..operators.textops import tokenize
 from .bpe import _TOKS_SQL, _bpe_pipeline, _bpe_sql_parts, _EOW, BPE_MERGES
 
 VITERBI_ROUNDS = 6  # covers paths of up to 2^6 = 64 edges
@@ -162,12 +160,14 @@ def unigram_viterbi_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("w") % F.lit(64)).alias("n_tok"),
     )
 
+    # derived from the family's shared corpus grain (one tokenize pass
+    # per session across all BPE/unigram queries — see bpe._word_grain)
+    from .bpe import _word_grain
+
     ws = (
-        load_table(spark, sf_dir, "documents")
-        .select("source", F.explode(tokenize(F.col("text"))).alias("word"))
+        _word_grain(spark, sf_dir)
         .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.length("word") >= 1)
+        .agg(F.sum("cnt").alias("cnt"))
     )
     scored = ws.join(best, "word", "left")
     is_long = F.length("word") > MAX_WORD_CHARS
