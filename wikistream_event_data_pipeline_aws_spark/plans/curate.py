@@ -35,9 +35,6 @@ from ..operators.clusters import connected_components
 from ..operators.textops import (
     exploded_shingles,
     hex_hash,
-    jaccard_pairs,
-    lsh_candidate_pairs,
-    minhash_signature,
     shingles_expr,
     tokenize,
 )
@@ -81,16 +78,30 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    # 3. near-dup clusters on the raw corpus (organic dups only)
-    sigs = minhash_signature(
-        d, "doc_id", "text", n_hashes=N_HASHES, include_all_docs=False
-    )
-    cands = lsh_candidate_pairs(
-        sigs, "doc_id", n_hashes=N_HASHES, rows_per_band=2
-    ).localCheckpoint(eager=True)
+    # 3. near-dup clusters on the raw corpus (organic dups only).
+    # r13 (guide §1.2): derived from the SESSION-shared verified pair
+    # kernel over the clone-AUGMENTED corpus (plans/dedup.py::
+    # _minhash_pairs_shared) instead of re-running the whole LSH
+    # pipeline privately. Equivalence: the augmented corpus is the raw
+    # corpus plus clone rows whose ids are >= CLONE_OFFSET (raw ids are
+    # < CLONE_OFFSET by corpus contract — the same contract the planted-
+    # pair oracles already rely on); adding rows changes NOTHING about
+    # the raw docs' shingle sets, minhash signatures, band buckets or
+    # pairwise Jaccard values, so the kernel's raw-raw pairs ARE the
+    # raw-corpus pair set, and its verify threshold (0.5) equals
+    # CURATE_JACCARD — the filter below keeps the expression honest if
+    # either constant ever moves (guarded: a CURATE_JACCARD below the
+    # kernel's floor must fail loudly, not silently drop pairs).
+    from .dedup import CLONE_OFFSET, _minhash_pairs_shared
+
+    assert CURATE_JACCARD >= 0.5, "shared kernel verifies at 0.5"
     pairs = (
-        jaccard_pairs(d, "doc_id", "text", k=3, candidates=cands)
-        .filter(F.col("jaccard") >= CURATE_JACCARD)
+        _minhash_pairs_shared(spark, sf_dir)
+        .filter(
+            (F.col("id_a") < CLONE_OFFSET)
+            & (F.col("id_b") < CLONE_OFFSET)
+            & (F.col("jaccard") >= CURATE_JACCARD)
+        )
         .select("id_a", "id_b")
     )
     dups = (

@@ -57,6 +57,13 @@ _FRONT_CHANGED: tuple[str, ...] = (
     "bpe_segmentation_fertility",
     "bpe_vocabulary_curve",
     "dedup_lsh_sweep",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_cluster_keepers",
+    "dedup_method_agreement",
+    "dedup_sim16_agreement",
+    "split_leakage_audit",
+    "curate_corpus",
 )
 _DRIVER_FRONT: tuple[str, ...] = (
     "bpe_encode_heldout_fertility",
@@ -66,6 +73,13 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "bpe_vocabulary_merges",
     "bpe_segmentation_fertility",
     "bpe_vocabulary_curve",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_cluster_keepers",
+    "dedup_method_agreement",
+    "dedup_sim16_agreement",
+    "split_leakage_audit",
+    "curate_corpus",
     "merge_upsert_orders",
     "snapshot_mor_position_deletes",
     "snapshot_tag_retention_read",
@@ -102,13 +116,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "set_intersect",
     "set_except",
     "set_union_all_slices",
-    "json_extract_props",
-    "envelope_parse",
-    "json_assemble_evidence",
-    "dedup_passage_exact",
-    "dedup_simhash_pairs",
-    "streaming_postings_sink",
-    "pack_sequences",
 )
 
 
