@@ -185,8 +185,11 @@ def test_bpe_plan_shape(spark, sf_dir):
     checkpoints hide each round's subplans from executedPlan): the
     argmax must compile to TakeOrderedAndProject (a global sort of the
     pair-count table would be the classic regression), the 1-row best
-    must sit on the broadcast side of the match join, and no stage may
-    plan a cartesian product."""
+    must sit on the BUILD side of the broadcast scalar combine (a
+    CartesianProduct would be the regression), and — the r13
+    array-grain invariant — the rewrite must shuffle NOTHING but the
+    pair-count agg: no window Exchange over the sequence table, no
+    Sort, no sequence-width shuffle join."""
     from pyspark.sql import functions as F
 
     from wikistream_event_data_pipeline_aws_spark.catalog import load_table
@@ -202,25 +205,22 @@ def test_bpe_plan_shape(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.length("word") >= 1)
     )
-    seq = vocab.select(
-        "word",
-        "freq",
-        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
-    ).select(
-        "word", "freq", "pos", F.expr("substring(word, pos, 1)").alias("sym")
-    )
-    next_seq, record = bpe._bpe_round(bpe._attach_nxt(seq), 1, fence=False)
+    seq = vocab.select("word", "freq", F.expr(bpe._SYMS0_SQL).alias("syms"))
+    next_seq, record = bpe._bpe_round(seq, 1, fence=False)
     for df in (next_seq, record):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "TakeOrderedAndProject" in plan, plan
     rewrite_plan = next_seq._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in rewrite_plan, rewrite_plan
-    # r13: the greedy rewrite is a single window cascade — the old
-    # heads/tails sequence-width joins (shuffle joins at scale) must not
-    # come back; the only join is the 1-row broadcast match join
+    # the 1-row argmax is the BUILD side of a broadcast nested-loop
+    # scalar combine (Catalyst folds any constant join key to `true`,
+    # so this is the canonical 1-row-broadcast shape engine-wide)
+    assert "BroadcastNestedLoopJoin BuildRight" in rewrite_plan, rewrite_plan
+    # the old row-grain shapes (heads/tails shuffle joins, the window
+    # cascade's per-round Sort over the sequence table) must not come
+    # back
     assert "SortMergeJoin" not in rewrite_plan, rewrite_plan
-    assert "BroadcastNestedLoopJoin" not in rewrite_plan, rewrite_plan
+    assert "Window" not in rewrite_plan, rewrite_plan
 
 
 def test_bpe_curve_matches_brute_force_and_is_monotone():

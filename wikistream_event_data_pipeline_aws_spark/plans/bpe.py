@@ -23,13 +23,15 @@ Spark-first formulation (no Python loop over data, no collect):
   avg word length symbol rows), which grows sublinearly with corpus
   size — the 100 TB story is that 8 merge rounds over a 10M-word vocab
   is ~100M-row stages regardless of corpus row count.
-- Per round: one ``lead()`` window keyed by word, one (pair → count)
-  hash agg, a 1-row TakeOrderedAndProject argmax, and a rewrite built
-  from the argmax as a BROADCAST 1-row join (never a driver value —
-  the whole K-round pipeline is one lazy plan; fixed K keeps it
-  finite). Greedy run-splitting is gaps-and-islands: match positions
-  minus their per-word row_number group consecutive runs, and even
-  offsets from each run's min survive.
+- Per round (r13 array-grain shape): sequences live as (word, freq,
+  syms ARRAY); one map-side pair explode feeds the (pair → count) hash
+  agg, a 1-row TakeOrderedAndProject argmax BROADCASTS into a
+  constant-key 1-row hash join (never a driver value — the whole
+  K-round pipeline is one lazy plan; fixed K keeps it finite), and the
+  greedy rewrite is a per-word built-in array fold
+  (:func:`_apply_merge_sql` — Sennrich's left-to-right scan, merging
+  even offsets within an overlap run), so the sequence table is never
+  shuffled: the only exchange per round is the tiny pair-count agg.
 - Rounds are fenced with lazy ``localCheckpoint`` (the
   multiply-consumed-subtree discipline): each round's sequence table
   feeds both the pair count and the rewrite, and round k+1 compounds
@@ -62,109 +64,91 @@ _EOW = "</w>"
 _TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
 
 
-def _attach_nxt(seq: DataFrame) -> DataFrame:
-    """(word, freq, pos, sym) -> + nxt = lead(sym). Sequence tables in
-    the pipeline CARRY their lookahead column (r13 optimization): the
-    rewrite emits next round's ``nxt`` inside its own window pass, so
-    the separate per-round lead() stage (and its checkpoint) is gone.
-    This helper exists only for the INITIAL decomposition (and tests)."""
-    w_word = Window.partitionBy("word").orderBy("pos")
-    return seq.withColumn("nxt", F.lead("sym").over(w_word))
+# char decomposition of a word into its initial symbol array (+ EOW):
+# mirrors the oracle's range/substr expansion exactly
+_SYMS0_SQL = (
+    "concat(transform(sequence(1, length(word)),"
+    f" i -> substring(word, i, 1)), array('{_EOW}'))"
+)
 
 
-def _greedy_rewrite(
-    x: DataFrame, best: DataFrame, fence: bool = True
-) -> DataFrame:
-    """Apply one merge pair (ba, bb) greedily left-to-right over the
-    (word, freq, pos, sym, nxt) grain — the gaps-and-islands split of
-    the reference's single-pass scan, shared by TRAINING rounds (best =
-    this round's argmax) and ENCODE rounds (best = a learned merge-table
-    row broadcast against held-out text). An empty ``best`` passes the
-    sequence through unchanged (left match join hits nothing).
+def _apply_merge_sql(arr: str, ba: str, bb: str) -> str:
+    """Catalyst expression applying ONE merge pair (``ba``, ``bb``) to
+    the symbol array ``arr`` greedily left-to-right — Sennrich's
+    single-pass scan as a built-in fold (merge at a match, skip the
+    consumed symbol, continue), which is exactly the old window
+    cascade's run-head/parity algebra: in a run of overlapping matches
+    (only possible when ba == bb) both formulations merge at even
+    offsets from the run head. A NULL ``ba`` (empty argmax / no merge
+    recorded this round) passes the array through unchanged.
 
-    r13 optimization (guide §2.4, §2.1): the old shape materialized the
-    match-position table, ran two window stages over it, then re-joined
-    it against the sequence twice (heads/tails) — per round that cost
-    two extra checkpoints and two sequence-width joins that plan as
-    shuffle joins at scale. Greedy selection is really a RUNNING
-    computation along each word's position axis, so the whole rewrite
-    now runs as ONE window cascade over ``partitionBy(word)``: the
-    1-row ``best`` broadcast-left-joins in (equi keys (sym, nxt) =
-    (ba, bb) -> BroadcastHashJoin, never a cartesian), then hit-run
-    heads, even-offset keeps, tail drops, the renumbering AND next
-    round's ``nxt`` all come from windows sharing the same partitioning
-    — one Exchange per round instead of five-plus, zero sequence-width
-    joins, and the only intermediate worth fencing is the round's
-    output itself. Results are bit-identical: run heads / parity /
-    tie-breaks are the same algebra (tests pin brute-force equality)."""
-    def _fence(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=False) if fence else df
-
-    w_word = Window.partitionBy("word").orderBy("pos")
-    w_run = w_word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # hit = this position starts a (ba, bb) match; consecutive hit runs
-    # (only possible when ba == bb) collapse greedily to even offsets
-    # from the run head
-    m = x.join(
-        F.broadcast(best.select("ba", "bb")),
-        (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")),
-        "left",
-    ).select(
-        "word", "freq", "pos", "sym", "nxt", F.col("ba").isNotNull().alias("hit")
-    )
-    m = m.withColumn(
-        "head_pos",
-        F.max(
-            F.when(
-                F.col("hit") & ~F.lag("hit", 1, False).over(w_word), F.col("pos")
-            )
-        ).over(w_run),
-    ).withColumn(
-        "keep",
-        F.col("hit") & ((F.col("pos") - F.col("head_pos")) % 2 == 0),
-    )
-    y = (
-        m.withColumn("drop_tail", F.lag("keep", 1, False).over(w_word))
-        .filter(~F.col("drop_tail"))
-        .select(
-            "word",
-            "freq",
-            "pos",
-            F.when(F.col("keep"), F.concat(F.col("sym"), F.col("nxt")))
-            .otherwise(F.col("sym"))
-            .alias("sym"),
-        )
-    )
-    out = y.select(
-        "word",
-        "freq",
-        F.row_number().over(w_word).alias("pos"),
-        "sym",
-    )
-    return _fence(out.withColumn("nxt", F.lead("sym").over(w_word)))
+    r13 optimization (guide §2.4): the rewrite is PER-WORD-LOCAL, so
+    expressing it as an array fold removes the per-round Exchange+Sort
+    window cascade over the sequence table entirely — the sequence
+    grain becomes (word, freq, syms ARRAY) and a merge round shuffles
+    only the pair-count aggregation, never the sequences. ANSI-safe:
+    ``try_element_at`` everywhere (Spark 4 throws on out-of-bounds
+    ``element_at``). Results are bit-identical: tests pin brute-force
+    equality and the DuckDB oracle still replays the original
+    window-algebra CTE chain, so parity IS the equivalence proof."""
+    return f"""
+      CASE WHEN {ba} IS NULL THEN {arr} ELSE
+        aggregate(
+          sequence(1, size({arr})),
+          named_struct('acc', cast(array() as array<string>), 'skip', false),
+          (s, i) -> CASE
+            WHEN s.skip THEN named_struct('acc', s.acc, 'skip', false)
+            WHEN i < size({arr})
+                 AND try_element_at({arr}, i) = {ba}
+                 AND try_element_at({arr}, i + 1) = {bb}
+            THEN named_struct(
+              'acc',
+              concat(s.acc, array(concat(try_element_at({arr}, i),
+                                         try_element_at({arr}, i + 1)))),
+              'skip', true)
+            ELSE named_struct(
+              'acc', concat(s.acc, array(try_element_at({arr}, i))),
+              'skip', false)
+          END,
+          s -> s.acc)
+      END
+    """
 
 
 def _bpe_round(
     seq: DataFrame, step: int, fence: bool = True
 ) -> tuple[DataFrame, DataFrame]:
-    """One merge round over the (word, freq, pos, sym, nxt) sequence
-    grain (``nxt`` is carried by every sequence table — see
-    :func:`_attach_nxt`).
+    """One merge round over the (word, freq, syms) ARRAY sequence grain.
 
     Returns (next_seq, record) where record is the 1-row merge-table
     entry for this round (empty if no adjacent pair exists — sequences
-    all length 1 — in which case next_seq passes through unchanged on
-    BOTH engines: the match join is a left join against an empty
-    broadcast, so an empty argmax keeps nothing and drops nothing)."""
+    all length 1+EOW always have one, but a degenerate corpus can
+    exhaust merges — in which case next_seq passes through unchanged on
+    BOTH engines: the 1-row broadcast left join yields NULL ba and the
+    fold is a no-op).
+
+    Round cost (r13, guide §2.4): one map-side pair explode + (sym,
+    nxt) hash agg, a 1-row TakeOrderedAndProject argmax, and a
+    constant-key 1-row BROADCAST hash join feeding the per-word fold
+    rewrite — the sequence table itself is never shuffled."""
     def _fence(df: DataFrame) -> DataFrame:
         # ``fence=False`` exists for plan-shape tests only: checkpoints
         # hide the round's subplans from executedPlan(), so the test
         # builds an unfenced round to assert on the full algebra
         return df.localCheckpoint(eager=False) if fence else df
 
+    # sequence(1, size) then drop the null-lookahead tail (the old
+    # row-grain `nxt IS NOT NULL` filter): sequence(1, size - 1) would
+    # COUNT DOWN through index 0 once a word has merged to one symbol
+    pairs = seq.selectExpr(
+        "freq",
+        "explode(filter(transform(sequence(1, size(syms)),"
+        " i -> named_struct('sym', try_element_at(syms, i),"
+        " 'nxt', try_element_at(syms, i + 1))),"
+        " p -> p.nxt IS NOT NULL)) AS p",
+    ).select("p.sym", "p.nxt", "freq")
     best = (
-        seq.filter(F.col("nxt").isNotNull())
-        .groupBy("sym", "nxt")
+        pairs.groupBy("sym", "nxt")
         .agg(F.sum("freq").alias("pair_count"))
         .orderBy(
             F.col("pair_count").desc(), F.col("sym").asc(), F.col("nxt").asc()
@@ -173,7 +157,19 @@ def _bpe_round(
         .select(F.col("sym").alias("ba"), F.col("nxt").alias("bb"), "pair_count")
     )
     best = _fence(best)
-    next_seq = _greedy_rewrite(seq, best, fence=fence)
+    # 1-row broadcast scalar combine (left so an EMPTY best passes
+    # sequences through with NULL ba -> fold no-op): plans as a
+    # BroadcastNestedLoopJoin whose build side is the 1-row argmax —
+    # the same shape every scalar join-back in the engine uses; the
+    # probe side streams, nothing shuffles
+    joined = seq.join(F.broadcast(best.select("ba", "bb")), F.lit(True), "left")
+    next_seq = _fence(
+        joined.select(
+            "word",
+            "freq",
+            F.expr(_apply_merge_sql("syms", "ba", "bb")).alias("syms"),
+        )
+    )
     record = best.select(
         F.lit(step).cast("int").alias("step"),
         F.col("ba").alias("left_sym"),
@@ -290,10 +286,11 @@ def _bpe_pipeline(
     spark: SparkSession, sf_dir: str, split: str | None = None
 ) -> tuple[list[DataFrame], list[DataFrame], DataFrame]:
     """The shared K-round pipeline: (per-round merge records, sequence
-    tables seqs[0..K] — seqs[0] is the initial char decomposition,
-    seqs[k] the state after round k — and the (word, freq) vocab) —
-    merges, the encode/fertility readout and the vocabulary curve all
-    consume the same rounds, so the three queries cannot drift. Empty words are
+    tables seqs[0..K] on the (word, freq, syms ARRAY) grain — seqs[0]
+    is the initial char decomposition, seqs[k] the state after round k
+    — and the (word, freq) vocab) — merges, the encode/fertility
+    readout and the vocabulary curve all consume the same rounds, so
+    the three queries cannot drift. Empty words are
     excluded on both engines up front: Spark's ``sequence(1, 0)``
     counts DOWN while DuckDB's ``range(1, 1)`` is empty, so a
     zero-length token would diverge — and carries no pairs anyway."""
@@ -312,20 +309,9 @@ def _bpe_pipeline(
         .agg(F.sum("cnt").alias("freq"))
         .localCheckpoint(eager=False)
     )
-    chars = vocab.select(
-        "word",
-        "freq",
-        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
-    ).select(
-        "word", "freq", "pos", F.expr("substring(word, pos, 1)").alias("sym")
-    )
-    terminal = vocab.select(
-        "word",
-        "freq",
-        (F.length("word") + F.lit(1)).alias("pos"),
-        F.lit(_EOW).alias("sym"),
-    )
-    seq = _attach_nxt(chars.unionByName(terminal)).localCheckpoint(eager=False)
+    seq = vocab.select(
+        "word", "freq", F.expr(_SYMS0_SQL).alias("syms")
+    ).localCheckpoint(eager=False)
     records: list[DataFrame] = []
     seqs: list[DataFrame] = [seq]
     for k in range(1, BPE_MERGES + 1):
@@ -376,7 +362,9 @@ def bpe_segmentation_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    seg = final_seq.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
+    # r13: on the array grain the per-word symbol count is size(syms) —
+    # a projection, not an aggregation (no exchange)
+    seg = final_seq.select("word", F.size("syms").cast("long").alias("n_sub"))
     base = (
         wordsrc.join(seg, "word")
         .groupBy("source")
@@ -386,7 +374,9 @@ def bpe_segmentation_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     subw = (
-        wordsrc.join(final_seq.select("word", "sym"), "word")
+        wordsrc.join(
+            final_seq.select("word", F.explode("syms").alias("sym")), "word"
+        )
         .groupBy("source")
         .agg(F.countDistinct("sym").alias("distinct_subwords"))
     )
@@ -424,7 +414,9 @@ def bpe_vocabulary_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then global); this shape pays them once for all steps.
     stepped = [
         s.select(
-            F.lit(k).cast("int").alias("step"), "freq", "sym"
+            F.lit(k).cast("int").alias("step"),
+            "freq",
+            F.explode("syms").alias("sym"),
         )
         for k, s in enumerate(seqs)
     ]
@@ -451,18 +443,67 @@ def bpe_vocabulary_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the held-out ENCODE pipeline shared by the fertility readout and the
 # held-out curve — same memo discipline as _PIPELINE_CACHE (the train
 # pipeline), same eviction, same fingerprint invalidation.
-_ENCODE_CACHE: dict[tuple, tuple[DataFrame, list[DataFrame], DataFrame]] = {}
+_ENCODE_CACHE: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _fold_states_sql(k_rounds: int = BPE_MERGES) -> str:
+    """Catalyst expression computing ALL K+1 encode states of one word
+    as array<array<string>> — state 0 is the char decomposition (+EOW),
+    state k applies learned merge k (or passes through if round k
+    recorded no merge) to state k-1.
+
+    r13 optimization (guide §2.4, §4-adjacent): encoding held-out text
+    is a PER-WORD-LOCAL computation — no step needs any other word —
+    so the previous shape (8 sequential `_greedy_rewrite` rounds, each
+    an Exchange+Sort window cascade over the held-out vocabulary, each
+    fenced) was paying 8 shuffle rounds for work one projection can do.
+    The merge table arrives as a <=K-row sorted array via a 1-row
+    broadcast (column ``marr``); the outer fold walks steps 1..K so a
+    recorded-empty round still yields its (identical) state; the inner
+    fold is Sennrich's greedy left-to-right scan — merge at a match,
+    skip the consumed symbol, continue — which is exactly the window
+    cascade's run-head/parity algebra (a run of overlapping matches,
+    only possible when left==right, merges at even offsets in both
+    formulations; tests/test_bpe.py pins brute-force equality and the
+    DuckDB oracle still replays the window-algebra CTE chain, so
+    parity IS the equivalence proof). Everything is a built-in
+    higher-order function — no Python boundary, no UDF.
+
+    ANSI-safe: ``try_element_at`` everywhere (Spark 4 throws on
+    out-of-bounds ``element_at``); the single-element ``transform`` is
+    a let-binding idiom so the current state / merge row are bound
+    once per step instead of re-derived per symbol. The one-merge scan
+    itself is the shared :func:`_apply_merge_sql` — the SAME expression
+    the training rounds apply, so train and encode cannot drift."""
+    apply_one = _apply_merge_sql("x.a", "x.m.left_sym", "x.m.right_sym")
+    step_update = f"""
+      try_element_at(
+        transform(
+          array(named_struct(
+            'a', try_element_at(states, size(states)),
+            'm', try_element_at(filter(marr, m -> m.step = k), 1))),
+          x -> {apply_one}),
+        1)
+    """
+    return (
+        f"aggregate(sequence(1, {k_rounds}), array({_SYMS0_SQL}), "
+        f"(states, k) -> concat(states, array({step_update})))"
+    )
 
 
 def _encode_pipeline(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train on the ~80% md5 split, then REPLAY the learned merges over
     the char-decomposed held-out vocabulary: returns (wordsrc — the
-    held-out (source, word, cnt) grain, eseqs[0..K] — the held-out
-    sequence state after each merge application, train_vocab). Encode
-    rounds carry no pair agg and no argmax (the merge table is a K-row
-    broadcast), so they are strictly cheaper than training rounds."""
+    held-out (source, word, cnt) grain, stepped — the (step, word, sym)
+    grain for every merge budget step 0..K, train_vocab).
+
+    r13: the replay is ONE map-only projection (see
+    :func:`_fold_states_sql`) instead of K sequential window rounds —
+    the merge table is a <=K-row broadcast folded over each held-out
+    word locally, so the held-out vocabulary is shuffled ZERO times
+    between the train pipeline's output and the readout aggregations."""
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir, _data_fingerprint(sf_dir))
     cached = _ENCODE_CACHE.get(key)
@@ -474,8 +515,10 @@ def _encode_pipeline(
     merges = records[0]
     for rec in records[1:]:
         merges = merges.unionByName(rec)
-    merges = merges.select("step", "left_sym", "right_sym").localCheckpoint(
-        eager=False
+    marr = merges.agg(
+        F.sort_array(
+            F.collect_list(F.struct("step", "left_sym", "right_sym"))
+        ).alias("marr")
     )
 
     wordsrc = (
@@ -486,37 +529,29 @@ def _encode_pipeline(
         .localCheckpoint(eager=False)
     )
     hvocab = wordsrc.select("word").distinct()
-    chars = hvocab.select(
-        "word",
-        F.lit(1).alias("freq"),
-        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
-    ).select(
-        "word", "freq", "pos", F.expr("substring(word, pos, 1)").alias("sym")
-    )
-    terminal = hvocab.select(
-        "word",
-        F.lit(1).alias("freq"),
-        (F.length("word") + F.lit(1)).alias("pos"),
-        F.lit(_EOW).alias("sym"),
-    )
-    seq = _attach_nxt(chars.unionByName(terminal)).localCheckpoint(eager=False)
-    eseqs: list[DataFrame] = [seq]
-    for k in range(1, BPE_MERGES + 1):
-        best_k = merges.filter(F.col("step") == k).select(
-            F.col("left_sym").alias("ba"), F.col("right_sym").alias("bb")
+    stepped = (
+        hvocab.crossJoin(F.broadcast(marr))  # 1-row scalar combine
+        .select("word", F.expr(_fold_states_sql()).alias("states"))
+        .selectExpr("word", "posexplode(states) AS (step, syms)")
+        .select(
+            F.col("step").cast("int").alias("step"),
+            "word",
+            F.explode("syms").alias("sym"),
         )
-        seq = _greedy_rewrite(seq, best_k)
-        eseqs.append(seq)
-    _ENCODE_CACHE[key] = (wordsrc, eseqs, train_vocab)
-    return wordsrc, eseqs, train_vocab
+        .localCheckpoint(eager=False)
+    )
+    _ENCODE_CACHE[key] = (wordsrc, stepped, train_vocab)
+    return wordsrc, stepped, train_vocab
 
 
 def bpe_encode_heldout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode UNSEEN text by APPLYING the learned merge table (VERDICT
     r12 item 3): train on the ~80% md5-split of documents, then encode
     the held-out ~20% — including out-of-vocabulary words the trainer
-    never saw — by replaying the K merges in learned order as K full
-    rewrite passes over the char-decomposed held-out vocabulary.
+    never saw — by replaying the K merges in learned order over the
+    char-decomposed held-out vocabulary (since r13 as ONE map-only
+    fold projection per word — :func:`_fold_states_sql` — instead of
+    K shuffled rewrite rounds).
 
     Sequential-pass-in-rank-order is EXACTLY Sennrich's encode loop
     (repeatedly merge the lowest-rank bigram present): a merge learned
@@ -527,9 +562,9 @@ def bpe_encode_heldout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     included). OOV words need no special case: they decompose to chars
     and merges apply where they match.
 
-    Scale: the merge table is K rows BROADCAST into each rewrite; the
-    encode rounds run on the held-out VOCABULARY grain (no pair agg, no
-    argmax — cheaper than a training round); the corpus is touched once
+    Scale: the merge table is a <=K-row BROADCAST array; the encode is
+    per-word-local on the held-out VOCABULARY grain (no pair agg, no
+    argmax, no shuffle at all); the corpus is touched once
     for the (source, word) agg. ``oov_word_tokens`` counts held-out
     word tokens absent from the train vocabulary — the honesty readout
     the in-vocabulary fertility query can't provide.
@@ -537,8 +572,8 @@ def bpe_encode_heldout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference anchor: extends §2.9 (the reference's deepest text op is
     ``silver_batch_job.py:107-112``'s regexp chain; no subword
     machinery)."""
-    wordsrc, eseqs, train_vocab = _encode_pipeline(spark, sf_dir)
-    seq = eseqs[-1]
+    wordsrc, stepped, train_vocab = _encode_pipeline(spark, sf_dir)
+    seq = stepped.filter(F.col("step") == BPE_MERGES).select("word", "sym")
     seg = seq.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
     oov = F.when(F.col("in_train").isNull(), F.col("cnt")).otherwise(F.lit(0))
     # word-keyed left join (NOT a forced broadcast: the train vocabulary
@@ -588,25 +623,20 @@ def bpe_encode_heldout_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     heldout_symbols is cnt-weighted over held-out word TOKENS;
     distinct_symbols is the held-out symbol-type count at that budget.
-    Cost: K+1 tiny aggs over the ALREADY-memoized encode checkpoints
-    joined with the (word -> token count) weights — the encode pipeline
-    runs once per session per SF across both held-out queries."""
-    wordsrc, eseqs, _ = _encode_pipeline(spark, sf_dir)
+    Cost: one grouped agg over the memoized (step, word, sym) fold
+    output joined with the (word -> token count) weights — the encode
+    pipeline runs once per session per SF across both held-out
+    queries."""
+    wordsrc, stepped, _ = _encode_pipeline(spark, sf_dir)
     hw = wordsrc.groupBy("word").agg(F.sum("cnt").alias("wcnt")).localCheckpoint(
         eager=False
     )
     nw = hw.agg(F.sum("wcnt").alias("n_word_tokens"))
-    # r13 (guide §2.4): union-with-step + ONE (join, grouped agg) pass
-    # instead of K+1 independent join+global-agg branches — same values,
-    # one exchange pair for all steps instead of per step.
-    stepped = [
-        s.select(F.lit(k).cast("int").alias("step"), "word", "sym")
-        for k, s in enumerate(eseqs)
-    ]
-    u = stepped[0]
-    for s in stepped[1:]:
-        u = u.unionByName(s)
-    out = u.join(hw, "word").groupBy("step").agg(
+    # r13 (guide §2.4): the pipeline already exposes the union-with-step
+    # (step, word, sym) grain from ONE fold projection — a single
+    # (join, grouped agg) pass replaces K+1 independent join+global-agg
+    # branches (same values, one exchange pair for all steps).
+    out = stepped.join(hw, "word").groupBy("step").agg(
         F.sum("wcnt").alias("heldout_symbols"),
         F.countDistinct("sym").alias("distinct_symbols"),
     )

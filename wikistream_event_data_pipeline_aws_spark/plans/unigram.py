@@ -66,11 +66,13 @@ def unigram_viterbi_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus NLL + fertility under the optimal unigram-LM
     segmentation (module docstring has the full story)."""
     _, seqs, _ = _bpe_pipeline(spark, sf_dir)
-    final = seqs[-1]
+    # r13: the pipeline's sequence tables are (word, freq, syms ARRAY) —
+    # explode where the symbol grain is needed
+    final = seqs[-1].select("freq", F.explode("syms").alias("sym"))
 
     # inventory: final-segmentation symbols + base alphabet, add-one
     # smoothed; tens of rows by construction -> broadcast everywhere
-    base_syms = seqs[0].select("sym").distinct()
+    base_syms = seqs[0].select(F.explode("syms").alias("sym")).distinct()
     final_cnt = final.groupBy("sym").agg(F.sum("freq").alias("c0"))
     inv = (
         base_syms.unionByName(final_cnt.select("sym"))
@@ -94,11 +96,11 @@ def unigram_viterbi_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    # score the vocabulary grain: every distinct word once
+    # score the vocabulary grain: every distinct word once (the array
+    # grain is ALREADY one row per word — no distinct, no exchange)
     vw = (
         seqs[0]
         .select("word")
-        .distinct()
         .filter(F.length("word") <= MAX_WORD_CHARS)
         .select("word", F.length("word").alias("L"))
     )
