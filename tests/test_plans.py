@@ -744,7 +744,14 @@ def test_knn_broadcasts_probe_side_not_corpus(spark, sf_dir):
     """The kNN yardstick must broadcast the bounded held-out probe set;
     a broadcast of the train (corpus-scale) side is a driver OOM at
     100x."""
-    df = entry.queries()["knn_classify_embeddings"](spark, sf_dir)
+    # the registered query serves the session-shared prediction memo
+    # (a checkpoint fence that hides the subplan) — pin the underlying
+    # builder, the same internals-not-memo precedent as the RRF test
+    from wikistream_event_data_pipeline_aws_spark.plans.kmeans import (
+        _knn_classify_embeddings,
+    )
+
+    df = _knn_classify_embeddings(spark, sf_dir)
     lines = df._jdf.queryExecution().analyzed().toString().splitlines()
     hinted = [
         "\n".join(lines[i : i + 6]) for i, ln in enumerate(lines) if "ResolvedHint" in ln

@@ -303,7 +303,25 @@ KNN_K = 5
 _KNN_TEST_MOD = 20  # vec_id % MOD == 0 -> held-out test vector
 
 
+# session-shared exact-kNN prediction set (r13, guide §1.2): the
+# classifier query AND the confusion scorecard consume the identical
+# scoring join — memoized per (session, sf_dir) with the same app-id /
+# file-fingerprint discipline as plans/bpe.py (operators/memo.py)
+_KNN_PRED_CACHE: dict[tuple, DataFrame] = {}
+
+
 def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.memo import file_fingerprint, session_memo
+
+    return session_memo(
+        _KNN_PRED_CACHE,
+        spark,
+        (sf_dir, file_fingerprint(sf_dir, "embeddings")),
+        lambda: _knn_classify_embeddings(spark, sf_dir),
+    )
+
+
+def _knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN classification over the embedding space: every 20th vector
     is held out, classified by majority label among its {KNN_K} nearest
     labeled neighbors (exact squared-L2 via the deterministic dim-order
@@ -631,11 +649,13 @@ def eval_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what keeps the upstream exact k-NN yardstick affordable;
     at corpus scale the predictions feed from the ANN path instead
     (same vote logic — see knn_classify_embeddings docstring)."""
-    # three consumers (class spine, per-true, per-pred) — fence the
-    # prediction set so the exact-kNN scoring join runs ONCE
+    # three consumers (class spine, per-true, per-pred) read the
+    # SESSION-shared prediction memo (knn_classify_embeddings is
+    # checkpoint-fenced there) — the exact-kNN scoring join runs once
+    # per session, not once per consumer per query
     p = knn_classify_embeddings(spark, sf_dir).select(
         "true_label", "predicted_label"
-    ).localCheckpoint(eager=False)
+    )
     classes = (
         p.select(F.col("true_label").alias("label"))
         .unionAll(p.select(F.col("predicted_label").alias("label")))

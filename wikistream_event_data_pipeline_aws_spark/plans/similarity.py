@@ -191,15 +191,32 @@ SIMILARITY_ANN_LSH_SQL = _lsh_oracle_sql()
 N_TABLES = 3
 
 
+# session-shared multi-table LSH top-k (r13, guide §1.2): three queries
+# consume this exact kernel — the query itself, similarity_ann_recall
+# and eval_ann_ranking — memoized with the app-id / file-fingerprint
+# discipline of operators/memo.py (nothing survives the session)
+_LSH_MULTI_CACHE: dict[tuple, DataFrame] = {}
+
+
 def similarity_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN (union-of-tables candidate set, deduped):
     the recall lever over the single-table path, still deterministic —
     every table's hyperplanes are md5-derived, so the oracle reproduces
     the exact candidate set and the result is value-checked."""
-    e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < N_QUERIES)
-    return lsh_multi_table_topk(
-        queries, e, dim=DIM, k=TOP_K, n_planes=N_PLANES, n_tables=N_TABLES
+    from ..operators.memo import file_fingerprint, session_memo
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        queries = e.filter(F.col("vec_id") < N_QUERIES)
+        return lsh_multi_table_topk(
+            queries, e, dim=DIM, k=TOP_K, n_planes=N_PLANES, n_tables=N_TABLES
+        )
+
+    return session_memo(
+        _LSH_MULTI_CACHE,
+        spark,
+        (sf_dir, file_fingerprint(sf_dir, "embeddings")),
+        build,
     )
 
 

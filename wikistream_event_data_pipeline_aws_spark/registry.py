@@ -64,6 +64,11 @@ _FRONT_CHANGED: tuple[str, ...] = (
     "dedup_sim16_agreement",
     "split_leakage_audit",
     "curate_corpus",
+    "knn_classify_embeddings",
+    "eval_knn_confusion",
+    "similarity_ann_lsh_multi",
+    "similarity_ann_recall",
+    "eval_ann_ranking",
 )
 _DRIVER_FRONT: tuple[str, ...] = (
     "bpe_encode_heldout_fertility",
@@ -80,6 +85,11 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_sim16_agreement",
     "split_leakage_audit",
     "curate_corpus",
+    "similarity_ann_lsh_multi",
+    "similarity_ann_recall",
+    "eval_ann_ranking",
+    "eval_knn_confusion",
+    "knn_classify_embeddings",
     "merge_upsert_orders",
     "snapshot_mor_position_deletes",
     "snapshot_tag_retention_read",
@@ -111,11 +121,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "running_total_per_user",
     "rank_customers_by_balance",
     "top3_orders_per_customer",
-    "user_sessionization",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_union_all_slices",
 )
 
 
