@@ -69,6 +69,8 @@ _FRONT_CHANGED: tuple[str, ...] = (
     "similarity_ann_lsh_multi",
     "similarity_ann_recall",
     "eval_ann_ranking",
+    "dedup_simhash_band60",
+    "dedup_simhash_pairs",
 )
 _DRIVER_FRONT: tuple[str, ...] = (
     "bpe_encode_heldout_fertility",
@@ -90,6 +92,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "eval_ann_ranking",
     "eval_knn_confusion",
     "knn_classify_embeddings",
+    "dedup_simhash_pairs",
+    "dedup_simhash_band60",
     "merge_upsert_orders",
     "snapshot_mor_position_deletes",
     "snapshot_tag_retention_read",
@@ -119,8 +123,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_keep_first",
     "daily_lag_trend",
     "running_total_per_user",
-    "rank_customers_by_balance",
-    "top3_orders_per_customer",
 )
 
 
