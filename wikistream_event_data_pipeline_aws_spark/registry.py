@@ -71,6 +71,7 @@ _FRONT_CHANGED: tuple[str, ...] = (
     "eval_ann_ranking",
     "dedup_simhash_band60",
     "dedup_simhash_pairs",
+    "graph_khop_features",
 )
 _DRIVER_FRONT: tuple[str, ...] = (
     "bpe_encode_heldout_fertility",
@@ -94,6 +95,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "knn_classify_embeddings",
     "dedup_simhash_pairs",
     "dedup_simhash_band60",
+    "graph_khop_features",
     "merge_upsert_orders",
     "snapshot_mor_position_deletes",
     "snapshot_tag_retention_read",
@@ -122,7 +124,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_promo_revenue",
     "dedup_keep_first",
     "daily_lag_trend",
-    "running_total_per_user",
 )
 
 
