@@ -244,6 +244,16 @@ def test_min_extraction_builds_host_independent_baseline():
     assert base["host_index"] == 0.53
     assert base["runs_used"] == 2
     assert base["samples"] == {"a": 2, "b": 2, "c": 1}
+    # r13 restart: the window keeps only the LAST N matching runs —
+    # stale-era one-off minima (run 1's a=0.8 here) age out, so the
+    # gate's bar tracks states the CURRENT code is actually measured in
+    recent = extract_min_baseline(runs, 0.1, 32, window=1)
+    assert recent["queries"] == {"a": 0.8, "b": 50.0, "c": 2.0}
+    assert recent["runs_used"] == 1
+    assert recent["host_index"] == 0.90
+    both = extract_min_baseline(runs, 0.1, 32, window=2)
+    assert both["queries"] == {"a": 0.8, "b": 5.0, "c": 2.0}
+    assert both["runs_used"] == 2
 
 
 def test_standing_baseline_loads_only_matching_config(tmp_path):
