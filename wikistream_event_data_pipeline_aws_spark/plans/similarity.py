@@ -78,10 +78,40 @@ def audit_sample_sql(expr: str, per_mille: int) -> str:
     )
 
 
+# session-shared exact cosine top-k ground truth (r13, guide §1.2):
+# SIX queries consume the exact top-TOP_K of the benchmark query set
+# (vec_id < N_QUERIES) over the full corpus — similarity_cosine_topk
+# (it IS the query), eval_ann_ranking's graded-relevance leg,
+# similarity_ann_recall's + similarity_ann_sweep's audit legs, and both
+# RRF queries' semantic legs. A per-query top-k is INDEPENDENT per
+# query with a deterministic tie-break, so every consumer derives its
+# leg by FILTERING the shared kernel (query-subset / audit-sample /
+# rank prefix) — filters commute with the kernel, and the audit knobs
+# the invariants suite monkeypatches are applied per call, after the
+# memo. Memo discipline: operators/memo.py (app-id keyed,
+# file-fingerprint invalidated; nothing survives the session).
+_EXACT_TOPK_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _exact_topk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.memo import file_fingerprint, session_memo
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        return brute_force_topk(
+            e.filter(F.col("vec_id") < N_QUERIES), e, k=TOP_K
+        )
+
+    return session_memo(
+        _EXACT_TOPK_CACHE,
+        spark,
+        (sf_dir, file_fingerprint(sf_dir, "embeddings")),
+        build,
+    )
+
+
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < N_QUERIES)
-    return brute_force_topk(queries, e, k=TOP_K)
+    return _exact_topk_shared(spark, sf_dir)
 
 
 SIMILARITY_COSINE_TOPK_SQL = f"""
@@ -325,13 +355,13 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per AUDITED query; the ANN path itself still serves every query.
     Both inputs are the already-registered deterministic pipelines, so
     even this eval is value-hash-checked."""
-    e = load_table(spark, sf_dir, "embeddings")
-    aud_queries = e.filter(
-        (F.col("vec_id") < N_QUERIES)
-        & audit_sample_pred(F.col("vec_id"), RECALL_AUDIT_PER_MILLE)
-    )
-    exact = brute_force_topk(aud_queries, e, k=TOP_K).select(
-        "query_id", "neighbor_id"
+    # derived from the session-shared exact kernel: filtering queries
+    # commutes with a per-query top-k, and the audit knob is applied
+    # per call (the monkeypatch tests turn it) — never memoized
+    exact = (
+        _exact_topk_shared(spark, sf_dir)
+        .filter(audit_sample_pred(F.col("query_id"), RECALL_AUDIT_PER_MILLE))
+        .select("query_id", "neighbor_id")
     )
     ann = (
         similarity_ann_lsh_multi(spark, sf_dir)
@@ -393,12 +423,10 @@ def eval_ann_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exact division; MRR is the windowed mean over queries. The
     exact leg is the same bounded-nq audit discipline as the recall
     query (AUDIT knob documented there)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < N_QUERIES)
-    exact = (
-        brute_force_topk(queries, e, k=TOP_K)
-        .select("query_id", "neighbor_id", F.col("rank").alias("exact_rank"))
-        .localCheckpoint(eager=False)  # consumed by the rel join AND the iDCG leg
+    # session-shared exact kernel (already checkpoint-fenced there —
+    # the rel join AND the iDCG leg read the same checkpointed blocks)
+    exact = _exact_topk_shared(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
     )
     ann = similarity_ann_lsh_multi(spark, sf_dir).select(
         "query_id", "neighbor_id", "rank"
@@ -601,17 +629,13 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_bits = with_bits(e, "neighbor_id", "__cv").localCheckpoint(eager=False)
     # the ground-truth leg audits only the md5-sampled query subset
     # (AUDIT_SAMPLE_PER_MILLE — 1000 = every query at test SF; the
-    # 100x knob for the one O(n_audited * N) stage of this artifact)
+    # 100x knob for the one O(n_audited * N) stage of this artifact) —
+    # derived from the session-shared exact kernel (query filters
+    # commute with a per-query top-k; the knob applies per call)
     exact = (
-        brute_force_topk(
-            queries.filter(
-                audit_sample_pred(F.col("vec_id"), AUDIT_SAMPLE_PER_MILLE)
-            ),
-            e,
-            k=TOP_K,
-        )
+        _exact_topk_shared(spark, sf_dir)
+        .filter(audit_sample_pred(F.col("query_id"), AUDIT_SAMPLE_PER_MILLE))
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
     )
 
     w = Window.partitionBy("query_id").orderBy(
@@ -1309,11 +1333,18 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN-routed variant is ``retrieval_rrf_ann``). Fusion joins two
     <= {nq}x{topk}-row lists — negligible."""
     lexk = _lexical_jaccard_topk(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings")
-    semk = brute_force_topk(
-        e.filter(F.col("vec_id") < RRF_QUERIES), e, k=RRF_TOPK
-    ).select("query_id", F.col("neighbor_id").alias("cand_id"),
-             F.col("rank").alias("sem_rank"))
+    # semantic leg derived from the session-shared exact kernel: a
+    # per-query top-k's rank prefix IS the smaller-k result, and the
+    # RRF query set is a subset of the kernel's (guarded loudly)
+    assert RRF_TOPK <= TOP_K and RRF_QUERIES <= N_QUERIES
+    semk = (
+        _exact_topk_shared(spark, sf_dir)
+        .filter(
+            (F.col("query_id") < RRF_QUERIES) & (F.col("rank") <= RRF_TOPK)
+        )
+        .select("query_id", F.col("neighbor_id").alias("cand_id"),
+                F.col("rank").alias("sem_rank"))
+    )
     return _rrf_fused(lexk, semk)
 
 
@@ -1427,14 +1458,21 @@ def retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the lexical leg must be cut identically or the full-outer fusion
     # would resurrect unaudited queries into the ground truth)
     aud = lambda c: audit_sample_pred(c, AUDIT_SAMPLE_PER_MILLE)  # noqa: E731
-    semk_exact = brute_force_topk(
-        e.filter((F.col("vec_id") < RRF_QUERIES) & aud(F.col("vec_id"))),
-        e,
-        k=RRF_TOPK,
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("cand_id"),
-        F.col("rank").alias("sem_rank"),
+    # derived from the session-shared exact kernel (subset + rank
+    # prefix + per-call audit knob all commute with a per-query top-k)
+    assert RRF_TOPK <= TOP_K and RRF_QUERIES <= N_QUERIES
+    semk_exact = (
+        _exact_topk_shared(spark, sf_dir)
+        .filter(
+            (F.col("query_id") < RRF_QUERIES)
+            & aud(F.col("query_id"))
+            & (F.col("rank") <= RRF_TOPK)
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("rank").alias("sem_rank"),
+        )
     )
     exact = _rrf_fused(lexk.filter(aud(F.col("query_id"))), semk_exact).select(
         "query_id", "cand_id", F.lit(1).alias("__hit")

@@ -72,6 +72,10 @@ _FRONT_CHANGED: tuple[str, ...] = (
     "dedup_simhash_band60",
     "dedup_simhash_pairs",
     "graph_khop_features",
+    "similarity_cosine_topk",
+    "similarity_ann_sweep",
+    "retrieval_rrf_hybrid",
+    "retrieval_rrf_ann",
 )
 _DRIVER_FRONT: tuple[str, ...] = (
     "bpe_encode_heldout_fertility",
@@ -96,6 +100,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "dedup_simhash_band60",
     "graph_khop_features",
+    "similarity_cosine_topk",
+    "retrieval_rrf_hybrid",
+    "retrieval_rrf_ann",
+    "similarity_ann_sweep",
     "merge_upsert_orders",
     "snapshot_mor_position_deletes",
     "snapshot_tag_retention_read",
@@ -120,10 +128,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "join_anti_customers_without_orders",
     "join_left_customer_order_profile",
     "tpch_order_priority_count",
-    "tpch_forecast_revenue",
-    "tpch_promo_revenue",
-    "dedup_keep_first",
-    "daily_lag_trend",
 )
 
 
