@@ -106,7 +106,23 @@ def test_core_queries_are_python_free(spark, sf_dir, name):
 def test_exact_similarity_broadcasts_query_side(spark, sf_dir):
     """Brute-force top-k is a broadcast nested-loop of the tiny query
     set against the corpus — the corpus must never be the build side."""
-    plan = _plan(spark, sf_dir, "similarity_cosine_topk")
+    # the registered query serves the session-shared exact-top-k memo
+    # (a checkpoint fence that hides the subplan) — pin the underlying
+    # builder, the same internals-not-memo precedent as the kNN test
+    from wikistream_event_data_pipeline_aws_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from wikistream_event_data_pipeline_aws_spark.plans.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+    from wikistream_event_data_pipeline_aws_spark.catalog import load_table
+
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    df = brute_force_topk(e.filter(F.col("vec_id") < N_QUERIES), e, k=TOP_K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
