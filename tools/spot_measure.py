@@ -68,15 +68,28 @@ def main() -> None:
     bench.warmup(spark, args.sf_dir, qs)
     host_index = bench._host_index(spark, args.cpus)
 
+    from wikistream_event_data_pipeline_aws_spark.operators import memo
+
     ticks = bench._cpu_ticks()
     runs: dict[str, list[float]] = {}
+    memo_involved: dict[str, bool] = {}
     for name in names:
         fn = qs[name]
         rs = []
         for _ in range(args.repeats):
+            # Reset the session memos before EVERY repeat (VERDICT r13
+            # item 3): a memoized query's repeats would otherwise be
+            # memo hits, and the minimum this tool feeds into the
+            # standing baseline would be a hit time, not the query's
+            # standalone floor. The warmup above still covers JIT/IO.
+            memo.reset_memos()
+            ev0 = len(memo.MEMO_EVENTS)
             t0 = time.perf_counter()
             fn(spark, args.sf_dir).count()
             rs.append(round(time.perf_counter() - t0, 4))
+            memo_involved[name] = memo_involved.get(name, False) or any(
+                True for _ in memo.MEMO_EVENTS[ev0:]
+            )
         runs[name] = rs
     steal_pct = bench._steal_pct(ticks, bench._cpu_ticks())
     spark.stop()
@@ -100,6 +113,10 @@ def main() -> None:
                     else "CONFIRMED-regression" if n in bad
                     else "cleared"
                 ),
+                # True = this query consumes session memos; its runs here
+                # are STANDALONE floors (memos reset per repeat), which
+                # can sit far above its in-battery bench time (a memo hit)
+                "memoized": memo_involved.get(n, False),
             }
     out = {
         "tool": "spot_measure",

@@ -255,9 +255,13 @@ _WORDGRAIN_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _word_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.memo import log_memo_event, register_cache
+
+    register_cache(_WORDGRAIN_CACHE)
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir, _data_fingerprint(sf_dir))
     cached = _WORDGRAIN_CACHE.get(key)
+    log_memo_event("hit" if cached is not None else "build", "bpe_word_grain")
     if cached is not None:
         return cached
     for k in [k for k in _WORDGRAIN_CACHE if k[0] != app_id]:
@@ -294,9 +298,14 @@ def _bpe_pipeline(
     excluded on both engines up front: Spark's ``sequence(1, 0)``
     counts DOWN while DuckDB's ``range(1, 1)`` is empty, so a
     zero-length token would diverge — and carries no pairs anyway."""
+    from ..operators.memo import log_memo_event, register_cache
+
+    register_cache(_PIPELINE_CACHE)
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir, split, _data_fingerprint(sf_dir))
+    # BPE_MERGES is baked into every cached round plan (ADVICE r13)
+    key = (app_id, sf_dir, split, _data_fingerprint(sf_dir), BPE_MERGES)
     cached = _PIPELINE_CACHE.get(key)
+    log_memo_event("hit" if cached is not None else "build", "bpe_pipeline")
     if cached is not None:
         return cached
     for k in [k for k in _PIPELINE_CACHE if k[0] != app_id]:
@@ -504,9 +513,13 @@ def _encode_pipeline(
     the merge table is a <=K-row broadcast folded over each held-out
     word locally, so the held-out vocabulary is shuffled ZERO times
     between the train pipeline's output and the readout aggregations."""
+    from ..operators.memo import log_memo_event, register_cache
+
+    register_cache(_ENCODE_CACHE)
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir, _data_fingerprint(sf_dir))
+    key = (app_id, sf_dir, _data_fingerprint(sf_dir), BPE_MERGES)
     cached = _ENCODE_CACHE.get(key)
+    log_memo_event("hit" if cached is not None else "build", "bpe_encode_states")
     if cached is not None:
         return cached
     for k in [k for k in _ENCODE_CACHE if k[0] != app_id]:

@@ -180,20 +180,18 @@ _MINHASH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.memo import session_memo
     from .bpe import _data_fingerprint  # same file-identity contract
 
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir, _data_fingerprint(sf_dir))
-    cached = _MINHASH_PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    for k in [k for k in _MINHASH_PAIRS_CACHE if k[0] != app_id]:
-        del _MINHASH_PAIRS_CACHE[k]
-    pairs = _minhash_pairs_from_docs(
-        _docs_augmented(spark, sf_dir)
-    ).localCheckpoint(eager=False)
-    _MINHASH_PAIRS_CACHE[key] = pairs
-    return pairs
+    # N_HASHES is in the key (ADVICE r13): the cached plan bakes it in,
+    # so a same-session constant change must be a cache miss
+    return session_memo(
+        _MINHASH_PAIRS_CACHE,
+        spark,
+        (sf_dir, _data_fingerprint(sf_dir), N_HASHES),
+        lambda: _minhash_pairs_from_docs(_docs_augmented(spark, sf_dir)),
+        label="minhash_pairs",
+    )
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,11 +768,14 @@ _S16_PAIRS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def _simhash16_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.memo import file_fingerprint
+    from ..operators.memo import file_fingerprint, log_memo_event, register_cache
 
+    register_cache(_S16_PAIRS_CACHE)
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir, file_fingerprint(sf_dir, "documents"))
+    # SIMHASH_HAM_MAX is baked into the cached pair plan (ADVICE r13)
+    key = (app_id, sf_dir, file_fingerprint(sf_dir, "documents"), SIMHASH_HAM_MAX)
     hit = _S16_PAIRS_CACHE.get(key)
+    log_memo_event("hit" if hit is not None else "build", "simhash16_pairs")
     if hit is None:
         for k in [k for k in _S16_PAIRS_CACHE if k[0] != app_id]:
             del _S16_PAIRS_CACHE[k]
@@ -880,8 +881,9 @@ def _simhash60_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(
         _S60_PAIRS_CACHE,
         spark,
-        (sf_dir, file_fingerprint(sf_dir, "documents")),
+        (sf_dir, file_fingerprint(sf_dir, "documents"), SIMHASH60_BANDS, SIMHASH60_HAM_MAX),
         build,
+        label="simhash60_pairs",
     )
 
 

@@ -316,8 +316,9 @@ def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(
         _KNN_PRED_CACHE,
         spark,
-        (sf_dir, file_fingerprint(sf_dir, "embeddings")),
+        (sf_dir, file_fingerprint(sf_dir, "embeddings"), KNN_K, _KNN_TEST_MOD),
         lambda: _knn_classify_embeddings(spark, sf_dir),
+        label="knn_predictions",
     )
 
 

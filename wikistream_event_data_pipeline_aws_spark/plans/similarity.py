@@ -105,8 +105,9 @@ def _exact_topk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(
         _EXACT_TOPK_CACHE,
         spark,
-        (sf_dir, file_fingerprint(sf_dir, "embeddings")),
+        (sf_dir, file_fingerprint(sf_dir, "embeddings"), TOP_K, N_QUERIES),
         build,
+        label="exact_topk",
     )
 
 
@@ -245,8 +246,9 @@ def similarity_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(
         _LSH_MULTI_CACHE,
         spark,
-        (sf_dir, file_fingerprint(sf_dir, "embeddings")),
+        (sf_dir, file_fingerprint(sf_dir, "embeddings"), DIM, TOP_K, N_PLANES, N_TABLES, N_QUERIES),
         build,
+        label="lsh_multi_topk",
     )
 
 
