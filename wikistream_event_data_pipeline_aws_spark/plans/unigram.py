@@ -126,32 +126,43 @@ def unigram_viterbi_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "word", "i", "j", (F.col("cost") * F.lit(64) + F.lit(1)).alias("w")
     )
-    # r13 (guide §2.4): hash-partition the DP table by word at every
-    # round boundary, so WITHIN a round nothing re-exchanges: under
-    # ``requireAllClusterKeysForCoPartition=false`` (engine default,
-    # see session.py) the self-join on (word, k) reuses the word-only
-    # partitioning of both sides (word is high-cardinality by
-    # construction — no skew risk), the via agg on (word, i, j) reuses
-    # it too, and the full-outer least-combine joins two word-clustered
-    # sides sort-only. The combine's FullOuter output drops partitioning
-    # METADATA (outer joins report UnknownPartitioning), so each round
-    # re-establishes it with one repartition — 1 exchange per round vs
-    # 3 in the old union+groupBy shape (self-join both sides + the
-    # union agg). Per (word, i, j) the value is identical:
-    # min(dist ∪ via) = least(dist, min(via)).
-    dist = edges.repartition("word").localCheckpoint(eager=False)
+    # r13/r14 (guide §2.4): hash-partition the DP table by word ONCE,
+    # then every squaring round is exchange-free. The r13 shape still
+    # paid one repartition per round because its full-outer
+    # least-combine (min(dist ∪ via) = least(dist, min(via))) reports
+    # UnknownPartitioning. r14 removes the combine altogether with the
+    # standard doubling-with-identity trick: seed the DP table with
+    # zero-weight self-loops (word, i, i, 0) for every position, and
+    # each round becomes ONE self-join + min-agg —
+    #   dist_{r+1}(i,j) = min_k dist_r(i,k) + dist_r(k,j)
+    # where k = i (resp. k = j) pairs the self-loop with the existing
+    # entry and reproduces dist_r(i,j) exactly, so per (word, i, j)
+    # with i < j the value is IDENTICAL to min(dist ∪ via); self-loops
+    # stay (i, i, 0) because real edges always have i < j (no cycles).
+    # Under ``requireAllClusterKeysForCoPartition=false`` (engine
+    # default, see session.py) the self-join on (word, k) reuses the
+    # word-only clustering of both sides (word is high-cardinality by
+    # construction — no skew risk), the min-agg on (word, i, j) reuses
+    # it too (subset-key ClusteredDistribution), and the inner join +
+    # agg both PRESERVE HashPartitioning(word), which localCheckpoint
+    # carries into the next round's LogicalRDD: zero exchanges per
+    # round vs 1 in r13 and 3 in r12. The per-round fence stays — the
+    # next round consumes dist twice and there is no exchange left for
+    # ReuseExchange to deduplicate.
+    ident = vw.select(
+        "word",
+        F.explode(F.sequence(F.lit(0), F.col("L") + F.lit(1))).alias("i"),
+    ).select("word", "i", F.col("i").alias("j"), F.lit(0).cast("long").alias("w"))
+    dist = (
+        edges.unionByName(ident).repartition("word").localCheckpoint(eager=False)
+    )
     for _ in range(VITERBI_ROUNDS):
         a = dist.select("word", "i", F.col("j").alias("k"), F.col("w").alias("wa"))
         b = dist.select("word", F.col("i").alias("k"), "j", F.col("w").alias("wb"))
-        via = (
+        dist = (
             a.join(b, ["word", "k"])
             .groupBy("word", "i", "j")
-            .agg(F.min(F.col("wa") + F.col("wb")).alias("wv"))
-        )
-        dist = (
-            dist.join(via, ["word", "i", "j"], "full")
-            .select("word", "i", "j", F.least("w", "wv").alias("w"))
-            .repartition("word")
+            .agg(F.min(F.col("wa") + F.col("wb")).alias("w"))
             .localCheckpoint(eager=False)
         )
     best = dist.filter(
