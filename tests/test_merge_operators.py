@@ -137,15 +137,20 @@ def test_insert_only_parquet_replay_leaves_files_untouched(spark, tmp_path):
     )
     assert n == 0
     assert _file_snapshot(path) == snap
-    # partial replay inserts only the new key, rewrites only its partition
+    # partial replay appends only the new key into its partition — r14:
+    # set-insert merges by APPEND, so even the touched partition's
+    # existing files are byte-untouched (stronger than the pre-r14
+    # dynamic-partition rewrite this test used to pin)
     d1_before = _file_snapshot(path, "pt=d1")
+    d2_before = _file_snapshot(path, "pt=d2")
     n = insert_only_parquet(
         spark, path,
         _pdf(spark, [(2, "b", 1, "d2"), (4, "d", 1, "d2")]),
         ["k"], partition_by=["pt"],
     )
-    assert n == 2  # pt=d2 rewritten with k=2 (kept) + k=4 (new)
+    assert n == 1  # only k=4 is new; k=2 already exists and is dropped
     assert _file_snapshot(path, "pt=d1") == d1_before
+    assert set(_file_snapshot(path, "pt=d2")) >= set(d2_before)  # append-only
     assert _sorted(spark.read.parquet(path).drop("pt")) == [
         (1, "a", 1), (2, "b", 1), (4, "d", 1),
     ]

@@ -264,10 +264,22 @@ def insert_only_parquet(
     """Insert-only MERGE into a parquet table (the streaming sink's
     exactly-once body, T4/D3): rows whose keys already exist are dropped,
     so replayed micro-batches are no-ops — a FULL replay short-circuits
-    before any write, leaving every file untouched. Partition-scoped
-    like :func:`upsert_parquet`; returns rows written."""
+    before any write, leaving every file untouched. Returns rows written.
+
+    r14 (guide §2.4/§6): the surviving delta is APPENDED, never merged
+    into a full-table rewrite — set-insert is the one merge algebra
+    where append IS the merge, so a micro-batch costs O(|delta|) bytes
+    written instead of O(|table|), existing files are untouched by
+    construction (partial replays included, a stronger form of the
+    replay guarantee the tests pin), and at 100 TB the per-batch cost
+    no longer grows with the index. The trade is file-count growth with
+    batch count — the standard compaction story for any append-merge
+    table (compaction_plan covers it); partition-scoped deltas land in
+    their hive partition directories exactly as before."""
     if not path_exists(spark, path):
-        merged_rows = source.localCheckpoint(eager=True)
+        new_rows = source.localCheckpoint(eager=True)
+        n = new_rows.count()
+        writer = new_rows.write.mode("overwrite")
     else:
         target = spark.read.parquet(path)
         if partition_by:
@@ -282,16 +294,14 @@ def insert_only_parquet(
         for k in keys:
             c = source[k].eqNullSafe(tgt[k])
             cond = c if cond is None else cond & c
+        # the eager checkpoint both breaks lineage off the target files
+        # and lets count + write share one computation of the anti-join
         new_rows = source.join(tgt, cond, "left_anti").localCheckpoint(eager=True)
-        if new_rows.count() == 0:
+        n = new_rows.count()
+        if n == 0:
             return 0
-        merged_rows = target.unionByName(new_rows).localCheckpoint(eager=True)
-    n = merged_rows.count()
-    writer = merged_rows.write.mode("overwrite")
+        writer = new_rows.write.mode("append")
     if partition_by:
-        # dynamic mode replaces only the partitions present in merged_rows
-        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
-            *partition_by
-        )
+        writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return n
