@@ -286,6 +286,10 @@ def seed_scd2_dim(spark: SparkSession, sf_dir: str, dim_path: str) -> None:
     dim0.write.mode("overwrite").parquet(dim_path)
 
 
+# sf_dir -> (fixture base dir, cdc schema); see scd2_stream_replay
+_SCD2_FIXTURE_CACHE: dict[str, tuple] = {}
+
+
 def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CDC-stream -> SCD2 composition (VERDICT r3 item 3):
     a file-replayed update stream drives
@@ -304,14 +308,26 @@ def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import file_stream, start_scd2_sink
 
+    # The CDC batches and the seeded dimension are deterministic
+    # functions of the customer table — build them ONCE per (session,
+    # sf_dir) like the other source-fixture caches (_POSTINGS_SRC_CACHE,
+    # _ANN_SIG_SRC_CACHE; ~0.8s of Spark writes per invocation saved).
+    # The CDC side is read-only and shared; the dimension is MUTATED by
+    # the sink's merges, so each invocation gets a fresh file-copy of
+    # the pristine seed (a few ms of cp vs a Spark write job).
+    cached = _SCD2_FIXTURE_CACHE.get(sf_dir)
+    if cached is None:
+        base = tempfile.mkdtemp(prefix="scd2_fixture_")
+        write_cdc_fixture(spark, sf_dir, f"{base}/cdc")
+        seed_scd2_dim(spark, sf_dir, f"{base}/dim")
+        cached = (base, spark.read.parquet(f"{base}/cdc").schema)
+        _SCD2_FIXTURE_CACHE[sf_dir] = cached
+    base, schema = cached
+    cdc_dir = f"{base}/cdc"
     tmp = tempfile.mkdtemp(prefix="scd2_stream_")
-    cdc_dir = f"{tmp}/cdc"
     dim_path = f"{tmp}/dim"
     ckpt = f"{tmp}/ckpt"
-    write_cdc_fixture(spark, sf_dir, cdc_dir)
-    seed_scd2_dim(spark, sf_dir, dim_path)
-
-    schema = spark.read.parquet(cdc_dir).schema
+    shutil.copytree(f"{base}/dim", dim_path)
     stream = file_stream(spark, cdc_dir, schema, max_files_per_trigger=1)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
