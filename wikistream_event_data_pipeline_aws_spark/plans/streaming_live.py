@@ -62,10 +62,25 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def _run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def _run_to_memory(
+    df: DataFrame, name: str, output_mode: str, no_data_batches: bool = True
+) -> DataFrame:
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", _HARNESS_SHUFFLE_PARTITIONS)
+    # r14 (guide §1.2 — don't compute what the result can't see): a
+    # caller passes no_data_batches=False when its operator EMITS ON
+    # ARRIVAL (stateful dedup, inner stream-stream join): the trailing
+    # zero-row micro-batch only advances the watermark to evict state,
+    # which cannot change the output of a query that terminates right
+    # after — and costs a full trigger execution (~1.0-1.3s measured).
+    # Operators that emit ON WATERMARK ADVANCE (the left-outer interval
+    # join's unmatched rows, append-mode aggregations) MUST keep it.
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
     try:
         q = (
             df.writeStream.format("memory")
@@ -80,6 +95,7 @@ def _run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
             raise TimeoutError(f"streaming query {name} did not finish in {_AWAIT_S}s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
     return spark.table(name)
 
 
@@ -126,7 +142,9 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = watermark_dedup(
         doubled, ["event_id"], ts_col="ts", watermark="3650 days"
     ).select("event_id", "user_id", "event_type")
-    return _run_to_memory(deduped, "mem_streaming_dedup", "append")
+    return _run_to_memory(
+        deduped, "mem_streaming_dedup", "append", no_data_batches=False
+    )
 
 
 # PRECONDITION pinned to the data contract: this raw-projection oracle
@@ -250,7 +268,9 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_stream(spark, sf_dir),
         "3650 days",
     )
-    return _run_to_memory(joined, "mem_streaming_interval_join", "append")
+    return _run_to_memory(
+        joined, "mem_streaming_interval_join", "append", no_data_batches=False
+    )
 
 
 STREAMING_INTERVAL_JOIN_SQL = """
