@@ -627,8 +627,12 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES)
-    q_bits = with_bits(queries, "query_id", "__qv").localCheckpoint(eager=False)
-    c_bits = with_bits(e, "neighbor_id", "__cv").localCheckpoint(eager=False)
+    # r14: NOT checkpointed — each bit table has exactly ONE consumer
+    # (the coarse bucket join below), so the fence bought nothing and
+    # cost an eager analyze+optimize+plan pass per side at build time
+    # (~0.3s each measured; the sweep's cost at bench SF is DRIVER time)
+    q_bits = with_bits(queries, "query_id", "__qv")
+    c_bits = with_bits(e, "neighbor_id", "__cv")
     # the ground-truth leg audits only the md5-sampled query subset
     # (AUDIT_SAMPLE_PER_MILLE — 1000 = every query at test SF; the
     # 100x knob for the one O(n_audited * N) stage of this artifact) —
@@ -688,23 +692,19 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_planes = plane_lens[0]
 
     def coarse(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-        structs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    sum(
-                        (
-                            F.col(f"__bits{t}")[p] * F.lit(1 << p)
-                            for p in range(min_planes)
-                        ),
-                        start=F.lit(0),
-                    ).alias("bucket"),
-                    F.col(f"__bits{t}").alias("bits"),
-                )
-                for t in range(max_tables)
-            ]
+        # ONE expr string, not max_tables x (struct + per-plane Column
+        # arithmetic) DSL objects: the sweep's cost at bench SF is py4j
+        # round-trips at build time (same lesson as with_bits above)
+        structs = ", ".join(
+            "struct({t} AS table, {bucket} AS bucket, __bits{t} AS bits)".format(
+                t=t,
+                bucket=" + ".join(
+                    f"(__bits{t}[{p}] * {1 << p})" for p in range(min_planes)
+                ),
+            )
+            for t in range(max_tables)
         )
-        return df.select(id_col, vec_col, F.explode(structs).alias("s")).select(
+        return df.select(id_col, vec_col, F.expr(f"explode(array({structs}))").alias("s")).select(
             id_col,
             vec_col,
             F.col("s.table").alias("table"),
@@ -746,10 +746,8 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.first("cosine_sim").alias("cosine_sim"),
             *[
-                F.max(
-                    F.when(
-                        (F.col("table") == t) & F.col(f"__m{npl}"), 1
-                    ).otherwise(0)
+                F.expr(
+                    f"max(CASE WHEN table = {t} AND __m{npl} THEN 1 ELSE 0 END)"
                 ).alias(f"__hit_{t}_{npl}")
                 for t in range(max_tables)
                 for npl in plane_lens
@@ -776,47 +774,49 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cw = Window.partitionBy("vec_id").orderBy(
             F.col("__csim").desc(), F.col("centroid_id").asc()
         )
-
-        def ranked_cells(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-            return (
-                df.crossJoin(F.broadcast(cents))
-                .select(
-                    "vec_id",
-                    "embedding",
-                    "centroid_id",
-                    cosine("embedding", "__cent").alias("__csim"),
-                )
-                .withColumn("__rn", F.row_number().over(cw))
-                .select(
-                    F.col("vec_id").alias(out_id),
-                    F.col("embedding").alias(out_vec),
-                    F.col("centroid_id").alias("cell"),
-                    F.col("__rn").alias("probe_rank"),
-                )
+        max_probe = max(pb for ca, pb in IVF_SWEEP_CONFIGS if ca == n_cells)
+        # r14: ONE corpus x centroids scoring pass + window per n_cells
+        # (was two — the query side is e.filter(vec_id < N_QUERIES), a
+        # SUBSET of the corpus side with the identical per-vec_id
+        # ranking, so its separate crossJoin + rank + fence recomputed
+        # the same rows). Rows up to max_probe are fenced once; the
+        # corpus consumer is the rank-1 slice, the probe consumer the
+        # vec_id < N_QUERIES slice — both pure filters over the fence.
+        ranked = (
+            e.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "embedding",
+                "centroid_id",
+                cosine("embedding", "__cent").alias("__csim"),
             )
-
-        corp_cells = (
-            ranked_cells(e, "neighbor_id", "__cv")
-            .filter(F.col("probe_rank") == 1)
-            .drop("probe_rank")
+            .withColumn("__rn", F.row_number().over(cw))
+            .filter(F.col("__rn") <= max_probe)
+            .select("vec_id", "embedding", F.col("centroid_id").alias("cell"), "__rn")
             .localCheckpoint(eager=False)
         )
-        max_probe = max(pb for ca, pb in IVF_SWEEP_CONFIGS if ca == n_cells)
-        qry_cells = (
-            ranked_cells(queries, "query_id", "__qv")
-            .filter(F.col("probe_rank") <= max_probe)
-            .localCheckpoint(eager=False)
+        corp_cells = (
+            ranked.filter(F.col("__rn") == 1)
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("__cv"),
+                "cell",
+            )
         )
         for ca, nprobe in IVF_SWEEP_CONFIGS:
             if ca != n_cells:
                 continue
             cand = (
                 # the probe side is <= N_QUERIES x nprobe rows —
-                # broadcast it (checkpointed corp_cells carries no size
+                # broadcast it (checkpointed ranked carries no size
                 # stats, so the planner would otherwise sort-merge)
                 F.broadcast(
-                    qry_cells.filter(F.col("probe_rank") <= nprobe).drop(
-                        "probe_rank"
+                    ranked.filter(
+                        (F.col("vec_id") < N_QUERIES) & (F.col("__rn") <= nprobe)
+                    ).select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("__qv"),
+                        "cell",
                     )
                 )
                 .join(corp_cells, "cell")
