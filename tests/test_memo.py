@@ -78,3 +78,31 @@ def test_reset_memos_covers_the_hand_rolled_caches():
     memo.reset_memos()
     assert not bpe._PIPELINE_CACHE and not dedup._S16_PAIRS_CACHE
     assert not bpe._WORDGRAIN_CACHE and not bpe._ENCODE_CACHE
+
+
+def test_fused_seed_serves_both_simhash_kernels(spark):
+    """ADVICE r13: a cold dedup_sim16_agreement seeds BOTH simhash pair
+    caches from one fused corpus pass; the owner queries then hit the
+    memo, and the seeded pair sets are value-identical to the
+    single-width builds."""
+    from wikistream_event_data_pipeline_aws_spark.plans import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    memo.reset_memos()
+    rows_seeded = {
+        "b60": sorted(map(tuple, D.dedup_simhash_band60(spark, sf).collect())),
+        "s16": sorted(map(tuple, D.dedup_simhash_pairs(spark, sf).collect())),
+    }
+    memo.reset_memos()
+    ev0 = len(memo.MEMO_EVENTS)
+    D.dedup_sim16_agreement(spark, sf).collect()
+    assert ("build", "simhash_fused_seed") in memo.MEMO_EVENTS[ev0:]
+    ev1 = len(memo.MEMO_EVENTS)
+    after = {
+        "b60": sorted(map(tuple, D.dedup_simhash_band60(spark, sf).collect())),
+        "s16": sorted(map(tuple, D.dedup_simhash_pairs(spark, sf).collect())),
+    }
+    # both owner queries were memo HITS (no further kernel builds)
+    kinds = [k for k, lbl in memo.MEMO_EVENTS[ev1:] if "simhash" in lbl]
+    assert kinds and all(k == "hit" for k in kinds), memo.MEMO_EVENTS[ev1:]
+    assert after == rows_seeded
