@@ -334,3 +334,31 @@ def test_spot_partial_rows_render_and_never_become_prev(tmp_path):
     last = [l for l in md.splitlines() if l.startswith("| 2")][-1]
     # common-subset cells cover both queries => prev was the quiet row
     assert "| 3.0 | 3.2 |" in last
+
+
+def test_robust_baseline_refuses_rising_floors(tmp_path):
+    """ADVICE r13: a regression persisting across the whole window must
+    not silently become its own baseline — rebuilding fails (rc 1)
+    when a per-query floor rises >25% and >0.5s vs the committed file,
+    unless --allow-rising-floors acknowledges it."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist = tmp_path / "hist.jsonl"
+    out = tmp_path / "base.json"
+    row = {"at": "2026-08-18T00:00:00+00:00", "sf": 0.1, "cpus": 32,
+           "host_index": 0.5, "queries": {"q1": 3.0, "q2": 1.0}}
+    hist.write_text(json.dumps(row) + "\n")
+    out.write_text(json.dumps({"sf": 0.1, "cpus": 32,
+                               "queries": {"q1": 1.0, "q2": 1.0}}))
+    cmd = [sys.executable, os.path.join(repo, "tools", "robust_baseline.py"),
+           "--history", str(hist), "--out", str(out)]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    assert r.returncode == 1 and "FLOOR RISES: q1" in r.stdout
+    assert json.loads(out.read_text())["queries"]["q1"] == 1.0  # untouched
+    r = subprocess.run(cmd + ["--allow-rising-floors"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert json.loads(out.read_text())["queries"]["q1"] == 3.0

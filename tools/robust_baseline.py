@@ -107,12 +107,43 @@ def main() -> int:
         "see extract_min_baseline: an all-history min preserves stale-era "
         "one-off draws and false-fires the gate)",
     )
+    ap.add_argument(
+        "--allow-rising-floors",
+        action="store_true",
+        help="write even when per-query floors RISE vs the committed "
+        "baseline (ADVICE r13: a regression persisting across the whole "
+        "window would otherwise silently become its own baseline — the "
+        "rise must be explicitly acknowledged)",
+    )
     args = ap.parse_args()
     with open(args.history) as fh:
         runs = [json.loads(line) for line in fh if line.strip()]
     base = extract_min_baseline(
         runs, args.sf, args.cpus, window=args.window or None
     )
+    # cross-check vs the committed baseline (ADVICE r13): list queries
+    # whose floor RISES >25% and >0.5s — the signature of a regression
+    # that persisted across the window — and refuse to overwrite the
+    # committed file unless the rise is acknowledged with the flag.
+    rising = []
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == args.sf and prev.get("cpus") == args.cpus:
+            for q, t in base["queries"].items():
+                pt = prev.get("queries", {}).get(q)
+                if pt is not None and t > 1.25 * pt and t - pt > 0.5:
+                    rising.append((q, pt, t))
+    if rising:
+        for q, pt, t in sorted(rising):
+            print(f"FLOOR RISES: {q} {pt:.2f}s -> {t:.2f}s")
+        if not args.allow_rising_floors:
+            print(
+                f"{len(rising)} per-query floor(s) rise vs the committed "
+                "baseline — investigate (tools/spot_measure.py) or "
+                "acknowledge with --allow-rising-floors; NOT writing."
+            )
+            return 1
     base["built_at"] = datetime.datetime.now(
         datetime.timezone.utc
     ).isoformat(timespec="seconds")
