@@ -60,6 +60,16 @@ CLONE_OFFSET = 100_000
 # similarity_ann_recall runs at RECALL_AUDIT_PER_MILLE = 600 to
 # exercise the knob live (drops query 1 of 0..4 — visible in its
 # driver-verified rows).
+#
+# ADVICE r13 scope note: since the exact leg is served by the
+# session-shared _exact_topk_shared kernel, the knob is an OUTPUT
+# filter over the shared top-k (computed once for all N_QUERIES
+# benchmark queries), no longer a bound on the brute-force stage's
+# computation. That is the right trade while the kernel has six
+# consumers (one shared pass beats per-query partial passes); if a
+# deployment audits far below 1000‰ with a COLD kernel and no other
+# exact-top-k consumer, brute-force the audited subset directly
+# instead of warming the shared kernel.
 AUDIT_SEED = "auditq"
 AUDIT_SAMPLE_PER_MILLE = 1000
 RECALL_AUDIT_PER_MILLE = 600
