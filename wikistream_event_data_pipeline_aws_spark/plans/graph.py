@@ -83,6 +83,34 @@ def _oriented_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+# session-shared co-occurrence edge list (r14, guide §1.2): NINE graph
+# queries rebuild the identical canonical edge list — lineitem window
+# scan -> distinct (order, part) -> order self-join -> distinct pair —
+# from parquet every time; at 100 TB that scan+self-join IS the graph
+# family's dominant shared cost. Memo discipline: operators/memo.py
+# (app-id keyed, file-fingerprint invalidated, nothing survives the
+# session). Same-window family A/B at sf0.1/32cpu: 17.9s -> 12.2s.
+# NOTE this is CROSS-QUERY sharing — the r13 negative result ("graph
+# fencing reverted") was about fencing per-iteration subtrees WITHIN
+# one query, where ReuseExchange already deduplicates identical
+# exchange-terminated subtrees for free; across separate actions there
+# is no ReuseExchange, so the memo is the only way to pay the build
+# once per session.
+_COOCCUR_EDGES_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cooccurrence_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.memo import file_fingerprint, session_memo
+
+    return session_memo(
+        _COOCCUR_EDGES_CACHE,
+        spark,
+        (sf_dir, file_fingerprint(sf_dir, "lineitem"), _WIN_LO, _WIN_HI),
+        lambda: _cooccurrence_edges(spark, sf_dir),
+        label="cooccurrence_edges",
+    )
+
+
 def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (pa < pb) part co-occurrence edges within the shipdate
     window — the shared graph both kernels analyze. Distinct is applied
@@ -109,7 +137,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eigencentrality): edges feeds the oriented list consumed as
     # e1/e2/e3 PLUS the degree and edge-count branches — without the
     # fence the order-pair self-join re-runs in every branch
-    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _cooccurrence_edges_shared(spark, sf_dir)
     oe = _oriented_edges(edges).localCheckpoint(eager=False)
     e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     # Wedge (u; v, w) from the minimum-rank vertex u only, with the two
@@ -228,7 +256,7 @@ def pagerank_converged(
     can't express — and tests/test_properties.py pins the contract that
     the converged vector is iteration-count-invariant: one extra step
     moves it by at most the tolerance."""
-    edges = _cooccurrence_edges(spark, sf_dir)
+    edges = _cooccurrence_edges_shared(spark, sf_dir)
     directed = edges.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -280,7 +308,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed edges; a 1000-executor run shuffles on vertex ids and AQE
     splits residual hub skew. Output: top-{PR_TOP} ranked parts
     (TakeOrderedAndProject — no full sort)."""
-    edges = _cooccurrence_edges(spark, sf_dir)
+    edges = _cooccurrence_edges_shared(spark, sf_dir)
     directed = edges.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -348,7 +376,7 @@ def graph_khop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,2) (order-free exact), the mean is the single float
     division at the edge. Top-{KHOP_TOP} via TakeOrderedAndProject —
     no global sort."""
-    edges = _cooccurrence_edges(spark, sf_dir)
+    edges = _cooccurrence_edges_shared(spark, sf_dir)
     sym = (
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -464,7 +492,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     same stop the connected-components operator uses. Output: one row
     per round with survivor counts — plan-invariant, so oracle parity
     checks every intermediate peel, not just the final core."""
-    edges = _cooccurrence_edges(spark, sf_dir)
+    edges = _cooccurrence_edges_shared(spark, sf_dir)
     sym = (
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -544,7 +572,7 @@ def graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank above, minus even the div-by-degree). Nodes shed to zero
     by rescaling simply drop out of the top-k; ranking ties break on
     node id. Top-{EC_TOP} via TakeOrderedAndProject."""
-    edges = _cooccurrence_edges(spark, sf_dir)
+    edges = _cooccurrence_edges_shared(spark, sf_dir)
     sym = (
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -616,7 +644,7 @@ def graph_substitutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the verify set before degrees join in. Jaccard is the single
     float division; top-{SUBST_TOP} by (jaccard, pair) via
     TakeOrderedAndProject."""
-    edges = _cooccurrence_edges(spark, sf_dir)
+    edges = _cooccurrence_edges_shared(spark, sf_dir)
     sym = (
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -717,7 +745,7 @@ def graph_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth-capped UNION ALL + closing MIN-dedup is the plan — per-level
     DISTINCT would add a shuffle per depth for no asymptotic win at
     this cap."""
-    edges = _cooccurrence_edges(spark, sf_dir)
+    edges = _cooccurrence_edges_shared(spark, sf_dir)
     sym = (
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -758,7 +786,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-{LINKPRED_TOP} with a total tie-break
     (cn desc, pa desc, id_a, id_b) — no full sort, no CartesianProduct,
     ranking independent of partition order."""
-    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _cooccurrence_edges_shared(spark, sf_dir)
     sym = edges.select(
         F.col("pa").alias("node"), F.col("pb").alias("nbr")
     ).unionAll(edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
@@ -855,7 +883,7 @@ def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the |brands| grain. No all-pairs anything."""
     # the edge set feeds three consumers (degree table, |E|, internal-
     # edge count) — fence it so the lineitem self-join runs once
-    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _cooccurrence_edges_shared(spark, sf_dir)
     brand = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), "p_brand"
     )
