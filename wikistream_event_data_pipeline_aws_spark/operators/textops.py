@@ -150,6 +150,7 @@ def minhash_signature(
     n_hashes: int = 8,
     k: int = 3,
     include_all_docs: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc: m0..m{n-1} bigint minhash values. Docs with < k
     tokens get NULL signatures (``include_all_docs=False`` drops them
@@ -162,7 +163,11 @@ def minhash_signature(
     longs regardless of corpus size."""
     if n_hashes > len(MINHASH_SEEDS):
         raise ValueError(f"n_hashes > {len(MINHASH_SEEDS)} seeds available")
-    sh = exploded_shingles(docs, id_col, text_col, k)
+    # ``shingles``: an already-built (id, shingle) table to reuse (r14 —
+    # dedup_lsh_sweep shares ONE distinct shingle pass between its
+    # signature and ground-truth legs). min() is duplicate-insensitive,
+    # so raw and distinct shingle sets give identical signatures.
+    sh = shingles if shingles is not None else exploded_shingles(docs, id_col, text_col, k)
     h = hex_hash(F.col("shingle")) % MINHASH_PRIME
     sig = sh.withColumn("__h", h).groupBy(id_col).agg(
         *[
@@ -222,9 +227,35 @@ def jaccard_pairs(
     text_col: str,
     k: int = 3,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity for (candidate) pairs sharing >=1
-    shingle. Without ``candidates`` every co-shingled pair is scored."""
+    shingle. Without ``candidates`` every co-shingled pair is scored.
+    ``shingles``: a pre-built DISTINCT (id, shingle) table to reuse
+    instead of re-exploding the corpus (only valid without
+    ``candidates``, whose semi-join must subset the docs first)."""
+    if shingles is not None:
+        if candidates is not None:
+            raise ValueError("shingles= cannot be combined with candidates=")
+        sh = shingles.localCheckpoint(eager=False)
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        a, b = sh.alias("a"), sh.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+        out = shared.join(sa, "id_a").join(sb, "id_b")
+        jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        return out.select("id_a", "id_b", "n_shared", "n_a", "n_b", jac.alias("jaccard"))
     if candidates is not None:
         # verify only candidate docs: explode shingles for that subset alone
         cand_ids = (

@@ -433,10 +433,21 @@ def dedup_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit_all = AUDIT_SAMPLE_PER_MILLE >= 1000
 
     d = _docs_augmented(spark, sf_dir)
+    # r14 (guide §2.3): ONE distinct shingle pass feeds BOTH legs — the
+    # signature build (min over affine perms is duplicate-insensitive,
+    # so distinct vs raw shingles is value-identical) and the exact-
+    # Jaccard ground truth, which used to re-explode the corpus
+    # separately. At 100 TB the shingle explode is the sweep's dominant
+    # per-leg cost; here it is one pass instead of two.
+    sh = (
+        exploded_shingles(d, "doc_id", "text", k=3)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sigs = minhash_signature(
-        d, "doc_id", "text", n_hashes=N_HASHES, include_all_docs=False
+        d, "doc_id", "text", n_hashes=N_HASHES, include_all_docs=False, shingles=sh
     ).localCheckpoint(eager=True)
-    truth = jaccard_pairs(d, "doc_id", "text", k=3).filter(
+    truth = jaccard_pairs(d, "doc_id", "text", k=3, shingles=sh).filter(
         F.col("jaccard") >= 0.5
     )
     if not audit_all:
