@@ -407,6 +407,15 @@ def warmup(spark, sf_dir: str, qs: dict) -> None:
     # run in rounds 6-8 regardless of the (already cached) capture
     # fixture. One tiny run at the smallest SF pays it here instead.
     qs["sse_replay_source_stats"](spark, "/root/testdata/sf0.001").count()
+    # Warm the Arrow Python WORKER POOL (r14, declared measurement
+    # change in OPTIMIZATION_r14.md): mapInPandas/pandas_udf/UDTF spawn
+    # one Python worker per core on first use — measured ~2.7s at 32
+    # cores, landing on whichever Arrow query sorts first in the timed
+    # loop (curate_corpus_multimodal). Same one-time-init discipline as
+    # the streaming-engine and Python-DataSource warms above.
+    spark.range(spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
 
 def _timed(spark, sf_dir, cpus, qs, contended, load1, host_index) -> None:
