@@ -39,95 +39,89 @@ _ORACLES: dict[str, str] = {}
 # cannot retroactively invalidate the front that produced it. Bump it
 # together with every rotation; a CORRECTNESS file NEWER than it means
 # a round ran without rotation and the guard goes red.
-_FRONT_TARGET_ROUND = 13
-# Round 13 (tools/front_rotation.py --target-round 13 --changed
-# bpe_vocabulary_merges,bpe_segmentation_fertility,bpe_vocabulary_curve,
-# dedup_lsh_sweep): 3 NEW (bpe_encode_heldout_fertility — apply the
-# learned merge table to the held-out md5 split, incl. OOV words;
-# bpe_encode_heldout_curve — the held-out validation curve per merge
-# budget; unigram_viterbi_nll — SentencePiece-family Viterbi scoring
-# via integer min-plus repeated squaring) + 4 CHANGED-plan rows from
-# the r13 optimization round (the BPE one-window-cascade rewrite +
-# curve union-agg readouts; dedup_lsh_sweep's shared-flag collapse) —
-# same-output refactors parity-proven locally, fronted anyway given
-# their size — + the 16 r7-stale rows (floor rises to r8) + 27 of the
-# 46 r8 rows; 19 r8 rows defer to round 14.
+_FRONT_TARGET_ROUND = 14
+# Round 14 (tools/front_rotation.py --target-round 14 --changed <the
+# 20 r14 optimization-round rewrites>): 0 NEW + 20 CHANGED-plan rows
+# (unigram identity-seeded squaring; lsh_sweep shared shingle pass;
+# ann_sweep IVF consolidation; scd2 fixture cache; the two
+# no-data-batch skips; the four append-merge sinks; the nine
+# shared-edge-list graph queries; sim16_agreement fused seeding) —
+# same-output refactors parity-proven locally, fronted per the r13
+# precedent — + the stalest r8 cohort rows, truncated at 50; the
+# remainder defers to round 15.
 _FRONT_CHANGED: tuple[str, ...] = (
-    "bpe_vocabulary_merges",
-    "bpe_segmentation_fertility",
-    "bpe_vocabulary_curve",
-    "dedup_lsh_sweep",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "dedup_cluster_keepers",
-    "dedup_method_agreement",
-    "dedup_sim16_agreement",
-    "split_leakage_audit",
-    "curate_corpus",
-    "knn_classify_embeddings",
-    "eval_knn_confusion",
-    "similarity_ann_lsh_multi",
-    "similarity_ann_recall",
-    "eval_ann_ranking",
-    "dedup_simhash_band60",
-    "dedup_simhash_pairs",
-    "graph_khop_features",
-    "similarity_cosine_topk",
-    "similarity_ann_sweep",
-    "retrieval_rrf_hybrid",
-    "retrieval_rrf_ann",
-)
-_DRIVER_FRONT: tuple[str, ...] = (
-    "bpe_encode_heldout_fertility",
-    "bpe_encode_heldout_curve",
     "unigram_viterbi_nll",
     "dedup_lsh_sweep",
-    "bpe_vocabulary_merges",
-    "bpe_segmentation_fertility",
-    "bpe_vocabulary_curve",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "dedup_cluster_keepers",
-    "dedup_method_agreement",
-    "dedup_sim16_agreement",
-    "split_leakage_audit",
-    "curate_corpus",
-    "similarity_ann_lsh_multi",
-    "similarity_ann_recall",
-    "eval_ann_ranking",
-    "eval_knn_confusion",
-    "knn_classify_embeddings",
-    "dedup_simhash_pairs",
-    "dedup_simhash_band60",
-    "graph_khop_features",
-    "similarity_cosine_topk",
-    "retrieval_rrf_hybrid",
-    "retrieval_rrf_ann",
     "similarity_ann_sweep",
-    "merge_upsert_orders",
-    "snapshot_mor_position_deletes",
-    "snapshot_tag_retention_read",
-    "tumbling_hourly_counts",
-    "tumbling_15min_by_type",
-    "sliding_1h_15m_counts",
-    "session_window_user_stats",
-    "streaming_tumbling_hourly",
+    "scd2_stream_replay",
     "streaming_dedup_watermark",
-    "streaming_stateful_running_count",
-    "streaming_static_enrich",
     "streaming_interval_join",
-    "quality_flags",
-    "peak_hour_analytic",
-    "gate_status_rollup",
-    "zorder_cluster_stats",
-    "event_transition_matrix",
-    "tpch_pricing_summary",
-    "tpch_shipping_priority",
-    "tpch_local_supplier_revenue",
-    "join_semi_building_orders",
-    "join_anti_customers_without_orders",
-    "join_left_customer_order_profile",
-    "tpch_order_priority_count",
+    "streaming_postings_sink",
+    "streaming_ann_index_sink",
+    "streaming_histogram_quantiles",
+    "streaming_entropy_sink",
+    "graph_eigencentrality",
+    "graph_kcore_peel",
+    "graph_khop_features",
+    "graph_link_prediction",
+    "graph_modularity_brand",
+    "graph_pagerank",
+    "graph_recursive_reachability",
+    "graph_substitutes",
+    "graph_triangle_count",
+    "dedup_sim16_agreement",
+)
+_DRIVER_FRONT: tuple[str, ...] = (
+    "unigram_viterbi_nll",
+    "dedup_lsh_sweep",
+    "dedup_sim16_agreement",
+    "graph_khop_features",
+    "similarity_ann_sweep",
+    "streaming_dedup_watermark",
+    "streaming_interval_join",
+    "streaming_entropy_sink",
+    "streaming_postings_sink",
+    "streaming_histogram_quantiles",
+    "streaming_ann_index_sink",
+    "graph_triangle_count",
+    "graph_modularity_brand",
+    "graph_pagerank",
+    "graph_kcore_peel",
+    "graph_eigencentrality",
+    "graph_substitutes",
+    "graph_recursive_reachability",
+    "graph_link_prediction",
+    "scd2_stream_replay",
+    "tpch_forecast_revenue",
+    "tpch_promo_revenue",
+    "dedup_keep_first",
+    "daily_lag_trend",
+    "running_total_per_user",
+    "rank_customers_by_balance",
+    "top3_orders_per_customer",
+    "user_sessionization",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_union_all_slices",
+    "json_extract_props",
+    "envelope_parse",
+    "json_assemble_evidence",
+    "dedup_passage_exact",
+    "pack_sequences",
+    "bpe_merge_candidates",
+    "sample_importance_tokens",
+    "quality_percentile_gate",
+    "sse_replay_source_stats",
+    "mine_hard_negatives",
+    "multimodal_video_frame_neardup",
+    "incremental_agg_merge",
+    "skew_profile",
+    "dq_outlier_zscore",
+    "table_diff_orders",
+    "hourly_gapfill",
+    "streaming_session_window",
+    "partitioned_scan_pruning",
 )
 
 
