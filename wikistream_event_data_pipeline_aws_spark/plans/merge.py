@@ -290,6 +290,22 @@ def seed_scd2_dim(spark: SparkSession, sf_dir: str, dim_path: str) -> None:
 _SCD2_FIXTURE_CACHE: dict[str, tuple] = {}
 
 
+def _scd2_fixtures(spark: SparkSession, sf_dir: str) -> tuple:
+    """(fixture base dir, cdc schema), built once per (session, sf_dir)
+    — deterministic functions of the customer table (bench.warmup
+    pre-builds them with the other setup artifacts)."""
+    import tempfile
+
+    cached = _SCD2_FIXTURE_CACHE.get(sf_dir)
+    if cached is None:
+        base = tempfile.mkdtemp(prefix="scd2_fixture_")
+        write_cdc_fixture(spark, sf_dir, f"{base}/cdc")
+        seed_scd2_dim(spark, sf_dir, f"{base}/dim")
+        cached = (base, spark.read.parquet(f"{base}/cdc").schema)
+        _SCD2_FIXTURE_CACHE[sf_dir] = cached
+    return cached
+
+
 def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CDC-stream -> SCD2 composition (VERDICT r3 item 3):
     a file-replayed update stream drives
@@ -315,14 +331,7 @@ def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The CDC side is read-only and shared; the dimension is MUTATED by
     # the sink's merges, so each invocation gets a fresh file-copy of
     # the pristine seed (a few ms of cp vs a Spark write job).
-    cached = _SCD2_FIXTURE_CACHE.get(sf_dir)
-    if cached is None:
-        base = tempfile.mkdtemp(prefix="scd2_fixture_")
-        write_cdc_fixture(spark, sf_dir, f"{base}/cdc")
-        seed_scd2_dim(spark, sf_dir, f"{base}/dim")
-        cached = (base, spark.read.parquet(f"{base}/cdc").schema)
-        _SCD2_FIXTURE_CACHE[sf_dir] = cached
-    base, schema = cached
+    base, schema = _scd2_fixtures(spark, sf_dir)
     cdc_dir = f"{base}/cdc"
     tmp = tempfile.mkdtemp(prefix="scd2_stream_")
     dim_path = f"{tmp}/dim"

@@ -1083,6 +1083,24 @@ MINE_HARD_NEGATIVES_SQL = _hardneg_oracle_sql()
 _ANN_SIG_SRC_CACHE: dict[str, str] = {}
 
 
+def _ann_sig_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file (even/odd vec_id) replay source, built once per
+    (session, sf_dir) — immutable input; bench.warmup pre-builds it
+    with the other setup artifacts."""
+    import tempfile
+
+    src = _ANN_SIG_SRC_CACHE.get(sf_dir)
+    if src is None:
+        e = load_table(spark, sf_dir, "embeddings")
+        src = tempfile.mkdtemp(prefix="annsig_stream_src_") + "/src"
+        for parity in (0, 1):
+            e.filter(F.col("vec_id") % 2 == parity).select(
+                "vec_id", "embedding"
+            ).coalesce(1).write.mode("append").parquet(src)
+        _ANN_SIG_SRC_CACHE[sf_dir] = src
+    return src
+
+
 def streaming_ann_index_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN-index maintenance end-to-end — the vector-leg
     twin of ``streaming_postings_sink``: the embeddings table replays
@@ -1103,14 +1121,7 @@ def streaming_ann_index_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import file_stream, start_ann_signature_sink
 
     e = load_table(spark, sf_dir, "embeddings")
-    src = _ANN_SIG_SRC_CACHE.get(sf_dir)
-    if src is None:
-        src = tempfile.mkdtemp(prefix="annsig_stream_src_") + "/src"
-        for parity in (0, 1):
-            e.filter(F.col("vec_id") % 2 == parity).select(
-                "vec_id", "embedding"
-            ).coalesce(1).write.mode("append").parquet(src)
-        _ANN_SIG_SRC_CACHE[sf_dir] = src
+    src = _ann_sig_stream_src(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="annsig_stream_")
     sig_path, ckpt = f"{tmp}/sigs", f"{tmp}/ckpt"
     schema = spark.read.parquet(src).schema

@@ -414,6 +414,24 @@ def _index_topk_from_postings(tok_docs: DataFrame) -> DataFrame:
 _POSTINGS_SRC_CACHE: dict[str, str] = {}
 
 
+def _postings_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file (even/odd doc_id) replay source, built once per
+    (session, sf_dir) — immutable input; bench.warmup pre-builds it
+    with the other setup artifacts."""
+    import tempfile
+
+    src = _POSTINGS_SRC_CACHE.get(sf_dir)
+    if src is None:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        src = tempfile.mkdtemp(prefix="postings_stream_src_") + "/src"
+        for parity in (0, 1):
+            d.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        _POSTINGS_SRC_CACHE[sf_dir] = src
+    return src
+
+
 def streaming_postings_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental inverted-index maintenance end-to-end (VERDICT r7
     item 7): the documents table replays as TWO micro-batches
@@ -432,18 +450,7 @@ def streaming_postings_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import file_stream, start_postings_sink
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # the SOURCE fixture (two files = two micro-batches) is immutable
-    # per scale factor — cache it across invocations; postings/checkpoint
-    # state is per-run
-    src = _POSTINGS_SRC_CACHE.get(sf_dir)
-    if src is None:
-        src = tempfile.mkdtemp(prefix="postings_stream_src_") + "/src"
-        for parity in (0, 1):
-            d.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
-        _POSTINGS_SRC_CACHE[sf_dir] = src
+    src = _postings_stream_src(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="postings_stream_")
     postings_path, ckpt = f"{tmp}/postings", f"{tmp}/ckpt"
     stream = file_stream(
